@@ -1,0 +1,63 @@
+package graft.ingest
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.ZipInputStream
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Distributed zip expansion: `binaryFile` scan + a typed 1->N flatMap over
+  * `java.util.zip.ZipInputStream` — the Spark-native shape for the
+  * reference's download+unzip (main.rs:172-208 + 153-170) when there are
+  * MANY archives (each archive = one task; zip is not splittable, so
+  * parallelism comes from archive count, not archive size — SURVEY.md §7.4).
+  *
+  * Zip-slip/flat-archive semantics match ZipExtract: entries with path
+  * separators or traversal are skipped.
+  *
+  * The same `spark.read.format("binaryFile")` path works against an
+  * `s3a://bucket/prefix/` glob unchanged — credentials flow from the default
+  * AWS provider chain exactly as the reference's `aws_config::load_defaults`
+  * (main.rs:56-57); nothing here hardcodes a filesystem.
+  */
+object ZipSource {
+
+  case class ZipEntryRow(archive: String, entry: String, content: Array[Byte])
+
+  def expand(spark: SparkSession, pathGlob: String): Dataset[ZipEntryRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val zis = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+        val out = Seq.newBuilder[ZipEntryRow]
+        var entry = zis.getNextEntry
+        while (entry != null) {
+          val name = entry.getName
+          val unsafe = name.contains("..") || name.contains("/") || name.contains("\\")
+          if (!entry.isDirectory && !unsafe) {
+            val bos = new ByteArrayOutputStream()
+            val buf = new Array[Byte](64 * 1024)
+            var n = zis.read(buf)
+            while (n >= 0) { bos.write(buf, 0, n); n = zis.read(buf) }
+            out += ZipEntryRow(path, name, bos.toByteArray)
+          }
+          zis.closeEntry()
+          entry = zis.getNextEntry
+        }
+        zis.close()
+        out.result()
+      }
+  }
+
+  /** Expand zipped CSV archives and parse the CSV bodies with an explicit
+    * schema — end-to-end distributed (no driver-side temp files). */
+  def expandCsv(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    val entries = expand(spark, pathGlob)
+      .filter(_.entry.toLowerCase.endsWith(".csv"))
+      .map(e => new String(e.content, java.nio.charset.StandardCharsets.UTF_8))
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(entries)
+  }
+}

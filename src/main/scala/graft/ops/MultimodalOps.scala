@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` columns + typed
+  * metadata, with decode / feature-extract / frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the DECODE KERNELS ARE STUBS —
+  * `decodeStub` derives a deterministic fake feature vector from the bytes.
+  * Everything around them is real Spark plumbing and is what matters at
+  * scale: binary columns travel in parquet row groups, the decode stage is a
+  * typed mapPartitions (the Scala analogue of mapInPandas: one executor call
+  * per batch of rows, where a JNI/codec library would be initialized once per
+  * partition), frame sampling is a 1->N flatMap, and nothing ever collects
+  * to the driver.
+  */
+object MultimodalOps {
+
+  case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte],
+                      width: Int, height: Int)
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+                           feature: Array[Float])
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Build a media table from `documents`: text bytes stand in for the blob
+    * (binary column + metadata columns), media_type assigned round-robin. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents").select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("image"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit("audio"))
+        .otherwise(lit("video")).as("media_type"),
+      encode(col("text"), "UTF-8").as("content"),
+      (pmod(col("doc_id"), lit(8)) * 64 + 64).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(4)) * 64 + 64).cast("int").as("height"))
+
+  /** STUB decode kernel — stands in for an image/audio decoder (libraries not
+    * present in this container). Deterministic: folds the bytes into an
+    * 8-float "feature". A real implementation swaps ONLY this function. */
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val acc = new Array[Float](8)
+    var i = 0
+    while (i < bytes.length) {
+      acc(i % 8) += (bytes(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    acc
+  }
+
+  /** Decode stage: typed mapPartitions so a real codec could be initialized
+    * once per partition (the expensive part at scale) and reused per row. */
+  def extractFeatures(s: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import s.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // real pipeline: val codec = Codec.open() here, once per partition
+      rows.map { m =>
+        MediaFeatures(m.doc_id, m.media_type, m.content.length,
+          decodeStub(m.content))
+      }
+    }
+  }
+
+  /** Frame sampling for "video" rows: 1->N flatMap slicing the blob into
+    * fixed-stride chunks (a real sampler would seek keyframes). */
+  def sampleFrames(s: SparkSession, media: DataFrame, stride: Int = 64): Dataset[Frame] = {
+    import s.implicits._
+    media.as[MediaRow].filter(_.media_type == "video").flatMap { m =>
+      m.content.grouped(stride).zipWithIndex.map { case (chunk, i) =>
+        Frame(m.doc_id, i, chunk)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- q43
+  /** Metadata layer of the media table — fully oracle-checkable (byte
+    * lengths and type assignment don't need the stub). */
+  def q43MultimodalMeta(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d).select(
+      col("doc_id"), col("media_type"),
+      octet_length(col("content")).as("n_bytes"),
+      col("width"), col("height"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q44
+  /** Decode + feature stage output (stub kernel → rows-only check). */
+  def q44MultimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(s, mediaTable(s, d))
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_multimodal_meta" -> (q43MultimodalMeta _),
+    "q44_multimodal_features" -> (q44MultimodalFeatures _))
+
+  val oracle: Map[String, String] = Map(
+    "q43_multimodal_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |      WHEN doc_id % 3 = 1 THEN 'audio'
+        |      ELSE 'video' END AS media_type,
+        | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        | CAST(doc_id % 8 * 64 + 64 AS INT) AS width,
+        | CAST(doc_id % 4 * 64 + 64 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,684 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational query library over the driver test tables.
+  *
+  * The reference (/root/reference/src/main.rs) has no relational operators
+  * beyond projection (main.rs:130-151); everything here is the additive
+  * engine surface mandated by SURVEY.md §2.2 / §7.3, expressed declaratively
+  * on the DataFrame API so Catalyst gets full pushdown / pruning / join
+  * planning freedom.
+  *
+  * Oracle-compat conventions (every query here has a DuckDB oracle):
+  *  - every computed column is aliased, identically in Spark and SQL
+  *    (driver compares columns by name);
+  *  - a total ORDER BY over a deterministic key set in both engines;
+  *  - any double that is *accumulated* across rows (sum/avg/window-sum) is
+  *    round()ed at a fixed scale, because FP addition is not associative and
+  *    Spark's partial-aggregate order differs from DuckDB's sequential order.
+  *    Raw column values and single-row arithmetic pass through exactly.
+  *  - timestamps are compared/emitted via timestamp_ntz so the parquet
+  *    footer (isAdjustedToUTC) matches DuckDB's naive TIMESTAMP.
+  *
+  * Scale notes (local[32] here, 1000-executor cluster in spirit):
+  *  - fact-fact joins (lineitem x orders) shuffle on the join key and rely on
+  *    AQE for skew/size adaptation; dimension joins (nation, region, bands)
+  *    are explicit broadcast() so no shuffle of the fact side is wasted;
+  *  - aggregations are partial-aggregate friendly (sum/count/min/max/avg over
+  *    groupBy keys) so map-side combine cuts shuffle volume;
+  *  - top-k uses orderBy.limit which Spark plans as TakeOrderedAndProject
+  *    (per-partition heap + driver merge, no total sort).
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+  /** Normalize any timestamp flavor to NTZ (session tz is pinned UTC). */
+  private def ntz(c: Column): Column = c.cast("timestamp_ntz")
+  private def tsLit(s: String): Column = lit(java.time.LocalDateTime.parse(s))
+
+  import org.apache.spark.sql.types.DecimalType
+  /** Exact accumulation for 2-decimal money/value columns. Summing doubles
+    * is order-dependent, and a round() of two near-boundary sums CAN differ
+    * between Spark's partial-agg order and DuckDB's sequential order (seen
+    * once at sf0.01). Summing in DECIMAL is exact and order-free; the single
+    * final cast to double is IEEE-deterministic in both engines. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+  private def davg(c: Column): Column = dsum(c) / count(lit(1))
+  /** Exact sum(price * (1 - discount)) via 4-decimal decimal products.
+    * The exact wide-scale decimal is rounded to scale 2 BEFORE the double
+    * cast: a scale-12 decimal -> double conversion is double-rounded in some
+    * engines (int128 -> double, then / 10^12), while a scale-2 decimal of
+    * this magnitude converts with one exact division. */
+  private def drevenue: Column =
+    round(sum(col("l_extendedprice").cast(DecimalType(12, 4)) *
+      (lit(1.0) - col("l_discount")).cast(DecimalType(12, 4))), 2).cast("double")
+  private def dcharge: Column =
+    round(sum(col("l_extendedprice").cast(DecimalType(12, 4)) *
+      (lit(1.0) - col("l_discount")).cast(DecimalType(12, 4)) *
+      (lit(1.0) + col("l_tax")).cast(DecimalType(12, 4))), 2).cast("double")
+  /** SQL twins of the above (identical text on the DuckDB side). */
+  private def sqlDsum(x: String) = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+  private def sqlDavg(x: String) = s"${sqlDsum(x)} / count(*)"
+  private val sqlRevenue =
+    "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE)"
+  private val sqlCharge =
+    "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4)) * CAST(1.0 + l_tax AS DECIMAL(12,4))), 2) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-style pricing summary: filter + groupBy + 8 aggregates.
+    * Whole query is one scan + one partial/final hash aggregate. */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(ntz(col("l_shipdate")) <= tsLit("2000-12-01T00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        drevenue.as("sum_disc_price"),
+        dcharge.as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---------------------------------------------------------------- q02
+  /** Predicate + projection; both push into the parquet scan
+    * (PushedFilters + ReadSchema — the optimization the eager reference
+    * lacked, SURVEY.md §4.1). No floats are recomputed: values pass through. */
+  def q02FilterProject(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_quantity") >= 48 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---------------------------------------------------------------- q03
+  /** String scalar functions (codegen'd, no UDFs). */
+  def q03ScalarString(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      col("doc_id"),
+      upper(substring(col("text"), 1, 20)).as("head_upper"),
+      length(col("text")).as("len_chars"),
+      locate("spark", col("text")).as("spark_pos"),
+      concat_ws("|", col("lang"), col("source")).as("lang_src"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q04
+  /** Date/time scalar functions over orders. */
+  def q04ScalarDate(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        quarter(col("o_orderdate")).as("o_quarter"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        ntz(date_trunc("month", ntz(col("o_orderdate")))).as("month_start"))
+      .orderBy("o_orderkey")
+
+  // ---------------------------------------------------------------- q05
+  /** Math scalar functions. Transcendentals (sqrt/ln/pow) are rounded —
+    * libm last-ulp differences across engines. */
+  def q05ScalarMath(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(100)) === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(pow(col("l_discount"), 2), 8).as("disc_sq"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---------------------------------------------------------------- q06
+  /** Hash aggregate with the standard agg family. */
+  def q06AggBasic(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"),
+        davg(col("o_totalprice")).as("avg_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  // ---------------------------------------------------------------- q07
+  /** Distinct aggregates (Spark plans expand + two-phase agg). */
+  def q07AggDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------------- q08
+  /** ROLLUP hierarchy totals; grouping NULLs mapped to a sentinel so the
+    * oracle comparison never depends on engine NULL-ordering. */
+  def q08Rollup(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy("status", "priority")
+
+  // ---------------------------------------------------------------- q09
+  /** CUBE over lineitem flags; sum(l_quantity) is integer-valued so exact. */
+  def q09Cube(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  // ---------------------------------------------------------------- q10
+  /** Fact-fact equi-join (shuffle hash/SMJ under AQE) + aggregate. */
+  def q10JoinInnerAgg(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(drevenue.as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------- q11
+  /** TPC-H Q5-style star join: two fact tables + customer + broadcast
+    * dimension chain (nation, region are O(10^1) rows at any SF). */
+  def q11JoinStar(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val o = t(s, d, "orders")
+      .filter(ntz(col("o_orderdate")) >= tsLit("1996-01-01T00:00:00") &&
+        ntz(col("o_orderdate")) < tsLit("1998-01-01T00:00:00"))
+    val c = t(s, d, "customer")
+    val n = t(s, d, "nation")
+    val r = t(s, d, "region").filter(col("r_name") === "EUROPE")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(drevenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // ---------------------------------------------------------------- q12
+  /** Left outer join preserving customers with zero orders. */
+  def q12JoinLeft(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(col("o_totalprice").cast(DecimalType(18, 2))),
+          lit(0).cast(DecimalType(18, 2))).cast("double").as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- q13
+  /** Left-semi join (EXISTS): customers with at least one big order. */
+  def q13JoinSemi(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- q14
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  def q14JoinAnti(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- q15
+  /** Top-k: planned as TakeOrderedAndProject (no total sort, no full shuffle);
+    * o_orderkey tie-break keeps the cut deterministic. */
+  def q15TopK(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val c = t(s, d, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- q16-q18 set ops
+  def q16SetUnion(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "customer").filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("custkey"))
+    val b = t(s, d, "orders").filter(col("o_totalprice") > 450000)
+      .select(col("o_custkey").as("custkey"))
+    a.union(b).distinct().orderBy("custkey")
+  }
+
+  def q17SetIntersect(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "customer").filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey"))
+    val b = t(s, d, "orders").filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("custkey"))
+    a.intersect(b).orderBy("custkey")
+  }
+
+  def q18SetExcept(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "customer").filter(col("c_acctbal") > 8000)
+      .select(col("c_custkey").as("custkey"))
+    val b = t(s, d, "customer").filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_custkey").as("custkey"))
+    a.except(b).orderBy("custkey")
+  }
+
+  // ---------------------------------------------------------------- q19-q22 windows
+  /** rank() per user by value; one shuffle on user_id, sort within. */
+  def q19WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    t(s, d, "events")
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 5)
+      .select("user_id", "event_id", "value", "rnk")
+      .orderBy("user_id", "rnk", "event_id")
+  }
+
+  /** lag() deltas along each user's event timeline. */
+  def q20WindowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("delta", round(col("value") - col("prev_value"), 2))
+      .select("event_id", "user_id", "value", "prev_value", "delta")
+      .orderBy("event_id")
+  }
+
+  /** Running sum + row_number (cumulative frame). */
+  def q21WindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).as("seq"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_value"))
+      .orderBy("event_id")
+  }
+
+  /** Top-N per group via row_number — the scalable alternative to a
+    * per-group sort+collect. */
+  def q22WindowTopNPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+    t(s, d, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+      .orderBy("l_orderkey", "rn")
+  }
+
+  // ---------------------------------------------------------------- q23
+  /** `events.ts` arrives as a nanosecond Long (see Verify/Bench session
+    * config): integer ns keeps ordering exact vs DuckDB's TIMESTAMP_NS;
+    * truncate to micros only when a timestamp value is emitted. */
+  // `div` = integer division: a double roundtrip would lose ns precision
+  // (2^53 < ns-since-epoch), so this must stay in integer space.
+  private def tsFromNanos(colName: String): Column =
+    timestamp_micros(expr(s"$colName div 1000"))
+
+  /** Tumbling 1h windows as a batch groupBy (streaming twin lives in
+    * graft.streaming.EventsStream). date_trunc aligns with DuckDB. */
+  def q23EventsHourly(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(
+        ntz(date_trunc("hour", tsFromNanos("ts"))).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  // ---------------------------------------------------------------- q24
+  /** JSON extraction from the props column + aggregate. */
+  def q24EventsJson(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------- q25
+  /** Backward as-of join: each click annotated with the user's most recent
+    * purchase at-or-before it. See AsofJoin for the single-sort plan. */
+  def q25AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_event_id"), col("value").as("purchase_value"))
+    AsofJoin.backward(
+      clicks, purchases,
+      key = "user_id", time = "ts",
+      attach = Seq("purchase_event_id", "purchase_value"))
+      .select("event_id", "user_id", "purchase_event_id", "purchase_value")
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- q26
+  /** Non-equi range join against a tiny in-query band dimension —
+    * broadcast nested-loop, the right plan when one side is O(1) rows.
+    * (At 100 TB with a large band table you'd bin the fact side to the
+    * band grid and equi-join on the bin instead.) */
+  def q26RangeBandJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (0, "b0", 0.0, 100000.0),
+      (1, "b1", 100000.0, 200000.0),
+      (2, "b2", 200000.0, 300000.0),
+      (3, "b3", 300000.0, 400000.0),
+      (4, "b4", 400000.0, 1000000000.0))
+      .toDF("band_id", "band_name", "lo", "hi")
+    t(s, d, "orders")
+      .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band_id", "band_name")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("band_id")
+  }
+
+  // ---------------------------------------------------------------- q27
+  /** GROUPING SETS via the spark.sql surface (DataFrame API has rollup/cube;
+    * arbitrary sets are SQL-only). Same SQL text runs on the DuckDB oracle. */
+  val q27Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(CAST(year(o_orderdate) AS INT), -1) AS o_year,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+      |ORDER BY status, o_year""".stripMargin
+
+  def q27GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.load(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(q27Sql)
+  }
+
+  // ---------------------------------------------------------------- q28
+  /** Gap-based sessionization (30 min inactivity) as a batch query: lag
+    * marks session starts, a running sum numbers sessions, then one
+    * aggregate per session. Gap math stays in integer microseconds so the
+    * oracle comparison is exact. Streaming twin (flatMapGroupsWithState):
+    * graft.streaming.EventsStream.sessionize. */
+  def q28Sessionize(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val e = t(s, d, "events").select(col("event_id"), col("user_id"),
+      col("value"), expr("ts div 1000").as("tus"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val g = e.withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    g.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        ntz(timestamp_micros(min(col("tus")))).as("session_start"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  // ------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_scalar_string" -> (q03ScalarString _),
+    "q04_scalar_date" -> (q04ScalarDate _),
+    "q05_scalar_math" -> (q05ScalarMath _),
+    "q06_agg_basic" -> (q06AggBasic _),
+    "q07_agg_distinct" -> (q07AggDistinct _),
+    "q08_rollup" -> (q08Rollup _),
+    "q09_cube" -> (q09Cube _),
+    "q10_join_inner_agg" -> (q10JoinInnerAgg _),
+    "q11_join_star" -> (q11JoinStar _),
+    "q12_join_left" -> (q12JoinLeft _),
+    "q13_join_semi" -> (q13JoinSemi _),
+    "q14_join_anti" -> (q14JoinAnti _),
+    "q15_topk" -> (q15TopK _),
+    "q16_set_union" -> (q16SetUnion _),
+    "q17_set_intersect" -> (q17SetIntersect _),
+    "q18_set_except" -> (q18SetExcept _),
+    "q19_window_rank" -> (q19WindowRank _),
+    "q20_window_lag" -> (q20WindowLag _),
+    "q21_window_running" -> (q21WindowRunning _),
+    "q22_window_topn_group" -> (q22WindowTopNPerGroup _),
+    "q23_events_hourly" -> (q23EventsHourly _),
+    "q24_events_json" -> (q24EventsJson _),
+    "q25_asof_join" -> (q25AsofJoin _),
+    "q26_range_band_join" -> (q26RangeBandJoin _),
+    "q27_grouping_sets" -> (q27GroupingSets _),
+    "q28_sessionize" -> (q28Sessionize _))
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | round(sum(l_quantity), 2) AS sum_qty,
+         | ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         | $sqlRevenue AS sum_disc_price,
+         | $sqlCharge AS sum_charge,
+         | round(avg(l_quantity), 4) AS avg_qty,
+         | ${sqlDavg("l_extendedprice")} AS avg_price,
+         | ${sqlDavg("l_discount")} AS avg_disc,
+         | count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_quantity >= 48 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_scalar_string" ->
+      """SELECT doc_id,
+        | upper(substring(text, 1, 20)) AS head_upper,
+        | CAST(length(text) AS INT) AS len_chars,
+        | CAST(strpos(text, 'spark') AS INT) AS spark_pos,
+        | concat_ws('|', lang, source) AS lang_src
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q04_scalar_date" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INT) AS o_year,
+        | CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+        | CAST(month(o_orderdate) AS INT) AS o_month,
+        | CAST(day(o_orderdate) AS INT) AS o_day,
+        | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q05_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(sqrt(l_extendedprice), 6) AS sqrt_price,
+        | round(ln(l_extendedprice), 6) AS ln_price,
+        | round(pow(l_discount, 2), 8) AS disc_sq,
+        | CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        | CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        | greatest(l_tax, l_discount) AS max_rate
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q06_agg_basic" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         | count(*) AS n_orders,
+         | ${sqlDsum("o_totalprice")} AS sum_price,
+         | min(o_totalprice) AS min_price,
+         | max(o_totalprice) AS max_price,
+         | ${sqlDavg("o_totalprice")} AS avg_price
+         |FROM orders GROUP BY o_orderstatus, o_orderpriority
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q07_agg_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q08_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q09_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | count(*) AS n,
+        | sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q10_join_inner_agg" ->
+      s"""SELECT o_custkey,
+         | $sqlRevenue AS revenue,
+         | count(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderstatus = 'F'
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q11_join_star" ->
+      s"""SELECT n_name,
+         | $sqlRevenue AS revenue
+         |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q12_join_left" ->
+      """SELECT c_custkey, c_name,
+        | count(o_orderkey) AS n_orders,
+        | CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q13_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q15_topk" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q16_set_union" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+        |UNION
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
+        |ORDER BY custkey""".stripMargin,
+    "q17_set_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY custkey""".stripMargin,
+    "q18_set_except" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 8000
+        |EXCEPT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |ORDER BY custkey""".stripMargin,
+    "q19_window_rank" ->
+      """SELECT user_id, event_id, value, CAST(rnk AS INT) AS rnk FROM (
+        | SELECT user_id, event_id, value,
+        |  rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+        | FROM events) WHERE rnk <= 5
+        |ORDER BY user_id, rnk, event_id""".stripMargin,
+    "q20_window_lag" ->
+      """SELECT event_id, user_id, value, prev_value,
+        | round(value - prev_value, 2) AS delta
+        |FROM (
+        | SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        | FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "q21_window_running" ->
+      """SELECT event_id, user_id,
+        | CAST(row_number() OVER w AS INT) AS seq,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q22_window_topn_group" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS INT) AS rn FROM (
+        | SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        | FROM lineitem) WHERE rn <= 3
+        |ORDER BY l_orderkey, rn""".stripMargin,
+    "q23_events_hourly" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+         | event_type, count(*) AS n_events, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q24_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(k) AS BIGINT) AS sum_k,
+        | max(k) AS max_k
+        |FROM (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q25_asof_join" ->
+      """SELECT a.event_id, a.user_id,
+        | b.event_id AS purchase_event_id, b.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        | ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ORDER BY a.event_id""".stripMargin,
+    "q26_range_band_join" ->
+      """WITH bands(band_id, band_name, lo, hi) AS (VALUES
+        | (0, 'b0', 0.0, 100000.0),
+        | (1, 'b1', 100000.0, 200000.0),
+        | (2, 'b2', 200000.0, 300000.0),
+        | (3, 'b3', 300000.0, 400000.0),
+        | (4, 'b4', 400000.0, 1000000000.0))
+        |SELECT band_id, band_name, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band_id, band_name ORDER BY band_id""".stripMargin,
+    "q27_grouping_sets" -> q27Sql,
+    "q28_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS tus FROM events),
+        |g AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |      FROM (SELECT *, lag(tus) OVER
+        |        (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e)),
+        |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |        ORDER BY tus, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |      FROM g)
+        |SELECT user_id, session_seq, make_timestamp(min(tus)) AS session_start,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin)
+}

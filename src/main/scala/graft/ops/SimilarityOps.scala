@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over `embeddings` (`embedding: array<float>`, dim 64).
+  *
+  * Two paths, per the scale ladder:
+  *  - brute-force cosine top-k (q40): exact baseline. The query set is
+  *    broadcast; candidates stream through one codegen'd projection, and
+  *    per-query top-k is a window row_number — cost O(|Q| * N * dim) with NO
+  *    all-pairs shuffle. Right shape when |Q| is small.
+  *  - LSH-bucketed ANN (q42): random-hyperplane signatures bucket the
+  *    candidates; only same-bucket pairs are scored. At 100 TB this is the
+  *    only viable path: signature build is map-side, the join is an
+  *    equi-join on (table, bucket), and recall is tuned by (#tables, #bits).
+  *    (IVF would replace the hash with learned centroids — same join shape.)
+  *
+  * All float math is widened to double before accumulating, and similarities
+  * are rounded before ranking so results are engine-portable.
+  */
+object SimilarityOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Double-precision dot product of two array columns (higher-order
+    * functions — codegen'd, no UDF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  // ---------------------------------------------------------------- q40
+  /** Brute-force exact cosine top-k for a small query set (vec_id < 10).
+    * Ranking happens on the ROUNDED similarity with vec_id tie-break, so the
+    * cut is deterministic and oracle-stable. */
+  def q40CosineTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "c_id", "sim", "rk")
+      .orderBy("q_id", "rk")
+  }
+
+  // ---------------------------------------------------------------- q41
+  /** Vector norms + a projected component — the sanity layer for the
+    * embedding math (exact oracle in double precision). */
+  def q41EmbeddingNorms(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(
+      col("vec_id"), col("label"),
+      round(l2Norm(col("embedding")), 6).as("l2_norm"),
+      element_at(col("embedding"), 1).cast("double").as("x0"),
+      size(col("embedding")).as("dim"))
+      .orderBy("vec_id")
+
+  // ---------------------------------------------------------------- q42
+  /** Random-hyperplane LSH ANN: `tables` independent hash tables of `bits`
+    * hyperplanes each; candidates sharing a (table, bucket) with a query are
+    * scored exactly, then per-query top-k. Hyperplanes are generated from a
+    * fixed-seed PRNG at plan build — deterministic across runs/engines. */
+  def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, bits, dim)(rnd.nextGaussian())
+  }
+
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(emb, lit(p)) >= 0, lit(1 << i)).otherwise(lit(0)): Column
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  def q42AnnLsh(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(tables = 4, bits = 8, dim = dim)
+    val e = t(s, d, "embeddings")
+    val withBuckets = e.select(col("vec_id"), col("embedding"),
+      posexplode(array(planes.indices.map(ti =>
+        lshBucket(col("embedding"), planes(ti))): _*)).as(Seq("tbl", "bucket")))
+    val q = withBuckets.filter(col("vec_id") < 10)
+      .select(col("tbl"), col("bucket"), col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = withBuckets
+      .select(col("tbl"), col("bucket"), col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    q.join(c, Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("q_emb"), col("c_emb"))
+      .distinct() // collapse multi-table collisions before scoring
+      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "c_id", "sim", "rk")
+      .orderBy("q_id", "rk")
+  }
+
+  // ------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_cosine_topk" -> ((s: SparkSession, d: String) => q40CosineTopK(s, d)),
+    "q41_embedding_norms" -> (q41EmbeddingNorms _),
+    "q42_ann_lsh" -> ((s: SparkSession, d: String) => q42AnnLsh(s, d)))
+
+  /** q42's hyperplanes live in the Spark plan only → rows-only check.
+    * q40/q41 recompute the same double math in DuckDB. */
+  val oracle: Map[String, String] = Map(
+    "q40_cosine_topk" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        | FROM embeddings),
+        |p AS (
+        | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |  round(
+        |   list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
+        |   / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+        |      * sqrt(list_sum(list_transform(c.emb, x -> x * x)))), 6) AS sim
+        | FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |r AS (
+        | SELECT q_id, c_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rk
+        | FROM p)
+        |SELECT q_id, c_id, sim, rk FROM r WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
+    "q41_embedding_norms" ->
+      """SELECT vec_id, label,
+        | round(sqrt(list_sum(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+        | CAST(embedding[1] AS DOUBLE) AS x0,
+        | CAST(len(embedding) AS INT) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin)
+}

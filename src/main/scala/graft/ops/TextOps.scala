@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over `documents` — the training-data-pipeline
+  * surface (language ID, quality scoring, token counting, fingerprinting,
+  * exact dedup). All pure `functions._` column expressions: codegen'd,
+  * embarrassingly parallel (no shuffle except the dedup groupBys), so the
+  * per-row cost is the only cost at 100 TB.
+  */
+object TextOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Whitespace tokenization of lowercased text. */
+  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  // ---------------------------------------------------------------- q30
+  /** Exact dedup with deterministic survivor selection (min doc_id), the
+    * hash-groupBy formulation: one shuffle on the full text (at 100 TB you
+    * would groupBy a 128-bit text hash instead to cut shuffle width — same
+    * plan shape, see q34 fingerprints). */
+  def q30DedupExact(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy(col("text"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), length(col("text")).as("text_len"))
+      .orderBy("keep_id")
+
+  // ---------------------------------------------------------------- q31
+  /** DISTINCT as a set operator (dropDuplicates on a projected key set). */
+  def q31DistinctRows(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---------------------------------------------------------------- q32
+  /** Token counting: whitespace tokens, unique tokens, mean word length. */
+  def q32TextTokens(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    t(s, d, "documents").select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_unique"),
+      round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(toks), 4)
+        .as("avg_word_len"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q33
+  /** Quality scoring: alpha ratio, stopword ratio, composite score.
+    * Ratios are double divisions of integer-valued operands — exact in both
+    * engines; the composite is rounded anyway. */
+  def q33TextQuality(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+    val nStop = size(filter(toks, x => x === "the" || x === "a" || x === "of"))
+    val alphaRatio = nAlpha.cast("double") / col("n_chars")
+    val stopRatio = nStop.cast("double") / size(toks)
+    t(s, d, "documents").select(
+      col("doc_id"),
+      col("n_chars"),
+      nAlpha.as("n_alpha"),
+      nStop.as("n_stop"),
+      round(alphaRatio, 4).as("alpha_ratio"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(alphaRatio * lit(0.5) + (lit(1.0) - stopRatio) * lit(0.5), 4).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q34
+  /** Document fingerprinting: md5 of the whitespace-normalized text and
+    * sha2-256 of the raw text. Fingerprints are what you'd shuffle for exact
+    * dedup at scale instead of full text bodies. */
+  def q34Fingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("fp_md5"),
+      sha2(col("text").cast("binary"), 256).as("fp_sha256"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q35
+  /** Heuristic language ID: count distinct stopword hits per language,
+    * pick the first maximum in a fixed language order. Deterministic and
+    * SQL-expressible, so it keeps a DuckDB oracle. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在"))
+  val langOrder: Seq[String] = Seq("en", "es", "de", "fr", "zh")
+
+  def q35LangId(s: SparkSession, d: String): DataFrame = {
+    val toksD = array_distinct(tokens(col("text")))
+    val scores = langOrder.map { l =>
+      l -> size(array_intersect(toksD, lit(stopwords(l).toArray))).as(s"s_$l")
+    }.toMap
+    val best = langOrder.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langOrder.foldRight(lit("und"): Column) { (l, acc) =>
+      when(col(s"s_$l") === col("s_best") && col("s_best") > 0, lit(l)).otherwise(acc)
+    }
+    t(s, d, "documents")
+      .select(Seq(col("doc_id"), col("lang").as("lang_actual")) ++
+        langOrder.map(l => scores(l)): _*)
+      .withColumn("s_best", best)
+      .withColumn("lang_pred", pred)
+      .drop("s_best")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> (q30DedupExact _),
+    "q31_distinct_rows" -> (q31DistinctRows _),
+    "q32_text_tokens" -> (q32TextTokens _),
+    "q33_text_quality" -> (q33TextQuality _),
+    "q34_fingerprint" -> (q34Fingerprint _),
+    "q35_lang_id" -> (q35LangId _))
+
+  private def duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  val oracle: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        | CAST(length(text) AS INT) AS text_len
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q31_distinct_rows" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q32_text_tokens" ->
+      s"""SELECT doc_id,
+         | CAST(len($duckToks) AS INT) AS n_tokens,
+         | CAST(len(list_distinct($duckToks)) AS INT) AS n_unique,
+         | round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |   / len($duckToks), 4) AS avg_word_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_text_quality" ->
+      s"""SELECT doc_id, n_chars,
+         | CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INT) AS n_alpha,
+         | CAST(len(list_filter($duckToks, x -> x = 'the' OR x = 'a' OR x = 'of')) AS INT) AS n_stop,
+         | round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars, 4) AS alpha_ratio,
+         | round(CAST(len(list_filter($duckToks, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE)
+         |   / len($duckToks), 4) AS stop_ratio,
+         | round(0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars)
+         |   + 0.5 * (1.0 - CAST(len(list_filter($duckToks, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE)
+         |       / len($duckToks)), 4) AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5,
+        | sha256(text) AS fp_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q35_lang_id" -> {
+      def score(l: String): String = {
+        val lst = stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_intersect(list_distinct($duckToks), $lst)) AS INT)"
+      }
+      val sCols = langOrder.map(l => s" ${score(l)} AS s_$l").mkString(",\n")
+      val bestExpr = s"greatest(${langOrder.map(l => s"s_$l").mkString(", ")})"
+      val caseExpr = langOrder.map(l => s"WHEN s_$l = $bestExpr AND $bestExpr > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""SELECT doc_id, lang_actual, ${langOrder.map(l => s"s_$l").mkString(", ")},
+         | $caseExpr AS lang_pred
+         |FROM (SELECT doc_id, lang AS lang_actual,
+         |$sCols
+         | FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    })
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape.
+  *
+  * The reference is batch-only (SURVEY.md §2.2 — no stream loop anywhere),
+  * so this is additive capability: the same `events` schema processed as an
+  * unbounded stream with event-time windows + watermark, and a stateful
+  * sessionization via flatMapGroupsWithState.
+  *
+  * Scale notes: windowed aggregation state is keyed by (window, event_type)
+  * — bounded by watermark expiry; sessionization state is per user_id and
+  * explicitly timed out. Both shuffle once on their state key, exactly like
+  * the batch twin (Relational.q23EventsHourly).
+  */
+object EventsStream {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+
+  /** Tumbling 1h event-time windows with a 2h watermark — the streaming twin
+    * of the batch hourly rollup. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  // ------------------------------------------------------------ sessionization
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, lastTs: Long, nEvents: Long, sumValue: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     n_events: Long, sum_value: Double, duration_s: Double)
+
+  /** Gap-based sessionization (30 min inactivity closes a session) with
+    * explicit state + processing-time timeout. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val closed = Seq.newBuilder[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(st) if t - st.lastTs <= gapMs =>
+                cur = Some(st.copy(lastTs = t, nEvents = st.nEvents + 1,
+                  sumValue = st.sumValue + e.value))
+              case Some(st) =>
+                closed += Session(userId, new java.sql.Timestamp(st.start),
+                  st.nEvents, st.sumValue, (st.lastTs - st.start) / 1000.0)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur match {
+            case Some(st) => state.update(st); state.setTimeoutDuration(gapMs)
+            case None => ()
+          }
+          if (state.hasTimedOut) {
+            state.getOption.foreach { st =>
+              closed += Session(userId, new java.sql.Timestamp(st.start),
+                st.nEvents, st.sumValue, (st.lastTs - st.start) / 1000.0)
+            }
+            state.remove()
+          }
+          closed.result().iterator
+      }
+  }
+
+  /** Batch-mode sessionization twin (window lag + cumulative session ids) —
+    * verifies the same gap semantics without a streaming harness. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withGap = events.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts").cast("timestamp")) - unix_millis(col("prev_ts").cast("timestamp"))) > gapMs, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+}
