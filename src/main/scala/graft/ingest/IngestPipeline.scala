@@ -60,9 +60,12 @@ object IngestPipeline {
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
-  /** The O5 projection. Missing column -> AnalysisException (fail-hard). */
+  /** The O5 projection. Missing column -> AnalysisException (fail-hard).
+    * Names are backtick-quoted: `PM2.5` would otherwise parse as a struct
+    * field access. */
   def project(df: DataFrame): DataFrame =
-    df.select(AirQualitySchema.projectedColumns.map(org.apache.spark.sql.functions.col): _*)
+    df.select(AirQualitySchema.projectedColumns
+      .map(c => org.apache.spark.sql.functions.col(s"`$c`")): _*)
 
   /** Full pipeline; returns the projected frame after writing it. */
   def run(spark: SparkSession, conf: Config): DataFrame = {

@@ -50,14 +50,19 @@ object ZipSource {
       }
   }
 
-  /** Expand zipped CSV archives and parse the CSV bodies with an explicit
-    * schema — end-to-end distributed (no driver-side temp files). */
+  /** Expand zipped CSV archives and parse the bodies — end-to-end
+    * distributed (no driver-side temp files). All entries are assumed to be
+    * shards of ONE logical CSV (shared header): each entry's header line is
+    * dropped and a single header is re-prepended, because Spark's
+    * `csv(Dataset[String])` parses one LINE per element. */
   def expandCsv(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
-    val entries = expand(spark, pathGlob)
+    val texts = expand(spark, pathGlob)
       .filter(_.entry.toLowerCase.endsWith(".csv"))
       .map(e => new String(e.content, java.nio.charset.StandardCharsets.UTF_8))
+    val header = texts.head().linesIterator.next()
+    val data = texts.flatMap(_.linesIterator.filter(_ != header))
     spark.read.option("header", "true").option("inferSchema", "true")
-      .csv(entries)
+      .csv(spark.createDataset(Seq(header)).union(data))
   }
 }

@@ -49,42 +49,49 @@ object EventsStream {
                      n_events: Long, sum_value: Double, duration_s: Double)
 
   /** Gap-based sessionization (30 min inactivity closes a session) with
-    * explicit state + processing-time timeout. */
+    * explicit state + EVENT-TIME timeout: a session also closes when the
+    * watermark passes lastTs+gap with no new data for the key. (A
+    * processing-time timeout here would make results wall-clock-dependent
+    * and busy-loops the micro-batch engine under processAllAvailable.) */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    def close(userId: Long, st: SessionState): Session =
+      Session(userId, new java.sql.Timestamp(st.start),
+        st.nEvents, st.sumValue, (st.lastTs - st.start) / 1000.0)
+    events.withWatermark("ts", s"${gapMs / 60000} minutes")
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val closed = Seq.newBuilder[Session]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(st) if t - st.lastTs <= gapMs =>
-                cur = Some(st.copy(lastTs = t, nEvents = st.nEvents + 1,
-                  sumValue = st.sumValue + e.value))
-              case Some(st) =>
-                closed += Session(userId, new java.sql.Timestamp(st.start),
-                  st.nEvents, st.sumValue, (st.lastTs - st.start) / 1000.0)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
-            }
-          }
-          cur match {
-            case Some(st) => state.update(st); state.setTimeoutDuration(gapMs)
-            case None => ()
-          }
           if (state.hasTimedOut) {
-            state.getOption.foreach { st =>
-              closed += Session(userId, new java.sql.Timestamp(st.start),
-                st.nEvents, st.sumValue, (st.lastTs - st.start) / 1000.0)
-            }
+            val out = state.getOption.map(close(userId, _))
             state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.lastTs <= gapMs =>
+                  cur = Some(st.copy(lastTs = t, nEvents = st.nEvents + 1,
+                    sumValue = st.sumValue + e.value))
+                case Some(st) =>
+                  closed += close(userId, st)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              // timeout must sit strictly beyond the current watermark
+              state.setTimeoutTimestamp(
+                math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.result().iterator
           }
-          closed.result().iterator
       }
   }
 

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.MultimodalOps
+
+class MultimodalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("decode stub is deterministic and shape-stable") {
+    val b = "hello world".getBytes("UTF-8")
+    val f1 = MultimodalOps.decodeStub(b)
+    val f2 = MultimodalOps.decodeStub(b)
+    assert(f1.toSeq === f2.toSeq)
+    assert(f1.length === 8)
+  }
+
+  test("feature extraction preserves row count and byte lengths") {
+    val media = MultimodalOps.mediaTable(spark, TestSpark.sf)
+    val feats = MultimodalOps.extractFeatures(spark, media)
+    assert(feats.count() === media.count())
+    val joined = feats.toDF().join(
+      media.select(col("doc_id"), octet_length(col("content")).as("expected_bytes")),
+      "doc_id")
+    assert(joined.filter(col("n_bytes") =!= col("expected_bytes")).count() === 0)
+  }
+
+  test("frame sampling: only video rows, ceil(len/stride) frames each") {
+    val media = MultimodalOps.mediaTable(spark, TestSpark.sf)
+    val frames = MultimodalOps.sampleFrames(spark, media, stride = 64)
+    val videos = media.filter(col("media_type") === "video")
+      .select(col("doc_id"), octet_length(col("content")).as("len"))
+    val counts = frames.groupBy("doc_id").count()
+      .join(videos, "doc_id")
+      .withColumn("expected", ceil(col("len") / 64.0))
+    assert(counts.filter(col("count") =!= col("expected")).count() === 0)
+    // no non-video rows leaked in
+    val nonVideo = frames.toDF().join(
+      media.filter(col("media_type") =!= "video").select("doc_id"), "doc_id")
+    assert(nonVideo.count() === 0)
+  }
+}

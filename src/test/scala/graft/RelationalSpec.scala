@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+/** Structural/invariant checks per relational operator. Value-level
+  * correctness is the DuckDB oracle's job (tools/check_oracle.py); these
+  * specs pin semantics that survive refactors. */
+class RelationalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("q01 pricing summary: one row per (returnflag, linestatus)") {
+    val rows = Relational.q01PricingSummary(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 6)
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length === keys.length)
+  }
+
+  test("q02 filter keeps only matching rows") {
+    val df = Relational.q02FilterProject(spark, sf)
+    assert(df.columns.toSeq ===
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"))
+    assert(df.filter(col("l_quantity") < 48).count() === 0)
+  }
+
+  test("q12/q13/q14: left join counts = semi + anti partition of customers") {
+    val customers = Tables.load(spark, sf, "customer").count()
+    val semi = Relational.q13JoinSemi(spark, sf).count()
+    val anti = Relational.q14JoinAnti(spark, sf).count()
+    val withOrders = Relational.q12JoinLeft(spark, sf)
+      .filter(col("n_orders") > 0).count()
+    // semi uses a price filter so semi <= withOrders; anti is the complement
+    assert(semi <= withOrders)
+    assert(withOrders + anti === customers)
+  }
+
+  test("q15 top-k is sorted desc and bounded") {
+    val rows = Relational.q15TopK(spark, sf).collect()
+    assert(rows.length === 10)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("set ops: union contains intersect participants; except disjoint from subtrahend") {
+    val un = Relational.q16SetUnion(spark, sf)
+    assert(un.count() === un.distinct().count()) // set semantics
+    val ex = Relational.q18SetExcept(spark, sf)
+    val machinery = Tables.load(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey").as("custkey"))
+    assert(ex.join(machinery, "custkey").count() === 0)
+  }
+
+  test("q19 window rank: at most 5 per user, rank starts at 1") {
+    val df = Relational.q19WindowRank(spark, sf)
+    val perUser = df.groupBy("user_id").count().agg(max("count")).head.getLong(0)
+    assert(perUser <= 5)
+    assert(df.agg(min("rnk")).head.getInt(0) === 1)
+  }
+
+  test("q21 running sum is per-user monotone (positive values)") {
+    val df = Relational.q21WindowRunning(spark, sf)
+    val bad = df.groupBy("user_id")
+      .agg(max("running_value").as("mx"), sum(lit(0.0)).as("z"))
+    assert(bad.count() > 0) // shape sanity
+    val firstVsLast = df.filter(col("seq") === 1)
+      .select(col("user_id"), col("running_value").as("first_rv"))
+      .join(df.groupBy("user_id").agg(max("running_value").as("max_rv")), "user_id")
+      .filter(col("first_rv") > col("max_rv"))
+    assert(firstVsLast.count() === 0)
+  }
+
+  test("q23 hourly buckets align to the hour") {
+    val df = Relational.q23EventsHourly(spark, sf)
+    val offHour = df.filter(minute(col("hour_start")) =!= 0 || second(col("hour_start")) =!= 0)
+    assert(offHour.count() === 0)
+  }
+
+  test("q26 band join covers every order exactly once") {
+    val total = Relational.q26RangeBandJoin(spark, sf)
+      .agg(sum("n_orders")).head.getLong(0)
+    assert(total === Tables.load(spark, sf, "orders").count())
+  }
+
+  test("q28 sessionize: session count between 1 and event count per user") {
+    val df = Relational.q28Sessionize(spark, sf)
+    val ev = Tables.load(spark, sf, "events").groupBy("user_id").count()
+    val joined = df.groupBy("user_id").agg(
+      count(lit(1)).as("n_sessions"), sum("n_events").as("n_ev"))
+      .join(ev, "user_id")
+      .filter(col("n_ev") =!= col("count") || col("n_sessions") > col("count"))
+    assert(joined.count() === 0)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventsStream
+
+/** Structured Streaming driven synchronously: file-source windowed agg must
+  * match its batch twin; sessionization state machine emits closed sessions. */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** events at sf0.001 with ts converted ns->timestamp, written to a temp
+    * dir so the streaming file source can read it. */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    Tables.load(spark, TestSpark.sf, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming hourly agg == batch hourly agg (file source, memory sink)") {
+    val q = EventsStream.hourlyCounts(EventsStream.readEvents(spark, eventsDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("hourly_out")
+      .agg(sum("n_events")).head.getLong(0)
+    val total = Tables.load(spark, TestSpark.sf, "events").count()
+    assert(streamed === total)
+    // spot-check one bucket against the batch twin
+    val batch = ops.Relational.q23EventsHourly(spark, TestSpark.sf)
+    val bRow = batch.head
+    val sMatch = spark.table("hourly_out")
+      .filter(col("hour_start") === bRow.getAs[Any]("hour_start") &&
+        col("event_type") === bRow.getString(1))
+      .head
+    assert(sMatch.getLong(2) === bRow.getLong(2))
+  }
+
+  test("stateful sessionization emits gap-closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStream.Event]
+    val q = EventsStream.sessionize(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    def ev(id: Long, minute: Long): EventsStream.Event =
+      EventsStream.Event(id, new java.sql.Timestamp(minute * 60000L), 7L, "click", 1.0)
+    try {
+      // one user, two bursts separated by > 30 min: first burst must close.
+      // (start at minute 1: an event at the epoch equals the initial
+      // watermark and would be dropped as late data)
+      mem.addData(ev(1, 1), ev(2, 5), ev(3, 10), ev(4, 60), ev(5, 62))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("sessions_out")
+      .select("user_id", "n_events", "sum_value").as[(Long, Long, Double)].collect()
+    assert(sessions.contains((7L, 3L, 3.0))) // the closed first burst
+  }
+
+  test("batch sessionization twin agrees on session boundaries") {
+    val ev = Seq(
+      (1L, 0L, 7L, 1.0), (2L, 5L, 7L, 1.0), (3L, 60L, 7L, 1.0))
+      .toDF("event_id", "tmin", "user_id", "value")
+      .withColumn("ts", timestamp_micros(col("tmin") * 60000000L))
+    val out = EventsStream.sessionizeBatch(ev).collect()
+    assert(out.length === 2) // two sessions: {1,2} and {3}
+  }
+}
