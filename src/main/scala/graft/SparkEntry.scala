@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{DedupOps, MultimodalOps, Relational, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, MultimodalOps, Relational, SimilarityOps, StatsOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ MultimodalOps.queries
+      SimilarityOps.queries ++ MultimodalOps.queries ++ StatsOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
-      SimilarityOps.oracle ++ MultimodalOps.oracle
+      SimilarityOps.oracle ++ MultimodalOps.oracle ++ StatsOps.oracle
 }

@@ -106,15 +106,56 @@ object SimilarityOps {
       .orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------------- q53
+  /** q40's exact semantics through the native codegen expression
+    * (graft.functions.CosineSimilarity): one fused loop per pair instead of
+    * zip_with+aggregate's intermediate array — the hot-path form for
+    * billion-pair scoring. Shares q40's oracle (bit-identical math). */
+  def q53CosineTopKNative(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim",
+        round(call_function("graft_cosine",
+          asDouble(col("q_emb")), asDouble(col("c_emb"))), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "c_id", "sim", "rk")
+      .orderBy("q_id", "rk")
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> ((s: SparkSession, d: String) => q40CosineTopK(s, d)),
     "q41_embedding_norms" -> (q41EmbeddingNorms _),
-    "q42_ann_lsh" -> ((s: SparkSession, d: String) => q42AnnLsh(s, d)))
+    "q42_ann_lsh" -> ((s: SparkSession, d: String) => q42AnnLsh(s, d)),
+    "q53_cosine_topk_native" -> ((s: SparkSession, d: String) => q53CosineTopKNative(s, d)))
 
   /** q42's hyperplanes live in the Spark plan only → rows-only check.
-    * q40/q41 recompute the same double math in DuckDB. */
+    * q40/q41/q53 recompute the same double math in DuckDB. */
   val oracle: Map[String, String] = Map(
+    "q53_cosine_topk_native" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        | FROM embeddings),
+        |p AS (
+        | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |  round(
+        |   list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
+        |   / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+        |      * sqrt(list_sum(list_transform(c.emb, x -> x * x)))), 6) AS sim
+        | FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |r AS (
+        | SELECT q_id, c_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rk
+        | FROM p)
+        |SELECT q_id, c_id, sim, rk FROM r WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
     "q40_cosine_topk" ->
       """WITH e AS (
         | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
