@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Source/sink coverage: every format the engine supports round-trips, and
+  * partitioned writes prune at read time (the 100 TB layout story: partition
+  * columns are the first-level index). */
+class SourcesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def tmp(): String = Files.createTempDirectory("graft_src").toString
+
+  private lazy val docs = Tables.load(spark, TestSpark.sf, "documents")
+
+  test("csv roundtrip preserves rows (header + schema)") {
+    val dir = tmp() + "/csv"
+    docs.select("doc_id", "lang", "n_chars").write
+      .option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.count() === docs.count())
+    assert(back.columns.toSeq === Seq("doc_id", "lang", "n_chars"))
+  }
+
+  test("json roundtrip preserves rows and values") {
+    val dir = tmp() + "/json"
+    docs.select("doc_id", "text", "lang").write.json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() === docs.count())
+    val orig = docs.select(sum(length(col("text")))).head.getLong(0)
+    assert(back.select(sum(length(col("text")))).head.getLong(0) === orig)
+  }
+
+  test("orc roundtrip preserves rows") {
+    val dir = tmp() + "/orc"
+    docs.write.orc(dir)
+    assert(spark.read.orc(dir).count() === docs.count())
+  }
+
+  test("partitioned parquet write prunes partitions at read") {
+    val dir = tmp() + "/part"
+    docs.write.partitionBy("lang").parquet(dir)
+    val langs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("lang="))
+    assert(langs.length >= 2)
+    val q = spark.read.parquet(dir).filter(col("lang") === "en")
+    // partition filter must reach the scan, not a post-scan Filter
+    val plan = q.queryExecution.executedPlan
+    val scan = plan.collectFirst { case s: FileSourceScanExec => s }
+      .orElse(plan.collectFirst { case a: AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst { case s: FileSourceScanExec => s } }.flatten)
+    assert(scan.isDefined)
+    assert(scan.get.partitionFilters.nonEmpty)
+    val expected = docs.filter(col("lang") === "en").count()
+    assert(q.count() === expected)
+  }
+
+  test("single-file sink contract (coalesce(1)) produces exactly one part file") {
+    val dir = tmp() + "/single"
+    docs.limit(10).coalesce(1).write.parquet(dir)
+    val parts = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts === 1)
+  }
+}
