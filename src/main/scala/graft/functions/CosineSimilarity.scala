@@ -81,9 +81,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * custom expressions surface through the function registry + call_function).
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
       { exprs => CosineSimilarity(exprs(0), exprs(1)) },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaccard_sorted",
+      { exprs => JaccardSorted(exprs(0), exprs(1)) },
+      "built-in")
+  }
 }
