@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{CosineSimilarity, JaccardSorted}
+
+/** SparkSessionExtensions entry point: makes the engine's native expressions
+  * available to any session built with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) — the deployment path for a
+  * cluster where users shouldn't have to call a register() method first.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaccard_sorted"),
+      new ExpressionInfo(classOf[JaccardSorted].getName, "graft_jaccard_sorted"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JaccardSorted(exprs(0), exprs(1))))
+  }
+}

@@ -57,6 +57,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(q.count() === expected)
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val orders = Tables.load(spark, TestSpark.sf, "orders").select("o_orderkey", "o_totalprice")
+    val li = Tables.load(spark, TestSpark.sf, "lineitem").select("l_orderkey", "l_quantity")
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_bucketed")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("lineitem_bucketed")
+        .join(spark.table("orders_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      assert(j.count() === li.count()) // FK join preserves fact rows
+      val planStr = j.queryExecution.executedPlan.toString
+      assert(!planStr.contains("ShuffleExchange"),
+        s"bucketed join should not shuffle:\n$planStr")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("single-file sink contract (coalesce(1)) produces exactly one part file") {
     val dir = tmp() + "/single"
     docs.limit(10).coalesce(1).write.parquet(dir)
