@@ -445,6 +445,19 @@ object Relational {
       .orderBy("user_id", "session_seq")
   }
 
+  // ---------------------------------------------------------------- q54
+  /** q22's semantics through the custom physical operator
+    * (graft.plans.TopKPerGroupExec): bounded per-group heaps with a
+    * map-side partial pass, instead of the window translation's full
+    * per-partition sort. Shares q22's oracle — identical results. */
+  def q54TopKPerGroupNative(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopK.perGroup(
+      t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
+      groupCols = Seq("l_orderkey"),
+      orderBy = Seq(("l_extendedprice", false), ("l_linenumber", true)),
+      k = 3, rankName = "rn")
+      .orderBy("l_orderkey", "rn")
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -474,7 +487,8 @@ object Relational {
     "q25_asof_join" -> (q25AsofJoin _),
     "q26_range_band_join" -> (q26RangeBandJoin _),
     "q27_grouping_sets" -> (q27GroupingSets _),
-    "q28_sessionize" -> (q28Sessionize _))
+    "q28_sessionize" -> (q28Sessionize _),
+    "q54_topk_group_native" -> (q54TopKPerGroupNative _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -629,6 +643,13 @@ object Relational {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    "q54_topk_group_native" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS INT) AS rn FROM (
+        | SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        | FROM lineitem) WHERE rn <= 3
+        |ORDER BY l_orderkey, rn""".stripMargin,
     "q22_window_topn_group" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS INT) AS rn FROM (
         | SELECT l_orderkey, l_linenumber, l_extendedprice,

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.{TopK, TopKPerGroupExec}
+
+class TopKPlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("custom top-k operator == window row_number form") {
+    val native = ops.Relational.q54TopKPerGroupNative(spark, TestSpark.sf).collect()
+    val window = ops.Relational.q22WindowTopNPerGroup(spark, TestSpark.sf).collect()
+    assert(native.length === window.length)
+    assert(native.map(_.toSeq).toSeq === window.map(_.toSeq).toSeq)
+  }
+
+  test("plan contains the partial+final custom exec pair (map-side combine)") {
+    val df = TopK.perGroup(
+      Tables.load(spark, TestSpark.sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      Seq("l_orderkey"), Seq(("l_quantity", false), ("l_linenumber", true)), 2)
+    assert(df.count() > 0)
+    val planStr = df.queryExecution.executedPlan.toString
+    // exactly two custom nodes (partial pass + final pass) around one Exchange
+    assert(planStr.linesIterator.count(_.contains("TopKPerGroup")) === 2, planStr)
+    assert(planStr.contains("Exchange hashpartitioning(l_orderkey"), planStr)
+  }
+
+  test("ranks are 1..k and ordered correctly inside each group") {
+    val df = TopK.perGroup(
+      Tables.load(spark, TestSpark.sf, "events")
+        .select("user_id", "event_id", "value"),
+      Seq("user_id"), Seq(("value", false), ("event_id", true)), 4, "rk")
+    val bad = df.groupBy("user_id")
+      .agg(min("rk").as("mn"), max("rk").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("n") || col("n") > 4)
+    assert(bad.count() === 0)
+    // within a group, rank order must follow value desc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("rk")
+    val mono = df.withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") < col("value"))
+    assert(mono.count() === 0)
+  }
+
+  test("missing column errors clearly") {
+    val e = intercept[IllegalArgumentException] {
+      TopK.perGroup(Tables.load(spark, TestSpark.sf, "region"),
+        Seq("nope"), Seq(("r_name", true)), 1)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+}
