@@ -19,11 +19,18 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ MultimodalOps.queries ++ StatsOps.queries
+      SimilarityOps.queries ++ MultimodalOps.queries ++ StatsOps.queries ++
+      Map("q55_stream_hourly" ->
+        ((s: SparkSession, d: String) => graft.streaming.EventsStream.q55StreamHourly(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
-      SimilarityOps.oracle ++ MultimodalOps.oracle ++ StatsOps.oracle
+      SimilarityOps.oracle ++ MultimodalOps.oracle ++ StatsOps.oracle ++
+      Map("q55_stream_hourly" -> // streaming twin of q23: same rollup, same oracle
+        """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+          | event_type, count(*) AS n_events,
+          | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)
 }

@@ -129,12 +129,55 @@ object SimilarityOps {
       .orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------------- q56
+  /** IVF-style ANN: deterministic coarse centroids (the lowest-vec_id
+    * vectors stand in for k-means centroids — the partitioning mechanics,
+    * not the training, are what matters for the engine), every vector
+    * assigned to its nearest centroid list; queries probe their `nprobe`
+    * nearest lists only. The scan shrinks by ~nlist/nprobe; the join shape
+    * (equi-join on list id) is identical at any scale. */
+  def q56AnnIvf(s: SparkSession, d: String, nlist: Int = 16, nprobe: Int = 4,
+                k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = t(s, d, "embeddings")
+    val centroids = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("list_id"), col("embedding").as("c_emb"))
+    def nearestLists(v: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("c_sim").desc, col("list_id"))
+      v.crossJoin(broadcast(centroids))
+        .withColumn("c_sim", call_function("graft_cosine",
+          asDouble(col(embCol)), asDouble(col("c_emb"))))
+        .withColumn("c_rk", row_number().over(w))
+        .filter(col("c_rk") <= n)
+        .drop("c_emb", "c_sim", "c_rk")
+    }
+    val cands = nearestLists(
+      e.select(col("vec_id").as("c_id"), col("embedding").as("cand_emb")),
+      "c_id", "cand_emb", 1) // each vector lives in exactly one list
+    val queries = nearestLists(
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      "q_id", "q_emb", nprobe)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    queries.join(cands, Seq("list_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("q_emb"), col("cand_emb"))
+      .distinct() // a candidate can appear via several probed lists? (no: 1 list each) — cheap safety
+      .withColumn("sim", round(call_function("graft_cosine",
+        asDouble(col("q_emb")), asDouble(col("cand_emb"))), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "c_id", "sim", "rk")
+      .orderBy("q_id", "rk")
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> ((s: SparkSession, d: String) => q40CosineTopK(s, d)),
     "q41_embedding_norms" -> (q41EmbeddingNorms _),
     "q42_ann_lsh" -> ((s: SparkSession, d: String) => q42AnnLsh(s, d)),
-    "q53_cosine_topk_native" -> ((s: SparkSession, d: String) => q53CosineTopKNative(s, d)))
+    "q53_cosine_topk_native" -> ((s: SparkSession, d: String) => q53CosineTopKNative(s, d)),
+    "q56_ann_ivf" -> ((s: SparkSession, d: String) => q56AnnIvf(s, d)))
 
   /** q42's hyperplanes live in the Spark plan only → rows-only check.
     * q40/q41/q53 recompute the same double math in DuckDB. */

@@ -31,6 +31,42 @@ object EventsStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventsSchema).parquet(dir)
 
+  /** The driver testdata variant: ts arrives as a nanosecond Long (the
+    * parquet is TIMESTAMP_NANOS, read under nanosAsLong). */
+  val eventsSchemaNanos: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** q55: the hourly rollup executed AS A STREAM over the events parquet
+    * (file source -> windowed agg -> complete-mode memory sink, drained
+    * synchronously), returned as a batch DataFrame so the driver's oracle
+    * can hash it like any other query. Proves the streaming path produces
+    * the batch answer (same oracle as the batch twin q23). */
+  def q55StreamHourly(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // the file stream source requires a directory; glob-filter to the one table
+    val stream = s.readStream.schema(eventsSchemaNanos)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+    val agg = stream
+      .groupBy(
+        date_trunc("hour", timestamp_micros(expr("ts div 1000")))
+          .cast("timestamp_ntz").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+    val name = "graft_stream_hourly"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("hour_start", "event_type")
+  }
+
   /** Tumbling 1h event-time windows with a 2h watermark — the streaming twin
     * of the batch hourly rollup. */
   def hourlyCounts(events: DataFrame): DataFrame =

@@ -74,6 +74,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ann.forall { case (q, s) => s <= brute(q) + 1e-9 })
   }
 
+  test("IVF ANN results are quality-bounded by brute force and well-formed") {
+    val brute = SimilarityOps.q40CosineTopK(spark, TestSpark.sf)
+      .select("q_id", "sim").as[(Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val ivf = SimilarityOps.q56AnnIvf(spark, TestSpark.sf)
+      .select("q_id", "c_id", "sim", "rk").as[(Long, Long, Double, Int)].collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall { case (q, c, s, _) => q != c && s <= brute(q) + 1e-9 })
+    // ranks contiguous from 1 per query
+    ivf.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length))
+    }
+  }
+
   test("lang-id predicts en for English stopword text") {
     val out = TextOps.q35LangId(spark, TestSpark.sf)
     assert(out.filter(col("lang_pred") === "en").count() > 0)
