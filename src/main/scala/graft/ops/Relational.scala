@@ -445,6 +445,39 @@ object Relational {
       .orderBy("user_id", "session_seq")
   }
 
+  // ---------------------------------------------------------------- q57
+  /** RANGE-framed window: 10-minute rolling event-time aggregate per user —
+    * the time-based sibling of q21's ROWS frame. Frame bounds are integer
+    * microseconds (exact in both engines). */
+  def q57WindowRange(s: SparkSession, d: String): DataFrame = {
+    val tenMinUs = 10L * 60 * 1000 * 1000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-tenMinUs, 0)
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("ts div 1000").as("tus"))
+      .select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_10min"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("sum_10min"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- q58
+  /** Conditional scalar surface: CASE tiers, nullif/coalesce, least/greatest. */
+  def q58Conditionals(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "overdrawn")
+          .when(col("c_acctbal") < 5000, "standard")
+          .otherwise("premium").as("tier"),
+        coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER")).as("segment"),
+        least(col("c_acctbal"), lit(9000.0)).as("capped_bal"),
+        greatest(col("c_acctbal"), lit(0.0)).as("floored_bal"))
+      .orderBy("c_custkey")
+
   // ---------------------------------------------------------------- q54
   /** q22's semantics through the custom physical operator
     * (graft.plans.TopKPerGroupExec): bounded per-group heaps with a
@@ -488,7 +521,9 @@ object Relational {
     "q26_range_band_join" -> (q26RangeBandJoin _),
     "q27_grouping_sets" -> (q27GroupingSets _),
     "q28_sessionize" -> (q28Sessionize _),
-    "q54_topk_group_native" -> (q54TopKPerGroupNative _))
+    "q54_topk_group_native" -> (q54TopKPerGroupNative _),
+    "q57_window_range" -> (q57WindowRange _),
+    "q58_conditionals" -> (q58Conditionals _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -643,6 +678,23 @@ object Relational {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    "q57_window_range" ->
+      """SELECT event_id, user_id,
+        | count(*) OVER w AS n_10min,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10min
+        |FROM (SELECT event_id, user_id, value, epoch_us(ts) AS tus FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q58_conditionals" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |      WHEN c_acctbal < 5000 THEN 'standard'
+        |      ELSE 'premium' END AS tier,
+        | coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment,
+        | least(c_acctbal, 9000.0) AS capped_bal,
+        | greatest(c_acctbal, 0.0) AS floored_bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q54_topk_group_native" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS INT) AS rn FROM (
         | SELECT l_orderkey, l_linenumber, l_extendedprice,
