@@ -158,11 +158,12 @@ object SimilarityOps {
       e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
       "q_id", "q_emb", nprobe)
+    // each candidate lives in exactly ONE list, so a (query, candidate) pair
+    // can surface through at most one probed list — no pair dedup needed
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     queries.join(cands, Seq("list_id"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), col("q_emb"), col("cand_emb"))
-      .distinct() // a candidate can appear via several probed lists? (no: 1 list each) — cheap safety
       .withColumn("sim", round(call_function("graft_cosine",
         asDouble(col("q_emb")), asDouble(col("cand_emb"))), 6))
       .withColumn("rk", row_number().over(w))

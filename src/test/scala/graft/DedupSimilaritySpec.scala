@@ -30,6 +30,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(withJ.forall(_.getDouble(2) <= 1.0))
   }
 
+  test("near-dedup apply: survivors have no verified pair among themselves") {
+    val docsTbl = Tables.load(spark, TestSpark.sf, "documents")
+    val survivors = DedupOps.dropNearDuplicates(docsTbl).select("doc_id")
+    val pairs = DedupOps.minhashNearDupPairs(docsTbl)
+    // every verified pair must have lost its higher-id member
+    val bothSurvive = pairs
+      .join(survivors.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(survivors.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+    assert(bothSurvive.count() === 0)
+    assert(survivors.count() > 0)
+    assert(survivors.count() < docsTbl.count()) // sf0.001 has near-dups
+  }
+
   test("simhash: identical text => identical hash; pairs found by banding") {
     val sh = DedupOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) === sh(4L))
