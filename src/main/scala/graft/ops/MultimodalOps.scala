@@ -62,6 +62,29 @@ object MultimodalOps {
     }
   }
 
+  /** STUB resize kernel — deterministic byte-space downsample standing in
+    * for an image resize (keeps every `factor`-th byte). Like decodeStub,
+    * only this function changes when a real codec is available; the Spark
+    * plumbing around it stays. */
+  def resizeStub(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+    out
+  }
+
+  /** Resize stage for "image" rows (typed map, same partition-local shape
+    * as extractFeatures). */
+  def resizeImages(s: SparkSession, media: DataFrame, factor: Int = 4): Dataset[MediaRow] = {
+    import s.implicits._
+    media.as[MediaRow].map { m =>
+      if (m.media_type == "image")
+        m.copy(content = resizeStub(m.content, factor),
+          width = m.width / factor, height = m.height / factor)
+      else m
+    }
+  }
+
   /** Frame sampling for "video" rows: 1->N flatMap slicing the blob into
     * fixed-stride chunks (a real sampler would seek keyframes). */
   def sampleFrames(s: SparkSession, media: DataFrame, stride: Int = 64): Dataset[Frame] = {

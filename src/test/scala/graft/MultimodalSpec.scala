@@ -26,6 +26,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(joined.filter(col("n_bytes") =!= col("expected_bytes")).count() === 0)
   }
 
+  test("resize stub shrinks images by the factor, leaves other media intact") {
+    val media = MultimodalOps.mediaTable(spark, TestSpark.sf)
+    val resized = MultimodalOps.resizeImages(spark, media, factor = 4)
+    val joined = resized.toDF()
+      .select(col("doc_id"), col("media_type").as("mt"),
+        octet_length(col("content")).as("new_len"), col("width").as("new_w"))
+      .join(media.select(col("doc_id"), octet_length(col("content")).as("old_len"),
+        col("width").as("old_w")), "doc_id")
+    val badImages = joined.filter(col("mt") === "image" &&
+      (col("new_len") =!= ceil(col("old_len") / 4.0) || col("new_w") =!= (col("old_w") / 4).cast("int")))
+    assert(badImages.count() === 0)
+    val badOthers = joined.filter(col("mt") =!= "image" && col("new_len") =!= col("old_len"))
+    assert(badOthers.count() === 0)
+  }
+
   test("frame sampling: only video rows, ceil(len/stride) frames each") {
     val media = MultimodalOps.mediaTable(spark, TestSpark.sf)
     val frames = MultimodalOps.sampleFrames(spark, media, stride = 64)
