@@ -11,14 +11,7 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
     else Seq("q02_filter_project", "q11_join_star", "q15_topk",
       "q01_pricing_summary", "q40_cosine_topk", "q25_asof_join")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Graft.sessionBuilder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")

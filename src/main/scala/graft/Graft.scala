@@ -26,6 +26,7 @@ object Graft {
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
 
   /** Build (or reuse) the session and register the native functions. */
   def session(master: String = "local[*]"): SparkSession = {

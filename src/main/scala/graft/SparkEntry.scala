@@ -28,9 +28,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
       SimilarityOps.oracle ++ MultimodalOps.oracle ++ StatsOps.oracle ++
-      Map("q55_stream_hourly" -> // streaming twin of q23: same rollup, same oracle
-        """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
-          | event_type, count(*) AS n_events,
-          | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)
+      // streaming twin of q23: same rollup, so literally the same oracle
+      Map("q55_stream_hourly" -> Relational.oracle("q23_events_hourly"))
 }

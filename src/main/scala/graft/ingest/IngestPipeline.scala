@@ -48,7 +48,9 @@ object IngestPipeline {
       log.info("File already exists so skipping the data gathering")
     } else conf.zipPath match {
       case Some(zip) =>
-        val outDir = Paths.get(conf.csvPath).getParent
+        // a bare relative filename has no parent -> extract into the cwd
+        val outDir = Option(Paths.get(conf.csvPath).getParent)
+          .getOrElse(Paths.get("."))
         ZipExtract.toLocal(zip, outDir.toString)
       case None =>
         throw new IllegalArgumentException(

@@ -34,7 +34,10 @@ object ZipSource {
         var entry = zis.getNextEntry
         while (entry != null) {
           val name = entry.getName
-          val unsafe = name.contains("..") || name.contains("/") || name.contains("\\")
+          // flat-archive contract: any path separator disqualifies; a
+          // separator-free name cannot traverse, so ".." is only unsafe as
+          // the whole name (names like "a..b.csv" are legitimate)
+          val unsafe = name.contains("/") || name.contains("\\") || name == ".."
           if (!entry.isDirectory && !unsafe) {
             val bos = new ByteArrayOutputStream()
             val buf = new Array[Byte](64 * 1024)
@@ -57,10 +60,16 @@ object ZipSource {
     * `csv(Dataset[String])` parses one LINE per element. */
   def expandCsv(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
+    // cache: header probe, schema inference, and the parse would otherwise
+    // each re-download and re-unzip every archive
     val texts = expand(spark, pathGlob)
       .filter(_.entry.toLowerCase.endsWith(".csv"))
       .map(e => new String(e.content, java.nio.charset.StandardCharsets.UTF_8))
-    val header = texts.head().linesIterator.next()
+      .cache()
+    val header = texts.take(1).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no .csv entries found in archives matching $pathGlob"))
+      .linesIterator.next()
     val data = texts.flatMap(_.linesIterator.filter(_ != header))
     spark.read.option("header", "true").option("inferSchema", "true")
       .csv(spark.createDataset(Seq(header)).union(data))

@@ -22,31 +22,35 @@ import org.apache.spark.sql.expressions.Window
 object AsofJoin {
 
   /** @param attach right-side column names to carry onto left rows; must not
-    *               collide with left column names. A right row whose attach
-    *               value is NULL is looked "through" (ignoreNulls), which
-    *               only matters if right payloads can be null.
+    *               collide with left column names. The attach columns travel
+    *               as ONE struct so a NULL inside a matched right row is
+    *               preserved as-is — filling per-column would stitch values
+    *               from different right rows (and diverge from ASOF JOIN).
     */
   def backward(left: DataFrame, right: DataFrame, key: String, time: String,
                attach: Seq[String]): DataFrame = {
     val payload = left.columns.toSeq.filterNot(c => c == key || c == time)
+    val attachStructType = org.apache.spark.sql.types.StructType(
+      attach.map(c => right.schema(c).copy(name = c)))
     // Right rows sort BEFORE left rows at equal time (side 0 < 1) so an
     // exactly-simultaneous right row is visible to the left row (>= contract).
     val taggedLeft = left.select(
       Seq(col(key), col(time).as("_t"), lit(1).as("_side")) ++
-        payload.map(col) ++
-        attach.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        payload.map(col) :+
+        lit(null).cast(attachStructType).as("_attach"): _*)
     val taggedRight = right.select(
       Seq(col(key), col(time).as("_t"), lit(0).as("_side")) ++
-        payload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        attach.map(col): _*)
+        payload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(attach.map(col): _*).as("_attach"): _*)
     val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled: String => Column = c => last(col(c), ignoreNulls = true).over(w).as(c)
     taggedLeft.unionByName(taggedRight)
       .select(Seq(col(key), col("_t"), col("_side")) ++
-        payload.map(col) ++ attach.map(filled): _*)
+        payload.map(col) :+
+        last(col("_attach"), ignoreNulls = true).over(w).as("_attach"): _*)
       .filter(col("_side") === 1)
       .withColumn(time, col("_t"))
-      .select(Seq(col(key), col(time)) ++ payload.map(col) ++ attach.map(col): _*)
+      .select(Seq(col(key), col(time)) ++ payload.map(col) ++
+        attach.map(c => col(s"_attach.$c").as(c)): _*)
   }
 }

@@ -525,6 +525,14 @@ object Relational {
     "q57_window_range" -> (q57WindowRange _),
     "q58_conditionals" -> (q58Conditionals _))
 
+  private val topNPerGroupOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS INT) AS rn FROM (
+      | SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  row_number() OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+      | FROM lineitem) WHERE rn <= 3
+      |ORDER BY l_orderkey, rn""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -695,20 +703,10 @@ object Relational {
         | least(c_acctbal, 9000.0) AS capped_bal,
         | greatest(c_acctbal, 0.0) AS floored_bal
         |FROM customer ORDER BY c_custkey""".stripMargin,
-    "q54_topk_group_native" ->
-      """SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS INT) AS rn FROM (
-        | SELECT l_orderkey, l_linenumber, l_extendedprice,
-        |  row_number() OVER (PARTITION BY l_orderkey
-        |    ORDER BY l_extendedprice DESC, l_linenumber) AS rn
-        | FROM lineitem) WHERE rn <= 3
-        |ORDER BY l_orderkey, rn""".stripMargin,
-    "q22_window_topn_group" ->
-      """SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS INT) AS rn FROM (
-        | SELECT l_orderkey, l_linenumber, l_extendedprice,
-        |  row_number() OVER (PARTITION BY l_orderkey
-        |    ORDER BY l_extendedprice DESC, l_linenumber) AS rn
-        | FROM lineitem) WHERE rn <= 3
-        |ORDER BY l_orderkey, rn""".stripMargin,
+    // q22 and q54 are the same query through two executors (window vs
+    // custom operator) — ONE oracle string, used twice, so they can't drift
+    "q54_topk_group_native" -> topNPerGroupOracle,
+    "q22_window_topn_group" -> topNPerGroupOracle,
     "q23_events_hourly" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
          | event_type, count(*) AS n_events, ${sqlDsum("value")} AS sum_value

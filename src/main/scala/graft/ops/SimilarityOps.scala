@@ -87,18 +87,22 @@ object SimilarityOps {
     val dim = 64
     val planes = hyperplanes(tables = 4, bits = 8, dim = dim)
     val e = t(s, d, "embeddings")
-    val withBuckets = e.select(col("vec_id"), col("embedding"),
+    val withBuckets = e.select(col("vec_id"),
       posexplode(array(planes.indices.map(ti =>
         lshBucket(col("embedding"), planes(ti))): _*)).as(Seq("tbl", "bucket")))
+    // multi-table collision dedup over bare id pairs; embeddings re-attach
+    // afterwards (same shuffle discipline as DedupOps.minhashNearDupPairs)
     val q = withBuckets.filter(col("vec_id") < 10)
-      .select(col("tbl"), col("bucket"), col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = withBuckets
-      .select(col("tbl"), col("bucket"), col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    q.join(c, Seq("tbl", "bucket"))
+      .select(col("tbl"), col("bucket"), col("vec_id").as("q_id"))
+    val c = withBuckets.select(col("tbl"), col("bucket"), col("vec_id").as("c_id"))
+    val cand = q.join(c, Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), col("q_emb"), col("c_emb"))
-      .distinct() // collapse multi-table collisions before scoring
+      .select("q_id", "c_id")
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    cand
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
+      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), "c_id")
       .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

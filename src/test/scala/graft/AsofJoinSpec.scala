@@ -24,6 +24,19 @@ class AsofJoinSpec extends AnyFunSuite {
       (2L, 15L, "d", None)))        // key has no right rows at all
   }
 
+  test("a NULL inside the matched right row is preserved, not stitched from older rows") {
+    val left = Seq((1L, 30L, "click")).toDF("k", "t", "p")
+    val right = Seq(
+      (1L, 10L, Option(5.0), Option(100L)),
+      (1L, 20L, Option.empty[Double], Option(200L))) // matched row has NULL value
+      .toDF("k", "t", "rv", "rid")
+    val out = AsofJoin.backward(left, right, "k", "t", Seq("rv", "rid"))
+      .select("rv", "rid").as[(Option[Double], Option[Long])].collect()
+    // ASOF semantics: the whole row at t=20 attaches — rv must be NULL,
+    // NOT looked-through to t=10's 5.0
+    assert(out.toSeq === Seq((None, Some(200L))))
+  }
+
   test("left row count is always preserved") {
     val left = Seq((1L, 1L, "x"), (1L, 1L, "y")).toDF("k", "t", "p")
     val right = Seq((1L, 1L, 5.0)).toDF("k", "t", "rv")
