@@ -28,7 +28,10 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    // any failure poisons the headline metric — a crashed query must never
+    // read as a faster total
+    val total = if (results.exists(!_._3)) -1.0
+      else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

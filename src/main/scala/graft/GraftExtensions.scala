@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, JaccardSorted}
+import graft.functions.{CosineSimilarity, GraftFunctions, JaccardSorted}
 
 /** SparkSessionExtensions entry point: makes the engine's native expressions
   * available to any session built with
@@ -17,7 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(exprs(0), exprs(1))))
+        GraftFunctions.cosineBuilder(exprs)))
     ext.injectFunction((
       new FunctionIdentifier("graft_jaccard_sorted"),
       new ExpressionInfo(classOf[JaccardSorted].getName, "graft_jaccard_sorted"),

@@ -15,8 +15,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * composed `aggregate(zip_with(...))` form, which allocates a zipped array
   * per row and evaluates interpreted higher-order lambdas.
   *
-  * Semantics match the composed form bit-for-bit: inputs implicitly cast to
-  * array<double>, one left-to-right accumulation each for dot product and
+  * Semantics match the composed form bit-for-bit: strict array<double>
+  * inputs (the registry builders in GraftFunctions/GraftExtensions insert
+  * the array<float> -> array<double> cast, so SQL callers can pass raw
+  * embeddings), one left-to-right accumulation each for dot product and
   * the two squared norms (same IEEE operation order as the DataFrame
   * `aggregate` fold and DuckDB's list_sum, keeping the oracle exact).
   */
@@ -90,11 +92,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * custom expressions surface through the function registry + call_function).
   */
 object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+  /** Widen any numeric array argument to array<double> so callers can pass
+    * raw float embeddings. */
+  private[graft] def asDoubleArray(e: Expression): Expression = e.dataType match {
+    case ArrayType(DoubleType, _) => e
+    case ArrayType(_, containsNull) => Cast(e, ArrayType(DoubleType, containsNull))
+    case _ => e // leave as-is; checkInputDataTypes reports the clear error
+  }
+
+  private[graft] def cosineBuilder(exprs: Seq[Expression]): Expression =
+    CosineSimilarity(asDoubleArray(exprs(0)), asDoubleArray(exprs(1)))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine",
-      { exprs => CosineSimilarity(exprs(0), exprs(1)) },
-      "built-in")
+      "graft_cosine", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaccard_sorted",
       { exprs => JaccardSorted(exprs(0), exprs(1)) },

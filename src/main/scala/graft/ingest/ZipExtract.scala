@@ -32,7 +32,9 @@ object ZipExtract {
         if (!target.startsWith(outRoot)) {
           // zip-slip: skip silently, as the reference's enclosed_name does
           log.debug(s"Skipping unsafe zip entry: ${entry.getName}")
-        } else if (entry.isDirectory || entry.getName.contains("/")) {
+        } else if (entry.isDirectory || entry.getName.contains("/") ||
+            entry.getName.contains("\\")) {
+          // '\\' counts as a separator too, matching ZipSource.expand
           log.warn(s"Skipping non-flat zip entry: ${entry.getName}")
         } else {
           val out = new FileOutputStream(target.toFile)

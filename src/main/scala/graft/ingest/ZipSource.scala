@@ -61,7 +61,9 @@ object ZipSource {
   def expandCsv(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
     // cache: header probe, schema inference, and the parse would otherwise
-    // each re-download and re-unzip every archive
+    // each re-download and re-unzip every archive. The cached text lives
+    // until the caller drops it (spark.catalog.clearCache() / unpersist on
+    // the plan) — the price of keeping this API lazy.
     val texts = expand(spark, pathGlob)
       .filter(_.entry.toLowerCase.endsWith(".csv"))
       .map(e => new String(e.content, java.nio.charset.StandardCharsets.UTF_8))

@@ -42,7 +42,10 @@ object AsofJoin {
       Seq(col(key), col(time).as("_t"), lit(0).as("_side")) ++
         payload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(attach.map(col): _*).as("_attach"): _*)
-    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
+    // _attach as the final sort key pins the pick among right rows that tie
+    // on (key, time) — deterministic (struct ordering: max attach tuple wins)
+    // instead of partition-order-dependent
+    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"), col("_attach"))
       .rowsBetween(Window.unboundedPreceding, 0)
     taggedLeft.unionByName(taggedRight)
       .select(Seq(col(key), col("_t"), col("_side")) ++

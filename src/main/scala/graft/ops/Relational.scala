@@ -428,20 +428,12 @@ object Relational {
     * oracle comparison is exact. Streaming twin (flatMapGroupsWithState):
     * graft.streaming.EventsStream.sessionize. */
   def q28Sessionize(s: SparkSession, d: String): DataFrame = {
-    val gapUs = 30L * 60 * 1000 * 1000
     val e = t(s, d, "events").select(col("event_id"), col("user_id"),
       col("value"), expr("ts div 1000").as("tus"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
-    val g = e.withColumn("prev", lag(col("tus"), 1).over(w))
-      .withColumn("new_s",
-        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1).otherwise(0))
-      .withColumn("session_seq",
-        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    g.groupBy(col("user_id"), col("session_seq"))
-      .agg(
-        ntz(timestamp_micros(min(col("tus")))).as("session_start"),
-        count(lit(1)).as("n_events"),
-        dsum(col("value")).as("sum_value"))
+    graft.streaming.EventsStream.sessionizeByGapUs(e, gapUs = 30L * 60 * 1000 * 1000)
+      .select(col("user_id"), col("session_seq"),
+        ntz(timestamp_micros(col("start_us"))).as("session_start"),
+        col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_seq")
   }
 

@@ -111,7 +111,13 @@ object EventsStream {
               val t = e.ts.getTime
               cur match {
                 case Some(st) if t - st.lastTs <= gapMs =>
-                  cur = Some(st.copy(lastTs = t, nEvents = st.nEvents + 1,
+                  // late-but-in-watermark events may arrive with t < lastTs:
+                  // never move lastTs backwards / start forwards, or session
+                  // boundaries and durations corrupt
+                  cur = Some(st.copy(
+                    start = math.min(st.start, t),
+                    lastTs = math.max(st.lastTs, t),
+                    nEvents = st.nEvents + 1,
                     sumValue = st.sumValue + e.value))
                 case Some(st) =>
                   closed += close(userId, st)
@@ -131,23 +137,35 @@ object EventsStream {
       }
   }
 
-  /** Batch-mode sessionization twin (window lag + cumulative session ids) —
-    * verifies the same gap semantics without a streaming harness. */
-  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+  /** Shared gap-sessionization core over integer-microsecond event times —
+    * the ONE definition of a session boundary, used by the batch query
+    * (Relational.q28Sessionize) and the timestamp-typed twin below.
+    * Input columns: event_id, user_id, value, tus (long, microseconds). */
+  def sessionizeByGapUs(e: DataFrame, gapUs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val withGap = events.withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-          (unix_millis(col("ts").cast("timestamp")) - unix_millis(col("prev_ts").cast("timestamp"))) > gapMs, 1)
-          .otherwise(0))
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    e.withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1).otherwise(0))
       .withColumn("session_seq",
-        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    withGap.groupBy(col("user_id"), col("session_seq"))
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
       .agg(
-        min(col("ts")).as("session_start"),
+        min(col("tus")).as("start_us"),
         count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("sum_value"))
-      .orderBy("user_id", "session_seq")
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
   }
+
+  /** Batch-mode sessionization twin for timestamp-typed events — verifies
+    * the same gap semantics as the stateful stream without a harness. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame =
+    sessionizeByGapUs(
+      events.select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts").cast("timestamp")).as("tus")),
+      gapUs = gapMs * 1000L)
+      .select(col("user_id"), col("session_seq"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_seq")
 }

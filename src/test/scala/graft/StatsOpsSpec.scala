@@ -49,6 +49,15 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(native.map(_.toSeq).toSeq === composed.map(_.toSeq).toSeq)
   }
 
+  test("graft_cosine accepts raw float embeddings in SQL (builder inserts the cast)") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, sf, "embeddings").createOrReplaceTempView("embeddings")
+    val self = spark.sql(
+      "SELECT graft_cosine(embedding, embedding) AS c FROM embeddings LIMIT 5")
+      .collect().map(_.getDouble(0))
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+
   test("native cosine survives codegen (no fallback errors) and scores correctly") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
