@@ -1,0 +1,79 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.sql.functions._
+import graft.ingest.{AirQualitySchema, SchemaVerifier}
+
+/** Property-based checks (ScalaCheck): the native expressions agree with
+  * reference implementations on arbitrary inputs, and core invariants hold
+  * regardless of data shape. */
+object PropertySpec extends Properties("graft") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // each sample runs a Spark job; 12 keeps the suite fast while still
+  // exploring the input space
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private val tokenGen: Gen[List[String]] =
+    Gen.listOfN(30, Gen.oneOf("a", "b", "c", "dd", "ee", "ff", "g1", "g2", "hh", "zz"))
+
+  property("merge Jaccard == set Jaccard") = Prop.forAll(tokenGen, tokenGen) {
+    (xs: List[String], ys: List[String]) =>
+      graft.functions.GraftFunctions.register(spark)
+      val a = xs.distinct.sorted
+      val b = ys.distinct.sorted
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.toSet.union(b.toSet).size
+      val expected = if (union == 0) 0.0 else inter.toDouble / union
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(call_function("graft_jaccard_sorted", col("a"), col("b")))
+        .head.getDouble(0)
+      got == expected
+  }
+
+  private val vecGen: Gen[List[Double]] =
+    Gen.listOfN(8, Gen.choose(-100.0, 100.0)).suchThat(_.exists(_ != 0.0))
+
+  property("native cosine bit-identical to composed form") =
+    Prop.forAll(vecGen, vecGen) { (xs: List[Double], ys: List[Double]) =>
+      graft.functions.GraftFunctions.register(spark)
+      val df = Seq((xs, ys)).toDF("a", "b")
+      val native = df.select(call_function("graft_cosine", col("a"), col("b")))
+        .head.getDouble(0)
+      val composed = df.select(
+        graft.ops.SimilarityOps.cosine(col("a"), col("b"))).head.getDouble(0)
+      java.lang.Double.doubleToLongBits(native) ==
+        java.lang.Double.doubleToLongBits(composed)
+    }
+
+  property("schema verifier partitions expected columns, order-insensitive") =
+    Prop.forAll(Gen.someOf(AirQualitySchema.expectedColumns)) { present =>
+      present.isEmpty || {
+        val cols = present.map(c => lit(1).as(c)).toList
+        val df = spark.range(1).select(cols: _*)
+        val report = SchemaVerifier.verify(df)
+        (report.missing.toSet ++ present.toSet ==
+          AirQualitySchema.expectedColumns.toSet) &&
+          report.unexpected.isEmpty &&
+          report.ok == report.missing.isEmpty
+      }
+    }
+
+  property("parquet roundtrip is identity per value") =
+    // NOTE deliberately not sum()-based: a double sum is NOT order-stable
+    // across repartitioning (ScalaCheck falsified that version immediately
+    // — the same lesson behind the engine's decimal-sum oracle convention),
+    // and ANSI mode (Spark 4 default) throws on long-sum overflow.
+    Prop.forAll(Gen.listOfN(20,
+      Gen.zip(Gen.choose(-1000000000000L, 1000000000000L), Gen.choose(-1e6, 1e6)))) { rows =>
+      rows.isEmpty || {
+        val dir = java.nio.file.Files.createTempDirectory("graft_prop").toString
+        rows.toDF("l", "d").write.mode("overwrite").parquet(dir)
+        val back = spark.read.parquet(dir)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toList
+        back == rows.sorted
+      }
+    }
+}
