@@ -1,10 +1,32 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every registered query at the SF the driver points
-  * at (SPARK_GRAFT_SF_DIR), prints one JSON line. */
+  * at (SPARK_GRAFT_SF_DIR), prints one JSON line.
+  *
+  * Methodology (see BASELINE.md "Bench methodology"):
+  *  - every query executes its FULL plan via a noop-format write — a
+  *    count() would let Catalyst prune projections and final sorts under
+  *    the count aggregate, timing the scan instead of the operator;
+  *  - queries whose first run exceeds 2 s re-run twice more and report the
+  *    MEDIAN, so single-JVM ambient load (±30%+ observed on this box for
+  *    identical code) can't flip the bench gate; sub-2 s queries keep the
+  *    single-shot number (their contribution to the total is noise-level);
+  *  - queries that materialize a session-scoped cache as a side effect
+  *    (q36 fills the near-dup pair cache) evict it before EVERY timed run,
+  *    so the median measures the real pipeline, not two cache hits. The
+  *    cache-consumer queries (q39) intentionally measure the cached path —
+  *    that reuse is the operator's documented semantics. */
 object Bench {
+
+  /** Queries that fill the dedup pair cache: evict before each timed run so
+    * repeats don't measure a cache hit. */
+  private val cacheProducers = Set("q36_minhash_pairs")
+
+  private def execute(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -12,17 +34,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/shuffle machinery spin-up otherwise lands
     // entirely on the alphabetically-first query
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try execute(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      def timeOnce(): Double = {
+        if (cacheProducers(name)) ops.DedupOps.evict(spark)
+        val t0 = System.nanoTime()
+        execute(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val timed = try {
+        val first = timeOnce()
+        // median-of-3 for anything slow enough to move the total
+        if (first > 2.0) Some(Seq(first, timeOnce(), timeOnce()).sorted.apply(1))
+        else Some(first)
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+          None
       }
       // a failed query must not shrink the total into a better score:
       // report -1 so the driver (and a human) can see the failure
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      (name, timed.getOrElse(-1.0), timed.isDefined)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

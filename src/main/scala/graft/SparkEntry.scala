@@ -20,14 +20,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++ StatsOps.queries ++
-      Map("q55_stream_hourly" ->
-        ((s: SparkSession, d: String) => graft.streaming.EventsStream.q55StreamHourly(s, d)))
+      Map(
+        "q55_stream_hourly" ->
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q55StreamHourly(s, d)),
+        "q60_stream_sessionize" ->
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q60StreamSessionize(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
       SimilarityOps.oracle ++ MultimodalOps.oracle ++ StatsOps.oracle ++
-      // streaming twin of q23: same rollup, so literally the same oracle
-      Map("q55_stream_hourly" -> Relational.oracle("q23_events_hourly"))
+      // streaming twins of q23/q28: same semantics, so literally the same
+      // oracle strings — the stream must produce the batch answer
+      Map(
+        "q55_stream_hourly" -> Relational.oracle("q23_events_hourly"),
+        "q60_stream_sessionize" -> Relational.oracle("q28_sessionize"))
 }

@@ -406,19 +406,22 @@ object Relational {
 
   // ---------------------------------------------------------------- q27
   /** GROUPING SETS via the spark.sql surface (DataFrame API has rollup/cube;
-    * arbitrary sets are SQL-only). Same SQL text runs on the DuckDB oracle. */
-  val q27Sql: String =
-    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-      |       coalesce(CAST(year(o_orderdate) AS INT), -1) AS o_year,
-      |       count(*) AS n,
-      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-      |FROM orders
-      |GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
-      |ORDER BY status, o_year""".stripMargin
+    * arbitrary sets are SQL-only). One SQL template, two table names: the
+    * oracle reads DuckDB's `orders`, the Spark side a NAMESPACED temp view
+    * (graft_q27_orders) so running q27 never clobbers a user-registered
+    * `orders` view in the shared session catalog. */
+  def q27SqlFor(table: String): String =
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       |       coalesce(CAST(year(o_orderdate) AS INT), -1) AS o_year,
+       |       count(*) AS n,
+       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM $table
+       |GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+       |ORDER BY status, o_year""".stripMargin
 
   def q27GroupingSets(s: SparkSession, d: String): DataFrame = {
-    Tables.load(s, d, "orders").createOrReplaceTempView("orders")
-    s.sql(q27Sql)
+    Tables.load(s, d, "orders").createOrReplaceTempView("graft_q27_orders")
+    s.sql(q27SqlFor("graft_q27_orders"))
   }
 
   // ---------------------------------------------------------------- q28
@@ -470,6 +473,43 @@ object Relational {
         greatest(col("c_acctbal"), lit(0.0)).as("floored_bal"))
       .orderBy("c_custkey")
 
+  // ---------------------------------------------------------------- q59
+  /** TPC-H Q2-flavored min-cost-supplier pick, closing the part/supplier
+    * coverage hole: lineitem is the part-supplier price relation (this
+    * schema has no partsupp), aggregated to a per-(part, supplier) floor
+    * price, restricted to EUROPE suppliers through the broadcast dimension
+    * chain (nation, region are O(10) rows at any SF), then a per-part
+    * window picks the cheapest supplier (price, then suppkey tie-break).
+    *
+    * Scale shape: the only fact-sized shuffles are the (l_partkey,
+    * l_suppkey) partial+final aggregate and the window's hash partition on
+    * p_partkey; supplier attaches by broadcast after aggregation (it's
+    * dimension-sized vs lineitem), and the filtered `part` side broadcasts
+    * into the final join — the fact side is never reshuffled for
+    * dimension data. min() is order-free, so no decimal dance is needed. */
+  def q59MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val costs = t(s, d, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    val sup = t(s, d, "supplier")
+    val n = t(s, d, "nation")
+    val r = t(s, d, "region").filter(col("r_name") === "EUROPE")
+    val p = t(s, d, "part").filter(col("p_size") <= 15 && col("p_type") === "ECONOMY")
+    val eligible = costs
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("min_price"), col("l_suppkey"))
+    eligible
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("n_name").as("supp_nation"), col("min_price"))
+      .orderBy("p_partkey")
+  }
+
   // ---------------------------------------------------------------- q54
   /** q22's semantics through the custom physical operator
     * (graft.plans.TopKPerGroupExec): bounded per-group heaps with a
@@ -515,7 +555,8 @@ object Relational {
     "q28_sessionize" -> (q28Sessionize _),
     "q54_topk_group_native" -> (q54TopKPerGroupNative _),
     "q57_window_range" -> (q57WindowRange _),
-    "q58_conditionals" -> (q58Conditionals _))
+    "q58_conditionals" -> (q58Conditionals _),
+    "q59_min_cost_supplier" -> (q59MinCostSupplier _))
 
   private val topNPerGroupOracle: String =
     """SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS INT) AS rn FROM (
@@ -728,7 +769,26 @@ object Relational {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band_id, band_name ORDER BY band_id""".stripMargin,
-    "q27_grouping_sets" -> q27Sql,
+    "q27_grouping_sets" -> q27SqlFor("orders"),
+    "q59_min_cost_supplier" ->
+      """WITH costs AS (
+        | SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_price
+        | FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |eligible AS (
+        | SELECT c.l_partkey, c.l_suppkey, c.min_price, s.s_name, n.n_name
+        | FROM costs c
+        | JOIN supplier s ON c.l_suppkey = s.s_suppkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        | WHERE r.r_name = 'EUROPE'),
+        |ranked AS (
+        | SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |   ORDER BY min_price, l_suppkey) AS rk
+        | FROM eligible)
+        |SELECT p.p_partkey, p.p_name, e.s_name, e.n_name AS supp_nation, e.min_price
+        |FROM ranked e JOIN part p ON e.l_partkey = p.p_partkey
+        |WHERE e.rk = 1 AND p.p_size <= 15 AND p.p_type = 'ECONOMY'
+        |ORDER BY p_partkey""".stripMargin,
     "q28_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS tus FROM events),
         |g AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000

@@ -12,17 +12,29 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.types.IntegerType
 
-/** Custom whole-operator: top-k rows per group with rank, executed as
-  * bounded per-group HEAPS instead of the built-in window translation
-  * (full sort of every partition + row_number + filter).
+/** Custom whole-operator: top-k rows per group with rank.
   *
-  * Why it matters at 100 TB: the window form sorts ALL n rows per partition
-  * (O(n log n), spills on big partitions) and only then discards everything
-  * past rank k. This operator keeps at most k rows per group at every stage:
-  * a PARTIAL pass caps each map partition's output at k rows per group
-  * before the shuffle (the top-k analogue of map-side combine), the shuffle
-  * then moves only survivors, and the FINAL pass re-heaps per group and
-  * emits ranks. Memory is O(groups x k) per task, independent of row count.
+  * Why it matters at 100 TB: the built-in window translation sorts ALL n
+  * rows per partition and only then discards everything past rank k. This
+  * operator prunes before the shuffle and never holds an unbounded
+  * in-memory structure:
+  *
+  *  - PARTIAL pass (map side): bounded per-group heaps cap each map
+  *    partition's output at k rows per group — the top-k analogue of
+  *    map-side combine. The heap map itself is capped at
+  *    `graft.topk.maxPartialGroups` distinct groups (default 65536, i.e.
+  *    O(cap * k) rows of task memory); once full, rows of unseen groups
+  *    PASS THROUGH untouched. Pass-through is always correct — the partial
+  *    pass emits a superset of each group's partition-local top-k and the
+  *    final pass re-ranks — so high-cardinality groups degrade to "no
+  *    map-side pruning" instead of an OOM. (A reduction-aware planner
+  *    could pick the cap adaptively; the conf knob is the manual override.)
+  *  - FINAL pass (reduce side): requires clustering on the group keys AND
+  *    a (group, order) child sort — Spark plans an external
+  *    UnsafeExternalSorter sort, which spills. The pass itself is then a
+  *    streaming scan: rows of one group arrive contiguous and rank-ordered,
+  *    so it emits ranks 1..k per group holding O(1) rows. No per-group
+  *    state survives the group boundary.
   *
   * The full ladder: logical node (below) -> planner Strategy -> physical
   * UnaryExecNode pair, registered per-session via experimental
@@ -47,6 +59,7 @@ case class TopKPerGroupExec(
     k: Int,
     partial: Boolean,
     rankAttr: Option[Attribute],
+    maxPartialGroups: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -58,45 +71,74 @@ case class TopKPerGroupExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(group) :: Nil
 
+  /** Final pass streams over (group, order)-sorted input; the sort Spark
+    * inserts here is external (spills), which is what makes the operator
+    * safe when groups ~ rows. Group-key sort direction is arbitrary but
+    * must be deterministic — ascending. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(group.map(SortOrder(_, Ascending)) ++ order)
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val groupExprs = group
     val sortOrder = order
     val limit = k
-    val isPartial = partial
     val outAttrs = output
-    child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
-      // ascending in rank order; PriorityQueue dequeues LARGEST (= worst
-      // ranked = eviction candidate) first
-      val ord = RowOrdering.create(sortOrder, childOutput)
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = mutable.PriorityQueue.empty[InternalRow](ord)
-            heaps.put(key.copy(), h)
-            h
-        }
-        if (heap.size < limit) heap.enqueue(row.copy())
-        else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
-      }
-      if (isPartial) {
-        heaps.valuesIterator.flatMap(_.iterator)
-      } else {
-        val proj = UnsafeProjection.create(outAttrs.map(_.dataType).toArray)
-        val joined = new JoinedRow
-        heaps.valuesIterator.flatMap { heap =>
-          // dequeue order is worst-first; reverse for rank 1..k
-          val ranked = heap.dequeueAll.reverse
-          ranked.iterator.zipWithIndex.map { case (row, i) =>
-            proj(joined(row, new GenericInternalRow(Array[Any](i + 1))))
+    if (partial) {
+      val cap = maxPartialGroups
+      child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+        // ascending in rank order; PriorityQueue dequeues LARGEST (= worst
+        // ranked = eviction candidate) first
+        val ord = RowOrdering.create(sortOrder, childOutput)
+        val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+        val pruned = iter.flatMap { row =>
+          val key = keyProj(row)
+          heaps.get(key) match {
+            case Some(heap) =>
+              if (heap.size < limit) heap.enqueue(row.copy())
+              else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
+              Iterator.empty
+            case None if heaps.size < cap =>
+              val h = mutable.PriorityQueue.empty[InternalRow](ord)
+              h.enqueue(row.copy())
+              heaps.put(key.copy(), h)
+              Iterator.empty
+            case None =>
+              // map full: unseen group's row passes through un-pruned (a
+              // superset stays correct; the final pass does the cutting)
+              Iterator.single(row)
           }
         }
-      }
-    }, preservesPartitioning = true)
+        // ++ is by-name: the heap flush runs only after `iter` is exhausted
+        pruned ++ heaps.valuesIterator.flatMap(_.iterator)
+      }, preservesPartitioning = true)
+    } else {
+      child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+        val proj = UnsafeProjection.create(outAttrs.map(_.dataType).toArray)
+        val joined = new JoinedRow
+        val rankRow = new GenericInternalRow(1)
+        var prevKey: UnsafeRow = null
+        var rank = 0
+        // input is (group, order)-sorted: each group is one contiguous,
+        // already-ranked run — emit the first k rows of each run
+        iter.flatMap { row =>
+          val key = keyProj(row)
+          if (prevKey == null || key != prevKey) {
+            prevKey = key.copy()
+            rank = 1
+          } else {
+            rank += 1
+          }
+          if (rank <= limit) {
+            rankRow.update(0, rank)
+            Iterator.single(proj(joined(row, rankRow)))
+          } else Iterator.empty
+        }
+      }, preservesPartitioning = true)
+    }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
@@ -106,12 +148,17 @@ case class TopKPerGroupExec(
 /** Public API + session registration. */
 object TopK {
 
+  val maxPartialGroupsKey = "graft.topk.maxPartialGroups"
+
   object Planner extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case TopKPerGroupPlan(group, order, k, rank, child) =>
+        val cap = org.apache.spark.sql.internal.SQLConf.get
+          .getConfString(maxPartialGroupsKey, "65536").toInt
         val partialPass = TopKPerGroupExec(group, order, k, partial = true, None,
-          planLater(child))
-        TopKPerGroupExec(group, order, k, partial = false, Some(rank), partialPass) :: Nil
+          cap, planLater(child))
+        TopKPerGroupExec(group, order, k, partial = false, Some(rank), cap,
+          partialPass) :: Nil
       case _ => Nil
     }
   }

@@ -137,6 +137,122 @@ object EventsStream {
       }
   }
 
+  // ---------------------------------------------- q60: stateful sessionize
+  /** Oracle-exact event for the stateful path: session math runs on integer
+    * microseconds (`tus`) and integer hundredths (`cents` — the value
+    * pre-quantized exactly like the oracle's CAST(value AS DECIMAL(18,2))),
+    * while `ts` exists only to drive the watermark/timeout clock. */
+  case class ExactEvent(event_id: Long, user_id: Long, cents: Long, tus: Long,
+                        ts: java.sql.Timestamp)
+  case class ExactState(startUs: Long, lastUs: Long, n: Long, cents: Long)
+  case class ExactSession(user_id: Long, start_us: Long, n_events: Long,
+                          sum_cents: Long)
+
+  /** Gap-based sessionization with explicit state + event-time timeout,
+    * producing byte-exact batch-twin results: the same session boundaries
+    * as [[sessionizeByGapUs]] (integer-microsecond gap math) and exact
+    * integer value sums. A session closes inline when a same-batch event
+    * exceeds the gap, or via timeout once the watermark passes
+    * lastTs + gap. */
+  def sessionizeExact(events: Dataset[ExactEvent],
+                      gapUs: Long = 30L * 60 * 1000 * 1000): Dataset[ExactSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapUs / 1000
+    def close(uid: Long, st: ExactState): ExactSession =
+      ExactSession(uid, st.startUs, st.n, st.cents)
+    events.withWatermark("ts", s"$gapMs milliseconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ExactState, ExactSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[ExactEvent], state: GroupState[ExactState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(uid, _))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.tus, e.event_id))
+            val closed = Seq.newBuilder[ExactSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(st) if e.tus - st.lastUs <= gapUs =>
+                  // late-but-in-watermark events may arrive out of order:
+                  // never move lastUs backwards / startUs forwards
+                  cur = Some(st.copy(
+                    startUs = math.min(st.startUs, e.tus),
+                    lastUs = math.max(st.lastUs, e.tus),
+                    n = st.n + 1,
+                    cents = st.cents + e.cents))
+                case Some(st) =>
+                  closed += close(uid, st)
+                  cur = Some(ExactState(e.tus, e.tus, 1, e.cents))
+                case None =>
+                  cur = Some(ExactState(e.tus, e.tus, 1, e.cents))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              // timeout must sit strictly beyond the current watermark
+              state.setTimeoutTimestamp(
+                math.max(st.lastUs / 1000 + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** q60: gap sessionization executed AS A STATEFUL STREAM
+    * (flatMapGroupsWithState + event-time timeout), returned as a batch
+    * DataFrame sharing q28's exact oracle. Drain mechanics: the events
+    * parquet is staged into a temp directory together with one far-future
+    * SENTINEL row, so after the data batch the watermark jumps past every
+    * open session's (lastTs + gap) timeout and the engine's follow-up
+    * batch flushes them all into the append-mode memory sink — no
+    * session is left open, which is what makes the stream's output equal
+    * the batch twin's. session_seq is re-derived afterwards (sessions may
+    * EMIT out of order; their per-user start times are disjoint, so a
+    * row_number over start_us reproduces the batch numbering). */
+  def q60StreamSessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val exact = graft.Tables.load(s, d, "events")
+      .select(col("event_id"), col("user_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("ts", timestamp_micros(col("tus")))
+    val maxUs = exact.agg(max(col("tus"))).head.getLong(0)
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_q60").toString
+    exact.write.mode("overwrite").parquet(stageDir)
+    // sentinel: one event 10 days past the corpus end, under a user id the
+    // corpus can't contain — advances the watermark, never joins a session
+    Seq((-1L, -1L, 0L, maxUs + 10L * 24 * 3600 * 1000000))
+      .toDF("event_id", "user_id", "cents", "tus")
+      .withColumn("ts", timestamp_micros(col("tus")))
+      .write.mode("append").parquet(stageDir)
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("cents", LongType), StructField("tus", LongType),
+        StructField("ts", TimestampType))))
+      .parquet(stageDir)
+      .as[ExactEvent]
+    val name = "graft_stream_sessions"
+    val q = sessionizeExact(stream).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    s.table(name)
+      .filter(col("user_id") >= 0)
+      .withColumn("session_seq", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_seq"),
+        timestamp_micros(col("start_us")).cast("timestamp_ntz").as("session_start"),
+        col("n_events"),
+        (col("sum_cents") / 100.0).as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** Shared gap-sessionization core over integer-microsecond event times —
     * the ONE definition of a session boundary, used by the batch query
     * (Relational.q28Sessionize) and the timestamp-typed twin below.
