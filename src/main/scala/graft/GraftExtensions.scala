@@ -22,6 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_jaccard_sorted"),
       new ExpressionInfo(classOf[JaccardSorted].getName, "graft_jaccard_sorted"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        JaccardSorted(exprs(0), exprs(1))))
+        GraftFunctions.jaccardBuilder(exprs)))
   }
 }

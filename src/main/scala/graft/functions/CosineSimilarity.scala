@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression: cosine similarity of two numeric arrays.
   *
@@ -15,10 +15,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * composed `aggregate(zip_with(...))` form, which allocates a zipped array
   * per row and evaluates interpreted higher-order lambdas.
   *
-  * Semantics match the composed form bit-for-bit: strict array<double>
-  * inputs (the registry builders in GraftFunctions/GraftExtensions insert
-  * the array<float> -> array<double> cast, so SQL callers can pass raw
-  * embeddings), one left-to-right accumulation each for dot product and
+  * Accepts array<float> and array<double> on either side, independently:
+  * float elements are widened to double IN-REGISTER inside the loop, so a
+  * raw embedding column never pays a per-row array<double> materialization
+  * (the old builder-inserted Cast allocated a second 64-element array for
+  * every pair scored). Widening is exact, so results are bit-identical to
+  * casting first: one left-to-right accumulation each for dot product and
   * the two squared norms (same IEEE operation order as the DataFrame
   * `aggregate` fold and DuckDB's list_sum, keeping the oracle exact).
   */
@@ -28,14 +30,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<double> arguments, got " +
+      s"$prettyName requires two array<double> or array<float> arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
@@ -48,10 +55,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
+    val xf = isFloat(left); val yf = isFloat(right)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -67,6 +76,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      // per-side element getter, widened in-register when the side is float
+      def get(arr: String, float: Boolean) =
+        if (float) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -74,8 +86,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $xi = $a.getDouble($i);
-         |    double $yi = $b.getDouble($i);
+         |    double $xi = ${get(a, isFloat(left))};
+         |    double $yi = ${get(b, isFloat(right))};
          |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |  }
          |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
@@ -93,25 +105,36 @@ case class CosineSimilarity(left: Expression, right: Expression)
   */
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.expressions.Cast
-  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
-  /** Widen any numeric array argument to array<double> so callers can pass
-    * raw float embeddings. */
-  private[graft] def asDoubleArray(e: Expression): Expression = e.dataType match {
-    case ArrayType(DoubleType, _) => e
+  private def requireArity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$name requires exactly $n arguments, got ${exprs.length}")
+
+  /** Widen a numeric array argument to array<double> so callers can pass
+    * e.g. array<int>. float and double arrays pass through untouched —
+    * CosineSimilarity reads float elements natively (in-register widening),
+    * no per-row cast allocation. */
+  private[graft] def asNumericArray(e: Expression): Expression = e.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => e
     case ArrayType(_, containsNull) => Cast(e, ArrayType(DoubleType, containsNull))
     case _ => e // leave as-is; checkInputDataTypes reports the clear error
   }
 
-  private[graft] def cosineBuilder(exprs: Seq[Expression]): Expression =
-    CosineSimilarity(asDoubleArray(exprs(0)), asDoubleArray(exprs(1)))
+  private[graft] def cosineBuilder(exprs: Seq[Expression]): Expression = {
+    requireArity("graft_cosine", exprs, 2)
+    CosineSimilarity(asNumericArray(exprs(0)), asNumericArray(exprs(1)))
+  }
+
+  private[graft] def jaccardBuilder(exprs: Seq[Expression]): Expression = {
+    requireArity("graft_jaccard_sorted", exprs, 2)
+    JaccardSorted(exprs(0), exprs(1))
+  }
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_jaccard_sorted",
-      { exprs => JaccardSorted(exprs(0), exprs(1)) },
-      "built-in")
+      "graft_jaccard_sorted", jaccardBuilder, "built-in")
   }
 }

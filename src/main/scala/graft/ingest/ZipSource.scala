@@ -55,9 +55,14 @@ object ZipSource {
 
   /** Expand zipped CSV archives and parse the bodies — end-to-end
     * distributed (no driver-side temp files). All entries are assumed to be
-    * shards of ONE logical CSV (shared header): each entry's header line is
-    * dropped and a single header is re-prepended, because Spark's
-    * `csv(Dataset[String])` parses one LINE per element. */
+    * shards of ONE logical CSV (shared header): each entry drops exactly
+    * its FIRST line — never mid-file lines that happen to equal the header
+    * text (a data row byte-equal to the header is data) — and a single
+    * header is re-prepended, because Spark's `csv(Dataset[String])` parses
+    * one LINE per element. An entry whose first line differs from the
+    * probe header fails HARD with the entry name: silently parsing a
+    * reordered-column shard under the wrong header would corrupt every
+    * row of that shard. */
   def expandCsv(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
     // cache: header probe, schema inference, and the parse would otherwise
@@ -66,14 +71,28 @@ object ZipSource {
     // the plan) — the price of keeping this API lazy.
     val texts = expand(spark, pathGlob)
       .filter(_.entry.toLowerCase.endsWith(".csv"))
-      .map(e => new String(e.content, java.nio.charset.StandardCharsets.UTF_8))
+      .map(e => (e.entry, new String(e.content, java.nio.charset.StandardCharsets.UTF_8)))
       .cache()
     val header = texts.take(1).headOption.getOrElse(
       throw new IllegalArgumentException(
         s"no .csv entries found in archives matching $pathGlob"))
-      .linesIterator.next()
-    val data = texts.flatMap(_.linesIterator.filter(_ != header))
-    spark.read.option("header", "true").option("inferSchema", "true")
-      .csv(spark.createDataset(Seq(header)).union(data))
+      ._2.linesIterator.next()
+    val data = texts.flatMap { case (entry, text) =>
+      val lines = text.linesIterator
+      if (!lines.hasNext) Iterator.empty[String]
+      else {
+        val entryHeader = lines.next()
+        if (entryHeader != header) throw new IllegalStateException(
+          s"zip entry '$entry' header '$entryHeader' does not match expected '$header'")
+        lines
+      }
+    }
+    // parse HEADERLESS and rename from the probed header: Spark's csv
+    // reader with header=true over a Dataset[String] silently drops every
+    // line byte-equal to the header (its multi-shard header handling), and
+    // a data row that happens to equal the header is data, not a header
+    val names = spark.read.csv(spark.createDataset(Seq(header)))
+      .head.toSeq.map(String.valueOf)
+    spark.read.option("inferSchema", "true").csv(data).toDF(names: _*)
   }
 }

@@ -114,7 +114,10 @@ object SimilarityOps {
   /** q40's exact semantics through the native codegen expression
     * (graft.functions.CosineSimilarity): one fused loop per pair instead of
     * zip_with+aggregate's intermediate array — the hot-path form for
-    * billion-pair scoring. Shares q40's oracle (bit-identical math). */
+    * billion-pair scoring. The raw array<float> embeddings feed the
+    * expression DIRECTLY (it widens float elements in-register), so no
+    * per-pair array<double> is ever materialized. Shares q40's oracle
+    * (float->double widening is exact, so the math is bit-identical). */
   def q53CosineTopKNative(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = t(s, d, "embeddings")
@@ -125,8 +128,7 @@ object SimilarityOps {
     c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("sim",
-        round(call_function("graft_cosine",
-          asDouble(col("q_emb")), asDouble(col("c_emb"))), 6))
+        round(call_function("graft_cosine", col("q_emb"), col("c_emb")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("q_id", "c_id", "sim", "rk")
@@ -134,23 +136,57 @@ object SimilarityOps {
   }
 
   // ---------------------------------------------------------------- q56
-  /** IVF-style ANN: deterministic coarse centroids (the lowest-vec_id
-    * vectors stand in for k-means centroids — the partitioning mechanics,
-    * not the training, are what matters for the engine), every vector
-    * assigned to its nearest centroid list; queries probe their `nprobe`
-    * nearest lists only. The scan shrinks by ~nlist/nprobe; the join shape
-    * (equi-join on list id) is identical at any scale. */
+  /** Deterministic k-means-lite coarse quantizer for IVF: init = the
+    * lowest-vec_id vectors, then `iters` Lloyd rounds computed
+    * distributedly — assignment is a broadcast-centroid crossJoin + argmax
+    * cosine (the same join shape the query path uses), the update is a
+    * per-dimension avg over posexploded members. Each round's centroid
+    * components are rounded to 6 decimals so the FP partial-agg order
+    * can't leak into assignments. Only nlist x dim doubles ever reach the
+    * driver. At 100 TB you'd train on a sample (the assign/update jobs are
+    * linear scans); the query-side join shape is unchanged either way. */
+  def learnCentroids(e: DataFrame, nlist: Int, iters: Int = 2): Seq[(Int, Seq[Double])] = {
+    val s = e.sparkSession
+    import s.implicits._
+    var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int"), col("embedding").cast("array<double>"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    for (_ <- 0 until iters) {
+      val centDf = cents.toDF("list_id", "c_emb")
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("list_id"))
+      val updated = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centDf))
+        .withColumn("c_sim", call_function("graft_cosine", col("embedding"), col("c_emb")))
+        .withColumn("c_rk", row_number().over(w))
+        .filter(col("c_rk") === 1)
+        .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos")
+        .agg(round(avg(col("x")), 6).as("m"))
+        .as[(Int, Int, Double)].collect()
+        .groupBy(_._1)
+        .map { case (lid, dims) => lid -> dims.sortBy(_._2).map(_._3).toSeq }
+      // a list that lost every member keeps its previous centroid
+      cents = cents.map { case (lid, old) => (lid, updated.getOrElse(lid, old)) }
+    }
+    cents
+  }
+
+  /** IVF-style ANN with LEARNED coarse centroids (k-means-lite above):
+    * every vector assigned to its nearest centroid list; queries probe
+    * their `nprobe` nearest lists only. The scan shrinks by
+    * ~nlist/nprobe; the join shape (equi-join on list id) is identical at
+    * any scale. */
   def q56AnnIvf(s: SparkSession, d: String, nlist: Int = 16, nprobe: Int = 4,
                 k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    import s.implicits._
     val e = t(s, d, "embeddings")
-    val centroids = e.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("list_id"), col("embedding").as("c_emb"))
+    val centroids = learnCentroids(e, nlist).toDF("list_id", "c_emb")
     def nearestLists(v: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy(col("c_sim").desc, col("list_id"))
       v.crossJoin(broadcast(centroids))
         .withColumn("c_sim", call_function("graft_cosine",
-          asDouble(col(embCol)), asDouble(col("c_emb"))))
+          col(embCol), col("c_emb")))
         .withColumn("c_rk", row_number().over(w))
         .filter(col("c_rk") <= n)
         .drop("c_emb", "c_sim", "c_rk")
@@ -169,7 +205,7 @@ object SimilarityOps {
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), col("q_emb"), col("cand_emb"))
       .withColumn("sim", round(call_function("graft_cosine",
-        asDouble(col("q_emb")), asDouble(col("cand_emb"))), 6))
+        col("q_emb"), col("cand_emb")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("q_id", "c_id", "sim", "rk")

@@ -43,6 +43,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(survivors.count() < docsTbl.count()) // sf0.001 has near-dups
   }
 
+  test("per-bucket pair cap bounds mega-clique emission, keeps dedup connectivity") {
+    // 40 identical texts: one token set, one signature, one bucket per band —
+    // the pathological clique. Uncapped this emits m(m-1)/2 = 780 pairs; the
+    // neighbor-chain cap at distance <= 2 must emit exactly (m-1)+(m-2).
+    val m = 40
+    val clique = (1 to m).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta", "s"))
+      .toDF("doc_id", "text", "source")
+    val pairs = DedupOps.minhashNearDupPairs(clique, maxBucketNeighbors = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.length === 2 * m - 3)
+    // chain connectivity: every non-minimal member appears as a doc_b, so
+    // min-id survivor dedup still collapses the clique to one document
+    val losers = pairs.map(_._2).toSet
+    assert(losers === (2 to m).map(_.toLong).toSet)
+  }
+
+  test("pair cache memoizes per (session, dir) and evicts on demand") {
+    DedupOps.evict(spark)
+    val first = DedupOps.nearDupPairsFor(spark, TestSpark.sf)
+    assert(DedupOps.nearDupPairsFor(spark, TestSpark.sf) eq first) // memoized
+    assert(first.storageLevel.useMemory) // materialized, not a lazy plan
+    DedupOps.evict(spark)
+    // checked before re-materializing: `second` would share the same logical
+    // plan, and the cache lookup is plan-keyed
+    assert(first.storageLevel == org.apache.spark.storage.StorageLevel.NONE) // unpersisted
+    val second = DedupOps.nearDupPairsFor(spark, TestSpark.sf)
+    assert(!(second eq first)) // cache entry really was dropped
+    DedupOps.evict(spark)
+  }
+
   test("simhash: identical text => identical hash; pairs found by banding") {
     val sh = DedupOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) === sh(4L))
@@ -99,6 +130,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     ivf.groupBy(_._1).values.foreach { rows =>
       assert(rows.map(_._4).sorted.toSeq === (1 to rows.length))
     }
+  }
+
+  test("native cosine reads float arrays directly, bit-identical to composed form") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.load(spark, TestSpark.sf, "embeddings").limit(50)
+    val rows = e.select(
+      call_function("graft_cosine", col("embedding"), reverse(col("embedding")))
+        .as("native_float"),
+      call_function("graft_cosine", col("embedding").cast("array<double>"),
+        reverse(col("embedding")).cast("array<double>")).as("native_double"),
+      call_function("graft_cosine", col("embedding"),
+        reverse(col("embedding")).cast("array<double>")).as("native_mixed"),
+      SimilarityOps.cosine(col("embedding"), reverse(col("embedding")))
+        .as("composed")).collect()
+    rows.foreach { r =>
+      // float->double widening is exact: all four paths must agree to the bit
+      assert(r.getDouble(0) === r.getDouble(3))
+      assert(r.getDouble(1) === r.getDouble(3))
+      assert(r.getDouble(2) === r.getDouble(3))
+    }
+  }
+
+  test("function builders reject wrong arity at analysis time") {
+    graft.functions.GraftFunctions.register(spark)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val e1 = intercept[Throwable] { spark.sql("SELECT graft_cosine(array(1.0))").collect() }
+    assert(messages(e1).exists(_.contains("exactly 2 arguments")), e1.toString)
+    val e2 = intercept[Throwable] {
+      spark.sql("SELECT graft_jaccard_sorted(array('a'), array('a'), array('a'))").collect()
+    }
+    assert(messages(e2).exists(_.contains("exactly 2 arguments")), e2.toString)
   }
 
   test("lang-id predicts en for English stopword text") {

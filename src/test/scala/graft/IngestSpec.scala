@@ -103,4 +103,36 @@ class IngestSpec extends AnyFunSuite {
     assert(parsed.count() === 5)
     assert(parsed.columns.length === 19)
   }
+
+  test("expandCsv keeps data rows byte-equal to the header, drops only line 1") {
+    val dir = tmpDir()
+    val zipFile = new File(dir, "hdr.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(zipFile))
+    zos.putNextEntry(new ZipEntry("a.csv"))
+    // line 2 repeats the header text verbatim — it is DATA and must survive
+    zos.write(s"$header\n$header\n${csvBody(2)}".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val parsed = ZipSource.expandCsv(spark, zipFile.getPath)
+    assert(parsed.count() === 3)
+  }
+
+  test("expandCsv fails hard on an entry whose header differs") {
+    val dir = tmpDir()
+    val zipFile = new File(dir, "mismatch.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(zipFile))
+    zos.putNextEntry(new ZipEntry("a.csv"))
+    zos.write(s"$header\n${csvBody(2)}".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("b.csv"))
+    // same columns, different order: silently parsing under a.csv's header
+    // would corrupt every row, so the contract is a loud failure
+    zos.write(("\"id\"," + header.stripSuffix(",\"id\"") + "\nx,1,2\n").getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val e = intercept[Throwable] { ZipSource.expandCsv(spark, zipFile.getPath).count() }
+    assert(messages(e).exists(_.contains("does not match expected")), e.toString)
+  }
 }

@@ -43,6 +43,31 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(mono.count() === 0)
   }
 
+  test("partial-pass group cap: overflow pass-through stays correct") {
+    // cap the partial heap map far below the group count so most groups
+    // take the pass-through path; results must not change
+    spark.conf.set(TopK.maxPartialGroupsKey, "4")
+    try {
+      val native = TopK.perGroup(
+        Tables.load(spark, TestSpark.sf, "events")
+          .select("user_id", "event_id", "value"),
+        Seq("user_id"), Seq(("value", false), ("event_id", true)), 3, "rn")
+        .orderBy("user_id", "rn").collect()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+      val window = Tables.load(spark, TestSpark.sf, "events")
+        .select("user_id", "event_id", "value")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("user_id", "rn").collect()
+      assert(native.length === window.length)
+      assert(native.map(_.toSeq).toSeq === window.map(_.toSeq).toSeq)
+      val nGroups = Tables.load(spark, TestSpark.sf, "events")
+        .select("user_id").distinct().count()
+      assert(nGroups > 4) // the cap really was exceeded
+    } finally spark.conf.unset(TopK.maxPartialGroupsKey)
+  }
+
   test("missing column errors clearly") {
     val e = intercept[IllegalArgumentException] {
       TopK.perGroup(Tables.load(spark, TestSpark.sf, "region"),
