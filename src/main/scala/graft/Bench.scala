@@ -21,8 +21,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
   /** Queries that fill the dedup pair cache: evict before each timed run so
-    * repeats don't measure a cache hit. */
-  private val cacheProducers = Set("q36_minhash_pairs")
+    * repeats don't measure a cache hit. Shared with MicroBench. */
+  private[graft] val cacheProducers = Set("q36_minhash_pairs")
 
   private def execute(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -212,13 +212,57 @@ object SimilarityOps {
       .orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------------- q61
+  /** Embedding-cosine near-dup CANDIDATE ranking — the embedding-space
+    * member of the dedup family (tokens: q36/q37/q38; vectors: this):
+    * random-hyperplane LSH blocks the candidates (identical shuffle
+    * discipline to q42 — id pairs only through the bucket join, embeddings
+    * re-attach after, and the same per-bucket neighbor-chain cap as
+    * minhashNearDupPairs bounds a mega-bucket at m*cap pairs instead of
+    * m^2/2), the native cosine expression scores exactly, and a top-k by
+    * similarity keeps the output stable regardless of how near the nearest
+    * pairs are. Dedup apply = filter `sim >= threshold` on these pairs,
+    * then the min-id anti-join of DedupOps.dropNearDuplicates — the
+    * threshold is a policy choice applied downstream, NOT baked in here,
+    * so the ranking stays non-empty on dup-free corpora. Rows-only check:
+    * the hyperplane family lives in the Spark plan, not in DuckDB. */
+  def q61EmbeddingNearDup(s: SparkSession, d: String, k: Int = 25,
+                          maxBucketNeighbors: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val dim = 64
+    val planes = hyperplanes(tables = 4, bits = 8, dim = dim)
+    val e = t(s, d, "embeddings")
+    val withBuckets = e.select(col("vec_id"),
+      posexplode(array(planes.indices.map(ti =>
+        lshBucket(col("embedding"), planes(ti))): _*)).as(Seq("tbl", "bucket")))
+    val w = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id"))
+    val ranked = withBuckets.withColumn("pos", row_number().over(w))
+    val cand = ranked.select(col("tbl"), col("bucket"),
+        col("vec_id").as("vec_a"), col("pos").as("pos_a"))
+      .join(ranked.select(col("tbl"), col("bucket"),
+        col("vec_id").as("vec_b"), col("pos").as("pos_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("pos_b") > col("pos_a") &&
+        col("pos_b") - col("pos_a") <= maxBucketNeighbors)
+      .select("vec_a", "vec_b")
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .withColumn("sim", round(call_function("graft_cosine", col("emb_a"), col("emb_b")), 6))
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(k)
+      .select("vec_a", "vec_b", "sim")
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> ((s: SparkSession, d: String) => q40CosineTopK(s, d)),
     "q41_embedding_norms" -> (q41EmbeddingNorms _),
     "q42_ann_lsh" -> ((s: SparkSession, d: String) => q42AnnLsh(s, d)),
     "q53_cosine_topk_native" -> ((s: SparkSession, d: String) => q53CosineTopKNative(s, d)),
-    "q56_ann_ivf" -> ((s: SparkSession, d: String) => q56AnnIvf(s, d)))
+    "q56_ann_ivf" -> ((s: SparkSession, d: String) => q56AnnIvf(s, d)),
+    "q61_embedding_neardup" -> ((s: SparkSession, d: String) => q61EmbeddingNearDup(s, d)))
 
   /** q42's hyperplanes live in the Spark plan only → rows-only check.
     * q40/q41/q53 recompute the same double math in DuckDB. */

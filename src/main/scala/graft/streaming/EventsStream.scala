@@ -104,26 +104,28 @@ object EventsStream {
             state.remove()
             out.iterator
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // interval fold: the open session from state and each batch
+            // event are time intervals, processed in ascending start order.
+            // This keeps cross-batch late events correct — an in-watermark
+            // event EARLIER than the open session's span by more than the
+            // gap becomes its own session instead of being merged into (and
+            // corrupting) the open one.
+            val items = (state.getOption.toSeq ++
+              batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+                .map(e => SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)))
+              .sortBy(st => (st.start, st.lastTs))
             val closed = Seq.newBuilder[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
+            var cur: Option[SessionState] = None
+            items.foreach { it =>
               cur match {
-                case Some(st) if t - st.lastTs <= gapMs =>
-                  // late-but-in-watermark events may arrive with t < lastTs:
-                  // never move lastTs backwards / start forwards, or session
-                  // boundaries and durations corrupt
-                  cur = Some(st.copy(
-                    start = math.min(st.start, t),
-                    lastTs = math.max(st.lastTs, t),
-                    nEvents = st.nEvents + 1,
-                    sumValue = st.sumValue + e.value))
+                case Some(st) if it.start - st.lastTs <= gapMs =>
+                  cur = Some(SessionState(st.start, math.max(st.lastTs, it.lastTs),
+                    st.nEvents + it.nEvents, st.sumValue + it.sumValue))
                 case Some(st) =>
                   closed += close(userId, st)
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(it)
                 case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(it)
               }
             }
             cur.foreach { st =>
@@ -170,24 +172,25 @@ object EventsStream {
             state.remove()
             out.iterator
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.tus, e.event_id))
+            // interval fold in ascending start order (see sessionize above):
+            // cross-batch late events earlier than the open session's span
+            // start their own session instead of merging into it
+            val items = (state.getOption.toSeq ++
+              batch.toSeq.sortBy(e => (e.tus, e.event_id))
+                .map(e => ExactState(e.tus, e.tus, 1, e.cents)))
+              .sortBy(st => (st.startUs, st.lastUs))
             val closed = Seq.newBuilder[ExactSession]
-            var cur = state.getOption
-            sorted.foreach { e =>
+            var cur: Option[ExactState] = None
+            items.foreach { it =>
               cur match {
-                case Some(st) if e.tus - st.lastUs <= gapUs =>
-                  // late-but-in-watermark events may arrive out of order:
-                  // never move lastUs backwards / startUs forwards
-                  cur = Some(st.copy(
-                    startUs = math.min(st.startUs, e.tus),
-                    lastUs = math.max(st.lastUs, e.tus),
-                    n = st.n + 1,
-                    cents = st.cents + e.cents))
+                case Some(st) if it.startUs - st.lastUs <= gapUs =>
+                  cur = Some(ExactState(st.startUs, math.max(st.lastUs, it.lastUs),
+                    st.n + it.n, st.cents + it.cents))
                 case Some(st) =>
                   closed += close(uid, st)
-                  cur = Some(ExactState(e.tus, e.tus, 1, e.cents))
+                  cur = Some(it)
                 case None =>
-                  cur = Some(ExactState(e.tus, e.tus, 1, e.cents))
+                  cur = Some(it)
               }
             }
             cur.foreach { st =>
@@ -221,27 +224,40 @@ object EventsStream {
         (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
         expr("ts div 1000").as("tus"))
       .withColumn("ts", timestamp_micros(col("tus")))
-    val maxUs = exact.agg(max(col("tus"))).head.getLong(0)
-    val stageDir = java.nio.file.Files.createTempDirectory("graft_q60").toString
-    exact.write.mode("overwrite").parquet(stageDir)
-    // sentinel: one event 10 days past the corpus end, under a user id the
-    // corpus can't contain — advances the watermark, never joins a session
-    Seq((-1L, -1L, 0L, maxUs + 10L * 24 * 3600 * 1000000))
-      .toDF("event_id", "user_id", "cents", "tus")
-      .withColumn("ts", timestamp_micros(col("tus")))
-      .write.mode("append").parquet(stageDir)
-    val stream = s.readStream
-      .schema(StructType(Seq(
-        StructField("event_id", LongType), StructField("user_id", LongType),
-        StructField("cents", LongType), StructField("tus", LongType),
-        StructField("ts", TimestampType))))
-      .parquet(stageDir)
-      .as[ExactEvent]
+    val maxRow = exact.agg(max(col("tus"))).head
+    if (maxRow.isNullAt(0)) throw new IllegalArgumentException(
+      s"events table at $d is empty — nothing to sessionize")
+    val maxUs = maxRow.getLong(0)
+    val stagePath = java.nio.file.Files.createTempDirectory("graft_q60")
+    val stageDir = stagePath.toString
     val name = "graft_stream_sessions"
-    val q = sessionizeExact(stream).toDF()
-      .writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      exact.write.mode("overwrite").parquet(stageDir)
+      // sentinel: one event 10 days past the corpus end, under a user id the
+      // corpus can't contain — advances the watermark, never joins a session
+      Seq((-1L, -1L, 0L, maxUs + 10L * 24 * 3600 * 1000000))
+        .toDF("event_id", "user_id", "cents", "tus")
+        .withColumn("ts", timestamp_micros(col("tus")))
+        .write.mode("append").parquet(stageDir)
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("cents", LongType), StructField("tus", LongType),
+          StructField("ts", TimestampType))))
+        .parquet(stageDir)
+        .as[ExactEvent]
+      val q = sessionizeExact(stream).toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      // the memory sink holds the drained rows; the staging copy of the
+      // events table must not outlive the query (Bench runs this 3x)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
     val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
     s.table(name)
       .filter(col("user_id") >= 0)

@@ -132,6 +132,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("embedding near-dup: LSH-blocked pairs, verified cosine, sorted top-k") {
+    val out = SimilarityOps.q61EmbeddingNearDup(spark, TestSpark.sf)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty && out.length <= 25)
+    assert(out.forall { case (a, b, s) => a < b && s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9 })
+    // descending similarity, deterministic tie-break already applied
+    assert(out.map(_._3).toSeq === out.map(_._3).sortBy(-_).toSeq)
+  }
+
   test("native cosine reads float arrays directly, bit-identical to composed form") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.load(spark, TestSpark.sf, "embeddings").limit(50)
