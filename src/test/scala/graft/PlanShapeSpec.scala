@@ -37,4 +37,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = planOf(ops.Relational.q15TopK(spark, TestSpark.sf))
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("q59: dimension chain broadcasts; fact side shuffles only for agg + window") {
+    val plan = planOf(ops.Relational.q59MinCostSupplier(spark, TestSpark.sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // supplier/nation/region/part all attach by broadcast: the only
+    // hash-partition exchanges are the (partkey, suppkey) aggregate and the
+    // per-part window — no exchange keyed on a dimension key
+    assert(!plan.contains("Exchange hashpartitioning(s_suppkey"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(n_nationkey"), plan)
+  }
 }
