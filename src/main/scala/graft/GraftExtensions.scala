@@ -6,13 +6,17 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.{CosineSimilarity, GraftFunctions, JaccardSorted}
 
 /** SparkSessionExtensions entry point: makes the engine's native expressions
-  * available to any session built with
-  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * AND the top-k-per-group planner strategy available to any session built
+  * with `--conf spark.sql.extensions=graft.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`) — the deployment path for a
   * cluster where users shouldn't have to call a register() method first.
+  * (`TopK.perGroup` also self-registers through experimental
+  * extraStrategies, so the library works without the conf; the injection
+  * is for sessions that build `TopKPerGroupPlan` nodes directly.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.TopK.Planner)
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

@@ -82,6 +82,35 @@ object TextOps {
       sha2(col("text").cast("binary"), 256).as("fp_sha256"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- q62
+  /** Rolling-hash fingerprints, the incremental sibling of q34's digest
+    * fingerprints: a Rabin-Karp-style polynomial fold
+    * (acc = (acc*31 + hash(tok)) mod p, p = 2^31-1) over per-token
+    * xxhash64 values — order-SENSITIVE and composable over windows/
+    * shingles, which is what streaming fingerprint pipelines extend to —
+    * plus the min token hash as an order-insensitive content sketch (the
+    * k=1 MinHash). The Mersenne-prime modulus keeps every intermediate
+    * below 2^36, so the fold is exact under ANSI arithmetic (Spark 4
+    * default) — no overflow, engine-deterministic. Rows-only: DuckDB has
+    * no xxhash64. At 100 TB the HOF fold (interpreted lambda) would
+    * graduate to a fused codegen Expression like CosineSimilarity — same
+    * semantics, one loop. */
+  val rollingModulus: Long = 2147483647L // 2^31 - 1
+
+  def rollingHash(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, tk) =>
+      pmod(acc * lit(31L) + pmod(xxhash64(tk), lit(rollingModulus)),
+        lit(rollingModulus)))
+
+  def q62RollingFingerprint(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    t(s, d, "documents").select(
+      col("doc_id"),
+      rollingHash(toks).as("fp_rolling"),
+      array_min(transform(toks, tk => xxhash64(tk))).as("fp_min_token"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q35
   /** Heuristic language ID: count distinct stopword hits per language,
     * pick the first maximum in a fixed language order. Deterministic and
@@ -119,7 +148,8 @@ object TextOps {
     "q32_text_tokens" -> (q32TextTokens _),
     "q33_text_quality" -> (q33TextQuality _),
     "q34_fingerprint" -> (q34Fingerprint _),
-    "q35_lang_id" -> (q35LangId _))
+    "q35_lang_id" -> (q35LangId _),
+    "q62_rolling_fingerprint" -> (q62RollingFingerprint _))
 
   private def duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 

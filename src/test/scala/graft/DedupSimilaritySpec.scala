@@ -173,6 +173,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(messages(e2).exists(_.contains("exactly 2 arguments")), e2.toString)
   }
 
+  test("rolling fingerprint is order-sensitive; min-token sketch is not") {
+    val fps = docs.select(col("doc_id"),
+      TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextOps.rollingHash(col("toks")).as("fp_rolling"),
+        array_min(transform(col("toks"), tk => xxhash64(tk))).as("fp_min_token"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fps(1L)._1 === fps(4L)._1) // exact copy: same rolling hash
+    assert(fps(1L)._1 !== fps(2L)._1) // word shuffle: different rolling hash
+    assert(fps(1L)._2 === fps(2L)._2) // ...but same min-token sketch
+    // the registered query runs end-to-end on the real table
+    val out = TextOps.q62RollingFingerprint(spark, TestSpark.sf)
+    assert(out.count() > 0)
+  }
+
   test("lang-id predicts en for English stopword text") {
     val out = TextOps.q35LangId(spark, TestSpark.sf)
     assert(out.filter(col("lang_pred") === "en").count() > 0)
