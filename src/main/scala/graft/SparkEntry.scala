@@ -24,7 +24,9 @@ object SparkEntry {
         "q55_stream_hourly" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q55StreamHourly(s, d)),
         "q60_stream_sessionize" ->
-          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q60StreamSessionize(s, d)))
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q60StreamSessionize(s, d)),
+        "q63_stream_interval_join" ->
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q63StreamIntervalJoin(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +37,18 @@ object SparkEntry {
       // oracle strings — the stream must produce the batch answer
       Map(
         "q55_stream_hourly" -> Relational.oracle("q23_events_hourly"),
-        "q60_stream_sessionize" -> Relational.oracle("q28_sessionize"))
+        "q60_stream_sessionize" -> Relational.oracle("q28_sessionize"),
+        // the stream-stream interval join must equal the batch interval join
+        "q63_stream_interval_join" ->
+          """WITH e AS (SELECT event_id, user_id, event_type, value,
+            |  epoch_us(ts) AS tus FROM events),
+            |c AS (SELECT event_id AS click_id, user_id, tus FROM e
+            |  WHERE event_type = 'click'),
+            |p AS (SELECT user_id, tus, CAST(value AS DECIMAL(18,2)) AS v FROM e
+            |  WHERE event_type = 'purchase')
+            |SELECT c.click_id, count(*) AS n_purch_1h,
+            | CAST(sum(p.v) AS DOUBLE) AS sum_purch_value
+            |FROM c JOIN p ON c.user_id = p.user_id
+            |  AND p.tus >= c.tus - 3600000000 AND p.tus <= c.tus
+            |GROUP BY c.click_id ORDER BY click_id""".stripMargin)
 }

@@ -269,6 +269,48 @@ object EventsStream {
       .orderBy("user_id", "session_seq")
   }
 
+  // ---------------------------------------- q63: stream-stream interval join
+  /** q63: watermarked stream-stream INTERVAL JOIN — clicks joined to the
+    * same user's purchases in the preceding hour, both sides unbounded
+    * streams over the events parquet. The join condition carries the time
+    * bound (p_ts in [c_ts - 1h, c_ts]) so, with both sides watermarked,
+    * the state store evicts rows once the watermark passes their join
+    * window — the production shape for unbounded stream joins; a
+    * conditionless stream-stream join would pin both sides' state forever.
+    * Inner-join matches emit as soon as both rows arrive, so a synchronous
+    * drain sees every pair without sentinel tricks. The drained pairs are
+    * then batch-aggregated per click (count + exact decimal-cents sum),
+    * which keeps the result compact and lets the whole thing share an
+    * exact DuckDB oracle. */
+  def q63StreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def side = s.readStream.schema(eventsSchemaNanos)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    val clicks = side.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ets").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = side.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("p_cents"),
+        col("ets").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+        col("p_ts") <= col("c_ts"))
+    val name = "graft_stream_clickpurch"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_purch_1h"),
+        (sum(col("p_cents")) / 100.0).as("sum_purch_value"))
+      .orderBy("click_id")
+  }
+
   /** Shared gap-sessionization core over integer-microsecond event times —
     * the ONE definition of a session boundary, used by the batch query
     * (Relational.q28Sessionize) and the timestamp-typed twin below.

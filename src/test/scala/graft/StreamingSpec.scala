@@ -61,6 +61,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.contains((7L, 3L, 3.0))) // the closed first burst
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import org.apache.spark.sql.types.DecimalType
+    val streamed = EventsStream.q63StreamIntervalJoin(spark, TestSpark.sf).collect()
+    val e = Tables.load(spark, TestSpark.sf, "events")
+      .withColumn("tus", expr("ts div 1000"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("tus").as("ct"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+        col("tus").as("pt"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+        col("pt") >= col("ct") - 3600000000L && col("pt") <= col("ct"))
+      .groupBy("click_id")
+      .agg(count(lit(1)).as("n"), (sum("cents") / 100.0).as("sv"))
+      .orderBy("click_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("batch sessionization twin agrees on session boundaries") {
     val ev = Seq(
       (1L, 0L, 7L, 1.0), (2L, 5L, 7L, 1.0), (3L, 60L, 7L, 1.0))
