@@ -111,6 +111,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q64
+  /** Deterministic content-hash train/eval split — the assignment step of
+    * a training-data pipeline: a document lands in a split as a pure
+    * function of its CONTENT (md5 of normalized text), so re-runs, engine
+    * swaps, and corpus re-shards never migrate a document across splits
+    * (id- or random-based splits break on re-ingestion; content hashing is
+    * also what keeps near-identical eval leakage auditable). The split
+    * predicate compares the first hex digit of the digest — 12/16 of the
+    * space → 'train', 4/16 → 'eval' — which is engine-exact (string
+    * compare on hex chars), so the whole query keeps a DuckDB oracle.
+    * Zero shuffles except the per-(lang, split) rollup. */
+  def q64HashSplit(s: SparkSession, d: String): DataFrame = {
+    val digest = md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary"))
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        when(substring(digest, 1, 1) < "c", "train").otherwise("eval").as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(length(col("text"))), 4).as("avg_len"),
+        min("doc_id").as("min_doc_id"))
+      .orderBy("lang", "split")
+  }
+
   // ---------------------------------------------------------------- q35
   /** Heuristic language ID: count distinct stopword hits per language,
     * pick the first maximum in a fixed language order. Deterministic and
@@ -149,7 +172,8 @@ object TextOps {
     "q33_text_quality" -> (q33TextQuality _),
     "q34_fingerprint" -> (q34Fingerprint _),
     "q35_lang_id" -> (q35LangId _),
-    "q62_rolling_fingerprint" -> (q62RollingFingerprint _))
+    "q62_rolling_fingerprint" -> (q62RollingFingerprint _),
+    "q64_hash_split" -> (q64HashSplit _))
 
   private def duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
@@ -184,6 +208,16 @@ object TextOps {
         | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5,
         | sha256(text) AS fp_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q64_hash_split" ->
+      """WITH s AS (
+        | SELECT doc_id, lang, text,
+        |  CASE WHEN substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 1) < 'c'
+        |       THEN 'train' ELSE 'eval' END AS split
+        | FROM documents)
+        |SELECT lang, split, count(*) AS n_docs,
+        | round(avg(length(text)), 4) AS avg_len,
+        | min(doc_id) AS min_doc_id
+        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "q35_lang_id" -> {
       def score(l: String): String = {
         val lst = stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
