@@ -58,6 +58,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // min-id survivor dedup still collapses the clique to one document
     val losers = pairs.map(_._2).toSet
     assert(losers === (2 to m).map(_.toLong).toSet)
+    // cap >= clique size degenerates to the full m(m-1)/2 pair set
+    val small = (1 to 10).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta", "s"))
+      .toDF("doc_id", "text", "source")
+    val full = DedupOps.minhashNearDupPairs(small, maxBucketNeighbors = 64)
+    assert(full.count() === 45)
   }
 
   test("pair cache memoizes per (session, dir) and evicts on demand") {
