@@ -34,6 +34,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.select(sum(length(col("text")))).head.getLong(0) === orig)
   }
 
+  test("xml roundtrip preserves rows (Spark 4 native xml source)") {
+    val dir = tmp() + "/xml"
+    docs.select("doc_id", "lang", "n_chars").write
+      .option("rootTag", "docs").option("rowTag", "doc").format("xml").save(dir)
+    val back = spark.read.option("rowTag", "doc").format("xml").load(dir)
+    assert(back.count() === docs.count())
+    assert(back.columns.sorted.toSeq === Seq("doc_id", "lang", "n_chars"))
+  }
+
   test("orc roundtrip preserves rows") {
     val dir = tmp() + "/orc"
     docs.write.orc(dir)
