@@ -134,6 +134,30 @@ object TextOps {
       .orderBy("lang", "split")
   }
 
+  // ---------------------------------------------------------------- q65
+  /** Seeded stratified subsampling — the corpus-rebalancing step of a
+    * training-data pipeline (e.g. downsample the dominant language):
+    * `sampleBy` does per-stratum Bernoulli selection map-side (zero
+    * shuffle for the selection itself; only the audit rollup shuffles).
+    * The report joins sampled counts against totals so the realized rate
+    * per stratum is visible next to the target. Rows-only: Bernoulli
+    * draws are seed- and partition-layout-dependent, not an engine-
+    * portable value set (row COUNT per lang is stable: one row per
+    * stratum present in the corpus). */
+  def q65StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    // downsample English to parity-ish with the other languages
+    val fractions = Map("en" -> 0.25, "es" -> 0.8, "de" -> 0.8, "fr" -> 0.8, "zh" -> 0.8)
+    val sampled = docs.stat.sampleBy("lang", fractions, seed = 42L)
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    val totals = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    totals.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        round(coalesce(col("n_sampled"), lit(0L)) / col("n_total"), 4).as("rate"))
+      .orderBy("lang")
+  }
+
   // ---------------------------------------------------------------- q35
   /** Heuristic language ID: count distinct stopword hits per language,
     * pick the first maximum in a fixed language order. Deterministic and
@@ -173,7 +197,8 @@ object TextOps {
     "q34_fingerprint" -> (q34Fingerprint _),
     "q35_lang_id" -> (q35LangId _),
     "q62_rolling_fingerprint" -> (q62RollingFingerprint _),
-    "q64_hash_split" -> (q64HashSplit _))
+    "q64_hash_split" -> (q64HashSplit _),
+    "q65_stratified_sample" -> (q65StratifiedSample _))
 
   private def duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 

@@ -194,6 +194,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("stratified sample: rates near targets, deterministic under a fixed seed") {
+    val out = TextOps.q65StratifiedSample(spark, TestSpark.sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (lang, total, sampled, rate) =>
+      assert(sampled >= 0 && sampled <= total, s"$lang")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // same seed, same session => identical draw
+    val again = TextOps.q65StratifiedSample(spark, TestSpark.sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("lang-id predicts en for English stopword text") {
     val out = TextOps.q35LangId(spark, TestSpark.sf)
     assert(out.filter(col("lang_pred") === "en").count() > 0)
