@@ -38,6 +38,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q25: as-of join is one union-side shuffle + one in-partition sort") {
+    // the union+last_value formulation must not degenerate into a join of
+    // sorted sides: exactly one hashpartitioning exchange on the key and
+    // one Sort feeding the window
+    val plan = planOf(ops.Relational.q25AsofJoin(spark, TestSpark.sf))
+    val keyExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(keyExchanges === 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q59: dimension chain broadcasts; fact side shuffles only for agg + window") {
     val plan = planOf(ops.Relational.q59MinCostSupplier(spark, TestSpark.sf))
     assert(plan.contains("BroadcastHashJoin"), plan)
