@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{DedupOps, MultimodalOps, Relational, SimilarityOps, StatsOps, TextOps}
+import graft.ops.{DedupOps, GraphOps, MultimodalOps, Relational, SimilarityOps, StatsOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ MultimodalOps.queries ++ StatsOps.queries ++
+      GraphOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
+      StatsOps.queries ++
       Map(
         "q55_stream_hourly" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q55StreamHourly(s, d)),
@@ -32,7 +33,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
-      SimilarityOps.oracle ++ MultimodalOps.oracle ++ StatsOps.oracle ++
+      GraphOps.oracle ++ SimilarityOps.oracle ++ MultimodalOps.oracle ++
+      StatsOps.oracle ++
       // streaming twins of q23/q28: same semantics, so literally the same
       // oracle strings — the stream must produce the batch answer
       Map(

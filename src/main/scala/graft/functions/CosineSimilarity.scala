@@ -131,10 +131,39 @@ object GraftFunctions {
     JaccardSorted(exprs(0), exprs(1))
   }
 
+  private def literalInt(name: String, e: Expression, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name requires a literal integer for $arg, got $other")
+  }
+
+  private[graft] def minhashBandsBuilder(exprs: Seq[Expression]): Expression = {
+    requireArity("graft_minhash_bands", exprs, 3)
+    MinHashBands(exprs(0),
+      literalInt("graft_minhash_bands", exprs(1), "k"),
+      literalInt("graft_minhash_bands", exprs(2), "bands"))
+  }
+
+  private[graft] def rollingHashBuilder(exprs: Seq[Expression]): Expression = {
+    requireArity("graft_rolling_hash", exprs, 1)
+    RollingHash(exprs(0))
+  }
+
+  private[graft] def shinglesBuilder(exprs: Seq[Expression]): Expression = {
+    requireArity("graft_shingles", exprs, 2)
+    NgramShingles(exprs(0), literalInt("graft_shingles", exprs(1), "n"))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaccard_sorted", jaccardBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_bands", minhashBandsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rolling_hash", rollingHashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", shinglesBuilder, "built-in")
   }
 }

@@ -93,6 +93,15 @@ object ZipSource {
     // a data row that happens to equal the header is data, not a header
     val names = spark.read.csv(spark.createDataset(Seq(header)))
       .head.toSeq.map(String.valueOf)
-    spark.read.option("inferSchema", "true").csv(data).toDF(names: _*)
+    if (data.isEmpty) {
+      // header-only archives: csv() cannot infer a schema from zero rows —
+      // return the empty frame with the probed columns (all string, the
+      // same type inference yields when every value is absent)
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(names.map(StructField(_, StringType))))
+    } else {
+      spark.read.option("inferSchema", "true").csv(data).toDF(names: _*)
+    }
   }
 }

@@ -141,10 +141,13 @@ object SimilarityOps {
     * distributedly — assignment is a broadcast-centroid crossJoin + argmax
     * cosine (the same join shape the query path uses), the update is a
     * per-dimension avg over posexploded members. Each round's centroid
-    * components are rounded to 6 decimals so the FP partial-agg order
-    * can't leak into assignments. Only nlist x dim doubles ever reach the
-    * driver. At 100 TB you'd train on a sample (the assign/update jobs are
-    * linear scans); the query-side join shape is unchanged either way. */
+    * components are averaged in DECIMAL fixed point — decimal sums are
+    * exact, so the result is identical under ANY partial-aggregation order
+    * or partition layout (rounding a double avg is NOT enough: two FP sums
+    * that straddle a rounding boundary round apart) — then rounded to 6
+    * decimals as doubles. Only nlist x dim doubles ever reach the driver.
+    * At 100 TB you'd train on a sample (the assign/update jobs are linear
+    * scans); the query-side join shape is unchanged either way. */
   def learnCentroids(e: DataFrame, nlist: Int, iters: Int = 2): Seq[(Int, Seq[Double])] = {
     val s = e.sparkSession
     import s.implicits._
@@ -161,7 +164,8 @@ object SimilarityOps {
         .filter(col("c_rk") === 1)
         .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("list_id", "pos")
-        .agg(round(avg(col("x")), 6).as("m"))
+        .agg(round(avg(col("x").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+          .cast("double"), 6).as("m"))
         .as[(Int, Int, Double)].collect()
         .groupBy(_._1)
         .map { case (lid, dims) => lid -> dims.sortBy(_._2).map(_._3).toSeq }

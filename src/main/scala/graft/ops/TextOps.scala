@@ -92,21 +92,26 @@ object TextOps {
     * k=1 MinHash). The Mersenne-prime modulus keeps every intermediate
     * below 2^36, so the fold is exact under ANSI arithmetic (Spark 4
     * default) — no overflow, engine-deterministic. Rows-only: DuckDB has
-    * no xxhash64. At 100 TB the HOF fold (interpreted lambda) would
-    * graduate to a fused codegen Expression like CosineSimilarity — same
-    * semantics, one loop. */
+    * no xxhash64. The query runs the fused codegen expression
+    * ([[graft.functions.RollingHash]] — one generated loop per row);
+    * [[rollingHash]] below is the composed higher-order-function twin,
+    * kept as the executable definition of the semantics and spec-pinned
+    * bit-identical to the native form. */
   val rollingModulus: Long = 2147483647L // 2^31 - 1
 
+  /** Reference (interpreted) form of the rolling fingerprint — the fused
+    * native expression must match this bit-for-bit. */
   def rollingHash(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, tk) =>
       pmod(acc * lit(31L) + pmod(xxhash64(tk), lit(rollingModulus)),
         lit(rollingModulus)))
 
   def q62RollingFingerprint(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val toks = tokens(col("text"))
     t(s, d, "documents").select(
       col("doc_id"),
-      rollingHash(toks).as("fp_rolling"),
+      call_function("graft_rolling_hash", toks).as("fp_rolling"),
       array_min(transform(toks, tk => xxhash64(tk))).as("fp_min_token"))
       .orderBy("doc_id")
   }
@@ -135,26 +140,50 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------- q65
-  /** Seeded stratified subsampling — the corpus-rebalancing step of a
-    * training-data pipeline (e.g. downsample the dominant language):
-    * `sampleBy` does per-stratum Bernoulli selection map-side (zero
-    * shuffle for the selection itself; only the audit rollup shuffles).
-    * The report joins sampled counts against totals so the realized rate
-    * per stratum is visible next to the target. Rows-only: Bernoulli
-    * draws are seed- and partition-layout-dependent, not an engine-
-    * portable value set (row COUNT per lang is stable: one row per
-    * stratum present in the corpus). */
+  /** Content-hash stratified subsampling — the corpus-rebalancing step of a
+    * training-data pipeline (e.g. downsample the dominant language). The
+    * selection predicate is a pure function of document CONTENT, exactly
+    * like q64's split assignment: a document is kept iff the first two hex
+    * digits of md5("<seed>:" + normalized text) fall below
+    * floor(fraction * 256) rendered in hex. That makes the draw
+    * re-run-stable, re-SHARD-stable, and engine-portable (hex string
+    * compare) — `sampleBy`'s Bernoulli draws depend on partition layout,
+    * which is precisely the non-determinism a content-addressed pipeline
+    * exists to avoid. Realized rates quantize to /256 granularity (0.25 ->
+    * 64/256 exactly; 0.8 -> 204/256 ~ 0.797), which the report makes
+    * visible next to the totals. The digest is salted with the seed so the
+    * sample decision is independent of q64's (unsalted) split digest.
+    * Selection is map-side (zero shuffle); only the audit rollup shuffles. */
+  def contentSampleHash(seed: String): Column =
+    substring(md5(concat(lit(seed + ":"),
+      regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")), 1, 2)
+
+  /** Per-stratum keep predicate: hash-hex < floor(f*256) in 2-digit hex.
+    * Strata absent from `fractions` are KEPT (rebalancing downsamples named
+    * strata; dropping unnamed data silently would be a footgun). */
+  def stratifiedKeep(strata: Column, hashHex: Column,
+                     fractions: Map[String, Double]): Column =
+    fractions.foldLeft(lit(true)) { case (acc, (k, f)) =>
+      val cut = math.min(math.floor(f * 256).toInt, 256)
+      when(strata === k,
+        if (cut >= 256) lit(true) else hashHex < lit(f"$cut%02x")).otherwise(acc)
+    }
+
+  val sampleFractions: Map[String, Double] =
+    Map("en" -> 0.25, "es" -> 0.8, "de" -> 0.8, "fr" -> 0.8, "zh" -> 0.8)
+
   def q65StratifiedSample(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     // downsample English to parity-ish with the other languages
-    val fractions = Map("en" -> 0.25, "es" -> 0.8, "de" -> 0.8, "fr" -> 0.8, "zh" -> 0.8)
-    val sampled = docs.stat.sampleBy("lang", fractions, seed = 42L)
-      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
-    val totals = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
-    totals.join(sampled, Seq("lang"), "left")
-      .select(col("lang"), col("n_total"),
-        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
-        round(coalesce(col("n_sampled"), lit(0L)) / col("n_total"), 4).as("rate"))
+    val keep = stratifiedKeep(col("lang"), contentSampleHash("graft-sample-42"),
+      sampleFractions)
+    val report = docs
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(keep, 1)).as("n_sampled"))
+    report
+      .select(col("lang"), col("n_total"), col("n_sampled"),
+        round(col("n_sampled") / col("n_total"), 4).as("rate"))
       .orderBy("lang")
   }
 
@@ -243,6 +272,22 @@ object TextOps {
         | round(avg(length(text)), 4) AS avg_len,
         | min(doc_id) AS min_doc_id
         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q65_stratified_sample" -> {
+      // same cut points as stratifiedKeep, rendered from the same map
+      val cuts = sampleFractions.toSeq.sortBy(_._1).map { case (k, f) =>
+        val cut = f"${math.min(math.floor(f * 256).toInt, 256)}%02x"
+        s"WHEN '$k' THEN h < '$cut'"
+      }.mkString(" ")
+      s"""WITH s AS (
+         | SELECT lang,
+         |  substr(md5('graft-sample-42:' || regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 2) AS h
+         | FROM documents)
+         |SELECT lang, count(*) AS n_total,
+         | count(CASE WHEN (CASE lang $cuts ELSE TRUE END) THEN 1 END) AS n_sampled,
+         | round(CAST(count(CASE WHEN (CASE lang $cuts ELSE TRUE END) THEN 1 END) AS DOUBLE)
+         |   / count(*), 4) AS rate
+         |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q35_lang_id" -> {
       def score(l: String): String = {
         val lst = stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")

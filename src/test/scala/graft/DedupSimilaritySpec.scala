@@ -90,7 +90,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.filter(col("hamming") > 8).count() === 0)
   }
 
+  test("ngram near-dup: LSH-blocked pairs equal brute force above threshold") {
+    graft.functions.GraftFunctions.register(spark)
+    val docsTbl = Tables.load(spark, TestSpark.sf, "documents")
+    val lsh = DedupOps.ngramNearDupPairs(docsTbl)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force: every pair, exact jaccard, same threshold — blocking
+    // must lose nothing above it
+    val sh = docsTbl.select(col("doc_id"), DedupOps.shingles(col("text")).as("sh"))
+    val brute = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(call_function("graft_jaccard_sorted", col("sh_a"), col("sh_b")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh === brute)
+    assert(lsh.nonEmpty) // sf0.001 plants near-dups; empty would be vacuous
+  }
+
+  test("ngram near-dup banding catches a pair sitting near the threshold") {
+    // two docs sharing roughly half their shingles: j ~ 0.5 is the worst
+    // case for banding recall (catch prob ~99% per the band math, and
+    // deterministic for the fixed hash family — this pins it)
+    val base = (1 to 45).map(i => s"tok$i").mkString(" ")
+    val half = ((1 to 30).map(i => s"tok$i") ++ (1 to 15).map(i => s"alt$i")).mkString(" ")
+    val pairDocs = Seq((1L, base, "s"), (2L, half, "s")).toDF("doc_id", "text", "source")
+    val found = DedupOps.ngramNearDupPairs(pairDocs, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(found.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(found.head._3 > 0.4 && found.head._3 < 0.6)
+  }
+
+  test("native shingles are identical to the composed transform/slice form") {
+    graft.functions.GraftFunctions.register(spark)
+    def composed(c: org.apache.spark.sql.Column, n: Int) = {
+      val toks = TextOps.tokens(c)
+      sort_array(array_distinct(transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+    }
+    val cases = Tables.load(spark, TestSpark.sf, "documents").select(col("text"))
+      .unionAll(Seq("", "one", "one two", "a  b\tc  d", "x x x x x").toDF("text"))
+    Seq(2, 3, 5).foreach { n =>
+      val mismatches = cases.select(
+        DedupOps.shingles(col("text"), n).as("native"),
+        composed(col("text"), n).as("ref"))
+        .filter(col("native") =!= col("ref"))
+        .count()
+      assert(mismatches === 0, s"n=$n")
+    }
+  }
+
   test("ngram shingles distinguish word order (shuffle scores below exact copy)") {
+    graft.functions.GraftFunctions.register(spark)
     val sh = docs.select(col("doc_id"), DedupOps.shingles(col("text")).as("sh"))
     val byId = sh.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
     val jac = (a: Set[String], b: Set[String]) =>
@@ -179,6 +233,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(messages(e2).exists(_.contains("exactly 2 arguments")), e2.toString)
   }
 
+  test("native rolling hash is bit-identical to the composed HOF fold") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Tables.load(spark, TestSpark.sf, "documents")
+      .select(TextOps.tokens(col("text")).as("toks"))
+      .select(
+        call_function("graft_rolling_hash", col("toks")).as("native"),
+        TextOps.rollingHash(col("toks")).as("composed"))
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, c) => assert(n === c) }
+    // empty array folds to the initial accumulator in both forms
+    val empty = Seq(Seq.empty[String]).toDF("toks")
+      .select(call_function("graft_rolling_hash", col("toks")),
+        TextOps.rollingHash(col("toks"))).as[(Long, Long)].head()
+    assert(empty === ((0L, 0L)))
+  }
+
+  test("minhash band keys: equal sets collide everywhere, disjoint sets nowhere") {
+    graft.functions.GraftFunctions.register(spark)
+    val sets = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("a b c", "b c d", "c d e")),
+      (3L, Seq("x y z", "y z w", "z w v"))).toDF("id", "toks")
+    val bandsOf = sets.select(col("id"),
+      call_function("graft_minhash_bands", col("toks"), lit(32), lit(16)).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(bandsOf(1L).length === 16)
+    assert(bandsOf(1L) === bandsOf(2L))              // identical sets: all bands equal
+    assert(bandsOf(1L).intersect(bandsOf(3L)).isEmpty) // disjoint sets: no band equal
+  }
+
   test("rolling fingerprint is order-sensitive; min-token sketch is not") {
     val fps = docs.select(col("doc_id"),
       TextOps.tokens(col("text")).as("toks"))
@@ -194,7 +279,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
-  test("stratified sample: rates near targets, deterministic under a fixed seed") {
+  test("stratified sample: content-hashed, rates near targets, re-shard stable") {
     val out = TextOps.q65StratifiedSample(spark, TestSpark.sf)
       .as[(String, Long, Long, Double)].collect()
     assert(out.nonEmpty)
@@ -202,10 +287,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(sampled >= 0 && sampled <= total, s"$lang")
       assert(rate >= 0.0 && rate <= 1.0)
     }
-    // same seed, same session => identical draw
-    val again = TextOps.q65StratifiedSample(spark, TestSpark.sf)
-      .as[(String, Long, Long, Double)].collect()
-    assert(out.toSeq === again.toSeq)
+    // the draw is a pure function of content: repartitioning the corpus
+    // (the failure mode that breaks seeded sampleBy) must not move a doc
+    val docsTbl = Tables.load(spark, TestSpark.sf, "documents")
+    def keptIds(df: org.apache.spark.sql.DataFrame): Set[Long] = df
+      .filter(TextOps.stratifiedKeep(col("lang"),
+        TextOps.contentSampleHash("graft-sample-42"), TextOps.sampleFractions))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds(docsTbl) === keptIds(docsTbl.repartition(13)))
+    // a stratum with no fraction entry is kept wholesale, not dropped
+    val other = Seq((1L, "some text", "xx"), (2L, "more text", "xx"))
+      .toDF("doc_id", "text", "lang")
+    assert(keptIds(other) === Set(1L, 2L))
   }
 
   test("lang-id predicts en for English stopword text") {

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.GraphOps
+
+class GraphOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain collapses to its minimum (the case pairwise min-id misses)") {
+    // 1-2, 2-3, 3-4: node 4 never pairs with 1 directly
+    val labels = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("long path converges (log-round star contraction, not diameter walk)") {
+    // a 200-node path: min-label propagation would need 200 rounds; the
+    // alternating algorithm must finish inside the iteration cap (50)
+    val path = (1L until 200L).map(i => (i, i + 1))
+    val labels = cc(path)
+    assert(labels.size === 200)
+    assert(labels.values.toSet === Set(1L))
+  }
+
+  test("separate components keep separate minima; ids need not be dense") {
+    val labels = cc(Seq((10L, 7L), (7L, 42L), (100L, 90L), (5L, 5L)))
+    // 5-5 is a self-loop: dropped, node never appears in output
+    assert(labels === Map(7L -> 7L, 10L -> 7L, 42L -> 7L, 90L -> 90L, 100L -> 90L))
+  }
+
+  test("duplicate and reversed edges do not change the labeling") {
+    val labels = cc(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("empty edge list yields empty labeling") {
+    assert(cc(Seq.empty) === Map.empty)
+  }
+
+  test("q66 labels every document; survivors are component minima") {
+    val out = GraphOps.q66DedupComponents(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val docCount = Tables.load(spark, TestSpark.sf, "documents").count()
+    assert(out.length === docCount)
+    out.foreach { case (id, comp, size, survivor) =>
+      assert(comp <= id)
+      assert(size >= 1)
+      assert(survivor === (id == comp))
+    }
+    // exactly one survivor per component, and sizes agree with membership
+    val byComp = out.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      assert(members.count(_._4) === 1, s"component $comp")
+      assert(members.map(_._3).toSet === Set(members.length.toLong))
+      assert(members.map(_._1).min === comp)
+    }
+    // sf0.001 plants near-dups: at least one non-singleton component
+    assert(byComp.exists(_._2.length > 1))
+  }
+}
