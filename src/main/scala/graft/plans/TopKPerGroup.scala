@@ -21,14 +21,19 @@ import org.apache.spark.sql.types.IntegerType
   *
   *  - PARTIAL pass (map side): bounded per-group heaps cap each map
   *    partition's output at k rows per group — the top-k analogue of
-  *    map-side combine. The heap map itself is capped at
-  *    `graft.topk.maxPartialGroups` distinct groups (default 65536, i.e.
-  *    O(cap * k) rows of task memory); once full, rows of unseen groups
-  *    PASS THROUGH untouched. Pass-through is always correct — the partial
-  *    pass emits a superset of each group's partition-local top-k and the
-  *    final pass re-ranks — so high-cardinality groups degrade to "no
-  *    map-side pruning" instead of an OOM. (A reduction-aware planner
-  *    could pick the cap adaptively; the conf knob is the manual override.)
+  *    map-side combine. The heap map admits at most
+  *    min(`graft.topk.maxPartialGroups`, `graft.topk.maxPartialRows` / k)
+  *    distinct groups — the row budget (default 2^20 retained rows) is
+  *    what actually bounds task memory, and dividing it by k keeps the
+  *    bound independent of how large a k the caller asks for; once full,
+  *    rows of unseen groups PASS THROUGH untouched. Pass-through is always
+  *    correct — the partial pass emits a superset of each group's
+  *    partition-local top-k and the final pass re-ranks — so
+  *    high-cardinality groups degrade to "no map-side pruning" instead of
+  *    an OOM. SQLMetrics (`numOutputRows`, `heapEvictions`,
+  *    `passThroughRows`) make the pruning observable in the SQL UI: a
+  *    partial pass whose passThroughRows dominates is telling you the
+  *    group cardinality outgrew the budget.
   *  - FINAL pass (reduce side): requires clustering on the group keys AND
   *    a (group, order) child sort — Spark plans an external
   *    UnsafeExternalSorter sort, which spills. The pass itself is then a
@@ -62,6 +67,15 @@ case class TopKPerGroupExec(
     maxPartialGroups: Int,
     child: SparkPlan) extends UnaryExecNode {
 
+  import org.apache.spark.sql.execution.metric.SQLMetrics
+
+  override lazy val metrics = if (partial) Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "heapEvictions" -> SQLMetrics.createMetric(sparkContext, "heap evictions (rows pruned map-side)"),
+    "passThroughRows" -> SQLMetrics.createMetric(sparkContext, "pass-through rows (group cap overflow)"))
+  else Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
   override def output: Seq[Attribute] =
     if (partial) child.output else child.output ++ rankAttr.toSeq
 
@@ -85,8 +99,11 @@ case class TopKPerGroupExec(
     val sortOrder = order
     val limit = k
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
     if (partial) {
       val cap = maxPartialGroups
+      val heapEvictions = longMetric("heapEvictions")
+      val passThroughRows = longMetric("passThroughRows")
       child.execute().mapPartitions({ iter =>
         val keyProj = UnsafeProjection.create(groupExprs, childOutput)
         // ascending in rank order; PriorityQueue dequeues LARGEST (= worst
@@ -98,7 +115,10 @@ case class TopKPerGroupExec(
           heaps.get(key) match {
             case Some(heap) =>
               if (heap.size < limit) heap.enqueue(row.copy())
-              else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
+              else {
+                heapEvictions += 1
+                if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
+              }
               Iterator.empty
             case None if heaps.size < cap =>
               val h = mutable.PriorityQueue.empty[InternalRow](ord)
@@ -108,11 +128,15 @@ case class TopKPerGroupExec(
             case None =>
               // map full: unseen group's row passes through un-pruned (a
               // superset stays correct; the final pass does the cutting)
+              passThroughRows += 1
+              numOutputRows += 1
               Iterator.single(row)
           }
         }
         // ++ is by-name: the heap flush runs only after `iter` is exhausted
-        pruned ++ heaps.valuesIterator.flatMap(_.iterator)
+        pruned ++ heaps.valuesIterator.flatMap(_.iterator.map { r =>
+          numOutputRows += 1; r
+        })
       }, preservesPartitioning = true)
     } else {
       child.execute().mapPartitions({ iter =>
@@ -134,6 +158,7 @@ case class TopKPerGroupExec(
           }
           if (rank <= limit) {
             rankRow.update(0, rank)
+            numOutputRows += 1
             Iterator.single(proj(joined(row, rankRow)))
           } else Iterator.empty
         }
@@ -149,12 +174,19 @@ case class TopKPerGroupExec(
 object TopK {
 
   val maxPartialGroupsKey = "graft.topk.maxPartialGroups"
+  /** Budget on TOTAL retained partial-pass rows per task (each admitted
+    * group holds up to k): the group cap is min(maxPartialGroups,
+    * maxPartialRows / k), so a caller asking for a huge k cannot turn the
+    * heap map into an untracked multi-GB structure. */
+  val maxPartialRowsKey = "graft.topk.maxPartialRows"
 
   object Planner extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case TopKPerGroupPlan(group, order, k, rank, child) =>
-        val cap = org.apache.spark.sql.internal.SQLConf.get
-          .getConfString(maxPartialGroupsKey, "65536").toInt
+        val conf = org.apache.spark.sql.internal.SQLConf.get
+        val groupCap = conf.getConfString(maxPartialGroupsKey, "65536").toInt
+        val rowBudget = conf.getConfString(maxPartialRowsKey, "1048576").toLong
+        val cap = math.min(groupCap.toLong, math.max(1L, rowBudget / k)).toInt
         val partialPass = TopKPerGroupExec(group, order, k, partial = true, None,
           cap, planLater(child))
         TopKPerGroupExec(group, order, k, partial = false, Some(rank), cap,

@@ -206,53 +206,52 @@ object EventsStream {
 
   /** q60: gap sessionization executed AS A STATEFUL STREAM
     * (flatMapGroupsWithState + event-time timeout), returned as a batch
-    * DataFrame sharing q28's exact oracle. Drain mechanics: the events
-    * parquet is staged into a temp directory together with one far-future
-    * SENTINEL row, so after the data batch the watermark jumps past every
-    * open session's (lastTs + gap) timeout and the engine's follow-up
-    * batch flushes them all into the append-mode memory sink — no
-    * session is left open, which is what makes the stream's output equal
-    * the batch twin's. session_seq is re-derived afterwards (sessions may
-    * EMIT out of order; their per-user start times are disjoint, so a
-    * row_number over start_us reproduces the batch numbering). */
+    * DataFrame sharing q28's exact oracle. Drain mechanics: the stream is
+    * the UNION of two file sources — the events parquet read IN PLACE
+    * (no staging copy; an O(table) rewrite per drain would be
+    * unacceptable anywhere outside a toy harness) and a one-row SENTINEL
+    * source in a temp dir, one event 10 days past the corpus end under an
+    * impossible user id. The sentinel jumps the watermark past every open
+    * session's (lastTs + gap) timeout, so the engine's follow-up batch
+    * flushes them all into the append-mode memory sink — no session is
+    * left open, which is what makes the stream's output equal the batch
+    * twin's. session_seq is re-derived afterwards (sessions may EMIT out
+    * of order; their per-user start times are disjoint, so a row_number
+    * over start_us reproduces the batch numbering). */
   def q60StreamSessionize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val exact = graft.Tables.load(s, d, "events")
-      .select(col("event_id"), col("user_id"),
-        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
-        expr("ts div 1000").as("tus"))
-      .withColumn("ts", timestamp_micros(col("tus")))
-    val maxRow = exact.agg(max(col("tus"))).head
+    val maxRow = graft.Tables.load(s, d, "events").agg(max(expr("ts div 1000"))).head
     if (maxRow.isNullAt(0)) throw new IllegalArgumentException(
       s"events table at $d is empty — nothing to sessionize")
     val maxUs = maxRow.getLong(0)
     val stagePath = java.nio.file.Files.createTempDirectory("graft_q60")
     val stageDir = stagePath.toString
     val name = "graft_stream_sessions"
+    def toExact(raw: DataFrame): DataFrame = raw
+      .select(col("event_id"), col("user_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("ts", timestamp_micros(col("tus")))
     try {
-      exact.write.mode("overwrite").parquet(stageDir)
-      // sentinel: one event 10 days past the corpus end, under a user id the
-      // corpus can't contain — advances the watermark, never joins a session
-      Seq((-1L, -1L, 0L, maxUs + 10L * 24 * 3600 * 1000000))
-        .toDF("event_id", "user_id", "cents", "tus")
-        .withColumn("ts", timestamp_micros(col("tus")))
-        .write.mode("append").parquet(stageDir)
-      val stream = s.readStream
-        .schema(StructType(Seq(
-          StructField("event_id", LongType), StructField("user_id", LongType),
-          StructField("cents", LongType), StructField("tus", LongType),
-          StructField("ts", TimestampType))))
-        .parquet(stageDir)
-        .as[ExactEvent]
-      val q = sessionizeExact(stream).toDF()
-        .writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
+      // sentinel: same RAW column shape as the events source (ts in ns)
+      Seq((-1L, (maxUs + 10L * 24 * 3600 * 1000000) * 1000, -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(stageDir)
+      val main = s.readStream.schema(eventsSchemaNanos)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val sentinel = s.readStream.schema(eventsSchemaNanos).parquet(stageDir)
+      val stream = toExact(main.unionAll(sentinel)).as[ExactEvent]
+      val q = withFewStatePartitions(s) {
+        sessionizeExact(stream).toDF()
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+      }
       try q.processAllAvailable() finally q.stop()
     } finally {
-      // the memory sink holds the drained rows; the staging copy of the
-      // events table must not outlive the query (Bench runs this 3x)
+      // the memory sink holds the drained rows; only the one-row sentinel
+      // file was ever staged
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
         .sortBy(-_.getNameCount)
@@ -267,6 +266,22 @@ object EventsStream {
         col("n_events"),
         (col("sum_cents") / 100.0).as("sum_value"))
       .orderBy("user_id", "session_seq")
+  }
+
+  /** Run `start` with spark.sql.shuffle.partitions temporarily lowered:
+    * a stateful streaming query creates one state store per shuffle
+    * partition per stateful operator, and each micro-batch commits every
+    * store — at the default 32 partitions the per-batch commit fan-out
+    * dominates small drains (these harness queries process the whole
+    * table in one batch, so state parallelism is not the bottleneck; a
+    * long-running production stream would keep the higher value). The
+    * partition count is captured by the query AT START, so restoring the
+    * conf right after start() is safe for everything else on the session. */
+  private def withFewStatePartitions[T](s: SparkSession, n: Int = 8)(start: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try start finally s.conf.set(key, old)
   }
 
   // ---------------------------------------- q63: stream-stream interval join
@@ -301,8 +316,10 @@ object EventsStream {
         col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
         col("p_ts") <= col("c_ts"))
     val name = "graft_stream_clickpurch"
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
+    val q = withFewStatePartitions(s) {
+      joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+    }
     try q.processAllAvailable() finally q.stop()
     s.table(name)
       .groupBy(col("click_id"))

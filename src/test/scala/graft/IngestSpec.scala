@@ -117,6 +117,19 @@ class IngestSpec extends AnyFunSuite {
     assert(parsed.count() === 3)
   }
 
+  test("expandCsv of a header-only archive yields an empty frame with the right columns") {
+    val dir = tmpDir()
+    val zipFile = new File(dir, "empty.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(zipFile))
+    zos.putNextEntry(new ZipEntry("a.csv"))
+    zos.write((header + "\n").getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val parsed = ZipSource.expandCsv(spark, zipFile.getPath)
+    assert(parsed.count() === 0)
+    assert(parsed.columns.length === 19)
+  }
+
   test("expandCsv fails hard on an entry whose header differs") {
     val dir = tmpDir()
     val zipFile = new File(dir, "mismatch.zip")

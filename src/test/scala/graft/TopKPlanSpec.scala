@@ -68,6 +68,54 @@ class TopKPlanSpec extends AnyFunSuite {
     } finally spark.conf.unset(TopK.maxPartialGroupsKey)
   }
 
+  // AQE folds materialized stages into QueryStageExec leaves whose actual
+  // plan hangs off `.plan`, not `children` — a plain collect() misses them
+  private def deepNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: deepNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: deepNodes(q.plan)
+    case _ => p +: p.children.flatMap(deepNodes)
+  }
+
+  private def topkNodes(df: org.apache.spark.sql.DataFrame): Seq[TopKPerGroupExec] =
+    deepNodes(df.queryExecution.executedPlan).collect { case t: TopKPerGroupExec => t }
+
+  test("SQLMetrics: evictions and pass-through are observable on the exec") {
+    // small cap forces both heap pruning (admitted groups) and
+    // pass-through (overflow groups) on the events table
+    spark.conf.set(TopK.maxPartialGroupsKey, "4")
+    try {
+      val df = TopK.perGroup(
+        Tables.load(spark, TestSpark.sf, "events")
+          .select("user_id", "event_id", "value"),
+        Seq("user_id"), Seq(("value", false), ("event_id", true)), 2, "rk")
+      val n = df.collect().length
+      val nodes = topkNodes(df)
+      val partial = nodes.filter(_.partial)
+      val fin = nodes.filterNot(_.partial)
+      assert(partial.nonEmpty && fin.nonEmpty)
+      assert(fin.map(_.metrics("numOutputRows").value).sum === n)
+      assert(partial.map(_.metrics("heapEvictions").value).sum > 0)
+      assert(partial.map(_.metrics("passThroughRows").value).sum > 0)
+      assert(partial.map(_.metrics("numOutputRows").value).sum >= n)
+    } finally spark.conf.unset(TopK.maxPartialGroupsKey)
+  }
+
+  test("partial row budget scales the group cap inversely with k") {
+    // rowBudget 64 with k=16 admits only 4 groups per task
+    spark.conf.set(TopK.maxPartialRowsKey, "64")
+    try {
+      val df = TopK.perGroup(
+        Tables.load(spark, TestSpark.sf, "events")
+          .select("user_id", "event_id", "value"),
+        Seq("user_id"), Seq(("value", false), ("event_id", true)), 16, "rk")
+      assert(df.collect().nonEmpty) // correct under the tiny budget
+      assert(topkNodes(df).length === 2) // partial + final pair planned
+    } finally spark.conf.unset(TopK.maxPartialRowsKey)
+  }
+
   test("missing column errors clearly") {
     val e = intercept[IllegalArgumentException] {
       TopK.perGroup(Tables.load(spark, TestSpark.sf, "region"),

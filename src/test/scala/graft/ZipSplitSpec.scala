@@ -1,0 +1,95 @@
+package graft
+
+import java.io.{File, FileOutputStream}
+import java.util.zip.{CRC32, ZipEntry, ZipOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ingest.{ZipEntrySplits, ZipSource}
+
+class ZipSplitSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): File = {
+    val d = java.nio.file.Files.createTempDirectory("graft_zipsplit").toFile
+    d.deleteOnExit(); d
+  }
+
+  /** Archive with deflated + stored entries, a directory, and unsafe names. */
+  private def writeFixture(dir: File, name: String, entries: Int): File = {
+    val f = new File(dir, name)
+    val zos = new ZipOutputStream(new FileOutputStream(f))
+    (1 to entries).foreach { i =>
+      zos.putNextEntry(new ZipEntry(s"part$i.bin"))
+      zos.write(Array.fill(1000 + i)((i % 251).toByte))
+      zos.closeEntry()
+    }
+    // a STORED (uncompressed) entry: requires size+crc up front
+    val stored = "stored entry payload".getBytes("UTF-8")
+    val crc = new CRC32(); crc.update(stored)
+    val se = new ZipEntry("stored.txt")
+    se.setMethod(ZipEntry.STORED)
+    se.setSize(stored.length); se.setCompressedSize(stored.length)
+    se.setCrc(crc.getValue)
+    zos.putNextEntry(se); zos.write(stored); zos.closeEntry()
+    // skipped by the flat-archive contract
+    zos.putNextEntry(new ZipEntry("sub/dir/nested.bin"))
+    zos.write(Array[Byte](1, 2, 3)); zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("folder/")); zos.closeEntry()
+    zos.close()
+    f
+  }
+
+  test("split expansion equals stream expansion, byte for byte") {
+    val dir = tmpDir()
+    writeFixture(dir, "a.zip", entries = 6)
+    writeFixture(dir, "b.zip", entries = 3)
+    val glob = s"${dir.getAbsolutePath}/*.zip"
+    def norm(ds: org.apache.spark.sql.Dataset[ZipSource.ZipEntryRow]) = ds
+      .collect().map(r => (new File(r.archive.stripPrefix("file:")).getName,
+        r.entry, r.content.toSeq)).sortBy(t => (t._1, t._2)).toSeq
+    val bySplits = norm(ZipEntrySplits.expand(spark, glob))
+    val byStream = norm(ZipSource.expand(spark, glob))
+    assert(bySplits === byStream)
+    assert(bySplits.nonEmpty)
+    // stored + deflated both present, unsafe entries absent
+    assert(bySplits.exists(_._2 == "stored.txt"))
+    assert(!bySplits.exists(_._2.contains("/")))
+  }
+
+  test("one archive fans out to MANY tasks (the non-splittable-format fix)") {
+    val dir = tmpDir()
+    writeFixture(dir, "big.zip", entries = 12)
+    val ds = ZipEntrySplits.expand(spark, s"${dir.getAbsolutePath}/big.zip")
+    val parts = ds.select(org.apache.spark.sql.functions.spark_partition_id())
+      .distinct().as[Int].collect()
+    assert(parts.length > 1, s"expected >1 task, got ${parts.length}")
+    assert(ds.count() === 13) // 12 deflated + 1 stored; nested+dir skipped
+  }
+
+  test("driver listing carries offsets, not content; entries parse correctly") {
+    val dir = tmpDir()
+    writeFixture(dir, "a.zip", entries = 2)
+    val splits = ZipEntrySplits.listEntries(spark, s"${dir.getAbsolutePath}/a.zip")
+    assert(splits.map(_.entry).toSet === Set("part1.bin", "part2.bin", "stored.txt"))
+    splits.foreach { s =>
+      assert(s.localHeaderOffset >= 0 && s.compressedSize > 0)
+      assert(s.method == 0 || s.method == 8)
+    }
+    val stored = splits.find(_.entry == "stored.txt").get
+    assert(stored.method === 0)
+    assert(stored.compressedSize === stored.uncompressedSize)
+  }
+
+  test("non-zip input fails with a clear error") {
+    val dir = tmpDir()
+    val f = new File(dir, "not.zip")
+    val out = new FileOutputStream(f)
+    out.write(Array.fill(100)(7.toByte)); out.close()
+    val e = intercept[IllegalArgumentException] {
+      ZipEntrySplits.listEntries(spark, f.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("end-of-central-directory"))
+  }
+}
