@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, GraftFunctions, JaccardSorted}
+import graft.functions.{CosineSimilarity, GraftFunctions, JaccardSorted, MinHashBands, NgramShingles, RollingHash}
 
 /** SparkSessionExtensions entry point: makes the engine's native expressions
   * AND the top-k-per-group planner strategy available to any session built
@@ -27,5 +27,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaccardSorted].getName, "graft_jaccard_sorted"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftFunctions.jaccardBuilder(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftFunctions.minhashBandsBuilder(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftFunctions.rollingHashBuilder(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[NgramShingles].getName, "graft_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftFunctions.shinglesBuilder(exprs)))
   }
 }

@@ -127,11 +127,18 @@ object TextOps {
     * space → 'train', 4/16 → 'eval' — which is engine-exact (string
     * compare on hex chars), so the whole query keeps a DuckDB oracle.
     * Zero shuffles except the per-(lang, split) rollup. */
+  /** The one definition of split assignment (shared with the q68 leakage
+    * audit): first hex digit of the normalized-content md5 — 12/16 'train',
+    * 4/16 'eval'. */
+  def splitAssign(text: Column): Column = {
+    val digest = md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
+    when(substring(digest, 1, 1) < "c", "train").otherwise("eval")
+  }
+
   def q64HashSplit(s: SparkSession, d: String): DataFrame = {
-    val digest = md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary"))
     t(s, d, "documents")
       .select(col("doc_id"), col("lang"), col("text"),
-        when(substring(digest, 1, 1) < "c", "train").otherwise("eval").as("split"))
+        splitAssign(col("text")).as("split"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"),
         round(avg(length(col("text"))), 4).as("avg_len"),
@@ -187,6 +194,28 @@ object TextOps {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- q67
+  /** BPE-ish token counting — the cost-estimation layer of a training
+    * pipeline: a GPT-2-style pre-tokenizer regex (contractions, letter
+    * runs, digit runs, punctuation runs, whitespace runs — the lookahead
+    * clause of the original dropped so the pattern stays in the
+    * RE2-compatible subset both engines implement identically) counts the
+    * units a byte-pair encoder would start from, next to the whitespace
+    * token count and a chars-per-token density. Pure codegen'd column
+    * expressions, shuffle-free, exact DuckDB oracle. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N}\\s]+|\\s+"
+
+  def q67BpeTokens(s: SparkSession, d: String): DataFrame = {
+    val nBpe = size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+    t(s, d, "documents").select(
+      col("doc_id"), col("lang"),
+      nBpe.as("n_bpe"),
+      size(tokens(col("text"))).as("n_ws"),
+      round(length(col("text")).cast("double") / nBpe, 4).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q35
   /** Heuristic language ID: count distinct stopword hits per language,
     * pick the first maximum in a fixed language order. Deterministic and
@@ -227,7 +256,8 @@ object TextOps {
     "q35_lang_id" -> (q35LangId _),
     "q62_rolling_fingerprint" -> (q62RollingFingerprint _),
     "q64_hash_split" -> (q64HashSplit _),
-    "q65_stratified_sample" -> (q65StratifiedSample _))
+    "q65_stratified_sample" -> (q65StratifiedSample _),
+    "q67_bpe_tokens" -> (q67BpeTokens _))
 
   private def duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
@@ -272,6 +302,17 @@ object TextOps {
         | round(avg(length(text)), 4) AS avg_len,
         | min(doc_id) AS min_doc_id
         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q67_bpe_tokens" -> {
+      // DuckDB single-quoted strings take the regex verbatim; only the
+      // embedded apostrophe needs SQL doubling
+      val pat = bpePattern.replace("'", "''")
+      s"""SELECT doc_id, lang,
+         | CAST(len(regexp_extract_all(text, '$pat')) AS INT) AS n_bpe,
+         | CAST(len($duckToks) AS INT) AS n_ws,
+         | round(CAST(length(text) AS DOUBLE)
+         |   / len(regexp_extract_all(text, '$pat')), 4) AS chars_per_token
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q65_stratified_sample" -> {
       // same cut points as stratifiedKeep, rendered from the same map
       val cuts = sampleFractions.toSeq.sortBy(_._1).map { case (k, f) =>

@@ -301,6 +301,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(keptIds(other) === Set(1L, 2L))
   }
 
+  test("bpe-ish tokenizer: contractions/digits/punct split off, counts sane") {
+    val crafted = Seq("it's 123 abc!!").toDF("text")
+      .select(size(regexp_extract_all(col("text"), lit(TextOps.bpePattern), lit(0))))
+      .as[Int].head()
+    assert(crafted === 5) // [it]['s][ 123][ abc][!!]
+    val out = TextOps.q67BpeTokens(spark, TestSpark.sf)
+      .as[(Long, String, Int, Int, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, nBpe, nWs, cpt) =>
+      assert(nBpe >= nWs) // BPE-ish units are at least as fine as whitespace
+      assert(cpt > 0.0)
+    }
+  }
+
+  test("split leakage audit equals q38 pairs filtered by differing q64 splits") {
+    val out = DedupOps.q68SplitLeakage(spark, TestSpark.sf)
+      .as[(Long, Long, Double, String, String)].collect()
+    out.foreach { case (_, _, j, sa, sb) =>
+      assert(j >= 0.5)
+      assert(sa !== sb)
+    }
+    // recompute the expected crossing set from the two building blocks
+    val splits = TextOps.q64HashSplit(spark, TestSpark.sf) // sanity: runs
+    assert(splits.count() > 0)
+    val splitOf = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), TextOps.splitAssign(col("text")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val expected = DedupOps.q38NgramJaccard(spark, TestSpark.sf)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => splitOf(a) != splitOf(b) }
+      .map(t => (t._1, t._2)).toSet
+    assert(out.map(t => (t._1, t._2)).toSet === expected)
+  }
+
   test("lang-id predicts en for English stopword text") {
     val out = TextOps.q35LangId(spark, TestSpark.sf)
     assert(out.filter(col("lang_pred") === "en").count() > 0)

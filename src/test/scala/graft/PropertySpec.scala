@@ -61,6 +61,31 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  private val edgeGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(25, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+
+  property("connected components == driver-side union-find on random graphs") =
+    Prop.forAll(edgeGen) { edges =>
+      // reference: textbook union-find with path compression
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val real = edges.filter { case (a, b) => a != b }
+      real.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = real.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val expected = nodes.map(n => n -> find(n)).toMap
+      // min-root canonicalization: union-find roots ARE the minima here
+      // because unions always attach the larger root under the smaller
+      val got = graft.ops.GraphOps.connectedComponents(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      got == expected
+    }
+
   property("parquet roundtrip is identity per value") =
     // NOTE deliberately not sum()-based: a double sum is NOT order-stable
     // across repartitioning (ScalaCheck falsified that version immediately
