@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, GraftFunctions, JaccardSorted, MinHashBands, NgramShingles, RollingHash}
+import graft.functions.{CosineSimilarity, GraftFunctions, JaccardSorted, MinHashBands, NgramShingles, RollingHash, SimHash64}
 
 /** SparkSessionExtensions entry point: makes the engine's native expressions
   * AND the top-k-per-group planner strategy available to any session built
@@ -42,5 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NgramShingles].getName, "graft_shingles"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftFunctions.shinglesBuilder(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftFunctions.simhashBuilder(exprs)))
   }
 }

@@ -154,6 +154,11 @@ object GraftFunctions {
     NgramShingles(exprs(0), literalInt("graft_shingles", exprs(1), "n"))
   }
 
+  private[graft] def simhashBuilder(exprs: Seq[Expression]): Expression = {
+    requireArity("graft_simhash64", exprs, 1)
+    SimHash64(exprs(0))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
@@ -165,5 +170,7 @@ object GraftFunctions {
       "graft_rolling_hash", rollingHashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", shinglesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", simhashBuilder, "built-in")
   }
 }

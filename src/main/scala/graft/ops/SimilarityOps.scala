@@ -238,17 +238,10 @@ object SimilarityOps {
     val e = t(s, d, "embeddings")
     val withBuckets = e.select(col("vec_id"),
       posexplode(array(planes.indices.map(ti =>
-        lshBucket(col("embedding"), planes(ti))): _*)).as(Seq("tbl", "bucket")))
-    val w = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id"))
-    val ranked = withBuckets.withColumn("pos", row_number().over(w))
-    val cand = ranked.select(col("tbl"), col("bucket"),
-        col("vec_id").as("vec_a"), col("pos").as("pos_a"))
-      .join(ranked.select(col("tbl"), col("bucket"),
-        col("vec_id").as("vec_b"), col("pos").as("pos_b")),
-        Seq("tbl", "bucket"))
-      .filter(col("pos_b") > col("pos_a") &&
-        col("pos_b") - col("pos_a") <= maxBucketNeighbors)
-      .select("vec_a", "vec_b")
+        lshBucket(col("embedding"), planes(ti))): _*)).as(Seq("band_idx", "band_hash")))
+    // same capped bucket-join shape as the token/shingle dedup families
+    val cand = DedupOps.bandedPairs(withBuckets, "vec_id", maxBucketNeighbors)
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
       .distinct()
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")

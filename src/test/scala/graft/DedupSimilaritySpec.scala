@@ -80,6 +80,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     DedupOps.evict(spark)
   }
 
+  test("native simhash is bit-identical to the composed explode+agg form") {
+    val docsTbl = Tables.load(spark, TestSpark.sf, "documents")
+    val native = DedupOps.simhash(docsTbl)
+      .as[(Long, Long)].collect().toMap
+    val composed = DedupOps.simhashComposed(docsTbl)
+      .as[(Long, Long)].collect().toMap
+    assert(native.nonEmpty)
+    assert(native === composed)
+  }
+
   test("simhash: identical text => identical hash; pairs found by banding") {
     val sh = DedupOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) === sh(4L))
