@@ -57,14 +57,18 @@ object ZipEntrySplits {
       val len = st.getLen
       val in = fs.open(st.getPath)
       try {
-        // EOCD sits in the last 22..(22 + 65535) bytes; read the tail once
+        // EOCD sits in the last 22..(22 + 65535) bytes; read the tail once.
+        // The signature alone can appear inside an archive COMMENT, so a
+        // candidate only counts if its comment-length field exactly spans
+        // the remaining tail — scanning backwards, the first such offset
+        // is the real record.
         val tailLen = math.min(len, 22L + 65535L).toInt
         val tail = new Array[Byte](tailLen)
         in.readFully(len - tailLen, tail)
         var eocd = -1
         var i = tailLen - 22
         while (i >= 0 && eocd < 0) {
-          if (u32(tail, i) == EOCD_SIG) eocd = i
+          if (u32(tail, i) == EOCD_SIG && u16(tail, i + 20) == tailLen - (i + 22)) eocd = i
           else i -= 1
         }
         if (eocd < 0) throw new IllegalArgumentException(
@@ -155,18 +159,31 @@ object ZipEntrySplits {
     import spark.implicits._
     val splits = listEntries(spark, pathGlob)
     val slices = math.max(1, math.min(splits.size, spark.sparkContext.defaultParallelism))
-    // hadoopConfiguration is not serializable; ship the entries it would
-    // need. Default-constructed Configuration in the task resolves the
-    // same default FS/credential chain (file://, s3a provider chain).
+    // Configuration itself is not serializable — ship the SESSION's hadoop
+    // conf as entries and rebuild per task, so spark.hadoop.* settings
+    // (s3a credentials, endpoints, fs impls) reach the distributed readers
+    // exactly as they reach the driver-side listing.
+    val confEntries = {
+      val c = spark.sparkContext.hadoopConfiguration
+      val it = c.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
     spark.createDataset(splits)
       .repartition(slices)
       .mapPartitions { iter =>
+        lazy val conf = {
+          val c = new Configuration(false)
+          confEntries.foreach { case (k, v) => c.set(k, v) }
+          c
+        }
         val fsCache = scala.collection.mutable.Map.empty[String, FileSystem]
         iter.map { split =>
           val path = new Path(split.archive)
           val fs = fsCache.getOrElseUpdate(
             path.toUri.getScheme + "://" + Option(path.toUri.getAuthority).getOrElse(""),
-            path.getFileSystem(new Configuration()))
+            path.getFileSystem(conf))
           ZipSource.ZipEntryRow(split.archive, split.entry, readEntry(fs, split))
         }
       }

@@ -51,6 +51,7 @@ object GraphOps {
         array_max(array(col("src"), col("dst"))).as("v"))
       .distinct()
       .localCheckpoint()
+    var curCount = cur.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -81,12 +82,20 @@ object GraphOps {
       // convergence: the canonical edge set is a literal fixpoint. Count
       // equality gates the (join-shaped) set difference, so the extra pass
       // runs only on the final round (counts shrink monotonically under
-      // star contraction until the forest stabilizes).
-      converged = small.count() == cur.count() &&
-        small.exceptAll(cur).head(1).isEmpty
+      // star contraction until the forest stabilizes). The previous
+      // round's count is carried, not recomputed.
+      val smallCount = small.count()
+      converged = smallCount == curCount && small.exceptAll(cur).head(1).isEmpty
       cur = small
+      curCount = smallCount
       i += 1
     }
+    // a truncated iteration would silently label nodes with INTERMEDIATE
+    // minima — fail loudly instead (log-round convergence makes the cap
+    // generous: 50 rounds covers graphs far beyond any real corpus)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIterations iterations " +
+        s"($curCount edges remaining) — raise maxIterations")
     // final edge set is a star forest: every v points at its component min u
     cur.select(col("v").as("id"), col("u").as("component"))
       .union(cur.select(col("u").as("id"), col("u").as("component")))

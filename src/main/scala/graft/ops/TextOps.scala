@@ -199,12 +199,16 @@ object TextOps {
     * pipeline: a GPT-2-style pre-tokenizer regex (contractions, letter
     * runs, digit runs, punctuation runs, whitespace runs — the lookahead
     * clause of the original dropped so the pattern stays in the
-    * RE2-compatible subset both engines implement identically) counts the
-    * units a byte-pair encoder would start from, next to the whitespace
-    * token count and a chars-per-token density. Pure codegen'd column
-    * expressions, shuffle-free, exact DuckDB oracle. */
-  val bpePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N}\\s]+|\\s+"
+    * RE2-compatible subset both engines implement identically; whitespace
+    * is an EXPLICIT class because Java's \s includes vertical tab and
+    * RE2's does not) counts the units a byte-pair encoder would start
+    * from, next to the whitespace token count and a chars-per-token
+    * density (null for zero-token texts rather than a 0/0 NaN). Pure
+    * codegen'd column expressions, shuffle-free, exact DuckDB oracle. */
+  val bpePattern: String = {
+    val ws = " \\t\\n\\x0B\\f\\r" // Java \s, spelled out so RE2 agrees
+    s"'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N}$ws]+|[$ws]+"
+  }
 
   def q67BpeTokens(s: SparkSession, d: String): DataFrame = {
     val nBpe = size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
@@ -212,7 +216,9 @@ object TextOps {
       col("doc_id"), col("lang"),
       nBpe.as("n_bpe"),
       size(tokens(col("text"))).as("n_ws"),
-      round(length(col("text")).cast("double") / nBpe, 4).as("chars_per_token"))
+      when(nBpe === 0, lit(null).cast("double"))
+        .otherwise(round(length(col("text")).cast("double") / nBpe, 4))
+        .as("chars_per_token"))
       .orderBy("doc_id")
   }
 
@@ -309,15 +315,19 @@ object TextOps {
       s"""SELECT doc_id, lang,
          | CAST(len(regexp_extract_all(text, '$pat')) AS INT) AS n_bpe,
          | CAST(len($duckToks) AS INT) AS n_ws,
-         | round(CAST(length(text) AS DOUBLE)
-         |   / len(regexp_extract_all(text, '$pat')), 4) AS chars_per_token
+         | CASE WHEN len(regexp_extract_all(text, '$pat')) = 0 THEN NULL
+         |  ELSE round(CAST(length(text) AS DOUBLE)
+         |    / len(regexp_extract_all(text, '$pat')), 4) END AS chars_per_token
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "q65_stratified_sample" -> {
-      // same cut points as stratifiedKeep, rendered from the same map
+      // same cut points as stratifiedKeep, rendered from the same map —
+      // including the cut >= 256 clamp (f = 1.0 keeps everything; a naive
+      // h < '100' hex compare would keep ~17/256)
       val cuts = sampleFractions.toSeq.sortBy(_._1).map { case (k, f) =>
-        val cut = f"${math.min(math.floor(f * 256).toInt, 256)}%02x"
-        s"WHEN '$k' THEN h < '$cut'"
+        val cut = math.min(math.floor(f * 256).toInt, 256)
+        if (cut >= 256) s"WHEN '$k' THEN TRUE"
+        else s"WHEN '$k' THEN h < '${f"$cut%02x"}'"
       }.mkString(" ")
       s"""WITH s AS (
          | SELECT lang,

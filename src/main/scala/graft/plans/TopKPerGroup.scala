@@ -200,6 +200,9 @@ object TopK {
   def perGroup(df: DataFrame, groupCols: Seq[String],
                orderBy: Seq[(String, Boolean)], k: Int,
                rankName: String = "rank"): DataFrame = {
+    // validated here, once, so the Planner's rowBudget/k division and the
+    // exec's heap sizing can assume a sane k
+    require(k >= 1, s"top-k requires k >= 1, got $k")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(Planner)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ Planner
