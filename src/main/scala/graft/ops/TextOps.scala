@@ -222,6 +222,69 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q69
+  /** Greedy sequence PACKING — the shard-assembly step of a training
+    * pipeline: documents are packed into fixed-token-budget training
+    * sequences per shard. Shard = doc_id mod nShards (content-stable),
+    * order within a shard = doc_id, pack = floor(cumulative tokens BEFORE
+    * this doc / budget) — the next-fit-by-prefix-sum formulation, which is
+    * one window cumsum per shard (a single shuffle on the shard key) and
+    * fully deterministic, unlike heuristic bin-packing whose output
+    * depends on partition visit order. A doc may straddle its pack
+    * boundary; trainers that need hard cuts split the straddler downstream
+    * — assignment is the distributed part. Exact DuckDB oracle (window
+    * math on integers). */
+  def q69PackSequences(s: SparkSession, d: String, nShards: Int = 4,
+                       budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(tokens(col("text")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, d, "documents")
+      .select(col("doc_id"), pmod(col("doc_id"), lit(nShards)).as("shard"),
+        nTok.cast("long").as("n_tokens"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // explicit floor: Spark's double->long cast truncates but DuckDB's
+      // rounds, so the shared semantics must be spelled out
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("tokens_before") / budget).as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q70
+  /** Quality-quantile corpus PRUNING — the filtering step between scoring
+    * (q33) and training: keep the top `keepFraction` of each language by
+    * composite quality score (percent_rank over a deterministic
+    * (score desc, doc_id) order), and report per-language how the cut
+    * moved the quality mass. Per-stratum windows are one shuffle on lang;
+    * the report is the only aggregation. Exact DuckDB oracle. */
+  def q70QualityPrune(s: SparkSession, d: String,
+                      keepFraction: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+    val nStop = size(filter(toks, x => x === "the" || x === "a" || x === "of"))
+    val alphaRatio = nAlpha.cast("double") / col("n_chars")
+    val stopRatio = nStop.cast("double") / size(toks)
+    val score = round(alphaRatio * lit(0.5) + (lit(1.0) - stopRatio) * lit(0.5), 4)
+    val w = Window.partitionBy(col("lang")).orderBy(col("q").desc, col("doc_id"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .withColumn("q", score)
+      .withColumn("pr", percent_rank().over(w))
+      .groupBy("lang")
+      // quality mass sums in DECIMAL (order-free), cast once — the avg of
+      // fractional doubles would be partial-agg-order sensitive
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("pr") <= keepFraction, 1)).as("n_kept"),
+        sum(col("q").cast(dec)).cast("double").as("sum_q_all"),
+        sum(when(col("pr") <= keepFraction, col("q")).cast(dec))
+          .cast("double").as("sum_q_kept"),
+        min(when(col("pr") <= keepFraction, col("doc_id"))).as("min_kept_doc"))
+      .orderBy("lang")
+  }
+
   // ---------------------------------------------------------------- q35
   /** Heuristic language ID: count distinct stopword hits per language,
     * pick the first maximum in a fixed language order. Deterministic and
@@ -263,7 +326,9 @@ object TextOps {
     "q62_rolling_fingerprint" -> (q62RollingFingerprint _),
     "q64_hash_split" -> (q64HashSplit _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
-    "q67_bpe_tokens" -> (q67BpeTokens _))
+    "q67_bpe_tokens" -> (q67BpeTokens _),
+    "q69_pack_sequences" -> ((s: SparkSession, d: String) => q69PackSequences(s, d)),
+    "q70_quality_prune" -> ((s: SparkSession, d: String) => q70QualityPrune(s, d)))
 
   private def duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
@@ -319,6 +384,36 @@ object TextOps {
          |  ELSE round(CAST(length(text) AS DOUBLE)
          |    / len(regexp_extract_all(text, '$pat')), 4) END AS chars_per_token
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q69_pack_sequences" ->
+      s"""WITH tk AS (
+         | SELECT doc_id, doc_id % 4 AS shard,
+         |  CAST(len($duckToks) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |c AS (
+         | SELECT doc_id, shard, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+         | FROM tk)
+         |SELECT doc_id, shard, n_tokens,
+         | CAST(floor(tokens_before / 512.0) AS BIGINT) AS pack_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q70_quality_prune" -> {
+      val q = s"""round(0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars)
+         |   + 0.5 * (1.0 - CAST(len(list_filter($duckToks, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE)
+         |       / len($duckToks)), 4)""".stripMargin
+      s"""WITH sc AS (
+         | SELECT doc_id, lang, $q AS q FROM documents),
+         |r AS (
+         | SELECT doc_id, lang, q,
+         |  percent_rank() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS pr
+         | FROM sc)
+         |SELECT lang, count(*) AS n_total,
+         | count(CASE WHEN pr <= 0.5 THEN 1 END) AS n_kept,
+         | CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sum_q_all,
+         | CAST(sum(CASE WHEN pr <= 0.5 THEN CAST(q AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_q_kept,
+         | min(CASE WHEN pr <= 0.5 THEN doc_id END) AS min_kept_doc
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin
     },
     "q65_stratified_sample" -> {
       // same cut points as stratifiedKeep, rendered from the same map —

