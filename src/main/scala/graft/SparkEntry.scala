@@ -27,7 +27,9 @@ object SparkEntry {
         "q60_stream_sessionize" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q60StreamSessionize(s, d)),
         "q63_stream_interval_join" ->
-          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q63StreamIntervalJoin(s, d)))
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q63StreamIntervalJoin(s, d)),
+        "q71_stream_dedup" ->
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q71StreamDedup(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,6 +43,12 @@ object SparkEntry {
         "q55_stream_hourly" -> Relational.oracle("q23_events_hourly"),
         "q60_stream_sessionize" -> Relational.oracle("q28_sessionize"),
         // the stream-stream interval join must equal the batch interval join
+        // dedup must make the double delivery invisible: the oracle is the
+        // per-type aggregate over the table ingested ONCE
+        "q71_stream_dedup" ->
+          """SELECT event_type, count(*) AS n_events,
+            | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
         "q63_stream_interval_join" ->
           """WITH e AS (SELECT event_id, user_id, event_type, value,
             |  epoch_us(ts) AS tus FROM events),

@@ -328,6 +328,40 @@ object EventsStream {
       .orderBy("click_id")
   }
 
+  // ------------------------------------------- q71: streaming dedup
+  /** q71: streaming EXACTLY-ONCE dedup — `dropDuplicatesWithinWatermark`
+    * keyed by event_id, exercised for real by ingesting the events table
+    * through TWO file sources at once (an at-least-once delivery double:
+    * every event arrives twice, possibly in different tasks). State holds
+    * only ids seen within the watermark delay — the production shape for
+    * deduping a re-delivered ingest feed; a plain dropDuplicates would pin
+    * every id forever. The drained stream is batch-aggregated per type
+    * with exact decimal-cents sums, and the oracle is simply the batch
+    * aggregate over the SINGLE table: the dedup must make double delivery
+    * invisible. */
+  def q71StreamDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def side = s.readStream.schema(eventsSchemaNanos)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val deduped = side.unionAll(side)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val name = "graft_stream_dedup"
+    val q = withFewStatePartitions(s) {
+      deduped.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("cents")) / 100.0).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Shared gap-sessionization core over integer-microsecond event times —
     * the ONE definition of a session boundary, used by the batch query
     * (Relational.q28Sessionize) and the timestamp-typed twin below.

@@ -81,6 +81,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("streaming dedup collapses double delivery to the batch aggregate") {
+    val streamed = graft.streaming.EventsStream.q71StreamDedup(spark, TestSpark.sf)
+      .collect().map(_.toSeq)
+    val batch = Tables.load(spark, TestSpark.sf, "events")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        (org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .multiply(100).cast("long")) / 100.0).as("sum_value"))
+      .orderBy("event_type")
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("batch sessionization twin agrees on session boundaries") {
     val ev = Seq(
       (1L, 0L, 7L, 1.0), (2L, 5L, 7L, 1.0), (3L, 60L, 7L, 1.0))
