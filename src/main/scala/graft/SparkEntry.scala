@@ -43,12 +43,6 @@ object SparkEntry {
         "q55_stream_hourly" -> Relational.oracle("q23_events_hourly"),
         "q60_stream_sessionize" -> Relational.oracle("q28_sessionize"),
         // the stream-stream interval join must equal the batch interval join
-        // dedup must make the double delivery invisible: the oracle is the
-        // per-type aggregate over the table ingested ONCE
-        "q71_stream_dedup" ->
-          """SELECT event_type, count(*) AS n_events,
-            | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
         "q63_stream_interval_join" ->
           """WITH e AS (SELECT event_id, user_id, event_type, value,
             |  epoch_us(ts) AS tus FROM events),
@@ -60,5 +54,11 @@ object SparkEntry {
             | CAST(sum(p.v) AS DOUBLE) AS sum_purch_value
             |FROM c JOIN p ON c.user_id = p.user_id
             |  AND p.tus >= c.tus - 3600000000 AND p.tus <= c.tus
-            |GROUP BY c.click_id ORDER BY click_id""".stripMargin)
+            |GROUP BY c.click_id ORDER BY click_id""".stripMargin,
+        // streaming dedup must make the double delivery invisible: the
+        // oracle is the per-type aggregate over the table ingested ONCE
+        "q71_stream_dedup" ->
+          """SELECT event_type, count(*) AS n_events,
+            | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

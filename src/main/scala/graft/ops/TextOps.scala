@@ -51,9 +51,20 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------- q33
-  /** Quality scoring: alpha ratio, stopword ratio, composite score.
-    * Ratios are double divisions of integer-valued operands — exact in both
-    * engines; the composite is rounded anyway. */
+  /** The one definition of the composite quality score (shared with q70's
+    * pruning cut): 0.5 * alpha ratio + 0.5 * (1 - stopword ratio), rounded
+    * to 4 decimals. Ratios are double divisions of integer-valued
+    * operands — exact in both engines. */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val toks = tokens(text)
+    val nAlpha = length(regexp_replace(text, "[^a-z]", ""))
+    val nStop = size(filter(toks, x => x === "the" || x === "a" || x === "of"))
+    val alphaRatio = nAlpha.cast("double") / nChars
+    val stopRatio = nStop.cast("double") / size(toks)
+    round(alphaRatio * lit(0.5) + (lit(1.0) - stopRatio) * lit(0.5), 4)
+  }
+
+  /** Quality scoring: alpha ratio, stopword ratio, composite score. */
   def q33TextQuality(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
     val nAlpha = length(regexp_replace(col("text"), "[^a-z]", ""))
@@ -67,7 +78,7 @@ object TextOps {
       nStop.as("n_stop"),
       round(alphaRatio, 4).as("alpha_ratio"),
       round(stopRatio, 4).as("stop_ratio"),
-      round(alphaRatio * lit(0.5) + (lit(1.0) - stopRatio) * lit(0.5), 4).as("quality_score"))
+      qualityScore(col("text"), col("n_chars")).as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -225,7 +236,10 @@ object TextOps {
   // ---------------------------------------------------------------- q69
   /** Greedy sequence PACKING — the shard-assembly step of a training
     * pipeline: documents are packed into fixed-token-budget training
-    * sequences per shard. Shard = doc_id mod nShards (content-stable),
+    * sequences per shard. Shard = doc_id mod nShards — ID-based, so pack
+    * assignments are deterministic per corpus but, unlike q64/q65's
+    * content-hash assignments, NOT stable across a re-ingestion that
+    * renumbers docs (shard by a content digest when that matters);
     * order within a shard = doc_id, pack = floor(cumulative tokens BEFORE
     * this doc / budget) — the next-fit-by-prefix-sum formulation, which is
     * one window cumsum per shard (a single shuffle on the shard key) and
@@ -261,12 +275,7 @@ object TextOps {
   def q70QualityPrune(s: SparkSession, d: String,
                       keepFraction: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = tokens(col("text"))
-    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", ""))
-    val nStop = size(filter(toks, x => x === "the" || x === "a" || x === "of"))
-    val alphaRatio = nAlpha.cast("double") / col("n_chars")
-    val stopRatio = nStop.cast("double") / size(toks)
-    val score = round(alphaRatio * lit(0.5) + (lit(1.0) - stopRatio) * lit(0.5), 4)
+    val score = qualityScore(col("text"), col("n_chars"))
     val w = Window.partitionBy(col("lang")).orderBy(col("q").desc, col("doc_id"))
     val dec = org.apache.spark.sql.types.DecimalType(18, 4)
     t(s, d, "documents")
@@ -332,6 +341,13 @@ object TextOps {
 
   private def duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
+  /** SQL twin of [[qualityScore]] — one fragment shared by the q33 and q70
+    * oracles, so the engine-side helper and both oracles move together. */
+  private def duckQualityScore: String =
+    s"""round(0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars)
+       |   + 0.5 * (1.0 - CAST(len(list_filter($duckToks, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE)
+       |       / len($duckToks)), 4)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
@@ -354,9 +370,7 @@ object TextOps {
          | round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars, 4) AS alpha_ratio,
          | round(CAST(len(list_filter($duckToks, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE)
          |   / len($duckToks), 4) AS stop_ratio,
-         | round(0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars)
-         |   + 0.5 * (1.0 - CAST(len(list_filter($duckToks, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE)
-         |       / len($duckToks)), 4) AS quality_score
+         | $duckQualityScore AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q34_fingerprint" ->
       """SELECT doc_id,
@@ -399,11 +413,8 @@ object TextOps {
          | CAST(floor(tokens_before / 512.0) AS BIGINT) AS pack_id
          |FROM c ORDER BY doc_id""".stripMargin,
     "q70_quality_prune" -> {
-      val q = s"""round(0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars)
-         |   + 0.5 * (1.0 - CAST(len(list_filter($duckToks, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE)
-         |       / len($duckToks)), 4)""".stripMargin
       s"""WITH sc AS (
-         | SELECT doc_id, lang, $q AS q FROM documents),
+         | SELECT doc_id, lang, $duckQualityScore AS q FROM documents),
          |r AS (
          | SELECT doc_id, lang, q,
          |  percent_rank() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS pr

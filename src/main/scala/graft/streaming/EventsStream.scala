@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -41,6 +41,20 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The ONE definition of the nanos file-source stream over the driver
+    * testdata's events table (the file stream source requires a directory;
+    * the glob filter pins it to the one table) — shared by every streaming
+    * query here so the ingest shape changes in one place. */
+  def readEventsNanos(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(eventsSchemaNanos)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+
+  /** Exact decimal-cents quantization of the value column — the shared
+    * money convention (quantize once, sum integers, divide at the end). */
+  def cents(value: Column): Column =
+    (value.cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100).cast("long")
+
   /** q55: the hourly rollup executed AS A STREAM over the events parquet
     * (file source -> windowed agg -> complete-mode memory sink, drained
     * synchronously), returned as a batch DataFrame so the driver's oracle
@@ -48,10 +62,7 @@ object EventsStream {
     * the batch answer (same oracle as the batch twin q23). */
   def q55StreamHourly(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // the file stream source requires a directory; glob-filter to the one table
-    val stream = s.readStream.schema(eventsSchemaNanos)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    val stream = readEventsNanos(s, d)
     val agg = stream
       .groupBy(
         date_trunc("hour", timestamp_micros(expr("ts div 1000")))
@@ -231,7 +242,7 @@ object EventsStream {
     val name = "graft_stream_sessions"
     def toExact(raw: DataFrame): DataFrame = raw
       .select(col("event_id"), col("user_id"),
-        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+        cents(col("value")).as("cents"),
         expr("ts div 1000").as("tus"))
       .withColumn("ts", timestamp_micros(col("tus")))
     try {
@@ -239,8 +250,7 @@ object EventsStream {
       Seq((-1L, (maxUs + 10L * 24 * 3600 * 1000000) * 1000, -1L, "sentinel", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("overwrite").parquet(stageDir)
-      val main = s.readStream.schema(eventsSchemaNanos)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val main = readEventsNanos(s, d)
       val sentinel = s.readStream.schema(eventsSchemaNanos).parquet(stageDir)
       val stream = toExact(main.unionAll(sentinel)).as[ExactEvent]
       val q = withFewStatePartitions(s) {
@@ -298,9 +308,7 @@ object EventsStream {
     * which keeps the result compact and lets the whole thing share an
     * exact DuckDB oracle. */
   def q63StreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    def side = s.readStream.schema(eventsSchemaNanos)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    def side = readEventsNanos(s, d)
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
     val clicks = side.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
@@ -308,7 +316,7 @@ object EventsStream {
       .withWatermark("c_ts", "1 hour")
     val purchases = side.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"),
-        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("p_cents"),
+        cents(col("value")).as("p_cents"),
         col("ets").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
     val joined = clicks.join(purchases,
@@ -340,15 +348,13 @@ object EventsStream {
     * aggregate over the SINGLE table: the dedup must make double delivery
     * invisible. */
   def q71StreamDedup(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    def side = s.readStream.schema(eventsSchemaNanos)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    def side = readEventsNanos(s, d)
     val deduped = side.unionAll(side)
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ets", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"),
-        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        cents(col("value")).as("cents"))
     val name = "graft_stream_dedup"
     val q = withFewStatePartitions(s) {
       deduped.writeStream.outputMode("append")

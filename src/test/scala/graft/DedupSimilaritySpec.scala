@@ -357,11 +357,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
         before += n
       }
     }
-    // packs fill to the budget: every non-final pack spans >= budget tokens
-    out.groupBy(_._2).foreach { case (_, docs) =>
+    // packs fill to the budget: a pack only closes once the shard's
+    // cumulative token count has crossed its boundary, so the total
+    // tokens of packs 0..p must reach (p+1)*budget for every non-final p
+    out.groupBy(_._2).foreach { case (shard, docs) =>
       val lastPack = docs.map(_._4).max
-      docs.groupBy(_._4).foreach { case (pack, members) =>
-        if (pack < lastPack) assert(members.map(_._3).sum >= 1) // non-empty
+      (0L until lastPack).foreach { p =>
+        val through = docs.filter(_._4 <= p).map(_._3).sum
+        assert(through >= (p + 1) * 512, s"shard $shard pack $p under-filled")
       }
     }
   }
