@@ -21,8 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * 8-byte keys.
   *
   * Callers pass the DISTINCT token set (as q37 always did): vote counts
-  * are per distinct token, so duplicates would change the hash. Null
-  * tokens are skipped.
+  * are per distinct token, so duplicates would change the hash. A null
+  * element votes with h = 42 (the seed) — exactly what the composed form
+  * does, because the xxhash64 builtin returns its seed unchanged for a
+  * null input; the bit-identical contract therefore holds for arrays WITH
+  * null elements too.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -41,13 +44,15 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val votes = new Array[Int](64)
     var t = 0
     while (t < n) {
-      if (!arr.isNullAt(t)) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(t), 42L)
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-          j += 1
-        }
+      // null element: the builtin xxhash64 leaves the seed untouched, so
+      // the composed (explode + xxhash64) form votes with 42 — match it
+      val h =
+        if (arr.isNullAt(t)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(t), 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
       }
       t += 1
     }
@@ -70,11 +75,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |int[] $votes = new int[64];
          |for (int $t = 0; $t < $n; $t++) {
-         |  if (!$a.isNullAt($t)) {
-         |    long $h = $xxh.hashUTF8String($a.getUTF8String($t), 42L);
-         |    for (int $j = 0; $j < 64; $j++) {
-         |      if ((($h >>> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
-         |    }
+         |  long $h = $a.isNullAt($t)
+         |    ? 42L : $xxh.hashUTF8String($a.getUTF8String($t), 42L);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($h >>> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
          |  }
          |}
          |long $out = 0L;

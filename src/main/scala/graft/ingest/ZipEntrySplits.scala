@@ -79,6 +79,11 @@ object ZipEntrySplits {
         if (nEntries == 0xffff || cdSize == 0xffffffffL || cdOffset == 0xffffffffL)
           throw new UnsupportedOperationException(
             s"${st.getPath}: zip64 archives are not supported by the split reader")
+        // non-zip64 u32 fields legally range to 4 GiB-1, past what a JVM
+        // array can hold — reject clearly instead of NegativeArraySizeException
+        if (cdSize > Int.MaxValue) throw new UnsupportedOperationException(
+          s"${st.getPath}: central directory of $cdSize bytes exceeds the " +
+            "split reader's 2 GiB buffer limit")
         val cd = new Array[Byte](cdSize.toInt)
         in.readFully(cdOffset, cd)
         val out = Seq.newBuilder[EntrySplit]
@@ -98,6 +103,10 @@ object ZipEntrySplits {
           if (csize == 0xffffffffL || usize == 0xffffffffL || lho == 0xffffffffL)
             throw new UnsupportedOperationException(
               s"${st.getPath}: zip64 entry '$name' is not supported by the split reader")
+          if (csize > Int.MaxValue || usize > Int.MaxValue)
+            throw new UnsupportedOperationException(
+              s"${st.getPath}: entry '$name' ($csize compressed / $usize " +
+                "uncompressed bytes) exceeds the split reader's 2 GiB buffer limit")
           // same flat-archive contract as ZipSource.expand
           val unsafe = name.contains("/") || name.contains("\\") || name == ".."
           if (!unsafe && !name.endsWith("/")) {
@@ -106,6 +115,11 @@ object ZipEntrySplits {
           p += 46 + nameLen + extraLen + commentLen
           n += 1
         }
+        // the loop's bounds check stops quietly on a short buffer; a record
+        // count mismatch means the directory was truncated mid-entry
+        if (n != nEntries) throw new IllegalArgumentException(
+          s"${st.getPath}: truncated central directory " +
+            s"(EOCD declares $nEntries entries, found $n)")
         out.result()
       } finally in.close()
     }

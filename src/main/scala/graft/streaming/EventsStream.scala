@@ -240,6 +240,7 @@ object EventsStream {
     val stagePath = java.nio.file.Files.createTempDirectory("graft_q60")
     val stageDir = stagePath.toString
     val name = "graft_stream_sessions"
+    var drained: DataFrame = null
     def toExact(raw: DataFrame): DataFrame = raw
       .select(col("event_id"), col("user_id"),
         cents(col("value")).as("cents"),
@@ -250,15 +251,16 @@ object EventsStream {
       Seq((-1L, (maxUs + 10L * 24 * 3600 * 1000000) * 1000, -1L, "sentinel", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("overwrite").parquet(stageDir)
-      val main = readEventsNanos(s, d)
-      val sentinel = s.readStream.schema(eventsSchemaNanos).parquet(stageDir)
-      val stream = toExact(main.unionAll(sentinel)).as[ExactEvent]
-      val q = withFewStatePartitions(s) {
-        sessionizeExact(stream).toDF()
+      drained = withDrainSession(s) { drain =>
+        val main = readEventsNanos(drain, d)
+        val sentinel = drain.readStream.schema(eventsSchemaNanos).parquet(stageDir)
+        val stream = toExact(main.unionAll(sentinel)).as[ExactEvent]
+        val q = sessionizeExact(stream).toDF()
           .writeStream.outputMode("append")
           .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        drain.table(name)
       }
-      try q.processAllAvailable() finally q.stop()
     } finally {
       // the memory sink holds the drained rows; only the one-row sentinel
       // file was ever staged
@@ -268,7 +270,7 @@ object EventsStream {
         .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
     }
     val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
-    s.table(name)
+    drained
       .filter(col("user_id") >= 0)
       .withColumn("session_seq", row_number().over(w).cast("long"))
       .select(col("user_id"), col("session_seq"),
@@ -278,20 +280,29 @@ object EventsStream {
       .orderBy("user_id", "session_seq")
   }
 
-  /** Run `start` with spark.sql.shuffle.partitions temporarily lowered:
-    * a stateful streaming query creates one state store per shuffle
-    * partition per stateful operator, and each micro-batch commits every
-    * store — at the default 32 partitions the per-batch commit fan-out
-    * dominates small drains (these harness queries process the whole
-    * table in one batch, so state parallelism is not the bottleneck; a
-    * long-running production stream would keep the higher value). The
-    * partition count is captured by the query AT START, so restoring the
-    * conf right after start() is safe for everything else on the session. */
-  private def withFewStatePartitions[T](s: SparkSession, n: Int = 8)(start: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try start finally s.conf.set(key, old)
+  /** Run a stateful drain on a DEDICATED child session whose
+    * spark.sql.shuffle.partitions is lowered to `n`: a stateful streaming
+    * query creates one state store per shuffle partition per stateful
+    * operator and every micro-batch commits every store, so at the
+    * parent's 32 partitions the commit fan-out dominates these small
+    * whole-table drains (a long-running production stream would keep the
+    * higher value — state parallelism is not the bottleneck here because
+    * the drain processes the whole table in one batch).
+    *
+    * Why a child session and not a set/restore on the parent: the SQL conf
+    * is shared session state, and a concurrent batch query or a second
+    * stream started on the parent during the lowered window would silently
+    * pick up the wrong partition count. `newSession()` shares the
+    * SparkContext (and with it every builder-time config — nanosAsLong,
+    * session timezone, AQE) but owns its SQL conf and catalog, so the
+    * override cannot race anything on the parent. The memory-sink table
+    * registers in the CHILD's catalog — the entire drain pipeline,
+    * including the post-drain batch read of the sink, must build on the
+    * session this helper passes in. */
+  private def withDrainSession[T](s: SparkSession, n: Int = 8)(run: SparkSession => T): T = {
+    val drain = s.newSession()
+    drain.conf.set("spark.sql.shuffle.partitions", n.toString)
+    run(drain)
   }
 
   // ---------------------------------------- q63: stream-stream interval join
@@ -308,28 +319,29 @@ object EventsStream {
     * which keeps the result compact and lets the whole thing share an
     * exact DuckDB oracle. */
   def q63StreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
-    def side = readEventsNanos(s, d)
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-    val clicks = side.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-        col("ets").as("c_ts"))
-      .withWatermark("c_ts", "1 hour")
-    val purchases = side.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"),
-        cents(col("value")).as("p_cents"),
-        col("ets").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val joined = clicks.join(purchases,
-      col("c_user") === col("p_user") &&
-        col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
-        col("p_ts") <= col("c_ts"))
-    val name = "graft_stream_clickpurch"
-    val q = withFewStatePartitions(s) {
-      joined.writeStream.outputMode("append")
+    val drained = withDrainSession(s) { drain =>
+      def side = readEventsNanos(drain, d)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      val clicks = side.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ets").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = side.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          cents(col("value")).as("p_cents"),
+          col("ets").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"))
+      val name = "graft_stream_clickpurch"
+      val q = joined.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      drain.table(name)
     }
-    try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    drained
       .groupBy(col("click_id"))
       .agg(count(lit(1)).as("n_purch_1h"),
         (sum(col("p_cents")) / 100.0).as("sum_purch_value"))
@@ -348,20 +360,21 @@ object EventsStream {
     * aggregate over the SINGLE table: the dedup must make double delivery
     * invisible. */
   def q71StreamDedup(s: SparkSession, d: String): DataFrame = {
-    def side = readEventsNanos(s, d)
-    val deduped = side.unionAll(side)
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ets", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
-      .select(col("event_id"), col("event_type"),
-        cents(col("value")).as("cents"))
-    val name = "graft_stream_dedup"
-    val q = withFewStatePartitions(s) {
-      deduped.writeStream.outputMode("append")
+    val drained = withDrainSession(s) { drain =>
+      def side = readEventsNanos(drain, d)
+      val deduped = side.unionAll(side)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ets", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("event_type"),
+          cents(col("value")).as("cents"))
+      val name = "graft_stream_dedup"
+      val q = deduped.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      drain.table(name)
     }
-    try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    drained
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         (sum(col("cents")) / 100.0).as("sum_value"))

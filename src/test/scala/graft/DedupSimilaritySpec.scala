@@ -90,6 +90,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(native === composed)
   }
 
+  test("native simhash matches the composed form on arrays WITH null elements") {
+    graft.functions.GraftFunctions.register(spark)
+    // a null element votes with h = 42 (the xxhash64 seed) in the composed
+    // form; the native expression must agree for the contract to be total
+    val frame = Seq((1L, Seq("alpha", null, "beta")), (2L, Seq[String](null)))
+      .toDF("doc_id", "toks")
+    val native = frame.select(col("doc_id"),
+        call_function("graft_simhash64", col("toks")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val composed = DedupOps.simhashComposedOfTokens(frame)
+      .as[(Long, Long)].collect().toMap
+    assert(native.keySet === Set(1L, 2L))
+    assert(native === composed)
+  }
+
   test("simhash: identical text => identical hash; pairs found by banding") {
     val sh = DedupOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) === sh(4L))

@@ -82,6 +82,28 @@ class ZipSplitSpec extends AnyFunSuite {
     assert(stored.compressedSize === stored.uncompressedSize)
   }
 
+  test("truncated central directory fails hard, not silently short") {
+    val dir = tmpDir()
+    val f = writeFixture(dir, "trunc.zip", entries = 2)
+    // no archive comment in the fixture, so the EOCD is the last 22 bytes;
+    // declare one MORE entry than the directory holds (both the this-disk
+    // and total u16 counts, offsets 8 and 10) — the walk must refuse to
+    // stop quietly at the buffer edge
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val eocd = bytes.length - 22
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val declared = u16(eocd + 10) + 1
+    Seq(eocd + 8, eocd + 10).foreach { o =>
+      bytes(o) = (declared & 0xff).toByte
+      bytes(o + 1) = ((declared >> 8) & 0xff).toByte
+    }
+    java.nio.file.Files.write(f.toPath, bytes)
+    val e = intercept[IllegalArgumentException] {
+      ZipEntrySplits.listEntries(spark, f.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("truncated central directory"))
+  }
+
   test("non-zip input fails with a clear error") {
     val dir = tmpDir()
     val f = new File(dir, "not.zip")
