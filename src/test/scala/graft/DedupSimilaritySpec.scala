@@ -90,6 +90,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(native === composed)
   }
 
+  test("recall guard: near-threshold similarity mass fires the loud report") {
+    import graft.ops.RecallGuard
+    // two docs engineered to land jaccard ~0.52 on 3-gram shingles: 13
+    // shared tokens + 5 unique each => (13-2)/(13+2*5-2) = 11/21
+    val shared = (1 to 13).map(i => s"w$i").mkString(" ")
+    val near = Seq(
+      (1L, s"$shared a1 a2 a3 a4 a5", "s1"),
+      (2L, s"$shared b1 b2 b3 b4 b5", "s1"),
+      (3L, "entirely unrelated text about query engines", "s1")
+    ).toDF("doc_id", "text", "source")
+    val before = RecallGuard.firings.get()
+    val pairs = DedupOps.ngramNearDupPairs(near)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists { case (a, b, j) =>
+      a == 1L && b == 2L && j >= 0.5 && j < 0.6 })
+    // the listener runs async on the execution-listener bus; poll briefly
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (RecallGuard.firings.get() == before && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(RecallGuard.firings.get() > before,
+      "danger-band pairs must trip the recall guard")
+  }
+
+  test("recall guard check: fires only when danger pairs exist") {
+    import graft.ops.RecallGuard
+    import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("danger_pairs", LongType), StructField("total_pairs", LongType),
+      StructField("threshold", DoubleType), StructField("r", IntegerType),
+      StructField("bands", IntegerType), StructField("strict", BooleanType)))
+    def row(danger: java.lang.Long) = new GenericRowWithSchema(
+      Array[Any](danger, 40L, 0.5, 2, 32, true), schema)
+    assert(RecallGuard.check("graft_recall_guard_ngram_1", row(0L)).isEmpty)
+    // empty pair set: sum() observes NULL — must stay silent, not throw
+    assert(RecallGuard.check("graft_recall_guard_ngram_2", row(null)).isEmpty)
+    val msg = RecallGuard.check("graft_recall_guard_ngram_3", row(3L))
+    assert(msg.exists(_.contains("3 of 40")))
+    assert(msg.exists(_.contains("r=2, bands=32")))
+    // analytic miss at the 0.5 threshold with r=2, bands=32 is ~1.0e-4
+    assert(math.abs(RecallGuard.missProbability(0.5, 2, 32) - 1.006e-4) < 2e-5)
+  }
+
   test("native simhash matches the composed form on arrays WITH null elements") {
     graft.functions.GraftFunctions.register(spark)
     // a null element votes with h = 42 (the xxhash64 seed) in the composed
