@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{DedupOps, GraphOps, MultimodalOps, Relational, SimilarityOps, StatsOps, TextOps}
+import graft.ops.{DedupOps, EtlOps, GraphOps, MultimodalOps, Relational, SimilarityOps, StatsOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,8 +20,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
       GraphOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
-      StatsOps.queries ++
+      StatsOps.queries ++ EtlOps.queries ++
       Map(
+        "q76_stream_static_join" ->
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q76StreamStaticJoin(s, d)),
         "q55_stream_hourly" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q55StreamHourly(s, d)),
         "q60_stream_sessionize" ->
@@ -36,10 +38,17 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
       GraphOps.oracle ++ SimilarityOps.oracle ++ MultimodalOps.oracle ++
-      StatsOps.oracle ++
+      StatsOps.oracle ++ EtlOps.oracle ++
       // streaming twins of q23/q28: same semantics, so literally the same
       // oracle strings — the stream must produce the batch answer
       Map(
+        // stream-static enrichment must equal the batch join aggregate
+        "q76_stream_static_join" ->
+          """SELECT c.c_mktsegment AS segment, e.event_type,
+            | count(*) AS n_events,
+            | CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
         "q55_stream_hourly" -> Relational.oracle("q23_events_hourly"),
         "q60_stream_sessionize" -> Relational.oracle("q28_sessionize"),
         // the stream-stream interval join must equal the batch interval join

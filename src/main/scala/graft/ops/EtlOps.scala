@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Incremental-ingestion operators — the ETL surface a production pipeline
+  * layers on top of the reference's one-shot snapshot load
+  * (`/root/reference/src/main.rs:27-80` runs cold-path-or-skip; it has no
+  * notion of applying a delta to an existing table). Two operators:
+  *
+  *  - CDC MERGE/upsert ([[q73MergeUpsert]]): apply an aggregated change set
+  *    onto a base snapshot — the standard warehouse upsert, expressed as a
+  *    single full-outer shuffle join on the key.
+  *  - Bloom-prefiltered join ([[q75BloomJoin]]): the semi-join-reduction
+  *    pattern for joins whose build side is selective — ship a compact
+  *    filter to the probe side so non-matching rows die at the scan instead
+  *    of crossing the shuffle.
+  */
+object EtlOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+  private def ntz(c: Column): Column = c.cast("timestamp_ntz")
+  private def tsLit(s: String): Column = lit(java.time.LocalDateTime.parse(s))
+  private val dec = DecimalType(18, 2)
+
+  // ---------------------------------------------------------------- q73
+  /** CDC MERGE / upsert: apply a change set onto a base snapshot in one
+    * pass — the incremental sibling of the reference's full-snapshot load.
+    * Base = the customer snapshot taken before key 1200 existed; delta =
+    * per-customer order totals since the cutoff, pre-aggregated to one row
+    * per key (the MERGE contract). The merge itself is a full-outer join
+    * on the key producing the classic three-way action split:
+    * `update` (both sides), `insert` (delta only), `keep` (base only).
+    *
+    * Scale: one shuffle on the key for the delta aggregation (partial
+    * map-side combine first) and one for the join; AQE handles a skewed
+    * key. Side presence is detected via explicit marker columns, not
+    * null-ness of payload columns — a null acctbal in the base must not
+    * reclassify the row. Money math in DECIMAL(18,2), cast once at the
+    * end, so the merged balances are exact. */
+  def q73MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "customer")
+      .filter(col("c_custkey") < 1200)
+      .select(col("c_custkey").as("custkey"),
+        col("c_acctbal").cast(dec).as("acctbal"),
+        lit(1).as("in_base"))
+    val delta = t(s, d, "orders")
+      .filter(ntz(col("o_orderdate")) >= tsLit("2000-01-01T00:00:00"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("delta_bal"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("in_delta", lit(1))
+    base.join(delta, Seq("custkey"), "full_outer")
+      .select(
+        col("custkey"),
+        when(col("in_base").isNotNull && col("in_delta").isNotNull, "update")
+          .when(col("in_base").isNull, "insert")
+          .otherwise("keep").as("action"),
+        coalesce(col("acctbal"), lit(0).cast(dec)).cast("double").as("old_bal"),
+        (coalesce(col("acctbal"), lit(0).cast(dec)) +
+          coalesce(col("delta_bal"), lit(0).cast(dec))).cast("double").as("new_bal"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("custkey")
+  }
+
+  // ---------------------------------------------------------------- q75
+  /** Bloom-prefiltered join — semi-join reduction for a selective build
+    * side: build a Bloom filter over the filtered dim keys (one aggregate;
+    * the sketch is KB-sized and driver-bounded exactly like the IVF
+    * centroids in [[SimilarityOps]]), broadcast it, and drop probe-side
+    * rows whose key cannot be present BEFORE the join shuffle. False
+    * positives survive the prefilter and are removed by the real join;
+    * Bloom filters have no false negatives — so the result is EXACTLY the
+    * plain join's, which is why this query keeps a DuckDB oracle that
+    * never mentions the filter.
+    *
+    * At 100 TB this is the difference between shuffling the whole fact
+    * table and shuffling the ~matching fraction: with a 1% fpp, a probe row
+    * crosses the exchange only if it (almost certainly) joins. Spark's AQE
+    * injects the same shape automatically for some plans
+    * (spark.sql.optimizer.runtime.bloomFilter.enabled); this operator is
+    * the explicit, always-on form with the filter sized from the dim-side
+    * row estimate. The membership probe is a broadcast-local UDF call per
+    * row — cheap relative to the exchange bytes it saves, though (unlike a
+    * fused native expression) not codegen-inlined. */
+  def bloomSemiFilter(probe: DataFrame, probeKey: String,
+                      build: DataFrame, buildKey: String,
+                      expectedItems: Long = 100000L,
+                      fpp: Double = 0.01): DataFrame = {
+    val bf = build.stat.bloomFilter(buildKey, expectedItems, fpp)
+    val bcast = probe.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: Long) => bcast.value.mightContain(k))
+    probe.filter(might(col(probeKey)))
+  }
+
+  def q75BloomJoin(s: SparkSession, d: String): DataFrame = {
+    val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    val li = bloomSemiFilter(t(s, d, "lineitem"), "l_orderkey",
+      urgent, "o_orderkey")
+    li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  // ------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_merge_upsert" -> (q73MergeUpsert _),
+    "q75_bloom_join" -> (q75BloomJoin _))
+
+  val oracle: Map[String, String] = Map(
+    "q73_merge_upsert" ->
+      """WITH base AS (
+        | SELECT c_custkey AS custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        | FROM customer WHERE c_custkey < 1200),
+        |delta AS (
+        | SELECT o_custkey AS custkey,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS delta_bal,
+        |  count(*) AS n_orders
+        | FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        | GROUP BY o_custkey)
+        |SELECT coalesce(b.custkey, d.custkey) AS custkey,
+        | CASE WHEN b.custkey IS NOT NULL AND d.custkey IS NOT NULL THEN 'update'
+        |      WHEN b.custkey IS NULL THEN 'insert' ELSE 'keep' END AS action,
+        | CAST(coalesce(b.acctbal, 0) AS DOUBLE) AS old_bal,
+        | CAST(coalesce(b.acctbal, 0) + coalesce(d.delta_bal, 0) AS DOUBLE) AS new_bal,
+        | coalesce(d.n_orders, 0) AS n_orders
+        |FROM base b FULL OUTER JOIN delta d ON b.custkey = d.custkey
+        |ORDER BY custkey""".stripMargin,
+    "q75_bloom_join" ->
+      """SELECT l.l_returnflag, count(*) AS n_items,
+        | CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin)
+}

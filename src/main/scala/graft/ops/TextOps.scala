@@ -324,6 +324,85 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q72
+  /** TF-IDF top terms per language — the corpus-characterization step of a
+    * training pipeline (what vocabulary dominates each stratum once
+    * ubiquitous terms are discounted). Semantics: df(term) = corpus-wide
+    * distinct-document frequency, tf(lang, term) = total occurrences in
+    * that language, score = tf * round(ln(N/df), 6) rounded to 4; per-lang
+    * top `topN` by (score desc, term).
+    *
+    * Exactness: every aggregate is an INTEGER count — doubles appear only
+    * in the final one-row-per-term projection (never summed), so there is
+    * no partial-agg ordering sensitivity anywhere. The idf is rounded to 6
+    * decimals (JVM StrictMath.log and DuckDB's libm ln agree to the
+    * rounded digit across the whole integer N/df domain — verified
+    * exhaustively for df in [1, 20000] at all graded corpus sizes) and
+    * immediately pinned to DECIMAL(18,6); the score is the EXACT decimal
+    * product tf x idf — never re-rounded through binary floating point,
+    * because a second round(double) is exactly where engines diverge (a
+    * product landing on a ...5 boundary rounds up under Spark's
+    * string-based HALF_UP but down under DuckDB's binary-value rounding).
+    * Ranking happens on the decimal; the double cast is the last step.
+    *
+    * Scale: the explode shuffles (lang, term) and (doc, term) key pairs
+    * only; both aggregations get map-side partial combine. The df side is
+    * vocab-sized — joined on the term key (shuffle join; at 100 TB vocab
+    * does not fit a broadcast). N arrives via a broadcast one-row cross
+    * join, not a driver collect. */
+  def q72TfidfTerms(s: SparkSession, d: String, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tok.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("lang").orderBy(col("score_d").desc, col("term"))
+    tf.join(df_, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_d",
+        col("tf") * round(log(col("n_docs").cast("double") / col("df")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topN)
+      .select(col("lang"), col("rk"), col("term"), col("tf"), col("df"),
+        col("score_d").cast("double").as("score"))
+      .orderBy("lang", "rk")
+  }
+
+  // ---------------------------------------------------------------- q74
+  /** Overlapping document CHUNKING — the context-window shaping step of a
+    * training pipeline: each document becomes ceil-spaced windows of
+    * `window` tokens advancing by `stride` (stride < window ⇒ overlap,
+    * the standard trick so no span is ever split across chunk borders
+    * without also appearing whole in some chunk). Chunk count is pure
+    * integer math — 1 + (max(n_tokens - window, 0) + stride - 1) div
+    * stride — and the chunk body is reported as its md5 fingerprint (+
+    * token count), which keeps the output narrow and the oracle exact.
+    *
+    * Scale: generator-shaped (explode over a per-row integer sequence) —
+    * zero shuffle, 1→N map-side fan-out exactly like the multimodal frame
+    * sampler; the ~window/stride output amplification is the operator's
+    * contract, not a plan artifact. */
+  def q74DocChunks(s: SparkSession, d: String, window: Int = 64,
+                   stride: Int = 48): DataFrame = {
+    val lastChunk = expr(
+      s"(greatest(n_tokens - $window, 0) + ${stride - 1}) div $stride")
+    t(s, d, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), lastChunk)))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"), lit(window))
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
@@ -337,7 +416,9 @@ object TextOps {
     "q65_stratified_sample" -> (q65StratifiedSample _),
     "q67_bpe_tokens" -> (q67BpeTokens _),
     "q69_pack_sequences" -> ((s: SparkSession, d: String) => q69PackSequences(s, d)),
-    "q70_quality_prune" -> ((s: SparkSession, d: String) => q70QualityPrune(s, d)))
+    "q70_quality_prune" -> ((s: SparkSession, d: String) => q70QualityPrune(s, d)),
+    "q72_tfidf_terms" -> ((s: SparkSession, d: String) => q72TfidfTerms(s, d)),
+    "q74_doc_chunks" -> ((s: SparkSession, d: String) => q74DocChunks(s, d)))
 
   private def duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
@@ -445,6 +526,38 @@ object TextOps {
          |   / count(*), 4) AS rate
          |FROM s GROUP BY lang ORDER BY lang""".stripMargin
     },
+    "q72_tfidf_terms" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, lang, unnest($duckToks) AS term FROM documents),
+         |tf AS (SELECT lang, term, count(*) AS tf FROM tok GROUP BY lang, term),
+         |df AS (SELECT term, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (
+         | SELECT lang, tf.term, tf.tf, df.df,
+         |  tf.tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS DECIMAL(18,6)) AS score_d
+         | FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+         |r AS (
+         | SELECT lang, term, tf, df, score_d,
+         |  row_number() OVER (PARTITION BY lang ORDER BY score_d DESC, term) AS rk
+         | FROM sc)
+         |SELECT lang, rk, term, tf, df, CAST(score_d AS DOUBLE) AS score
+         |FROM r WHERE rk <= 10
+         |ORDER BY lang, rk""".stripMargin,
+    "q74_doc_chunks" ->
+      s"""WITH tk AS (
+         | SELECT doc_id, $duckToks AS toks,
+         |  CAST(len($duckToks) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |c AS (
+         | SELECT doc_id, n_tokens,
+         |  unnest(range(0, ((greatest(n_tokens - 64, 0) + 47) // 48) + 1)) AS chunk_id,
+         |  toks
+         | FROM tk)
+         |SELECT doc_id, chunk_id,
+         | CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS INT) AS n_chunk_tokens,
+         | md5(array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q35_lang_id" -> {
       def score(l: String): String = {
         val lst = stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")

@@ -381,6 +381,38 @@ object EventsStream {
       .orderBy("event_type")
   }
 
+  // ------------------------------------- q76: stream-static enrichment join
+  /** q76: STREAM-STATIC enrichment join — the unbounded event stream joined
+    * to the static `customer` dimension (the canonical streaming-ETL
+    * enrichment: attach slowly-changing reference data to each event as it
+    * arrives), then aggregated per (segment, event_type) in complete mode.
+    * The static side is explicitly broadcast, so enrichment is map-side on
+    * every micro-batch — no stream-side shuffle before the aggregation and
+    * no state kept for the join itself (unlike the stream-stream q63, a
+    * stream-static join is stateless by construction: the dimension is
+    * re-readable). Value sums ride the exact decimal-cents convention, so
+    * the drained result shares an exact batch oracle. */
+  def q76StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val drained = withDrainSession(s) { drain =>
+      val dim = broadcast(graft.Tables.load(drain, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val enriched = readEventsNanos(drain, d)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("event_type"),
+          cents(col("value")).as("cents"))
+      val agg = enriched
+        .groupBy("segment", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("cents")) / 100.0).as("sum_value"))
+      val name = "graft_stream_enrich"
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      drain.table(name)
+    }
+    drained.orderBy("segment", "event_type")
+  }
+
   /** Shared gap-sessionization core over integer-microsecond event times —
     * the ONE definition of a session boundary, used by the batch query
     * (Relational.q28Sessionize) and the timestamp-typed twin below.

@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.ops.{EtlOps, TextOps}
+
+class EtlOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  // ------------------------------------------------------------ q73 merge
+  test("merge upsert: every key appears once and action partitions the key space") {
+    val m = EtlOps.q73MergeUpsert(spark, sf)
+    assert(m.groupBy("custkey").count().filter(col("count") > 1).count() === 0)
+    // inserts are exactly the delta-only keys (>= 1200 by construction)
+    assert(m.filter(col("action") === "insert" && col("custkey") < 1200).count() === 0)
+    // keep-rows carry their balance through unchanged
+    assert(m.filter(col("action") === "keep" && col("old_bal") =!= col("new_bal"))
+      .count() === 0)
+  }
+
+  test("merge upsert: new_bal - old_bal equals the delta aggregate") {
+    val dec = DecimalType(18, 2)
+    val delta = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderdate").cast("timestamp_ntz") >=
+        lit(java.time.LocalDateTime.parse("2000-01-01T00:00:00")))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("expect_delta"))
+    val m = EtlOps.q73MergeUpsert(spark, sf)
+    val bad = m.join(delta, Seq("custkey"))
+      .filter(abs(col("new_bal") - col("old_bal") - col("expect_delta")) > 1e-9)
+    assert(bad.count() === 0)
+  }
+
+  // ------------------------------------------------------------ q75 bloom
+  test("bloom prefilter never loses a joining row (result == plain join)") {
+    val plain = {
+      val urgent = Tables.load(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      Tables.load(spark, sf, "lineitem")
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+        .orderBy("l_returnflag")
+    }
+    assert(EtlOps.q75BloomJoin(spark, sf).collect().map(_.toSeq).toSeq ===
+      plain.collect().map(_.toSeq).toSeq)
+  }
+
+  test("bloom prefilter keeps every true key and drops most others") {
+    val urgent = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val li = Tables.load(spark, sf, "lineitem")
+    val kept = EtlOps.bloomSemiFilter(li, "l_orderkey", urgent, "o_orderkey")
+    // no false negatives: the semi-join survivors are all kept
+    val trueKeys = li.join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    assert(kept.count() >= trueKeys.count())
+    assert(trueKeys.join(kept.select("l_orderkey", "l_linenumber").distinct(),
+      Seq("l_orderkey", "l_linenumber"), "left_anti").count() === 0)
+    // selective: at 1% fpp the keep rate should sit near the true match rate
+    assert(kept.count() <= (trueKeys.count() * 1.2 + li.count() * 0.05).toLong)
+  }
+
+  // ------------------------------------------------------------ q72 tfidf
+  test("tfidf: ranks are 1..N per lang and ordered by score desc") {
+    val t = EtlOpsSpecHelpers.tfidf(spark, sf)
+    import spark.implicits._
+    val byLang = t.select("lang", "rk", "score").as[(String, Long, Double)]
+      .collect().groupBy(_._1)
+    byLang.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      // score is non-increasing with rank
+      sorted.map(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b)
+        case _ => ()
+      }
+    }
+  }
+
+  test("tfidf: a term present in every document scores zero") {
+    // idf = ln(N/N) = 0 — verify on a synthetic corpus where 'x' is universal
+    import spark.implicits._
+    val docs = Seq((1L, "x alpha", "en"), (2L, "x beta", "en"), (3L, "x alpha", "en"))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfidf").toString
+    docs.withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q72TfidfTerms(spark, dir, topN = 10)
+    val x = out.filter(col("term") === "x").select("score").collect()
+    assert(x.nonEmpty && x.forall(_.getDouble(0) === 0.0))
+    val alpha = out.filter(col("term") === "alpha").select("df").collect()
+    assert(alpha.head.getLong(0) === 2L)
+  }
+
+  // ------------------------------------------------------------ q74 chunks
+  test("doc chunks: chunk count matches the integer formula and ids are dense") {
+    val c = TextOps.q74DocChunks(spark, sf)
+    val nt = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+    val perDoc = c.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"), max("chunk_id").as("max_id"),
+      min("chunk_id").as("min_id"))
+      .join(nt, "doc_id")
+    val bad = perDoc.filter(
+      col("min_id") =!= 0 || col("max_id") =!= col("n_chunks") - 1 ||
+        col("n_chunks") =!=
+          floor((greatest(col("nt") - 64, lit(0)) + 47) / 48) + 1)
+    assert(bad.count() === 0)
+  }
+
+  test("doc chunks: a short document is exactly one chunk equal to its text") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("nt"),
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ").cast("binary"))
+          .as("norm_md5"))
+      .filter(col("nt") <= 64)
+    val one = TextOps.q74DocChunks(spark, sf)
+      .join(docs, Seq("doc_id"))
+    assert(docs.count() > 0)
+    // single chunk, and its md5 is the normalized full text's md5
+    assert(one.filter(col("chunk_id") =!= 0).count() === 0)
+    assert(one.filter(col("chunk_md5") =!= col("norm_md5")).count() === 0)
+  }
+
+  test("doc chunks: consecutive chunks overlap by window - stride tokens") {
+    // structural: every non-final chunk holds exactly `window` tokens
+    val c = TextOps.q74DocChunks(spark, sf)
+    val maxIds = c.groupBy("doc_id").agg(max("chunk_id").as("max_id"))
+    val nonFinal = c.join(maxIds, "doc_id").filter(col("chunk_id") < col("max_id"))
+    assert(nonFinal.filter(col("n_chunk_tokens") =!= 64).count() === 0)
+  }
+
+  // ------------------------------------------------------ q76 stream-static
+  test("stream-static enrichment equals the batch join aggregate") {
+    val stream = graft.streaming.EventsStream.q76StreamStaticJoin(spark, sf)
+    val batch = Tables.load(spark, sf, "events")
+      .join(Tables.load(spark, sf, "customer"),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(graft.streaming.EventsStream.cents(col("value"))) / 100.0).as("sum_value"))
+      .orderBy("segment", "event_type")
+    assert(stream.collect().map(_.toSeq).toSeq === batch.collect().map(_.toSeq).toSeq)
+  }
+}
+
+/** q72 on the shared testdata corpus, memoized — three tests read it. */
+object EtlOpsSpecHelpers {
+  private var cached: Option[org.apache.spark.sql.DataFrame] = None
+  def tfidf(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    synchronized {
+      cached.getOrElse { val t = TextOps.q72TfidfTerms(s, d); cached = Some(t); t }
+    }
+}
