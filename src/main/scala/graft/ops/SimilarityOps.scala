@@ -252,8 +252,41 @@ object SimilarityOps {
       .select("vec_a", "vec_b", "sim")
   }
 
+  // ---------------------------------------------------------------- q77
+  /** Per-label embedding CENTROIDS — distributed vector aggregation (the
+    * reduce step of k-means / class-prototype computation), emitted in
+    * LONG format (label, pos, centroid) so the output is scalar doubles
+    * the oracle can compare exactly.
+    *
+    * Exactness: a distributed avg of float components is partial-agg-
+    * order sensitive in double. Each component is therefore rounded once
+    * to 7 decimals (float32 has ~7.2 significant digits — nothing real is
+    * lost) and PINNED to DECIMAL(18,7); the sum is then an exact decimal
+    * reduction (order-free), and doubles reappear only in the final
+    * per-(label, pos) division. Same pin-then-aggregate trick as q72's
+    * idf product.
+    *
+    * Scale: posexplode fans each vector into (label, pos, component) —
+    * dim x rows narrow rows — and the aggregation shuffles (label, pos)
+    * keys with full map-side partial combine; nothing is ever collected
+    * and no per-group list materializes (a sorted-collect formulation
+    * would be exact too but holds whole groups in memory). */
+  def q77LabelCentroids(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 7)
+    t(s, d, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"),
+        round(col("v").cast("double"), 7).cast(dec).as("vq"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vq")).as("s"))
+      .select(col("label"), col("pos"), col("n_vecs"),
+        round(col("s").cast("double") / col("n_vecs"), 6).as("centroid"))
+      .orderBy("label", "pos")
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_label_centroids" -> (q77LabelCentroids _),
     "q40_cosine_topk" -> ((s: SparkSession, d: String) => q40CosineTopK(s, d)),
     "q41_embedding_norms" -> (q41EmbeddingNorms _),
     "q42_ann_lsh" -> ((s: SparkSession, d: String) => q42AnnLsh(s, d)),
@@ -262,8 +295,20 @@ object SimilarityOps {
     "q61_embedding_neardup" -> ((s: SparkSession, d: String) => q61EmbeddingNearDup(s, d)))
 
   /** q42's hyperplanes live in the Spark plan only → rows-only check.
-    * q40/q41/q53 recompute the same double math in DuckDB. */
+    * q40/q41/q53/q77 recompute the same double math in DuckDB. */
   val oracle: Map[String, String] = Map(
+    "q77_label_centroids" ->
+      """WITH ix AS (
+        | SELECT label, embedding,
+        |  unnest(range(1, len(embedding) + 1)) AS i
+        | FROM embeddings),
+        |c AS (
+        | SELECT label, CAST(i - 1 AS INT) AS pos,
+        |  CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(18,7)) AS vq
+        | FROM ix)
+        |SELECT label, pos, count(*) AS n_vecs,
+        | round(CAST(sum(vq) AS DOUBLE) / count(*), 6) AS centroid
+        |FROM c GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q53_cosine_topk_native" ->
       """WITH e AS (
         | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -403,6 +403,39 @@ object TextOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  // ---------------------------------------------------------------- q78
+  /** PII SCRUBBING — the redaction step of a training-data pipeline:
+    * count and replace email addresses, URLs and phone-shaped numbers
+    * with typed placeholders. Patterns live in the RE2-compatible subset
+    * both engines implement identically (no lookahead, no backrefs,
+    * explicit character classes instead of \s/\S — same discipline as
+    * [[bpePattern]]), so counts and the redacted text are engine-exact
+    * and the query keeps a DuckDB oracle. Counts are measured on the
+    * ORIGINAL text; redaction applies email → URL → phone in that fixed
+    * order. Pure map-side codegen'd column expressions — zero shuffle,
+    * per-row cost only, like every scrub pass at 100 TB. The output
+    * carries the redacted text as an md5 fingerprint to stay narrow. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[A-Za-z0-9./_?=&%#:-]+"
+  val phonePattern = "\\+?[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4}"
+
+  /** The one definition of the redacted text (shared with the spec). */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        urlPattern, "<URL>"),
+      phonePattern, "<PHONE>")
+
+  def q78PiiScrub(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(urlPattern), lit(0))).as("n_urls"),
+      size(regexp_extract_all(col("text"), lit(phonePattern), lit(0))).as("n_phones"),
+      md5(redact(col("text")).cast("binary")).as("redacted_md5"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
@@ -418,7 +451,8 @@ object TextOps {
     "q69_pack_sequences" -> ((s: SparkSession, d: String) => q69PackSequences(s, d)),
     "q70_quality_prune" -> ((s: SparkSession, d: String) => q70QualityPrune(s, d)),
     "q72_tfidf_terms" -> ((s: SparkSession, d: String) => q72TfidfTerms(s, d)),
-    "q74_doc_chunks" -> ((s: SparkSession, d: String) => q74DocChunks(s, d)))
+    "q74_doc_chunks" -> ((s: SparkSession, d: String) => q74DocChunks(s, d)),
+    "q78_pii_scrub" -> (q78PiiScrub _))
 
   private def duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
@@ -558,6 +592,16 @@ object TextOps {
          | CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS INT) AS n_chunk_tokens,
          | md5(array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ')) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q78_pii_scrub" ->
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '$emailPattern')) AS INT) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '$urlPattern')) AS INT) AS n_urls,
+         | CAST(len(regexp_extract_all(text, '$phonePattern')) AS INT) AS n_phones,
+         | md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |   '$emailPattern', '<EMAIL>', 'g'),
+         |   '$urlPattern', '<URL>', 'g'),
+         |   '$phonePattern', '<PHONE>', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q35_lang_id" -> {
       def score(l: String): String = {
         val lst = stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")

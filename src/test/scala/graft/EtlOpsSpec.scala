@@ -135,6 +135,54 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(nonFinal.filter(col("n_chunk_tokens") =!= 64).count() === 0)
   }
 
+  // ------------------------------------------------------------ q77 centroids
+  test("label centroids: one row per (label, pos) and counts match the table") {
+    val c = graft.ops.SimilarityOps.q77LabelCentroids(spark, sf)
+    val labels = Tables.load(spark, sf, "embeddings")
+      .groupBy("label").agg(count(lit(1)).as("expect_n"))
+    assert(c.count() === labels.count() * 64)
+    val bad = c.join(labels, "label").filter(col("n_vecs") =!= col("expect_n"))
+    assert(bad.count() === 0)
+  }
+
+  test("label centroids match a driver-side average within rounding") {
+    val row = graft.ops.SimilarityOps.q77LabelCentroids(spark, sf)
+      .filter(col("label") === 0 && col("pos") === 0).head
+    val comps = Tables.load(spark, sf, "embeddings")
+      .filter(col("label") === 0)
+      .select(element_at(col("embedding"), 1).cast("double")).collect()
+      .map(_.getDouble(0))
+    val expect = comps.map(v => BigDecimal(v).setScale(7, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble / comps.length
+    assert(math.abs(row.getAs[Double]("centroid") - expect) < 1e-6)
+  }
+
+  // ------------------------------------------------------------ q78 pii
+  test("pii scrub counts and redacts planted PII") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at jane.doe@example.com or +1 555-1234 today"),
+      (2L, "see https://example.com/a?b=1 and http://x.org plus bob@x.io"),
+      (3L, "clean text with no identifiers at all"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.TextOps.q78PiiScrub(spark, dir).collect()
+    val m = out.map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(m(1L) === ((1, 0, 1)))
+    assert(m(2L) === ((1, 2, 0)))
+    assert(m(3L) === ((0, 0, 0)))
+    // the redacted text is actually scrubbed: no pattern matches post-redaction
+    val scrubbed = docs.select(graft.ops.TextOps.redact(col("text")).as("r"))
+      .filter(col("r").rlike(graft.ops.TextOps.emailPattern) ||
+        col("r").rlike(graft.ops.TextOps.urlPattern) ||
+        col("r").rlike(graft.ops.TextOps.phonePattern))
+    assert(scrubbed.count() === 0)
+  }
+
   // ------------------------------------------------------ q76 stream-static
   test("stream-static enrichment equals the batch join aggregate") {
     val stream = graft.streaming.EventsStream.q76StreamStaticJoin(spark, sf)
