@@ -24,6 +24,8 @@ object SparkEntry {
       Map(
         "q76_stream_static_join" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q76StreamStaticJoin(s, d)),
+        "q79_stream_merge" ->
+          ((s: SparkSession, d: String) => graft.streaming.IngestStream.q79StreamMerge(s, d)),
         "q55_stream_hourly" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q55StreamHourly(s, d)),
         "q60_stream_sessionize" ->
@@ -49,6 +51,9 @@ object SparkEntry {
             | CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        // the streaming CDC apply folds batch-by-batch to the same state
+        // as the one-shot merge — same oracle as q73 by construction
+        "q79_stream_merge" -> EtlOps.oracle("q73_merge_upsert"),
         "q55_stream_hourly" -> Relational.oracle("q23_events_hourly"),
         "q60_stream_sessionize" -> Relational.oracle("q28_sessionize"),
         // the stream-stream interval join must equal the batch interval join

@@ -40,30 +40,69 @@ object EtlOps {
     * null-ness of payload columns — a null acctbal in the base must not
     * reclassify the row. Money math in DECIMAL(18,2), cast once at the
     * end, so the merged balances are exact. */
-  def q73MergeUpsert(s: SparkSession, d: String): DataFrame = {
-    val base = t(s, d, "customer")
+  /** The base snapshot: customers below key 1200, balances pinned to
+    * DECIMAL(18,2). State schema from here on:
+    * (custkey, acctbal, in_base, delta_bal, n_orders) — acctbal/in_base
+    * null for keys first seen in a delta, delta_bal/n_orders null until a
+    * delta touches the key. */
+  def mergeBaseState(customer: DataFrame): DataFrame =
+    customer
       .filter(col("c_custkey") < 1200)
       .select(col("c_custkey").as("custkey"),
         col("c_acctbal").cast(dec).as("acctbal"),
-        lit(1).as("in_base"))
-    val delta = t(s, d, "orders")
+        lit(1).as("in_base"),
+        lit(null).cast(DecimalType(28, 2)).as("delta_bal"),
+        lit(null).cast("long").as("n_orders"))
+
+  /** Pre-aggregate an orders change set to one row per key (the MERGE
+    * contract): summed totals + order counts since the cutoff. */
+  def deltaAgg(orders: DataFrame): DataFrame =
+    orders
       .filter(ntz(col("o_orderdate")) >= tsLit("2000-01-01T00:00:00"))
       .groupBy(col("o_custkey").as("custkey"))
-      .agg(sum(col("o_totalprice").cast(dec)).as("delta_bal"),
-        count(lit(1)).as("n_orders"))
-      .withColumn("in_delta", lit(1))
-    base.join(delta, Seq("custkey"), "full_outer")
+      .agg(sum(col("o_totalprice").cast(dec)).as("d_bal"),
+        count(lit(1)).as("d_n"))
+
+  /** One merge round: full-outer join state with an aggregated delta and
+    * fold the delta into the accumulators. ASSOCIATIVE in the delta —
+    * folding deltas one batch at a time lands on the same state as one
+    * fold of their union (sums and counts add; base markers carry) —
+    * which is exactly what lets the streaming foreachBatch apply
+    * ([[graft.streaming.IngestStream.q79StreamMerge]]) share this code
+    * path and q73's oracle. */
+  def mergeState(state: DataFrame, delta: DataFrame): DataFrame =
+    state.join(delta, Seq("custkey"), "full_outer")
       .select(
         col("custkey"),
-        when(col("in_base").isNotNull && col("in_delta").isNotNull, "update")
-          .when(col("in_base").isNull, "insert")
-          .otherwise("keep").as("action"),
-        coalesce(col("acctbal"), lit(0).cast(dec)).cast("double").as("old_bal"),
-        (coalesce(col("acctbal"), lit(0).cast(dec)) +
-          coalesce(col("delta_bal"), lit(0).cast(dec))).cast("double").as("new_bal"),
-        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        col("acctbal"),
+        col("in_base"),
+        // pin the accumulator type so repeated merge rounds don't walk the
+        // decimal precision up to the 38 cap
+        when(col("d_bal").isNotNull || col("delta_bal").isNotNull,
+          coalesce(col("delta_bal"), lit(0).cast(dec)) +
+            coalesce(col("d_bal"), lit(0).cast(dec)))
+          .cast(DecimalType(28, 2)).as("delta_bal"),
+        when(col("d_n").isNotNull || col("n_orders").isNotNull,
+          coalesce(col("n_orders"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_orders"))
+
+  /** Final presentation of the merged state: the update/insert/keep action
+    * split and double-cast balances. */
+  def presentMerge(state: DataFrame): DataFrame =
+    state.select(
+      col("custkey"),
+      when(col("in_base").isNotNull && col("delta_bal").isNotNull, "update")
+        .when(col("in_base").isNull, "insert")
+        .otherwise("keep").as("action"),
+      coalesce(col("acctbal"), lit(0).cast(dec)).cast("double").as("old_bal"),
+      (coalesce(col("acctbal"), lit(0).cast(dec)) +
+        coalesce(col("delta_bal"), lit(0).cast(dec))).cast("double").as("new_bal"),
+      coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+
+  def q73MergeUpsert(s: SparkSession, d: String): DataFrame =
+    presentMerge(mergeState(mergeBaseState(t(s, d, "customer")),
+      deltaAgg(t(s, d, "orders"))))
       .orderBy("custkey")
-  }
 
   // ---------------------------------------------------------------- q75
   /** Bloom-prefiltered join — semi-join reduction for a selective build
@@ -107,10 +146,35 @@ object EtlOps {
       .orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q80
+  /** Latest-event-per-key — the CDC dedupe that precedes any merge apply
+    * (collapse an at-least-once change feed to one current row per key).
+    * Formulated as max(struct(ts, id, payload)) — ONE aggregation with
+    * full map-side partial combine, which at 100 TB beats the equivalent
+    * row_number window (that shape must shuffle and sort EVERY event; the
+    * aggregate shuffles one candidate row per key per input partition).
+    * The struct comparison is lexicographic, so (tus, event_id) makes the
+    * winner deterministic under same-microsecond ties — both engines
+    * compare field-by-field, which is what keeps the oracle exact. */
+  def q80LatestPerKey(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("user_id"),
+        struct(expr("ts div 1000").as("tus"), col("event_id"),
+          col("event_type"), col("value")).as("ev"))
+      .groupBy("user_id")
+      .agg(max(col("ev")).as("le"))
+      .select(col("user_id"),
+        col("le.event_id").as("last_event_id"),
+        col("le.event_type").as("last_type"),
+        col("le.value").as("last_value"),
+        col("le.tus").as("last_tus"))
+      .orderBy("user_id")
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_merge_upsert" -> (q73MergeUpsert _),
-    "q75_bloom_join" -> (q75BloomJoin _))
+    "q75_bloom_join" -> (q75BloomJoin _),
+    "q80_latest_per_key" -> (q80LatestPerKey _))
 
   val oracle: Map[String, String] = Map(
     "q73_merge_upsert" ->
@@ -131,6 +195,18 @@ object EtlOps {
         | coalesce(d.n_orders, 0) AS n_orders
         |FROM base b FULL OUTER JOIN delta d ON b.custkey = d.custkey
         |ORDER BY custkey""".stripMargin,
+    "q80_latest_per_key" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tus
+        | FROM events),
+        |m AS (
+        | SELECT user_id, max(struct_pack(tus := tus, event_id := event_id,
+        |   event_type := event_type, value := value)) AS le
+        | FROM e GROUP BY user_id)
+        |SELECT user_id, le.event_id AS last_event_id,
+        | le.event_type AS last_type, le.value AS last_value,
+        | le.tus AS last_tus
+        |FROM m ORDER BY user_id""".stripMargin,
     "q75_bloom_join" ->
       """SELECT l.l_returnflag, count(*) AS n_items,
         | CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
@@ -39,5 +39,70 @@ object IngestStream {
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
+  }
+
+  // ------------------------------------------------- q79: streaming CDC apply
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Throwable => () })
+  }
+
+  /** Core of the streaming CDC apply: stream order-delta parquet files from
+    * `srcDir` (matching `glob`) and fold each micro-batch into a
+    * parquet-backed state table via [[graft.ops.EtlOps.mergeState]].
+    * Because the merge is ASSOCIATIVE in the delta (sums/counts add, base
+    * markers carry), folding batch-by-batch lands on exactly the state one
+    * batch fold over the union would — so the drained result shares q73's
+    * exact oracle, and the spec proves the multi-batch path against the
+    * batch twin. Each batch writes the next state to a sibling dir and
+    * swaps only after the write commits (read-side never observes a
+    * half-written state). The returned frame is locally checkpointed so
+    * the temp state dirs can be deleted before returning. */
+  def streamMergeOrders(s: SparkSession, srcDir: String, glob: String,
+                        customer: DataFrame,
+                        ordersSchema: StructType): DataFrame = {
+    val ops = graft.ops.EtlOps
+    val root = java.nio.file.Files.createTempDirectory("graft_q79")
+    val state = s"$root/state"; val next = s"$root/next"; val ckpt = s"$root/ckpt"
+    try {
+      ops.mergeBaseState(customer).write.mode("overwrite").parquet(state)
+      val stream = s.readStream.schema(ordersSchema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", "1") // one delta file per micro-batch
+        .parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          val sess = batch.sparkSession
+          ops.mergeState(sess.read.parquet(state), ops.deltaAgg(batch))
+            .write.mode("overwrite").parquet(next)
+          deleteRec(java.nio.file.Path.of(state))
+          java.nio.file.Files.move(java.nio.file.Path.of(next),
+            java.nio.file.Path.of(state))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val out = ops.presentMerge(s.read.parquet(state)).orderBy("custkey")
+        .localCheckpoint(true)
+      out
+    } finally deleteRec(root)
+  }
+
+  /** q79: the CDC merge of q73 executed AS A STREAM — order deltas arrive
+    * as files, foreachBatch applies each to the persistent state table,
+    * and the final state is presented exactly like the batch merge. Shares
+    * q73's exact DuckDB oracle (the fold is associative; see
+    * [[streamMergeOrders]]). On the driver testdata the table is one file
+    * (one batch); the multi-batch path is exercised by the spec, which
+    * splits the delta across files and checks batch-twin equality. */
+  def q79StreamMerge(s: SparkSession, d: String): DataFrame = {
+    val ordersSchema = graft.Tables.load(s, d, "orders").schema
+    streamMergeOrders(s, d, "orders.parquet",
+      graft.Tables.load(s, d, "customer"), ordersSchema)
   }
 }

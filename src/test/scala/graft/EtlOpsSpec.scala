@@ -135,6 +135,48 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(nonFinal.filter(col("n_chunk_tokens") =!= 64).count() === 0)
   }
 
+  // --------------------------------------------------- q79 streaming merge
+  test("streaming CDC apply over split delta files equals the batch merge") {
+    // split the orders delta across two files -> two micro-batches
+    val root = java.nio.file.Files.createTempDirectory("graft_q79_spec")
+    val orders = Tables.load(spark, sf, "orders")
+    def promote(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      // the stream's pathGlobFilter matches LEAF file names, so each delta
+      // must land as a plain file like the driver testdata tables
+      val stage = s"$root/stage_$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, java.nio.file.Path.of(s"$root/$name"))
+    }
+    promote(orders.filter(col("o_orderkey") % 2 === 0), "orders_a.parquet")
+    promote(orders.filter(col("o_orderkey") % 2 === 1), "orders_b.parquet")
+    val streamed = graft.streaming.IngestStream.streamMergeOrders(
+      spark, root.toString, "orders_*.parquet",
+      Tables.load(spark, sf, "customer"), orders.schema)
+    val batch = graft.ops.EtlOps.q73MergeUpsert(spark, sf)
+    assert(streamed.collect().map(_.toSeq).toSeq ===
+      batch.collect().map(_.toSeq).toSeq)
+  }
+
+  // ------------------------------------------------------- q80 latest-per-key
+  test("latest-per-key agg equals the row_number window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus").desc, col("event_id").desc)
+    val windowed = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"),
+        col("tus").as("last_tus"))
+      .orderBy("user_id")
+    assert(graft.ops.EtlOps.q80LatestPerKey(spark, sf).collect().map(_.toSeq).toSeq ===
+      windowed.collect().map(_.toSeq).toSeq)
+  }
+
   // ------------------------------------------------------------ q77 centroids
   test("label centroids: one row per (label, pos) and counts match the table") {
     val c = graft.ops.SimilarityOps.q77LabelCentroids(spark, sf)
