@@ -170,11 +170,73 @@ object EtlOps {
         col("le.tus").as("last_tus"))
       .orderBy("user_id")
 
+  // ---------------------------------------------------------------- q81
+  /** Sequential FUNNEL analysis — ordered-stage conversion over the event
+    * stream (signup → first click at-or-after it → first purchase
+    * at-or-after that), the product-analytics operator sessionization
+    * does not cover because stages must happen in ORDER. Three per-user
+    * conditional min-aggregations chained by key joins — every stage is
+    * one (partial-combined) groupBy on user_id plus a narrow join of
+    * per-user stage times; nothing resembling a per-user sort or event
+    * collection exists, so the plan is flat aggregations at any scale.
+    * Time math stays in integer microseconds until the final single
+    * division per output cell (IEEE ops on exact integers — engine-
+    * deterministic), so the one-row report keeps an exact oracle. */
+  def q81EventFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tus").as("t_s"))
+    val cl = e.filter(col("event_type") === "click")
+      .join(su, "user_id").filter(col("tus") >= col("t_s"))
+      .groupBy("user_id").agg(min("tus").as("t_c"), min("t_s").as("t_s2"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .join(cl.select("user_id", "t_c"), "user_id").filter(col("tus") >= col("t_c"))
+      .groupBy("user_id").agg(min("tus").as("t_p"), min("t_c").as("t_c2"))
+    val hours = 3600.0 * 1000 * 1000
+    // one-row sides compose via broadcast cross joins — no driver collect
+    e.agg(countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(broadcast(su.agg(count(lit(1)).as("n_signup"))))
+      .crossJoin(broadcast(
+        cl.agg(count(lit(1)).as("n_click"),
+          round((sum(col("t_c") - col("t_s2")).cast("double") / count(lit(1))) / hours, 4)
+            .as("avg_h_signup_to_click"))))
+      .crossJoin(broadcast(
+        pu.agg(count(lit(1)).as("n_purchase"),
+          round((sum(col("t_p") - col("t_c2")).cast("double") / count(lit(1))) / hours, 4)
+            .as("avg_h_click_to_purchase"))))
+      .select(col("n_users"), col("n_signup"), col("n_click"),
+        col("n_purchase"), col("avg_h_signup_to_click"), col("avg_h_click_to_purchase"))
+  }
+
+  // ---------------------------------------------------------------- q82
+  /** RETENTION cohort grid — users cohorted by their first-activity week,
+    * activity counted per (cohort_week, week_offset) cell: the standard
+    * engagement matrix. Weeks are PURE INTEGER math on epoch microseconds
+    * (us div day div 7 — no calendar functions, so no engine drift and no
+    * timezone surface). Two shuffles total: the per-user first-week
+    * aggregation and the cell rollup; the user→cohort attach is a narrow
+    * key join. count(DISTINCT user) per cell is exact (Spark expands it
+    * to a two-level aggregate — still partial-combined on the first
+    * level). */
+  def q82RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000 div 7").as("week"))
+    val cohort = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+    e.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_merge_upsert" -> (q73MergeUpsert _),
     "q75_bloom_join" -> (q75BloomJoin _),
-    "q80_latest_per_key" -> (q80LatestPerKey _))
+    "q80_latest_per_key" -> (q80LatestPerKey _),
+    "q81_event_funnel" -> (q81EventFunnel _),
+    "q82_retention_cohorts" -> (q82RetentionCohorts _))
 
   val oracle: Map[String, String] = Map(
     "q73_merge_upsert" ->
@@ -207,6 +269,40 @@ object EtlOps {
         | le.event_type AS last_type, le.value AS last_value,
         | le.tus AS last_tus
         |FROM m ORDER BY user_id""".stripMargin,
+    "q81_event_funnel" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |su AS (
+        | SELECT user_id, min(tus) AS t_s FROM e
+        | WHERE event_type = 'signup' GROUP BY user_id),
+        |cl AS (
+        | SELECT e.user_id, min(e.tus) AS t_c, min(su.t_s) AS t_s2
+        | FROM e JOIN su ON e.user_id = su.user_id
+        | WHERE e.event_type = 'click' AND e.tus >= su.t_s
+        | GROUP BY e.user_id),
+        |pu AS (
+        | SELECT e.user_id, min(e.tus) AS t_p, min(cl.t_c) AS t_c2
+        | FROM e JOIN cl ON e.user_id = cl.user_id
+        | WHERE e.event_type = 'purchase' AND e.tus >= cl.t_c
+        | GROUP BY e.user_id)
+        |SELECT
+        | (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+        | (SELECT count(*) FROM su) AS n_signup,
+        | (SELECT count(*) FROM cl) AS n_click,
+        | (SELECT count(*) FROM pu) AS n_purchase,
+        | (SELECT round((CAST(sum(t_c - t_s2) AS DOUBLE) / count(*)) / 3600000000.0, 4)
+        |    FROM cl) AS avg_h_signup_to_click,
+        | (SELECT round((CAST(sum(t_p - t_c2) AS DOUBLE) / count(*)) / 3600000000.0, 4)
+        |    FROM pu) AS avg_h_click_to_purchase""".stripMargin,
+    "q82_retention_cohorts" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) // 86400000000 // 7 AS week FROM events),
+        |c AS (
+        | SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+        |SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+        | count(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q75_bloom_join" ->
       """SELECT l.l_returnflag, count(*) AS n_items,
         | CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

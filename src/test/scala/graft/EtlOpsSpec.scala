@@ -177,6 +177,61 @@ class EtlOpsSpec extends AnyFunSuite {
       windowed.collect().map(_.toSeq).toSeq)
   }
 
+  // ------------------------------------------------------------ q81 funnel
+  test("funnel stages are ordered and monotonically shrinking") {
+    val f = graft.ops.EtlOps.q81EventFunnel(spark, sf).head
+    val (nU, nS, nC, nP) = (f.getLong(0), f.getLong(1), f.getLong(2), f.getLong(3))
+    assert(nU >= nS && nS >= nC && nC >= nP)
+    assert(nC > 0) // the corpus has converting users
+    // stage latencies are non-negative by construction of the time joins
+    assert(f.getDouble(4) >= 0.0 && f.getDouble(5) >= 0.0)
+  }
+
+  test("funnel click stage only counts clicks at-or-after the user's signup") {
+    val e = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tus").as("t_s"))
+    // a user whose clicks are all BEFORE signup must not be in the click stage
+    val expected = e.filter(col("event_type") === "click")
+      .join(su, "user_id").filter(col("tus") >= col("t_s"))
+      .select("user_id").distinct().count()
+    assert(graft.ops.EtlOps.q81EventFunnel(spark, sf).head.getLong(2) === expected)
+  }
+
+  // ---------------------------------------------------------- q82 retention
+  test("retention cohort grid partitions per-user activity exactly") {
+    val r = graft.ops.EtlOps.q82RetentionCohorts(spark, sf)
+    // offset 0 exists for every cohort (the cohort week itself is active)
+    val cohorts = r.select("cohort_week").distinct().count()
+    assert(r.filter(col("week_offset") === 0).count() === cohorts)
+    assert(r.filter(col("week_offset") < 0).count() === 0)
+    // each cohort's offset-0 cell counts exactly its first-week users
+    val e = Tables.load(spark, sf, "events")
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000 div 7").as("week"))
+    val firsts = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+      .groupBy("cohort_week").agg(count(lit(1)).as("n_new"))
+    val bad = r.filter(col("week_offset") === 0)
+      .join(firsts, "cohort_week").filter(col("n_active") =!= col("n_new"))
+    assert(bad.count() === 0)
+  }
+
+  // ---------------------------------------------------------- compaction
+  test("compaction collapses small files without changing the data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val src = Tables.load(spark, sf, "orders")
+    src.repartition(17).write.parquet(dir)
+    val sumBefore = spark.read.parquet(dir)
+      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+      .head.getDecimal(0)
+    val (before, after) = graft.ingest.Compaction.compact(spark, dir)
+    assert(before === 17 && after < 17)
+    val out = spark.read.parquet(dir)
+    assert(out.count() === src.count())
+    assert(out.agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+      .head.getDecimal(0) === sumBefore)
+  }
+
   // ------------------------------------------------------------ q77 centroids
   test("label centroids: one row per (label, pos) and counts match the table") {
     val c = graft.ops.SimilarityOps.q77LabelCentroids(spark, sf)
