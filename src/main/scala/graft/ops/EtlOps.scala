@@ -21,8 +21,9 @@ import graft.Tables
 object EtlOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
-  private def ntz(c: Column): Column = c.cast("timestamp_ntz")
-  private def tsLit(s: String): Column = lit(java.time.LocalDateTime.parse(s))
+  // the one timestamp convention, shared with Relational
+  private def ntz(c: Column): Column = Relational.ntz(c)
+  private def tsLit(s: String): Column = Relational.tsLit(s)
   private val dec = DecimalType(18, 2)
 
   // ---------------------------------------------------------------- q73
@@ -120,15 +121,21 @@ object EtlOps {
     * crosses the exchange only if it (almost certainly) joins. Spark's AQE
     * injects the same shape automatically for some plans
     * (spark.sql.optimizer.runtime.bloomFilter.enabled); this operator is
-    * the explicit, always-on form with the filter sized from the dim-side
-    * row estimate. The membership probe is a broadcast-local UDF call per
-    * row — cheap relative to the exchange bytes it saves, though (unlike a
-    * fused native expression) not codegen-inlined. */
+    * the explicit, always-on form, sized by default from an exact count of
+    * the build side (one extra cheap aggregate over the side the sketch
+    * scans anyway — an undersized filter saturates to fpp ~ 1 and silently
+    * stops filtering). The membership probe is a broadcast-local UDF call
+    * per row — cheap relative to the exchange bytes it saves, though
+    * (unlike a fused native expression) not codegen-inlined. */
   def bloomSemiFilter(probe: DataFrame, probeKey: String,
                       build: DataFrame, buildKey: String,
-                      expectedItems: Long = 100000L,
+                      expectedItems: Option[Long] = None,
                       fpp: Double = 0.01): DataFrame = {
-    val bf = build.stat.bloomFilter(buildKey, expectedItems, fpp)
+    // size from the build side itself unless the caller knows better — a
+    // hardcoded capacity silently saturates at scale (fpp -> 1) and the
+    // prefilter stops filtering while still charging for the probe
+    val items = expectedItems.getOrElse(math.max(1L, build.count()))
+    val bf = build.stat.bloomFilter(buildKey, items, fpp)
     val bcast = probe.sparkSession.sparkContext.broadcast(bf)
     val might = udf((k: Long) => bcast.value.mightContain(k))
     probe.filter(might(col(probeKey)))
@@ -194,16 +201,19 @@ object EtlOps {
       .join(cl.select("user_id", "t_c"), "user_id").filter(col("tus") >= col("t_c"))
       .groupBy("user_id").agg(min("tus").as("t_p"), min("t_c").as("t_c2"))
     val hours = 3600.0 * 1000 * 1000
+    // latencies stay UNROUNDED doubles: integer sums cast exactly, and the
+    // two IEEE divisions are deterministic in both engines — a final
+    // round(double) is the one step that can diverge cross-engine
     // one-row sides compose via broadcast cross joins — no driver collect
     e.agg(countDistinct(col("user_id")).as("n_users"))
       .crossJoin(broadcast(su.agg(count(lit(1)).as("n_signup"))))
       .crossJoin(broadcast(
         cl.agg(count(lit(1)).as("n_click"),
-          round((sum(col("t_c") - col("t_s2")).cast("double") / count(lit(1))) / hours, 4)
+          ((sum(col("t_c") - col("t_s2")).cast("double") / count(lit(1))) / hours)
             .as("avg_h_signup_to_click"))))
       .crossJoin(broadcast(
         pu.agg(count(lit(1)).as("n_purchase"),
-          round((sum(col("t_p") - col("t_c2")).cast("double") / count(lit(1))) / hours, 4)
+          ((sum(col("t_p") - col("t_c2")).cast("double") / count(lit(1))) / hours)
             .as("avg_h_click_to_purchase"))))
       .select(col("n_users"), col("n_signup"), col("n_click"),
         col("n_purchase"), col("avg_h_signup_to_click"), col("avg_h_click_to_purchase"))
@@ -290,9 +300,9 @@ object EtlOps {
         | (SELECT count(*) FROM su) AS n_signup,
         | (SELECT count(*) FROM cl) AS n_click,
         | (SELECT count(*) FROM pu) AS n_purchase,
-        | (SELECT round((CAST(sum(t_c - t_s2) AS DOUBLE) / count(*)) / 3600000000.0, 4)
+        | (SELECT (CAST(sum(t_c - t_s2) AS DOUBLE) / count(*)) / 3600000000.0
         |    FROM cl) AS avg_h_signup_to_click,
-        | (SELECT round((CAST(sum(t_p - t_c2) AS DOUBLE) / count(*)) / 3600000000.0, 4)
+        | (SELECT (CAST(sum(t_p - t_c2) AS DOUBLE) / count(*)) / 3600000000.0
         |    FROM pu) AS avg_h_click_to_purchase""".stripMargin,
     "q82_retention_cohorts" ->
       """WITH e AS (

@@ -36,9 +36,10 @@ import graft.Tables
 object Relational {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
-  /** Normalize any timestamp flavor to NTZ (session tz is pinned UTC). */
-  private def ntz(c: Column): Column = c.cast("timestamp_ntz")
-  private def tsLit(s: String): Column = lit(java.time.LocalDateTime.parse(s))
+  /** Normalize any timestamp flavor to NTZ (session tz is pinned UTC).
+    * Shared across ops (EtlOps) so the timestamp convention lives once. */
+  private[ops] def ntz(c: Column): Column = c.cast("timestamp_ntz")
+  private[ops] def tsLit(s: String): Column = lit(java.time.LocalDateTime.parse(s))
 
   import org.apache.spark.sql.types.DecimalType
   /** Exact accumulation for 2-decimal money/value columns. Summing doubles

@@ -279,8 +279,12 @@ object SimilarityOps {
         round(col("v").cast("double"), 7).cast(dec).as("vq"))
       .groupBy("label", "pos")
       .agg(count(lit(1)).as("n_vecs"), sum(col("vq")).as("s"))
+      // the quotient stays UNROUNDED: the decimal sum casts to the same
+      // correctly-rounded double in both engines and one IEEE division is
+      // deterministic — a final round(double) would reintroduce the
+      // ...5-boundary divergence the decimal pin exists to avoid
       .select(col("label"), col("pos"), col("n_vecs"),
-        round(col("s").cast("double") / col("n_vecs"), 6).as("centroid"))
+        (col("s").cast("double") / col("n_vecs")).as("centroid"))
       .orderBy("label", "pos")
   }
 
@@ -307,7 +311,7 @@ object SimilarityOps {
         |  CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(18,7)) AS vq
         | FROM ix)
         |SELECT label, pos, count(*) AS n_vecs,
-        | round(CAST(sum(vq) AS DOUBLE) / count(*), 6) AS centroid
+        | CAST(sum(vq) AS DOUBLE) / count(*) AS centroid
         |FROM c GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q53_cosine_topk_native" ->
       """WITH e AS (

@@ -66,7 +66,7 @@ class EtlOpsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------ q72 tfidf
   test("tfidf: ranks are 1..N per lang and ordered by score desc") {
-    val t = EtlOpsSpecHelpers.tfidf(spark, sf)
+    val t = TextOps.q72TfidfTerms(spark, sf)
     import spark.implicits._
     val byLang = t.select("lang", "rk", "score").as[(String, Long, Double)]
       .collect().groupBy(_._1)
@@ -232,6 +232,16 @@ class EtlOpsSpec extends AnyFunSuite {
       .head.getDecimal(0) === sumBefore)
   }
 
+  test("compaction refuses a streaming-sink table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_sink").toString + "/t"
+    Tables.load(spark, sf, "region").write.parquet(dir)
+    java.nio.file.Files.createDirectory(java.nio.file.Path.of(dir, "_spark_metadata"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ingest.Compaction.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("_spark_metadata"))
+  }
+
   // ------------------------------------------------------------ q77 centroids
   test("label centroids: one row per (label, pos) and counts match the table") {
     val c = graft.ops.SimilarityOps.q77LabelCentroids(spark, sf)
@@ -292,13 +302,4 @@ class EtlOpsSpec extends AnyFunSuite {
       .orderBy("segment", "event_type")
     assert(stream.collect().map(_.toSeq).toSeq === batch.collect().map(_.toSeq).toSeq)
   }
-}
-
-/** q72 on the shared testdata corpus, memoized — three tests read it. */
-object EtlOpsSpecHelpers {
-  private var cached: Option[org.apache.spark.sql.DataFrame] = None
-  def tfidf(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    synchronized {
-      cached.getOrElse { val t = TextOps.q72TfidfTerms(s, d); cached = Some(t); t }
-    }
 }
