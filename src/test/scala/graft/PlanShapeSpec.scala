@@ -58,4 +58,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning(s_suppkey"), plan)
     assert(!plan.contains("Exchange hashpartitioning(n_nationkey"), plan)
   }
+
+  test("q74: chunking is a pure generator — no exchange before the output sort") {
+    // the only exchange allowed is the final presentation ordering
+    val plan = planOf(ops.TextOps.q74DocChunks(spark, TestSpark.sf))
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("q77: centroid aggregation partial-combines before its one exchange") {
+    val df = ops.SimilarityOps.q77LabelCentroids(spark, TestSpark.sf)
+    val plan = planOf(df)
+    // exactly one hash-partition exchange (the label,pos aggregate); the
+    // presentation orderBy adds only a rangepartitioning
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1, plan)
+    // partial aggregation must sit below the exchange (map-side combine):
+    // the sum arrives at the exchange as a partial decimal accumulator,
+    // never as raw component rows
+    assert(plan.contains("partial_sum") || plan.contains("partial sum") ||
+      plan.contains("HashAggregate(keys=[label"), plan)
+  }
+
+  test("q80: latest-per-key is one aggregation, never a window sort") {
+    val plan = planOf(ops.EtlOps.q80LatestPerKey(spark, TestSpark.sf))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("row_number"), plan)
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1, plan)
+  }
+
+  test("q78: pii scrub plans zero shuffles before the output sort") {
+    val plan = planOf(ops.TextOps.q78PiiScrub(spark, TestSpark.sf))
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }
