@@ -27,20 +27,6 @@ object EtlOps {
   private val dec = DecimalType(18, 2)
 
   // ---------------------------------------------------------------- q73
-  /** CDC MERGE / upsert: apply a change set onto a base snapshot in one
-    * pass — the incremental sibling of the reference's full-snapshot load.
-    * Base = the customer snapshot taken before key 1200 existed; delta =
-    * per-customer order totals since the cutoff, pre-aggregated to one row
-    * per key (the MERGE contract). The merge itself is a full-outer join
-    * on the key producing the classic three-way action split:
-    * `update` (both sides), `insert` (delta only), `keep` (base only).
-    *
-    * Scale: one shuffle on the key for the delta aggregation (partial
-    * map-side combine first) and one for the join; AQE handles a skewed
-    * key. Side presence is detected via explicit marker columns, not
-    * null-ness of payload columns — a null acctbal in the base must not
-    * reclassify the row. Money math in DECIMAL(18,2), cast once at the
-    * end, so the merged balances are exact. */
   /** The base snapshot: customers below key 1200, balances pinned to
     * DECIMAL(18,2). State schema from here on:
     * (custkey, acctbal, in_base, delta_bal, n_orders) — acctbal/in_base
@@ -100,6 +86,20 @@ object EtlOps {
         coalesce(col("delta_bal"), lit(0).cast(dec))).cast("double").as("new_bal"),
       coalesce(col("n_orders"), lit(0L)).as("n_orders"))
 
+  /** CDC MERGE / upsert: apply a change set onto a base snapshot in one
+    * pass — the incremental sibling of the reference's full-snapshot load.
+    * Base = the customer snapshot taken before key 1200 existed; delta =
+    * per-customer order totals since the cutoff, pre-aggregated to one row
+    * per key (the MERGE contract). The merge itself is a full-outer join
+    * on the key producing the classic three-way action split:
+    * `update` (both sides), `insert` (delta only), `keep` (base only).
+    *
+    * Scale: one shuffle on the key for the delta aggregation (partial
+    * map-side combine first) and one for the join; AQE handles a skewed
+    * key. Base-side presence is an explicit marker column and delta-side
+    * presence is the accumulator's null state — a null acctbal in the
+    * base must not reclassify the row. Money math in DECIMAL(18,2), cast
+    * once at the end, so the merged balances are exact. */
   def q73MergeUpsert(s: SparkSession, d: String): DataFrame =
     presentMerge(mergeState(mergeBaseState(t(s, d, "customer")),
       deltaAgg(t(s, d, "orders"))))
@@ -148,8 +148,8 @@ object EtlOps {
     li.join(urgent, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
-        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"))
+        Relational.dsum(col("l_quantity")).as("sum_qty"),
+        Relational.dsum(col("l_extendedprice")).as("sum_price"))
       .orderBy("l_returnflag")
   }
 

@@ -47,7 +47,7 @@ object Relational {
     * between Spark's partial-agg order and DuckDB's sequential order (seen
     * once at sf0.01). Summing in DECIMAL is exact and order-free; the single
     * final cast to double is IEEE-deterministic in both engines. */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+  private[ops] def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
   private def davg(c: Column): Column = dsum(c) / count(lit(1))
   /** Exact sum(price * (1 - discount)) via 4-decimal decimal products.
     * The exact wide-scale decimal is rounded to scale 2 BEFORE the double

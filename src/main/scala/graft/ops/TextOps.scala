@@ -329,8 +329,8 @@ object TextOps {
     * training pipeline (what vocabulary dominates each stratum once
     * ubiquitous terms are discounted). Semantics: df(term) = corpus-wide
     * distinct-document frequency, tf(lang, term) = total occurrences in
-    * that language, score = tf * round(ln(N/df), 6) rounded to 4; per-lang
-    * top `topN` by (score desc, term).
+    * that language, score = tf x round(ln(N/df), 6) as an exact decimal
+    * product; per-lang top `topN` by (score desc, term).
     *
     * Exactness: every aggregate is an INTEGER count — doubles appear only
     * in the final one-row-per-term projection (never summed), so there is

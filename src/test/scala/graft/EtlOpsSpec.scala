@@ -140,17 +140,12 @@ class EtlOpsSpec extends AnyFunSuite {
     // split the orders delta across two files -> two micro-batches
     val root = java.nio.file.Files.createTempDirectory("graft_q79_spec")
     val orders = Tables.load(spark, sf, "orders")
-    def promote(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      // the stream's pathGlobFilter matches LEAF file names, so each delta
-      // must land as a plain file like the driver testdata tables
-      val stage = s"$root/stage_$name"
-      df.coalesce(1).write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath, java.nio.file.Path.of(s"$root/$name"))
-    }
-    promote(orders.filter(col("o_orderkey") % 2 === 0), "orders_a.parquet")
-    promote(orders.filter(col("o_orderkey") % 2 === 1), "orders_b.parquet")
+    // pathGlobFilter matches LEAF file names, so each delta must land as a
+    // plain file like the driver testdata tables
+    TestSpark.writeSingleFile(
+      orders.filter(col("o_orderkey") % 2 === 0), s"$root/orders_a.parquet")
+    TestSpark.writeSingleFile(
+      orders.filter(col("o_orderkey") % 2 === 1), s"$root/orders_b.parquet")
     val streamed = graft.streaming.IngestStream.streamMergeOrders(
       spark, root.toString, "orders_*.parquet",
       Tables.load(spark, sf, "customer"), orders.schema)

@@ -19,25 +19,15 @@ class IngestStreamSpec extends AnyFunSuite {
     val src = s"$root/src"; val dst = s"$root/dst"; val ckpt = s"$root/ckpt"
 
     def stage(rows: Seq[(Long, String, Double)], sub: String): Unit =
-      rows.toDF("id", "name", "score").coalesce(1)
-        .write.option("header", "true").csv(s"$root/stage_$sub") // staging dir
-    def promote(sub: String): Unit = {
-      // move the staged part file into the watched dir under a stable name
-      val dir = new java.io.File(s"$root/stage_$sub")
-      val part = dir.listFiles().filter(_.getName.endsWith(".csv")).head
-      new java.io.File(src).mkdirs()
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Path.of(src, s"$sub.csv"))
-    }
+      TestSpark.writeSingleFile(rows.toDF("id", "name", "score"),
+        s"$src/$sub.csv", format = "csv")
 
     stage(Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)), "batch1")
-    promote("batch1")
     IngestStream.drainCsvToParquet(spark, src, dst, ckpt, schema)
     assert(spark.read.parquet(dst).count() === 3)
 
     // second batch: only the new file is ingested
     stage(Seq((4L, "d", 4.5), (5L, "e", 5.5)), "batch2")
-    promote("batch2")
     IngestStream.drainCsvToParquet(spark, src, dst, ckpt, schema)
     val after = spark.read.parquet(dst)
     assert(after.count() === 5)

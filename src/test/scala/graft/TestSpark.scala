@@ -20,4 +20,21 @@ object TestSpark {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Write `df` as ONE plain data file at `dest` (driver-testdata layout:
+    * the file IS the table) — what a pathGlobFilter'd stream source or a
+    * single-file fixture needs; Spark's writers only produce directories.
+    * `format`: "parquet" or "csv" (csv written with a header). */
+  def writeSingleFile(df: org.apache.spark.sql.DataFrame, dest: String,
+                      format: String = "parquet"): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_single").toString
+    val w = df.coalesce(1).write.mode("overwrite")
+    (if (format == "csv") w.option("header", "true") else w).format(format).save(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(s".$format")).head
+    val destPath = java.nio.file.Path.of(dest)
+    Option(destPath.getParent).foreach(p => java.nio.file.Files.createDirectories(p))
+    java.nio.file.Files.move(part.toPath, destPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 }
