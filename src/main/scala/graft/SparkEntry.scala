@@ -54,6 +54,9 @@ object SparkEntry {
         // the streaming CDC apply folds batch-by-batch to the same state
         // as the one-shot merge — same oracle as q73 by construction
         "q79_stream_merge" -> EtlOps.oracle("q73_merge_upsert"),
+        // the built-in session_window at gap+1us is the same session
+        // predicate as q28's lag formulation — same oracle by construction
+        "q83_session_window" -> Relational.oracle("q28_sessionize"),
         "q55_stream_hourly" -> Relational.oracle("q23_events_hourly"),
         "q60_stream_sessionize" -> Relational.oracle("q28_sessionize"),
         // the stream-stream interval join must equal the batch interval join

@@ -441,6 +441,39 @@ object Relational {
       .orderBy("user_id", "session_seq")
   }
 
+  // ---------------------------------------------------------------- q83
+  /** Sessionization via the BUILT-IN `session_window` aggregation — the
+    * declarative twin of q28's lag+running-sum formulation (and the third
+    * implementation of the one session contract, after the stateful
+    * stream q60). One subtlety makes them bit-equal rather than
+    * almost-equal: `session_window(ts, g)` spans [t, t+g) and merges a
+    * successor only when diff < g STRICTLY, while the gap definition
+    * merges at diff <= gap; at integer-microsecond resolution
+    * `g = gap + 1us` makes "diff < g" and "diff <= gap" the same
+    * predicate, so the query shares q28's exact oracle BY CONSTRUCTION —
+    * no reliance on the corpus lacking exactly-gap-spaced events.
+    * Plan-wise this is one hash aggregate over (user, merged window) after
+    * Spark's session-merge pass — the engine-native shape a user should
+    * reach for first; session_seq is re-derived by one window over the
+    * (small) per-session output. */
+  def q83SessionWindow(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val e = t(s, d, "events").select(col("user_id"), col("value"),
+      timestamp_micros(expr("ts div 1000")).as("ets"))
+    val agg = e
+      .groupBy(col("user_id"),
+        session_window(col("ets"), s"${gapUs + 1} microseconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+    val w = Window.partitionBy("user_id").orderBy(col("sw.start"))
+    agg
+      .withColumn("session_seq", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_seq"),
+        ntz(col("sw.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
   // ---------------------------------------------------------------- q57
   /** RANGE-framed window: 10-minute rolling event-time aggregate per user —
     * the time-based sibling of q21's ROWS frame. Frame bounds are integer
@@ -554,6 +587,7 @@ object Relational {
     "q26_range_band_join" -> (q26RangeBandJoin _),
     "q27_grouping_sets" -> (q27GroupingSets _),
     "q28_sessionize" -> (q28Sessionize _),
+    "q83_session_window" -> (q83SessionWindow _),
     "q54_topk_group_native" -> (q54TopKPerGroupNative _),
     "q57_window_range" -> (q57WindowRange _),
     "q58_conditionals" -> (q58Conditionals _),

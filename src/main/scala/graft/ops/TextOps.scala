@@ -436,6 +436,38 @@ object TextOps {
       md5(redact(col("text")).cast("binary")).as("redacted_md5"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- q84
+  /** QUALITY-WEIGHTED deterministic sampling — q65's content-hash draw
+    * with a PER-DOCUMENT keep probability equal to the document's q33
+    * quality score: keep iff the first two hex digits of the salted
+    * content digest fall below floor(quality * 256). High-quality
+    * documents survive at ~their score, low-quality ones are mostly
+    * dropped — the importance-sampling step between scoring and training,
+    * with every property of the content-hash family intact (re-run-,
+    * re-shard- and engine-stable; selection is map-side, only the audit
+    * rollup shuffles). Keep rates quantize to /256 like q65; the report
+    * shows realized rate and the kept quality mass (decimal sums) next to
+    * the totals. Same >= 256 clamp as [[stratifiedKeep]]: a perfect score
+    * keeps with certainty rather than hashing against a 3-char literal. */
+  def q84WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val dec4 = org.apache.spark.sql.types.DecimalType(18, 4)
+    val q = qualityScore(col("text"), col("n_chars"))
+    val cut = floor(q * 256).cast("int")
+    val keep = when(cut >= 256, lit(true))
+      .otherwise(contentSampleHash("graft-wsample-42") < format_string("%02x", cut))
+    t(s, d, "documents")
+      .select(col("lang"), q.as("q"), keep.as("keep"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        sum(col("q").cast(dec4)).cast("double").as("sum_q_all"),
+        sum(when(col("keep"), col("q")).cast(dec4)).cast("double").as("sum_q_kept"))
+      .select(col("lang"), col("n_total"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_total")).as("rate"),
+        col("sum_q_all"), col("sum_q_kept"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
@@ -452,7 +484,8 @@ object TextOps {
     "q70_quality_prune" -> ((s: SparkSession, d: String) => q70QualityPrune(s, d)),
     "q72_tfidf_terms" -> ((s: SparkSession, d: String) => q72TfidfTerms(s, d)),
     "q74_doc_chunks" -> ((s: SparkSession, d: String) => q74DocChunks(s, d)),
-    "q78_pii_scrub" -> (q78PiiScrub _))
+    "q78_pii_scrub" -> (q78PiiScrub _),
+    "q84_weighted_sample" -> (q84WeightedSample _))
 
   private def duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
@@ -602,6 +635,22 @@ object TextOps {
          |   '$urlPattern', '<URL>', 'g'),
          |   '$phonePattern', '<PHONE>', 'g')) AS redacted_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q84_weighted_sample" ->
+      s"""WITH s AS (
+         | SELECT lang, $duckQualityScore AS q,
+         |  substr(md5('graft-wsample-42:' || regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 2) AS h
+         | FROM documents),
+         |k AS (
+         | SELECT lang, q,
+         |  CASE WHEN CAST(floor(q * 256) AS INT) >= 256 THEN TRUE
+         |       ELSE h < printf('%02x', CAST(floor(q * 256) AS INT)) END AS keep
+         | FROM s)
+         |SELECT lang, count(*) AS n_total,
+         | count(CASE WHEN keep THEN 1 END) AS n_kept,
+         | CAST(count(CASE WHEN keep THEN 1 END) AS DOUBLE) / count(*) AS rate,
+         | CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sum_q_all,
+         | CAST(sum(CASE WHEN keep THEN CAST(q AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_q_kept
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     "q35_lang_id" -> {
       def score(l: String): String = {
         val lst = stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")

@@ -211,6 +211,43 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  // ------------------------------------------------------ q83 session_window
+  test("built-in session_window equals the lag formulation row for row") {
+    val builtin = graft.ops.Relational.q83SessionWindow(spark, sf)
+    val lagForm = graft.ops.Relational.q28Sessionize(spark, sf)
+    assert(builtin.collect().map(_.toSeq).toSeq ===
+      lagForm.collect().map(_.toSeq).toSeq)
+  }
+
+  test("session_window gap+1us merges an exactly-gap-spaced successor like q28 does") {
+    import spark.implicits._
+    // two events exactly 30min apart: q28's diff<=gap merges them; the
+    // built-in's strict < would split them without the +1us adjustment
+    val gapUs = 30L * 60 * 1000 * 1000
+    val t0 = 1700000000000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_q83").toString
+    TestSpark.writeSingleFile(
+      Seq((1L, t0 * 1000, 7L, "click", 1.0, "{}"),
+        (2L, (t0 + gapUs) * 1000, 7L, "click", 2.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      s"$dir/events.parquet")
+    val sessions = graft.ops.Relational.q83SessionWindow(spark, dir).collect()
+    assert(sessions.length === 1 && sessions.head.getLong(3) === 2L)
+  }
+
+  // ---------------------------------------------------------- q84 weighted
+  test("weighted sample keeps at roughly the quality-score rate per lang") {
+    val r = graft.ops.TextOps.q84WeightedSample(spark, sf)
+      .withColumn("avg_q", col("sum_q_all") / col("n_total"))
+    // the content-hash draw realizes ~avg quality per stratum (/256
+    // quantization + sampling noise; the corpus has >=90 docs per lang)
+    val off = r.filter(abs(col("rate") - col("avg_q")) > 0.2)
+    assert(off.count() === 0)
+    assert(r.filter(col("n_kept") >= col("n_total")).count() === 0)
+    // kept mass is a strict subset of total mass
+    assert(r.filter(col("sum_q_kept") > col("sum_q_all")).count() === 0)
+  }
+
   // ---------------------------------------------------------- compaction
   test("compaction collapses small files without changing the data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
