@@ -134,8 +134,31 @@ object StatsOps {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q85
+  /** Fixed-width HISTOGRAM — equi-width value binning per event type
+    * (bin = floor(value / width)), the distribution-sketching aggregate
+    * behind dashboards and data-quality monitors. The bin id is integer
+    * floor of one IEEE division (engine-deterministic), counts are
+    * integers, and the per-bin value mass sums in DECIMAL — so the whole
+    * histogram keeps an exact oracle. One shuffle on (type, bin) with full
+    * map-side combine; bin cardinality is bounded by the value range, not
+    * the row count, so the result stays tiny at any scale. */
+  def q85ValueHistogram(s: SparkSession, d: String, width: Double = 10.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    t(s, d, "events")
+      .select(col("event_type"), col("value"),
+        floor(col("value") / width).cast("long").as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .withColumn("bin_lo", col("bin") * width)
+      .select("event_type", "bin", "bin_lo", "n_events", "sum_value")
+      .orderBy("event_type", "bin")
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_value_histogram" -> ((s: SparkSession, d: String) => q85ValueHistogram(s, d)),
     "q45_percentiles" -> (q45Percentiles _),
     "q46_moments" -> (q46Moments _),
     "q47_collect_sorted" -> (q47CollectSorted _),
@@ -146,6 +169,12 @@ object StatsOps {
     "q52_approx_distinct" -> (q52ApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "q85_value_histogram" ->
+      """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+        | CAST(floor(value / 10.0) AS BIGINT) * 10.0 AS bin_lo,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q45_percentiles" ->
       """SELECT o_orderstatus,
         | round(quantile_cont(o_totalprice, 0.25), 4) AS p25,

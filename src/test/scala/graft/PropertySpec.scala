@@ -86,6 +86,20 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
 
+  property("chunk formula covers every token with stride-spaced starts") =
+    // pure-function check of q74's integer chunk-count formula: for any
+    // token count the windows start at 0, stride, 2*stride, ..., the last
+    // start is < n (or 0 for empty docs), and the windows cover [0, n)
+    Prop.forAll(Gen.choose(0, 500)) { n =>
+      val window = 64; val stride = 48
+      val nChunks = 1 + (math.max(n - window, 0) + stride - 1) / stride
+      val starts = (0 until nChunks).map(_ * stride)
+      val covered = starts.forall(s => s == 0 || s < n) &&
+        (n == 0 || starts.last + window >= n)
+      val dense = starts.zip(starts.drop(1)).forall { case (a, b) => b - a == stride }
+      covered && dense
+    }
+
   property("parquet roundtrip is identity per value") =
     // NOTE deliberately not sum()-based: a double sum is NOT order-stable
     // across repartitioning (ScalaCheck falsified that version immediately

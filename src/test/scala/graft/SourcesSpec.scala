@@ -91,4 +91,21 @@ class SourcesSpec extends AnyFunSuite {
     val parts = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(parts === 1)
   }
+
+  test("schema evolution: mergeSchema unions columns across parquet batches") {
+    import spark.implicits._
+    // batch 1 predates the `score` column; batch 2 added it — the evolved
+    // read must union the schemas and null-fill the old batch, which is
+    // what lets an ingest pipeline add columns without rewriting history
+    val dir = tmp() + "/evolving"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 9.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("id", "name", "score"))
+    assert(merged.count() === 3)
+    assert(merged.filter(col("score").isNull).count() === 2)
+    assert(merged.filter(col("id") === 3).head.getAs[Double]("score") === 9.5)
+  }
 }
