@@ -28,6 +28,8 @@ object SparkEntry {
           ((s: SparkSession, d: String) => graft.streaming.IngestStream.q79StreamMerge(s, d)),
         "q55_stream_hourly" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q55StreamHourly(s, d)),
+        "q87_stream_hopping" ->
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q87StreamHopping(s, d)),
         "q60_stream_sessionize" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q60StreamSessionize(s, d)),
         "q63_stream_interval_join" ->
@@ -58,6 +60,8 @@ object SparkEntry {
         // predicate as q28's lag formulation — same oracle by construction
         "q83_session_window" -> Relational.oracle("q28_sessionize"),
         "q55_stream_hourly" -> Relational.oracle("q23_events_hourly"),
+        // the hopping stream must land on the batch hopping answer
+        "q87_stream_hopping" -> Relational.oracle("q86_hopping_window"),
         "q60_stream_sessionize" -> Relational.oracle("q28_sessionize"),
         // the stream-stream interval join must equal the batch interval join
         "q63_stream_interval_join" ->

@@ -353,6 +353,28 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .orderBy("hour_start", "event_type")
 
+  // ---------------------------------------------------------------- q86
+  /** HOPPING (sliding) windows — the built-in `window(col, size, slide)`
+    * with a 1 h window advancing every 15 min, so each event lands in
+    * size/slide = 4 overlapping windows. This is the smoothing rollup a
+    * monitoring pipeline runs next to the tumbling q23: same single
+    * shuffle on (window, event_type), with the 4× fan-out generated
+    * MAP-SIDE by the window generator before the partial aggregate — at
+    * 100 TB the exchange carries (n_windows × n_types) partial rows per
+    * partition, not 4× the events. Spark aligns hop starts to the epoch,
+    * so window_start = (tus div slide − k)·slide for k < size/slide —
+    * integer µs math the oracle reproduces with a generate_series cross
+    * join. Emitted as timestamp_ntz like every window key here. */
+  def q86HoppingWindow(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(
+        window(ntz(tsFromNanos("ts")), "1 hour", "15 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
   // ---------------------------------------------------------------- q24
   /** JSON extraction from the props column + aggregate. */
   def q24EventsJson(s: SparkSession, d: String): DataFrame =
@@ -582,6 +604,7 @@ object Relational {
     "q21_window_running" -> (q21WindowRunning _),
     "q22_window_topn_group" -> (q22WindowTopNPerGroup _),
     "q23_events_hourly" -> (q23EventsHourly _),
+    "q86_hopping_window" -> (q86HoppingWindow _),
     "q24_events_json" -> (q24EventsJson _),
     "q25_asof_join" -> (q25AsofJoin _),
     "q26_range_band_join" -> (q26RangeBandJoin _),
@@ -779,6 +802,14 @@ object Relational {
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
          | event_type, count(*) AS n_events, ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // hop starts are epoch-aligned integer-µs arithmetic: window k of an
+    // event at tus starts at (tus//slide - k)*slide, k < size/slide
+    "q86_hopping_window" ->
+      s"""SELECT make_timestamp(((epoch_us(ts) // 900000000) - g.k) * 900000000)
+         |  AS win_start,
+         | event_type, count(*) AS n_events, ${sqlDsum("value")} AS sum_value
+         |FROM events CROSS JOIN generate_series(0, 3) AS g(k)
+         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "q24_events_json" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(k) AS BIGINT) AS sum_k,

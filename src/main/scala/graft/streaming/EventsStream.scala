@@ -78,6 +78,32 @@ object EventsStream {
     s.table(name).orderBy("hour_start", "event_type")
   }
 
+  /** q87: HOPPING windows as a stream — the built-in `window(col, size,
+    * slide)` generator under the streaming engine (1 h windows advancing
+    * every 15 min, complete-mode drain like q55). Each event fans out
+    * into 4 overlapping windows MAP-SIDE before the stateful aggregate,
+    * so streaming state is keyed by (window, event_type) — bounded by the
+    * number of open windows, not by events. Shares the batch q86 oracle:
+    * the stream must land on exactly the batch answer. */
+  def q87StreamHopping(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val agg = readEventsNanos(s, d)
+      .groupBy(
+        window(timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"),
+          "1 hour", "15 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val name = "graft_stream_hopping"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("win_start", "event_type")
+  }
+
   /** Tumbling 1h event-time windows with a 2h watermark — the streaming twin
     * of the batch hourly rollup. */
   def hourlyCounts(events: DataFrame): DataFrame =

@@ -41,6 +41,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(sMatch.getLong(2) === bRow.getLong(2))
   }
 
+  test("hopping-window stream == batch hopping windows, 4x fan-out") {
+    val streamed = EventsStream.q87StreamHopping(spark, TestSpark.sf)
+    val batch = ops.Relational.q86HoppingWindow(spark, TestSpark.sf)
+    // every event lands in exactly size/slide = 4 windows
+    val total = Tables.load(spark, TestSpark.sf, "events").count()
+    assert(streamed.agg(sum("n_events")).head.getLong(0) === total * 4)
+    assert(streamed.collect().toSeq === batch.collect().toSeq)
+  }
+
   test("stateful sessionization emits gap-closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventsStream.Event]
