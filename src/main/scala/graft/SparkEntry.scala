@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{DedupOps, EtlOps, GraphOps, MultimodalOps, Relational, SimilarityOps, StatsOps, TextOps}
+import graft.ops.{DedupOps, EtlOps, GraphOps, LayoutOps, MultimodalOps, Relational, SimilarityOps, StatsOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
       GraphOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
-      StatsOps.queries ++ EtlOps.queries ++
+      StatsOps.queries ++ EtlOps.queries ++ LayoutOps.queries ++
       Map(
         "q76_stream_static_join" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q76StreamStaticJoin(s, d)),
@@ -42,7 +42,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
       GraphOps.oracle ++ SimilarityOps.oracle ++ MultimodalOps.oracle ++
-      StatsOps.oracle ++ EtlOps.oracle ++
+      StatsOps.oracle ++ EtlOps.oracle ++ LayoutOps.oracle ++
       // streaming twins of q23/q28: same semantics, so literally the same
       // oracle strings — the stream must produce the batch answer
       Map(

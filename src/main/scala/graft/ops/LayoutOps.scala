@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Physical-layout and data-profiling operators — the table-maintenance
+  * surface a 100 TB lakehouse runs between ingest and query, entirely
+  * beyond the reference's one-shot write (`/root/reference/src/main.rs`
+  * writes a single parquet and never revisits layout):
+  *
+  *  - Z-ORDER clustering key ([[q88ZorderLayout]]): interleave the bits of
+  *    two dimensions so sorting by ONE key co-locates rows that are close
+  *    in BOTH — the multi-dimensional file-skipping trick (each file's
+  *    min/max footer range stays tight on every z-ordered column, so a
+  *    predicate on any of them prunes files).
+  *  - Column profiler ([[q92ColumnProfile]]): per-column null counts,
+  *    distinct counts and value ranges in one unpivot + one aggregate —
+  *    the stats pass that feeds both data-quality gates and the optimizer
+  *    hints above.
+  */
+object LayoutOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  // ---------------------------------------------------------------- q88
+  /** Bit-spread a 16-bit value x into the even bit positions of a 32-bit
+    * word via the classic magic-number doubling steps (public-domain
+    * "Interleave bits by Binary Magic Numbers" — Stanford bit-twiddling
+    * hacks). Pure integer shift/mask arithmetic, so the SAME formula runs
+    * unchanged in any engine with `<<` and `&` — [[sqlSpread16]] prints it
+    * as ANSI SQL for the oracle, generated from the same step table so
+    * the two can never drift. */
+  private val spreadSteps: Seq[(Int, Long)] = Seq(
+    8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L, 1 -> 0x55555555L)
+
+  def spread16(c: Column): Column =
+    spreadSteps.foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFL))) {
+      case (x, (sh, mask)) => x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(mask))
+    }
+
+  /** Morton/Z-order key of two 16-bit dimensions: a in even bits, b odd. */
+  def zorder2(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** The identical computation as ANSI SQL text (for the DuckDB oracle). */
+  def sqlSpread16(e: String): String =
+    spreadSteps.foldLeft(s"(CAST($e AS BIGINT) & 65535)") {
+      case (x, (sh, mask)) => s"(($x | ($x << $sh)) & $mask)"
+    }
+
+  def sqlZorder2(a: String, b: String): String =
+    s"(${sqlSpread16(a)} | (${sqlSpread16(b)} << 1))"
+
+  /** Z-ORDER LAYOUT audit over `part`, clustering on (p_size,
+    * floor(p_retailprice)): every row gets its interleaved z-key, rows are
+    * binned into fixed-width z-ranges (the stand-ins for output files of a
+    * `repartitionByRange(zkey).sortWithinPartitions(zkey)` rewrite), and
+    * the report shows each bin's row count and its min/max on BOTH
+    * dimensions — the exact footer ranges a file-skipping scan would
+    * prune against. Tight per-bin ranges on both columns is the property
+    * z-ordering buys; a single-column sort would leave the other column's
+    * range per file at full width.
+    *
+    * Both dimensions are first rescaled to the SAME 10-bit domain
+    * (p_size·20 ∈ [20,1000]; price ∈ [900,1000) → floor(price·10)−9000 ∈
+    * [0,1000), pure IEEE double ops so both engines land on identical
+    * ints) — with unequal OCCUPIED bit widths the interleave's top bits
+    * would all come from the wider column and the z-key would degenerate
+    * to a single-column sort (measured: the un-normalized price spans
+    * only [900,999], its top bits constant, and the audit collapsed to 8
+    * size-only bins). The bin id is the z-key's top log2(bins) bits = the
+    * top bits of BOTH dims alternating, so each of the 64 bins spans
+    * ~1/8 of each dimension's range.
+    *
+    * Scale: the z-key and bin id are map-side codegen'd integer ops; the
+    * only shuffle is the final per-bin aggregate (64 groups). The real
+    * table rewrite at 100 TB is `repartitionByRange` on the SAME key —
+    * range boundaries from Spark's sampled partitioner — followed by a
+    * per-file footer check identical to this report. Fixed-width bins
+    * (not ntile) keep the audit itself shuffle-light: an ntile over a
+    * global order would funnel every row through one window task. */
+  def q88ZorderLayout(s: SparkSession, d: String, bins: Int = 64): DataFrame = {
+    // both dims in [0, 1024) => z < 2^20; bins fixed-width over that domain
+    val width = (1L << 20) / bins
+    t(s, d, "part")
+      .select(col("p_size"),
+        (floor(col("p_retailprice") * 10).cast("long") - 9000).as("price_i"))
+      .withColumn("zkey", zorder2(col("p_size") * 20, col("price_i")))
+      .groupBy((col("zkey") / width).cast("long").as("zbin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("p_size").as("min_size"), max("p_size").as("max_size"),
+        min("price_i").as("min_price"), max("price_i").as("max_price"))
+      .orderBy("zbin")
+  }
+
+  // ---------------------------------------------------------------- q92
+  /** COLUMN PROFILER — the per-column stats pass (null count, exact
+    * distinct count, min/max) over `orders`, shaped as ONE unpivot + ONE
+    * aggregate: each row fans out map-side into (column_name, value_str)
+    * pairs via `stack`, and a single groupBy(column_name) computes every
+    * metric. Each type gets an explicit TOTAL-ORDER-PRESERVING string
+    * rendering (keys zero-padded so lexicographic == numeric; money as
+    * zero-padded integer cents via floor(x*100) — the one double→exact
+    * conversion that is pure IEEE arithmetic on both engines, where a
+    * double→DECIMAL cast rounds differently per engine; timestamps in
+    * ISO form), so min/max are the true per-column ranges and
+    * engine-exact.
+    *
+    * Scale: the n_cols× fan-out happens before the partial aggregate, so
+    * the exchange carries one partial row per (column, partition) — the
+    * same shape as q86's window fan-out. Exact distinct counts shuffle
+    * the distinct (column, value) pairs once; a 100 TB profile would flip
+    * that one metric to approx_count_distinct and keep the rest of the
+    * plan unchanged (q52 is that sketch, measured). */
+  def q92ColumnProfile(s: SparkSession, d: String): DataFrame = {
+    // (profile column, Spark SQL rendering) — the DuckDB twins live in the
+    // oracle below; every rendering is order-preserving within its column
+    val rendered: Seq[(String, String)] = Seq(
+      "o_orderkey" -> "lpad(CAST(o_orderkey AS STRING), 12, '0')",
+      "o_custkey" -> "lpad(CAST(o_custkey AS STRING), 12, '0')",
+      "o_orderstatus" -> "o_orderstatus",
+      "o_totalprice" ->
+        "lpad(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS STRING), 12, '0')",
+      "o_orderpriority" -> "o_orderpriority",
+      "o_orderdate" -> "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')")
+    val pairs = rendered.map { case (n, e) => s"'$n', $e" }
+    t(s, d, "orders")
+      .select(expr(s"stack(${rendered.size}, ${pairs.mkString(", ")}) AS (col_name, val)"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("val")).as("n_non_null"),
+        countDistinct(col("val")).as("n_distinct"),
+        min("val").as("min_val"), max("val").as("max_val"))
+      .orderBy("col_name")
+  }
+
+  // ------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_zorder_layout" -> ((s: SparkSession, d: String) => q88ZorderLayout(s, d)),
+    "q92_column_profile" -> (q92ColumnProfile _))
+
+  val oracle: Map[String, String] = Map(
+    "q88_zorder_layout" ->
+      s"""WITH p AS (SELECT p_size,
+         |  CAST(floor(p_retailprice * 10) AS BIGINT) - 9000 AS price_i FROM part)
+         |SELECT ${sqlZorder2("p_size * 20", "price_i")}
+         |   // 16384 AS zbin,
+         | count(*) AS n_rows,
+         | min(p_size) AS min_size, max(p_size) AS max_size,
+         | min(price_i) AS min_price, max(price_i) AS max_price
+         |FROM p GROUP BY 1 ORDER BY zbin""".stripMargin,
+    "q92_column_profile" ->
+      """WITH u AS (
+        | SELECT 'o_orderkey' AS col_name,
+        |   lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS val FROM orders
+        | UNION ALL SELECT 'o_custkey',
+        |   lpad(CAST(o_custkey AS VARCHAR), 12, '0') FROM orders
+        | UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        | UNION ALL SELECT 'o_totalprice',
+        |   lpad(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), 12, '0')
+        |   FROM orders
+        | UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        | UNION ALL SELECT 'o_orderdate',
+        |   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') FROM orders)
+        |SELECT col_name, count(*) AS n_rows, count(val) AS n_non_null,
+        | count(DISTINCT val) AS n_distinct,
+        | min(val) AS min_val, max(val) AS max_val
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin)
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.LayoutOps
+
+/** Layout + profiling operators: the z-order audit must actually deliver
+  * multi-dimensional locality, and the profiler's metrics must agree with
+  * directly-computed per-column answers. */
+class LayoutOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("z-order bins are tight on BOTH dimensions (the file-skipping claim)") {
+    val bins = LayoutOps.q88ZorderLayout(spark, TestSpark.sf).collect()
+    assert(bins.length > 1)
+    val nRows = bins.map(_.getAs[Long]("n_rows")).sum
+    assert(nRows === Tables.load(spark, TestSpark.sf, "part").count())
+    // every bin must span well under the full range of each dimension —
+    // the property a single-column sort cannot give on its second column
+    // (size domain 1..50, price domain 0..999 after normalization)
+    bins.foreach { r =>
+      assert(r.getAs[Int]("max_size") - r.getAs[Int]("min_size") <= 13)
+      assert(r.getAs[Long]("max_price") - r.getAs[Long]("min_price") <= 256)
+    }
+  }
+
+  test("column profiler equals directly-computed per-column stats") {
+    val prof = LayoutOps.q92ColumnProfile(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val orders = Tables.load(spark, TestSpark.sf, "orders")
+    val n = orders.count()
+    assert(prof.keySet === Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderpriority", "o_orderdate"))
+    prof.values.foreach(r => assert(r.getAs[Long]("n_rows") === n))
+    val status = prof("o_orderstatus")
+    val direct = orders.agg(
+      countDistinct("o_orderstatus"), min("o_orderstatus"), max("o_orderstatus"))
+      .head
+    assert(status.getAs[Long]("n_distinct") === direct.getLong(0))
+    assert(status.getAs[String]("min_val") === direct.getString(1))
+    assert(status.getAs[String]("max_val") === direct.getString(2))
+    // zero-padded key rendering preserves numeric order
+    val keys = prof("o_orderkey")
+    val kDirect = orders.agg(min("o_orderkey"), max("o_orderkey")).head
+    assert(keys.getAs[String]("min_val").toLong === kDirect.getLong(0))
+    assert(keys.getAs[String]("max_val").toLong === kDirect.getLong(1))
+  }
+}

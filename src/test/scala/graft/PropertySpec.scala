@@ -100,6 +100,20 @@ object PropertySpec extends Properties("graft") {
       covered && dense
     }
 
+  property("z-order interleave matches the naive bit loop and roundtrips") =
+    Prop.forAll(Gen.choose(0, 0xFFFF), Gen.choose(0, 0xFFFF)) { (a: Int, b: Int) =>
+      // reference: place bit i of a at position 2i, bit i of b at 2i+1
+      val naive = (0 until 16).foldLeft(0L) { (z, i) =>
+        z | (((a >> i) & 1).toLong << (2 * i)) | (((b >> i) & 1).toLong << (2 * i + 1))
+      }
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(graft.ops.LayoutOps.zorder2(col("a"), col("b"))).head.getLong(0)
+      // deinterleave the engine's key back to the inputs
+      val backA = (0 until 16).foldLeft(0) { (x, i) => x | ((((got >> (2 * i)) & 1) << i).toInt) }
+      val backB = (0 until 16).foldLeft(0) { (x, i) => x | ((((got >> (2 * i + 1)) & 1) << i).toInt) }
+      got == naive && backA == a && backB == b
+    }
+
   property("parquet roundtrip is identity per value") =
     // NOTE deliberately not sum()-based: a double sum is NOT order-stable
     // across repartitioning (ScalaCheck falsified that version immediately
