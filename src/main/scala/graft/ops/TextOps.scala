@@ -469,7 +469,79 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------------
+  // ---------------------------------------------------------------- q89
+  /** INVERTED INDEX build — term → document-frequency + the head of the
+    * sorted postings list, the retrieval-side structure of a corpus store.
+    * The heavy part is shaped for scale: distinct (term, doc_id) pairs are
+    * ranked per term by a window row_number (sort-based, STREAMS each
+    * term's postings — it never materializes a popular term's full list in
+    * memory the way sort_array(collect_list(...)) would for a stopword at
+    * 100 TB), and the follow-up aggregate collects only the rn ≤ 20 head
+    * (collect_list skips the nulls the `when` leaves for the tail). Both
+    * run on the same term-hash partitioning, so the pairs shuffle once.
+    * The top-50-by-df report cut is TakeOrderedAndProject, not a global
+    * sort. */
+  def q89InvertedIndex(s: SparkSession, d: String, headN: Int = 20,
+                       topTerms: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = t(s, d, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(sort_array(collect_list(when(col("rn") <= headN, col("doc_id")))),
+            _.cast("string")), ",").as("postings_head"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(topTerms)
+  }
+
+  // ---------------------------------------------------------------- q90
+  /** Token CO-OCCURRENCE PMI over the top-V vocabulary — the collocation
+    * scorer of a corpus-analysis pipeline: for vocabulary terms a < b,
+    * pmi(a,b) = ln(N·c_ab / (c_a·c_b)) over document frequencies. The
+    * vocabulary cut (top 50 terms by df, deterministic (df desc, term)
+    * tiebreak) is what makes the pair stage scale-honest: the per-document
+    * self-join runs AFTER a broadcast semi-join against the 50-term
+    * vocabulary, so a document contributes at most V²/2 pairs no matter
+    * how long it is, and the vocabulary itself is a TakeOrdered top-k,
+    * never a global sort. Counts are exact longs; the one double divide
+    * runs on exactly-representable integers and ln parity follows the
+    * measured q72 rule (StrictMath.log == DuckDB ln after 6-dp rounding,
+    * pinned to DECIMAL). */
+  def q90TokenPmi(s: SparkSession, d: String, vocabN: Int = 50,
+                  topPairs: Int = 30): DataFrame = {
+    val docs = t(s, d, "documents")
+    val pairs = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val vocab = pairs.groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(vocabN)
+    val tv = pairs.join(broadcast(vocab), "term")
+      .select(col("doc_id"), col("term"), col("c"))
+    val co = tv.as("x").join(tv.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("x.term") < col("y.term"))
+      .groupBy(col("x.term").as("term_a"), col("y.term").as("term_b"),
+        col("x.c").as("c_a"), col("y.c").as("c_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    co.crossJoin(broadcast(nDocs))
+      .withColumn("pmi_d",
+        round(log((col("c_ab") * col("n_docs")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .orderBy(col("pmi_d").desc, col("term_a"), col("term_b"))
+      .limit(topPairs)
+      .select(col("term_a"), col("term_b"), col("c_a"), col("c_b"),
+        col("c_ab"), col("pmi_d").cast("double").as("pmi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_inverted_index" -> ((s: SparkSession, d: String) => q89InvertedIndex(s, d)),
+    "q90_token_pmi" -> ((s: SparkSession, d: String) => q90TokenPmi(s, d)),
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_distinct_rows" -> (q31DistinctRows _),
     "q32_text_tokens" -> (q32TextTokens _),
@@ -497,6 +569,32 @@ object TextOps {
        |       / len($duckToks)), 4)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q89_inverted_index" ->
+      s"""WITH pairs AS (SELECT DISTINCT doc_id, term FROM (
+         |  SELECT doc_id, unnest($duckToks) AS term FROM documents)),
+         |r AS (SELECT term, doc_id,
+         |  row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM pairs)
+         |SELECT term, count(*) AS df,
+         | string_agg(CASE WHEN rn <= 20 THEN CAST(doc_id AS VARCHAR) END,
+         |   ',' ORDER BY doc_id) AS postings_head
+         |FROM r GROUP BY term ORDER BY df DESC, term LIMIT 50""".stripMargin,
+    "q90_token_pmi" ->
+      s"""WITH pairs AS (SELECT DISTINCT doc_id, term FROM (
+         |  SELECT doc_id, unnest($duckToks) AS term FROM documents)),
+         |v AS (SELECT term, count(*) AS c FROM pairs GROUP BY term
+         |  ORDER BY c DESC, term LIMIT 50),
+         |tv AS (SELECT p.doc_id, p.term, v.c FROM pairs p JOIN v USING (term)),
+         |co AS (SELECT x.term AS term_a, y.term AS term_b,
+         |  x.c AS c_a, y.c AS c_b, count(*) AS c_ab
+         |  FROM tv x JOIN tv y ON x.doc_id = y.doc_id AND x.term < y.term
+         |  GROUP BY 1, 2, 3, 4),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT term_a, term_b, c_a, c_b, c_ab,
+         |  CAST(round(ln(CAST(c_ab * n_docs AS DOUBLE)
+         |    / CAST(c_a * c_b AS DOUBLE)), 6) AS DECIMAL(18,6)) AS pmi_d
+         |  FROM co CROSS JOIN n)
+         |SELECT term_a, term_b, c_a, c_b, c_ab, CAST(pmi_d AS DOUBLE) AS pmi
+         |FROM sc ORDER BY pmi_d DESC, term_a, term_b LIMIT 30""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         | CAST(length(text) AS INT) AS text_len
