@@ -241,7 +241,33 @@ object EtlOps {
   }
 
   // ------------------------------------------------------------------------
+  // ---------------------------------------------------------------- q93
+  /** SCD TYPE-2 HISTORY build — turn a change feed into versioned validity
+    * intervals, the warehouse-dimension sibling of the CDC merge (q73
+    * keeps only current state; this keeps every version): each order is a
+    * version of its customer's purchasing state, valid from its own date
+    * until the next order's date (`lead`), the last version open-ended
+    * and flagged current. One window per key — a single shuffle on
+    * custkey and a streaming per-key sort, the same shape at any scale;
+    * (date, orderkey) ordering makes same-day versions deterministic.
+    * All values pass through untouched (timestamps and the raw double),
+    * so the oracle is exact by construction. */
+  def q93Scd2History(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("custkey").orderBy("valid_from", "order_key")
+    t(s, d, "orders")
+      .filter(col("o_custkey") % 20 === 1)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("order_key"),
+        ntz(col("o_orderdate")).as("valid_from"),
+        col("o_totalprice").as("totalprice"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("custkey", "version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_scd2_history" -> (q93Scd2History _),
     "q73_merge_upsert" -> (q73MergeUpsert _),
     "q75_bloom_join" -> (q75BloomJoin _),
     "q80_latest_per_key" -> (q80LatestPerKey _),
@@ -249,6 +275,17 @@ object EtlOps {
     "q82_retention_cohorts" -> (q82RetentionCohorts _))
 
   val oracle: Map[String, String] = Map(
+    "q93_scd2_history" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_custkey % 20 = 1)
+        |SELECT o_custkey AS custkey, o_orderkey AS order_key,
+        | CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+        | o_totalprice AS totalprice,
+        | CAST(row_number() OVER w AS BIGINT) AS version,
+        | lead(CAST(o_orderdate AS TIMESTAMP), 1) OVER w AS valid_to,
+        | (lead(o_orderdate, 1) OVER w IS NULL) AS is_current
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY custkey, version""".stripMargin,
     "q73_merge_upsert" ->
       """WITH base AS (
         | SELECT c_custkey AS custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal

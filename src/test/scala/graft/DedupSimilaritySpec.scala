@@ -455,4 +455,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[String].collect()
     assert(fps(0) === fps(1))
   }
+
+  test("blocked fuzzy match finds the planted cold/old name variants only in-block") {
+    val m = DedupOps.q91FuzzyBlocked(spark, TestSpark.sf).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      // pairs always share the blocking noun and respect the threshold
+      assert(a.split(" ")(1) === b.split(" ")(1))
+      assert(r.getAs[Int]("dist") <= 3 && a < b)
+    }
+    // the planted near-identical family: 'cold <noun>' vs 'old <noun>' at distance 1
+    val d1 = m.filter(_.getAs[Int]("dist") === 1)
+    assert(d1.nonEmpty)
+    assert(d1.forall(r => r.getString(0).startsWith("cold ") &&
+      r.getString(1).startsWith("old ")))
+  }
 }

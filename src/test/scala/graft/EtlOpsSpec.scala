@@ -323,6 +323,23 @@ class EtlOpsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------ q76 stream-static
+  test("SCD2 history: dense versions, chained intervals, one current row per key") {
+    val hist = ops.EtlOps.q93Scd2History(spark, sf).collect()
+      .groupBy(_.getAs[Long]("custkey"))
+    assert(hist.nonEmpty)
+    hist.values.foreach { rows =>
+      val byV = rows.sortBy(_.getAs[Long]("version"))
+      assert(byV.map(_.getAs[Long]("version")).toSeq === (1L to rows.length).toSeq)
+      // each version's valid_to is exactly the next version's valid_from
+      byV.zip(byV.drop(1)).foreach { case (cur, nxt) =>
+        assert(cur.getAs[java.time.LocalDateTime]("valid_to") ===
+          nxt.getAs[java.time.LocalDateTime]("valid_from"))
+      }
+      assert(byV.count(_.getAs[Boolean]("is_current")) === 1)
+      assert(byV.last.getAs[Boolean]("is_current"))
+    }
+  }
+
   test("stream-static enrichment equals the batch join aggregate") {
     val stream = graft.streaming.EventsStream.q76StreamStaticJoin(spark, sf)
     val batch = Tables.load(spark, sf, "events")
