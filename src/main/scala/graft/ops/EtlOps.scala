@@ -266,7 +266,46 @@ object EtlOps {
       .orderBy("custkey", "version")
   }
 
+  // ---------------------------------------------------------------- q95
+  /** Time-grid RESAMPLE + LOCF gap-fill — the time-series regularization
+    * step (per-entity hourly grid, missing hours zero-counted, state
+    * carried forward from the last observation): each user's event stream
+    * becomes a dense hourly series from their first to their last active
+    * hour. Three shuffle-once-on-user_id stages: (1) per-(user, hour)
+    * rollup keeping the LATEST event value via the q80 max-struct trick
+    * (full map-side combine, deterministic (tus, event_id) tiebreak);
+    * (2) the grid generated map-side from each user's [first, last] hour
+    * span (`sequence` + explode — the generator fan-out shape again);
+    * (3) forward fill as `last(value, ignoreNulls) over rows unbounded
+    * preceding` — a streaming frame, O(1) state per row. Hour ids stay
+    * integer hours-since-epoch end to end; the carried value is a raw
+    * passthrough double — nothing to round, oracle exact. */
+  def q95ResampleFfill(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, d, "events").filter(col("user_id") < 8)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_id"), col("value"))
+      .withColumn("hour_id", expr("tus div 3600000000"))
+    val hourly = e.groupBy("user_id", "hour_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("tus"), col("event_id"), col("value"))).as("le"))
+      .select(col("user_id"), col("hour_id"), col("n_events"),
+        col("le.value").as("last_in_hour"))
+    val grid = e.groupBy("user_id")
+      .agg(min("hour_id").as("h0"), max("hour_id").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour_id"))
+    val w = Window.partitionBy("user_id").orderBy("hour_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour_id"), "left")
+      .select(col("user_id"), col("hour_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("last_in_hour"),
+        last(col("last_in_hour"), ignoreNulls = true).over(w).as("value_locf"))
+      .orderBy("user_id", "hour_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_resample_ffill" -> (q95ResampleFfill _),
     "q93_scd2_history" -> (q93Scd2History _),
     "q73_merge_upsert" -> (q73MergeUpsert _),
     "q75_bloom_join" -> (q75BloomJoin _),
@@ -275,6 +314,27 @@ object EtlOps {
     "q82_retention_cohorts" -> (q82RetentionCohorts _))
 
   val oracle: Map[String, String] = Map(
+    "q95_resample_ffill" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS tus, event_id, value,
+        |  epoch_us(ts) // 3600000000 AS hour_id
+        | FROM events WHERE user_id < 8),
+        |h AS (
+        | SELECT user_id, hour_id, count(*) AS n_events,
+        |  max(struct_pack(tus := tus, event_id := event_id, value := value)) AS le
+        | FROM e GROUP BY 1, 2),
+        |hh AS (SELECT user_id, hour_id, n_events, le.value AS last_in_hour FROM h),
+        |span AS (SELECT user_id, min(hour_id) AS h0, max(hour_id) AS h1
+        |  FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hour_id FROM span)
+        |SELECT g.user_id, g.hour_id,
+        | coalesce(hh.n_events, 0) AS n_events, hh.last_in_hour,
+        | last_value(hh.last_in_hour IGNORE NULLS) OVER (
+        |   PARTITION BY g.user_id ORDER BY g.hour_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+        |FROM grid g LEFT JOIN hh
+        |  ON g.user_id = hh.user_id AND g.hour_id = hh.hour_id
+        |ORDER BY g.user_id, g.hour_id""".stripMargin,
     "q93_scd2_history" ->
       """WITH o AS (SELECT * FROM orders WHERE o_custkey % 20 = 1)
         |SELECT o_custkey AS custkey, o_orderkey AS order_key,

@@ -566,6 +566,27 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  // ---------------------------------------------------------------- q94
+  /** Distribution-RANK feature family — ntile / percent_rank / cume_dist
+    * per market segment over account balance, the quantile-position
+    * features a feature-engineering pass attaches before binning or
+    * calibration. One window per key (single shuffle on segment +
+    * streaming per-partition sort). The ordering includes the unique
+    * custkey tiebreak, so every rank function is total-order
+    * deterministic; percent_rank and cume_dist are then single IEEE
+    * divides of exact integer positions — engine-exact without any
+    * rounding. */
+  def q94RankFeatures(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+  }
+
   // ---------------------------------------------------------------- q54
   /** q22's semantics through the custom physical operator
     * (graft.plans.TopKPerGroupExec): bounded per-group heaps with a
@@ -613,6 +634,7 @@ object Relational {
     "q83_session_window" -> (q83SessionWindow _),
     "q54_topk_group_native" -> (q54TopKPerGroupNative _),
     "q57_window_range" -> (q57WindowRange _),
+    "q94_rank_features" -> (q94RankFeatures _),
     "q58_conditionals" -> (q58Conditionals _),
     "q59_min_cost_supplier" -> (q59MinCostSupplier _))
 
@@ -802,6 +824,14 @@ object Relational {
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
          | event_type, count(*) AS n_events, ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q94_rank_features" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        | CAST(ntile(10) OVER w AS INT) AS decile,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin,
     // hop starts are epoch-aligned integer-µs arithmetic: window k of an
     // event at tus starts at (tus//slide - k)*slide, k < size/slide
     "q86_hopping_window" ->

@@ -539,7 +539,31 @@ object TextOps {
         col("c_ab"), col("pmi_d").cast("double").as("pmi"))
   }
 
+  // ---------------------------------------------------------------- q96
+  /** Deterministic K-PER-GROUP sampling — the fixed-size sibling of the
+    * rate-based q65/q84 samplers: exactly min(k, |group|) documents per
+    * language, chosen as the k smallest salted content digests (a hash
+    * defines a uniform random-but-reproducible total order, so this is a
+    * seeded uniform sample that never moves under re-sharding or re-runs,
+    * and adding documents only ever displaces the hash-largest picks).
+    * Runs through the engine's own TopKPerGroup physical operator —
+    * bounded per-group heaps with a map-side partial pass — instead of a
+    * row_number window, so the 100 TB shape holds: no per-partition full
+    * sort, only k candidates per group per partition cross the exchange.
+    * The oracle states the same semantics as a window rank. */
+  def q96GroupSample(s: SparkSession, d: String, k: Int = 10): DataFrame =
+    graft.plans.TopK.perGroup(
+      t(s, d, "documents")
+        .withColumn("h", md5(concat(lit("graft-ksample-42:"),
+          regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")))
+        .select("lang", "h", "doc_id", "n_chars"),
+      groupCols = Seq("lang"),
+      orderBy = Seq(("h", true), ("doc_id", true)),
+      k = k, rankName = "rk")
+      .orderBy("lang", "rk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_group_sample" -> ((s: SparkSession, d: String) => q96GroupSample(s, d)),
     "q89_inverted_index" -> ((s: SparkSession, d: String) => q89InvertedIndex(s, d)),
     "q90_token_pmi" -> ((s: SparkSession, d: String) => q90TokenPmi(s, d)),
     "q30_dedup_exact" -> (q30DedupExact _),
@@ -569,6 +593,17 @@ object TextOps {
        |       / len($duckToks)), 4)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q96_group_sample" ->
+      """WITH h AS (
+        | SELECT lang, md5('graft-ksample-42:'
+        |    || regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
+        |  doc_id, n_chars
+        | FROM documents),
+        |r AS (SELECT lang, h, doc_id, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS INT) AS rk
+        | FROM h)
+        |SELECT lang, h, doc_id, n_chars, rk FROM r WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin,
     "q89_inverted_index" ->
       s"""WITH pairs AS (SELECT DISTINCT doc_id, term FROM (
          |  SELECT doc_id, unnest($duckToks) AS term FROM documents)),

@@ -340,6 +340,28 @@ class EtlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resample+LOCF: dense hourly grid, counts preserved, state carries forward") {
+    val grid = ops.EtlOps.q95ResampleFfill(spark, sf).collect()
+    val byUser = grid.groupBy(_.getLong(0))
+    assert(byUser.nonEmpty)
+    byUser.values.foreach { rows =>
+      val hours = rows.map(_.getLong(1)).sorted
+      // dense: every hour between first and last exists exactly once
+      assert(hours.toSeq === (hours.head to hours.last).toSeq)
+      // first and last grid hours are real observations by construction
+      assert(rows.minBy(_.getLong(1)).getLong(2) > 0)
+      assert(rows.maxBy(_.getLong(1)).getLong(2) > 0)
+      // LOCF: null only before the first observation (never, here), and
+      // on observed hours the carried value equals the hour's own last
+      rows.sortBy(_.getLong(1)).foreach { r =>
+        assert(!r.isNullAt(4))
+        if (!r.isNullAt(3)) assert(r.getDouble(4) === r.getDouble(3))
+      }
+    }
+    val total = Tables.load(spark, sf, "events").filter(col("user_id") < 8).count()
+    assert(grid.map(_.getLong(2)).sum === total)
+  }
+
   test("stream-static enrichment equals the batch join aggregate") {
     val stream = graft.streaming.EventsStream.q76StreamStaticJoin(spark, sf)
     val batch = Tables.load(spark, sf, "events")

@@ -92,4 +92,35 @@ class RelationalSpec extends AnyFunSuite {
       .filter(col("n_ev") =!= col("count") || col("n_sessions") > col("count"))
     assert(joined.count() === 0)
   }
+
+  test("q94 rank features: deciles balanced, pct_rank/cume monotone in [0,1]") {
+    val rows = ops.Relational.q94RankFeatures(spark, TestSpark.sf).collect()
+    val bySeg = rows.groupBy(_.getString(1))
+    bySeg.values.foreach { seg =>
+      val deciles = seg.map(_.getAs[Int]("decile"))
+      assert(deciles.min === 1 && deciles.max === 10)
+      // ntile balance: bucket sizes differ by at most 1
+      val sizes = deciles.groupBy(identity).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1)
+      val ordered = seg.sortBy(r => (r.getDouble(2), r.getLong(0)))
+      val pct = ordered.map(_.getAs[Double]("pct_rank"))
+      val cume = ordered.map(_.getAs[Double]("cume"))
+      assert(pct.head === 0.0 && pct.last === 1.0 && cume.last === 1.0)
+      assert(pct.zip(pct.drop(1)).forall { case (a, b) => a <= b })
+      assert(cume.zip(cume.drop(1)).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("q96 k-per-group sample: exactly min(k, group size) rows, re-run stable") {
+    val s1 = ops.TextOps.q96GroupSample(spark, TestSpark.sf).collect()
+    val sizes = s1.groupBy(_.getString(0)).view.mapValues(_.length)
+    val langTotals = Tables.load(spark, TestSpark.sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(n === math.min(10L, langTotals(lang)).toInt)
+    }
+    val s2 = ops.TextOps.q96GroupSample(spark, TestSpark.sf).collect()
+    assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
+  }
 }
