@@ -135,10 +135,66 @@ object LayoutOps {
       .orderBy("col_name")
   }
 
+  // ---------------------------------------------------------------- q97
+  /** ANTI-ENTROPY table diff — bucketed content checksums, the replica /
+    * snapshot comparison primitive: render each row canonically, hash it,
+    * and SUM the hashes per key bucket. Addition is commutative, so the
+    * bucket checksum is independent of row order, partitioning and merge
+    * history — two tables agree on a bucket iff (modulo a 2⁻⁵⁶ collision)
+    * they hold the same rows. Comparing 100 TB replicas becomes one
+    * map-side-combined aggregate per side and a 64-row join; a mismatched
+    * bucket localizes the repair scan to keys ≡ bucket (mod 64) instead
+    * of a full-table resync (the rsync/Merkle idea, one level deep).
+    *
+    * The demo diffs `lineitem` against itself minus one row and flags
+    * exactly the bucket holding the removed key. Hash = first 14 hex
+    * digits of md5 as a 56-bit int (both engines agree on the hex); sums
+    * accumulate in DECIMAL(38,0) — 10⁶ rows × 2⁵⁶ would overflow an ANSI
+    * long — and fold to a stable BIGINT via mod 2⁶². */
+  private val checksumMod = 4611686018427387904L // 2^62
+
+  /** 56-bit row content hash of a canonical '|'-joined rendering. */
+  def rowHash56(rendered: Column): Column =
+    conv(substring(md5(rendered.cast("binary")), 1, 14), 16, 10)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+
+  private def lineitemRendered: Column =
+    concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"),
+      floor(col("l_extendedprice") * 100).cast("long"),
+      col("l_returnflag"))
+
+  def bucketChecksums(rows: DataFrame, buckets: Int = 64): DataFrame =
+    rows
+      .withColumn("bucket", pmod(col("l_orderkey"), lit(buckets)))
+      .withColumn("h", rowHash56(lineitemRendered))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("h")) % checksumMod).cast("long").as("checksum"))
+
+  def q97TableChecksum(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "lineitem")
+    // the injected diff: drop the minimum order's rows — present at every
+    // SF by construction (a fixed literal key is not), so the report always
+    // shows exactly one mismatched bucket
+    val minKey = base.agg(min("l_orderkey").as("mk"))
+    val mutated = base.join(broadcast(minKey), col("l_orderkey") === col("mk"),
+      "left_anti")
+    val a = bucketChecksums(base)
+      .withColumnRenamed("n_rows", "n_rows_a").withColumnRenamed("checksum", "cs_a")
+    val b = bucketChecksums(mutated)
+      .withColumnRenamed("n_rows", "n_rows_b").withColumnRenamed("checksum", "cs_b")
+    a.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"), col("n_rows_a"), col("n_rows_b"),
+        (col("cs_a") === col("cs_b")).as("bucket_match"))
+      .orderBy("bucket")
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_zorder_layout" -> ((s: SparkSession, d: String) => q88ZorderLayout(s, d)),
-    "q92_column_profile" -> (q92ColumnProfile _))
+    "q92_column_profile" -> (q92ColumnProfile _),
+    "q97_table_checksum" -> (q97TableChecksum _))
 
   val oracle: Map[String, String] = Map(
     "q88_zorder_layout" ->
@@ -150,6 +206,29 @@ object LayoutOps {
          | min(p_size) AS min_size, max(p_size) AS max_size,
          | min(price_i) AS min_price, max(price_i) AS max_price
          |FROM p GROUP BY 1 ORDER BY zbin""".stripMargin,
+    "q97_table_checksum" ->
+      """WITH ha AS (
+        | SELECT l_orderkey % 64 AS bucket,
+        |  CAST(('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT), l_returnflag)), 1, 14))
+        |    AS BIGINT) AS h
+        | FROM lineitem),
+        |a AS (SELECT bucket, count(*) AS n_rows_a,
+        |  CAST(sum(h) % 4611686018427387904 AS BIGINT) AS cs_a
+        | FROM ha GROUP BY bucket),
+        |mb AS (
+        | SELECT l_orderkey % 64 AS bucket,
+        |  CAST(('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT), l_returnflag)), 1, 14))
+        |    AS BIGINT) AS h
+        | FROM lineitem
+        | WHERE l_orderkey <> (SELECT min(l_orderkey) FROM lineitem)),
+        |b AS (SELECT bucket, count(*) AS n_rows_b,
+        |  CAST(sum(h) % 4611686018427387904 AS BIGINT) AS cs_b
+        | FROM mb GROUP BY bucket)
+        |SELECT a.bucket, n_rows_a, n_rows_b, (cs_a = cs_b) AS bucket_match
+        |FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+        |ORDER BY a.bucket""".stripMargin,
     "q92_column_profile" ->
       """WITH u AS (
         | SELECT 'o_orderkey' AS col_name,

@@ -24,6 +24,32 @@ class LayoutOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket checksums localize a row diff to exactly one bucket") {
+    val report = LayoutOps.q97TableChecksum(spark, TestSpark.sf).collect()
+    assert(report.length === 64)
+    val mismatched = report.filterNot(_.getAs[Boolean]("bucket_match"))
+    assert(mismatched.length === 1)
+    // the diff is the min-orderkey rows; their bucket is minKey mod 64
+    val minKey = Tables.load(spark, TestSpark.sf, "lineitem")
+      .agg(min("l_orderkey")).head.getLong(0)
+    assert(mismatched.head.getAs[Long]("bucket") === minKey % 64)
+    // row counts drop only in that bucket
+    report.foreach { r =>
+      val delta = r.getAs[Long]("n_rows_a") - r.getAs[Long]("n_rows_b")
+      if (r.getAs[Boolean]("bucket_match")) assert(delta === 0L)
+      else assert(delta > 0L)
+    }
+  }
+
+  test("bucket checksum is partition-layout invariant (commutative sum)") {
+    val base = Tables.load(spark, TestSpark.sf, "lineitem")
+    val a = LayoutOps.bucketChecksums(base).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = LayoutOps.bucketChecksums(base.repartition(7).sortWithinPartitions("l_partkey"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a === b)
+  }
+
   test("column profiler equals directly-computed per-column stats") {
     val prof = LayoutOps.q92ColumnProfile(spark, TestSpark.sf)
       .collect().map(r => r.getString(0) -> r).toMap
