@@ -304,7 +304,47 @@ object EtlOps {
       .orderBy("user_id", "hour_id")
   }
 
+  // ---------------------------------------------------------------- q98
+  /** Interval-concurrency SWEEP LINE — "how many order lines were in
+    * fulfillment on each day": every (order date, ship date) interval
+    * contributes +1 at its start and -1 at its end, and the running sum of
+    * the per-day net delta is the live concurrency. The classic peak-load /
+    * active-sessions operator, shaped for scale:
+    *
+    *  - the interval build is one fact-fact shuffle join on the order key
+    *    (lineitem ⋈ orders, both sides key-partitioned, AQE-coalesced);
+    *  - each interval emits its ±1 deltas map-side (a 2-element generator,
+    *    no second scan for the end points) and they partially aggregate
+    *    into per-day nets BEFORE the shuffle — the shuffle carries at most
+    *    one row per (partition, day);
+    *  - only the per-day frame crosses the final single-partition window,
+    *    and that frame is bounded by the CALENDAR domain (~2.5k days here,
+    *    ~37k days for a century), not by the data volume: the sweep stays
+    *    a few-KiB window no matter how many billion intervals feed it.
+    *
+    * Zero-length intervals (shipped same day) are excluded up front —
+    * they cancel to net 0 and would only add noise days. All-integer
+    * arithmetic → exact oracle. */
+  def q98OpenIntervals(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(ntz(col("l_shipdate")) > ntz(col("o_orderdate")))
+      .select(ntz(col("o_orderdate")).as("start_day"),
+        ntz(col("l_shipdate")).as("end_day"))
+    val byDay = iv
+      .select(explode(array(
+        struct(col("start_day").as("day"), lit(1L).as("dd")),
+        struct(col("end_day").as("day"), lit(-1L).as("dd")))).as("x"))
+      .groupBy(col("x.day").as("day")).agg(sum(col("x.dd")).as("net"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay.withColumn("open_cnt", sum(col("net")).over(w)).orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_open_intervals" -> (q98OpenIntervals _),
     "q95_resample_ffill" -> (q95ResampleFfill _),
     "q93_scd2_history" -> (q93Scd2History _),
     "q73_merge_upsert" -> (q73MergeUpsert _),
@@ -314,6 +354,20 @@ object EtlOps {
     "q82_retention_cohorts" -> (q82RetentionCohorts _))
 
   val oracle: Map[String, String] = Map(
+    "q98_open_intervals" ->
+      """WITH iv AS (
+        | SELECT o_orderdate AS start_day, l_shipdate AS end_day
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE l_shipdate > o_orderdate),
+        |d AS (
+        | SELECT start_day AS day, 1 AS dd FROM iv
+        | UNION ALL
+        | SELECT end_day, -1 FROM iv),
+        |byday AS (SELECT day, CAST(sum(dd) AS BIGINT) AS net FROM d GROUP BY day)
+        |SELECT CAST(day AS TIMESTAMP) AS day, net,
+        | CAST(sum(net) OVER (ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_cnt
+        |FROM byday ORDER BY day""".stripMargin,
     "q95_resample_ffill" ->
       """WITH e AS (
         | SELECT user_id, epoch_us(ts) AS tus, event_id, value,

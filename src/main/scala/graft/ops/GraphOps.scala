@@ -126,13 +126,95 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q99
+  /** Weighted co-occurrence graph + TRIANGLE enumeration — the "frequently
+    * bought together" / community-structure primitive. Nodes are parts,
+    * an edge (u, v, w) means parts u and v appeared in w common orders.
+    *
+    * The scale control is the MUTUAL top-`cap` pruning: every node ranks
+    * its neighbors by (weight DESC, id) and an edge survives only if each
+    * endpoint is in the other's top-`cap` list (mutual-kNN sparsification,
+    * symmetric by construction and deterministic under the id tiebreak).
+    * That bounds the wedge count of the triangle join at n·C(cap,2)
+    * regardless of how dense the raw co-occurrence graph grows — an
+    * unpruned m²-per-hub wedge blowup is the standard triangle-count
+    * killer. Edges are oriented low-id → high-id so each triangle is
+    * enumerated exactly once ((a<b<c) wedge a→b, a→c probed against b→c);
+    * on a skewed cluster you'd orient by (degree, id) instead — same
+    * algorithm, flatter wedge distribution (the node-iterator bound moves
+    * from max-degree² to arboricity·m). The edge list is localCheckpoint'ed
+    * once — three probes of a materialized ~100k-row table, not three
+    * recomputes of the pair join.
+    *
+    * Pair generation rides the per-order self-join: Σ C(items_i, 2) pairs
+    * (bounded by order size, ~4 lines avg), never a global cross. */
+  def coOrderEdges(lineitem: DataFrame, cap: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val op = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pw = op.as("a")
+      .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("w"))
+    val adj = pw.select(col("u"), col("v"), col("w"))
+      .union(pw.select(col("v").as("u"), col("u").as("v"), col("w")))
+    // materialize the capped ranking ONCE (≤ n·cap rows): the mutual join
+    // probes it from both sides with swapped keys, which defeats exchange
+    // reuse — without the checkpoint the adjacency window runs twice
+    val rk = adj.withColumn("r",
+      row_number().over(Window.partitionBy("u").orderBy(col("w").desc, col("v"))))
+      .filter(col("r") <= cap)
+      .localCheckpoint()
+    rk.as("x")
+      .join(rk.select(col("u").as("yu"), col("v").as("yv")).as("y"),
+        col("x.u") === col("y.yv") && col("x.v") === col("y.yu"))
+      .filter(col("x.u") < col("x.v"))
+      .select(col("x.u").as("u"), col("x.v").as("v"), col("x.w").as("w"))
+  }
+
+  /** q99: top-20 heaviest triangles of the mutually-capped co-order graph,
+    * ranked by summed edge weight with a full (a, b, c) id tiebreak —
+    * deterministic total order, so the LIMIT keeps an exact oracle. */
+  def q99TriangleCooccur(s: SparkSession, d: String): DataFrame = {
+    val e = coOrderEdges(Tables.load(s, d, "lineitem")).localCheckpoint()
+    e.as("e1")
+      .join(e.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .join(e.as("e3"),
+        col("e1.v") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"),
+        (col("e1.w") + col("e2.w") + col("e3.w")).as("tw"))
+      .orderBy(col("tw").desc, col("a"), col("b"), col("c"))
+      .limit(20)
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q66_dedup_components" -> (q66DedupComponents _))
+    "q66_dedup_components" -> (q66DedupComponents _),
+    "q99_triangle_cooccur" -> (q99TriangleCooccur _))
 
   /** Exact oracle: the same thresholded pair basis as q38, closed with a
     * recursive transitive-closure CTE, min-labeled per doc. */
   val oracle: Map[String, String] = Map(
+    "q99_triangle_cooccur" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pw AS (
+        | SELECT a.p AS u, b.p AS v, count(*) AS w
+        | FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |adj AS (SELECT u, v, w FROM pw UNION ALL SELECT v, u, w FROM pw),
+        |rk AS (
+        | SELECT u, v, w,
+        |  row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS r
+        | FROM adj),
+        |capped AS (
+        | SELECT x.u, x.v, x.w
+        | FROM rk x JOIN rk y ON x.u = y.v AND x.v = y.u
+        | WHERE x.u < x.v AND x.r <= 64 AND y.r <= 64)
+        |SELECT e1.u AS a, e1.v AS b, e2.v AS c,
+        | e1.w + e2.w + e3.w AS tw
+        |FROM capped e1
+        |JOIN capped e2 ON e1.u = e2.u AND e1.v < e2.v
+        |JOIN capped e3 ON e3.u = e1.v AND e3.v = e2.v
+        |ORDER BY tw DESC, a, b, c LIMIT 20""".stripMargin,
     "q66_dedup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id,

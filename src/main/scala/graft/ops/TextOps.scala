@@ -562,7 +562,80 @@ object TextOps {
       k = k, rankName = "rk")
       .orderBy("lang", "rk")
 
+  // ---------------------------------------------------------------- q100
+  /** Tokenizer-vocabulary COVERAGE CURVE, per language — the "how big must
+    * the vocab be" question answered as a table: tokens ranked by corpus
+    * frequency within each language, with the cumulative share of all
+    * token occurrences covered through each rank. Vocab building is the
+    * first step of training a tokenizer; the coverage curve is what picks
+    * its size.
+    *
+    * Scale: the explode fans out corpus-size rows, but they partially
+    * aggregate into (lang, token) counts map-side — the shuffle carries
+    * at most |vocab| rows per partition, and every window below runs over
+    * the per-language VOCABULARY (bounded by the token domain, not the
+    * corpus). cum_share is one integer→double division per row on exact
+    * integer counts — deterministic cross-engine, no rounding. */
+  def q100VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = t(s, d, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+    val wRank = Window.partitionBy("lang").orderBy(col("n").desc, col("token"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("lang")
+    cnt
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .select(col("lang"), col("token"), col("n"), col("rk"),
+        (col("cum").cast("double") / col("total").cast("double")).as("cum_share"))
+      .orderBy("lang", "rk")
+  }
+
+  // ---------------------------------------------------------------- q101
+  /** Bigram LANGUAGE-MODEL table — conditional next-token counts: for the
+    * 20 most frequent head tokens, the top-3 continuations each with its
+    * count and conditional probability P(w2 | w1) = c(w1 w2) / c(w1 ·).
+    * The n-gram-LM / autocomplete primitive (and, corpus-side, the raw
+    * material of contamination n-gram checks).
+    *
+    * Bigrams are built with `zip_with` over two slices of the SAME token
+    * array — the lambda closes over nothing, so the split is evaluated
+    * O(1) times per row (a transform() lambda referencing the outer token
+    * expression would re-split the document once PER ELEMENT — the
+    * measured Catalyst inlining trap from the shingle pipeline). Counts
+    * partially aggregate map-side; the head ranking window runs over the
+    * (tiny) per-head aggregate, and the continuation window is keyed by
+    * head token. Probabilities are single integer→double divisions —
+    * exact oracle. */
+  def q101BigramLm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = t(s, d, "documents")
+      .select(tokens(col("text")).as("t"))
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("x"))
+      .select(col("x.w1").as("w1"), col("x.w2").as("w2"))
+    val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val heads = cnt.groupBy("w1").agg(sum(col("n")).as("head_n"))
+      .withColumn("hrk", row_number().over(
+        Window.orderBy(col("head_n").desc, col("w1"))))
+      .filter(col("hrk") <= 20)
+      .select("w1", "head_n")
+    cnt.join(heads, "w1")
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("w1").orderBy(col("n").desc, col("w2"))))
+      .filter(col("crk") <= 3)
+      .select(col("w1"), col("w2"), col("n"), col("crk"),
+        (col("n").cast("double") / col("head_n").cast("double")).as("cond_p"))
+      .orderBy("w1", "crk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_vocab_coverage" -> (q100VocabCoverage _),
+    "q101_bigram_lm" -> (q101BigramLm _),
     "q96_group_sample" -> ((s: SparkSession, d: String) => q96GroupSample(s, d)),
     "q89_inverted_index" -> ((s: SparkSession, d: String) => q89InvertedIndex(s, d)),
     "q90_token_pmi" -> ((s: SparkSession, d: String) => q90TokenPmi(s, d)),
@@ -593,6 +666,38 @@ object TextOps {
        |       / len($duckToks)), 4)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q100_vocab_coverage" ->
+      s"""WITH tok AS (
+         | SELECT lang, unnest($duckToks) AS token FROM documents),
+         |cnt AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2),
+         |r AS (
+         | SELECT lang, token, n,
+         |  CAST(row_number() OVER w AS INT) AS rk,
+         |  sum(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  sum(n) OVER (PARTITION BY lang) AS total
+         | FROM cnt
+         | WINDOW w AS (PARTITION BY lang ORDER BY n DESC, token))
+         |SELECT lang, token, n, rk,
+         | CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+         |FROM r ORDER BY lang, rk""".stripMargin,
+    "q101_bigram_lm" ->
+      s"""WITH toks AS (SELECT $duckToks AS t FROM documents),
+         |bg AS (
+         | SELECT t[i] AS w1, t[i + 1] AS w2
+         | FROM toks, unnest(range(1, len(t))) AS u(i)),
+         |cnt AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+         |heads AS (
+         | SELECT w1, CAST(sum(n) AS BIGINT) AS head_n,
+         |  row_number() OVER (ORDER BY sum(n) DESC, w1) AS hrk
+         | FROM cnt GROUP BY 1),
+         |top AS (
+         | SELECT c.w1, c.w2, c.n, h.head_n,
+         |  CAST(row_number() OVER (PARTITION BY c.w1
+         |    ORDER BY c.n DESC, c.w2) AS INT) AS crk
+         | FROM cnt c JOIN heads h ON c.w1 = h.w1 AND h.hrk <= 20)
+         |SELECT w1, w2, n, crk,
+         | CAST(n AS DOUBLE) / CAST(head_n AS DOUBLE) AS cond_p
+         |FROM top WHERE crk <= 3 ORDER BY w1, crk""".stripMargin,
     "q96_group_sample" ->
       """WITH h AS (
         | SELECT lang, md5('graft-ksample-42:'

@@ -373,4 +373,28 @@ class EtlOpsSpec extends AnyFunSuite {
       .orderBy("segment", "event_type")
     assert(stream.collect().map(_.toSeq).toSeq === batch.collect().map(_.toSeq).toSeq)
   }
+
+  // ------------------------------------------------------ q98 sweep line
+  test("open-interval sweep: deltas telescope to zero and count stays non-negative") {
+    val rows = EtlOps.q98OpenIntervals(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("net")).sum === 0L)
+    rows.foreach(r => assert(r.getAs[Long]("open_cnt") >= 0L))
+    assert(rows.last.getAs[Long]("open_cnt") === 0L)
+  }
+
+  test("open-interval sweep agrees with a direct containment count on a probe day") {
+    val rows = EtlOps.q98OpenIntervals(spark, sf).collect()
+    // probe the peak day: count intervals [start, end) containing it directly
+    val peak = rows.maxBy(_.getAs[Long]("open_cnt"))
+    val probe = peak.getAs[java.time.LocalDateTime]("day")
+    val direct = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.load(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate").cast("timestamp_ntz") <= lit(probe) &&
+        col("l_shipdate").cast("timestamp_ntz") > lit(probe) &&
+        col("l_shipdate").cast("timestamp_ntz") > col("o_orderdate").cast("timestamp_ntz"))
+      .count()
+    assert(peak.getAs[Long]("open_cnt") === direct)
+  }
 }

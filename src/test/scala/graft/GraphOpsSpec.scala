@@ -62,4 +62,31 @@ class GraphOpsSpec extends AnyFunSuite {
     // sf0.001 plants near-dups: at least one non-singleton component
     assert(byComp.exists(_._2.length > 1))
   }
+
+  test("co-order graph: mutual cap bounds degree and keeps edges symmetric-canonical") {
+    val e = GraphOps.coOrderEdges(Tables.load(spark, TestSpark.sf, "lineitem"), cap = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(e.nonEmpty)
+    e.foreach { case (u, v, w) => assert(u < v); assert(w >= 1) }
+    assert(e.map(p => (p._1, p._2)).distinct.length === e.length)
+    // mutual top-8 pruning: no endpoint can exceed degree 8
+    val deg = (e.map(_._1) ++ e.map(_._2)).groupBy(identity).map(_._2.length)
+    assert(deg.max <= 8)
+  }
+
+  test("q99 triangles are real: all three capped edges exist, ordering is canonical") {
+    val edges = GraphOps.coOrderEdges(Tables.load(spark, TestSpark.sf, "lineitem"))
+      .as[(Long, Long, Long)].collect()
+    val wByEdge = edges.map(e => (e._1, e._2) -> e._3).toMap
+    val tris = GraphOps.q99TriangleCooccur(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(tris.nonEmpty && tris.length <= 20)
+    tris.foreach { case (a, b, c, tw) =>
+      assert(a < b && b < c)
+      assert(wByEdge.contains(a -> b) && wByEdge.contains(a -> c) && wByEdge.contains(b -> c))
+      assert(tw === wByEdge(a -> b) + wByEdge(a -> c) + wByEdge(b -> c))
+    }
+    // ranked by total weight, descending
+    assert(tris.map(_._4).toSeq === tris.map(_._4).sortBy(-_).toSeq)
+  }
 }

@@ -51,4 +51,39 @@ class TextIndexSpec extends AnyFunSuite {
       .count()
     assert(h.getAs[Long]("c_ab") === direct)
   }
+
+  test("vocab coverage: monotone cumulative share reaching exactly 1.0 per language") {
+    val rows = TextOps.q100VocabCoverage(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq === (1 to rs.length))
+      // counts non-increasing down the ranking; share strictly increasing to 1.0
+      val ns = sorted.map(_.getAs[Long]("n"))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, lang)
+      val shares = sorted.map(_.getAs[Double]("cum_share"))
+      assert(shares.zip(shares.tail).forall { case (a, b) => a < b }, lang)
+      assert(shares.last === 1.0, lang)
+    }
+  }
+
+  test("bigram LM: P(w2|w1) sums to <=1 over the top-3 and matches direct counts") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val rows = TextOps.q101BigramLm(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val byHead = rows.groupBy(_.getString(0))
+    assert(byHead.size <= 20)
+    byHead.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("crk")).sorted.toSeq === (1 to rs.length))
+      assert(rs.map(_.getAs[Double]("cond_p")).sum <= 1.0 + 1e-12)
+    }
+    // spot-check the single most frequent bigram against a direct count
+    val top = rows.maxBy(_.getAs[Long]("n"))
+    val toks = docs.selectExpr("split(trim(lower(text)), '\\\\s+') AS t")
+      .selectExpr("explode(zip_with(slice(t, 1, greatest(size(t)-1, 0)), " +
+        "slice(t, 2, greatest(size(t)-1, 0)), (a, b) -> struct(a AS w1, b AS w2))) AS x")
+      .filter(col("x.w1") === top.getString(0) && col("x.w2") === top.getString(1))
+      .count()
+    assert(top.getAs[Long]("n") === toks)
+  }
 }
