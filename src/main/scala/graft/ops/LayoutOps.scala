@@ -135,6 +135,45 @@ object LayoutOps {
       .orderBy("col_name")
   }
 
+  // -------------------------------------------------- file-skipping manifest
+  /** Per-FILE column-range MANIFEST — the data-skipping index: one row per
+    * data file with row count and min/max per indexed column. Against a
+    * well-clustered layout (sorted or z-ordered, see [[q88ZorderLayout]])
+    * the ranges are tight, and a range predicate prunes whole files before
+    * any scan task launches — the same footer-stats idea parquet readers
+    * apply per row-group, lifted to the FILE list so the driver never even
+    * schedules the non-matching splits. Built with one pass over the table
+    * (`input_file_name` groupBy, fully map-side combinable: each task folds
+    * its own files' stats). */
+  def fileManifest(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.withColumn("file", input_file_name())
+      .groupBy("file")
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))): _*)
+
+  /** Range-prune a parquet directory through its manifest: read ONLY the
+    * files whose [min, max] overlaps [lo, hi], then re-apply the exact
+    * predicate. Returns (prunedDf, selectedFiles, totalFiles) so callers
+    * can observe the skip rate. The file list is collected to the driver —
+    * one short string per file, the same scale as the FileIndex the driver
+    * already holds for any scan; a catalog-backed variant would keep the
+    * manifest as a table and feed the planner an in-memory FileIndex
+    * instead. */
+  def prunedRead(s: SparkSession, dir: String, manifest: DataFrame,
+                 keyCol: String, lo: Long, hi: Long): (DataFrame, Long, Long) = {
+    val total = manifest.count()
+    val picked = manifest
+      .filter(col(s"max_$keyCol") >= lo && col(s"min_$keyCol") <= hi)
+      .select("file").collect().map(_.getString(0))
+    val pruned =
+      (if (picked.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        s.read.parquet(dir).schema)
+      else s.read.parquet(picked.toIndexedSeq: _*))
+        .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+    (pruned, picked.length.toLong, total)
+  }
+
   // ---------------------------------------------------------------- q97
   /** ANTI-ENTROPY table diff — bucketed content checksums, the replica /
     * snapshot comparison primitive: render each row canonically, hash it,

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{BucketingOps, LayoutOps}
+
+/** Layout-as-contract: bucketed tables must join with ZERO exchanges, and
+  * the file manifest must prune files without changing results. */
+class BucketingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  // AQE folds stages into QueryStageExec leaves; traverse .plan too
+  private def deepNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: deepNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: deepNodes(q.plan)
+    case _ => p +: p.children.flatMap(deepNodes)
+  }
+
+  test("same-bucketed tables sort-merge join with zero exchanges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    try {
+      BucketingOps.writeBucketed(
+        Tables.load(spark, TestSpark.sf, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "b_lineitem", s"$dir/li", "l_orderkey", 4)
+      BucketingOps.writeBucketed(
+        Tables.load(spark, TestSpark.sf, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+        "b_orders", s"$dir/ord", "l_orderkey", 4)
+      val j = BucketingOps.coLocatedJoin(spark, "b_lineitem", "b_orders", "l_orderkey")
+      val n = j.count()
+      // correctness: equals the plain (shuffled) join of the raw tables
+      val plain = Tables.load(spark, TestSpark.sf, "lineitem")
+        .join(Tables.load(spark, TestSpark.sf, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .count()
+      assert(n === plain)
+      // the layout claim: no shuffle anywhere in the executed plan
+      val exchanges = deepNodes(j.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        j.queryExecution.executedPlan.toString)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+
+  test("file manifest prunes a range read to a strict file subset, same answer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    // a clustered layout: range-partitioned + sorted on the key => each of
+    // the 8 files owns a tight, disjoint key range
+    Tables.load(spark, TestSpark.sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    val table = spark.read.parquet(dir)
+    val manifest = LayoutOps.fileManifest(table, Seq("l_orderkey")).cache()
+    try {
+      assert(manifest.count() === 8)
+      // manifest totals must reconcile with the table
+      assert(manifest.agg(sum("n_rows")).head.getLong(0) === table.count())
+      val (lo, hi) = (100L, 300L)
+      val (pruned, picked, total) =
+        LayoutOps.prunedRead(spark, dir, manifest, "l_orderkey", lo, hi)
+      assert(picked < total, s"no pruning: $picked of $total files")
+      assert(picked >= 1L)
+      // exact same rows as the unpruned filtered read
+      val direct = table.filter(col("l_orderkey").between(lo, hi))
+      assert(pruned.count() === direct.count())
+      assert(pruned.exceptAll(direct).isEmpty && direct.exceptAll(pruned).isEmpty)
+      // an out-of-domain range selects zero files and returns empty
+      val (empty, picked0, _) =
+        LayoutOps.prunedRead(spark, dir, manifest, "l_orderkey", -500L, -100L)
+      assert(picked0 === 0L)
+      assert(empty.isEmpty)
+    } finally manifest.unpersist()
+  }
+}
