@@ -157,7 +157,82 @@ object StatsOps {
   }
 
   // ------------------------------------------------------------------------
+  // ---------------------------------------------------------------- q103
+  /** ROBUST outlier detection — median/MAD, the data-quality gate that
+    * mean/stddev can't be (one bad batch of garbage values drags the mean
+    * toward itself and hides; the median doesn't move): per event type,
+    * flag values whose absolute deviation from the group median exceeds
+    * 4.4478·MAD (3σ-equivalent under normality, 3·1.4826).
+    *
+    * Exactness across engines comes from the INTEGER-CENTS domain: values
+    * quantize to cents once (the shared streaming-oracle convention), and
+    * every median then interpolates between integers or half-integers —
+    * dyadic rationals that ARE representable doubles, so Spark's
+    * percentile and DuckDB's quantile_cont agree bit for bit regardless
+    * of their interpolation formula. The one non-dyadic multiply
+    * (4.4478·mad) is a single operation on identical operands.
+    *
+    * Shape: a grouped median pass, a deviation-median pass, and the flag
+    * pass — three scans (each a per-group exact sort-based percentile or
+    * a conditional count; groups are event types), with the tiny
+    * per-group statistics broadcast back each time; nothing collects. */
+  def q103RobustOutliers(s: SparkSession, d: String): DataFrame = {
+    val cents = graft.streaming.EventsStream.cents(col("value"))
+    val e = t(s, d, "events").select(col("event_type"), cents.as("cents"))
+    val med = e.groupBy("event_type")
+      .agg(median(col("cents")).as("med_c"), count(lit(1)).as("n"))
+    val dev = e.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("n"), col("med_c"),
+        abs(col("cents") - col("med_c")).as("adev"))
+    val mad = dev.groupBy("event_type").agg(median(col("adev")).as("mad_c"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(first(col("n")).as("n"),
+        (first(col("med_c")) / 100.0).as("med"),
+        (first(col("mad_c")) / 100.0).as("mad"),
+        count(when(col("adev") > lit(4.4478) * col("mad_c"), lit(1)))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------- q104
+  /** Chi-square INDEPENDENCE test — is language distribution independent
+    * of source? The categorical drift / bias detector for corpus intake:
+    * observed (lang, source) counts against the independence expectation
+    * rl·cs/N on the FULL grid (structurally-missing cells count as
+    * observed 0 — dropping them understates the statistic). Per-cell
+    * contributions (o−e)²/e are rounded once to 6 dp and pinned to
+    * DECIMAL so the grand total is an exact decimal sum (double summation
+    * order would be engine-dependent); e itself and the quotient chain
+    * are deterministic IEEE on identical integer operands. Row/column
+    * totals and the grid are tiny aggregates (|langs|·|sources| cells) —
+    * everything after the first groupBy is broadcast-size. */
+  def q104ChiSquare(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val c = t(s, d, "documents").groupBy("lang", "source")
+      .agg(count(lit(1)).as("o"))
+    val rl = c.groupBy("lang").agg(sum("o").as("rl"))
+    val cs = c.groupBy("source").agg(sum("o").as("cs"))
+    val nn = c.agg(sum("o").as("nn"))
+    val grid = rl.crossJoin(cs).crossJoin(broadcast(nn))
+      .join(c, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"),
+        coalesce(col("o"), lit(0L)).as("o"),
+        ((col("rl") * col("cs")).cast("double") / col("nn").cast("double")).as("e"))
+    val x = grid.select(col("lang"), col("source"), col("o"),
+      round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 6)
+        .cast(dec6).as("contrib6"), col("e"))
+    x.select(col("lang"), col("source"), col("o"),
+      round(col("e"), 6).cast(dec6).cast("double").as("n_exp"),
+      col("contrib6").cast("double").as("contrib"),
+      sum(col("contrib6")).over(Window.partitionBy()).cast("double").as("chi2_total"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_robust_outliers" -> (q103RobustOutliers _),
+    "q104_chi2_independence" -> (q104ChiSquare _),
     "q85_value_histogram" -> ((s: SparkSession, d: String) => q85ValueHistogram(s, d)),
     "q45_percentiles" -> (q45Percentiles _),
     "q46_moments" -> (q46Moments _),
@@ -169,6 +244,41 @@ object StatsOps {
     "q52_approx_distinct" -> (q52ApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "q103_robust_outliers" ->
+      """WITH e AS (
+        | SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |m AS (SELECT event_type, median(cents) AS med_c, count(*) AS n
+        |  FROM e GROUP BY 1),
+        |j AS (SELECT e.event_type, abs(e.cents - m.med_c) AS adev
+        |  FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, median(adev) AS mad_c FROM j GROUP BY 1)
+        |SELECT m.event_type, m.n, m.med_c / 100.0 AS med, md.mad_c / 100.0 AS mad,
+        | (SELECT count(*) FROM j
+        |   WHERE j.event_type = m.event_type AND j.adev > 4.4478 * md.mad_c)
+        |   AS n_outliers
+        |FROM m JOIN md USING (event_type) ORDER BY m.event_type""".stripMargin,
+    "q104_chi2_independence" ->
+      """WITH c AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |l AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rl FROM c GROUP BY 1),
+        |s AS (SELECT source, CAST(sum(o) AS BIGINT) AS cs FROM c GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM c),
+        |g AS (
+        | SELECT grid.lang, grid.source, coalesce(c.o, 0) AS o,
+        |  CAST(grid.rl * grid.cs AS DOUBLE) / CAST(grid.nn AS DOUBLE) AS e
+        | FROM (SELECT l.lang, s.source, rl, cs, nn
+        |       FROM l CROSS JOIN s CROSS JOIN n) grid
+        | LEFT JOIN c ON grid.lang = c.lang AND grid.source = c.source),
+        |x AS (
+        | SELECT lang, source, o, e,
+        |  CAST(round((o - e) * (o - e) / e, 6) AS DECIMAL(18,6)) AS contrib6
+        | FROM g)
+        |SELECT lang, source, o,
+        | CAST(CAST(round(e, 6) AS DECIMAL(18,6)) AS DOUBLE) AS n_exp,
+        | CAST(contrib6 AS DOUBLE) AS contrib,
+        | CAST(CAST(sum(contrib6) OVER () AS DECIMAL(18,6)) AS DOUBLE) AS chi2_total
+        |FROM x ORDER BY lang, source""".stripMargin,
     "q85_value_histogram" ->
       """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
         | CAST(floor(value / 10.0) AS BIGINT) * 10.0 AS bin_lo,

@@ -633,9 +633,45 @@ object TextOps {
       .orderBy("w1", "crk")
   }
 
+  // ---------------------------------------------------------------- q102
+  /** Benchmark CONTAMINATION audit — exact n-gram containment of the eval
+    * split in the train split: for every eval document, how many of its
+    * distinct word 3-gram shingles occur verbatim anywhere in train. The
+    * direct-overlap complement of the q68 near-dup leakage audit (q68
+    * catches paraphrase-level leaks pair-wise; this catches verbatim
+    * n-gram hits against the WHOLE train side, the standard
+    * benchmark-decontamination check).
+    *
+    * Shape at scale: shingles explode corpus-wide, but the join carries
+    * (gram, doc_id) against a `distinct` train-gram set — an equi-join on
+    * the gram string, hash-partitioned both sides; no pair enumeration,
+    * no per-source blowup. The split predicate is q64's content-hash
+    * assignment ([[splitAssign]]), so the audit is re-shard stable, and
+    * counts + one integer→double division keep the oracle exact. The
+    * shingle basis is the fused [[graft.functions.NgramShingles]]
+    * expression (shared with q38/q66). */
+  def q102Contamination(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // shingles is a temp function
+    val grams = t(s, d, "documents")
+      .select(col("doc_id"), splitAssign(col("text")).as("split"),
+        explode(array_distinct(DedupOps.shingles(col("text")))).as("gram"))
+    val trainSet = grams.filter(col("split") === "train").select("gram").distinct()
+    val ev = grams.filter(col("split") === "eval")
+    val hits = ev.join(trainSet, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    ev.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_grams").cast("double")).as("contaminated_share"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_vocab_coverage" -> (q100VocabCoverage _),
     "q101_bigram_lm" -> (q101BigramLm _),
+    "q102_contamination" -> (q102Contamination _),
     "q96_group_sample" -> ((s: SparkSession, d: String) => q96GroupSample(s, d)),
     "q89_inverted_index" -> ((s: SparkSession, d: String) => q89InvertedIndex(s, d)),
     "q90_token_pmi" -> ((s: SparkSession, d: String) => q90TokenPmi(s, d)),
@@ -763,6 +799,26 @@ object TextOps {
         | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5,
         | sha256(text) AS fp_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q102_contamination" ->
+      s"""WITH sh AS (
+         | SELECT doc_id,
+         |  CASE WHEN substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 1) < 'c'
+         |       THEN 'train' ELSE 'eval' END AS split,
+         |  list_distinct(list_transform(
+         |    range(0, greatest(len($duckToks) - 3, 0) + 1),
+         |    i -> array_to_string($duckToks[i+1:i+3], ' '))) AS grams
+         | FROM documents),
+         |g AS (SELECT doc_id, split, unnest(grams) AS gram FROM sh),
+         |tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+         |ev AS (SELECT doc_id, gram FROM g WHERE split = 'eval'),
+         |h AS (
+         | SELECT doc_id, count(*) AS n_hit FROM ev
+         | WHERE gram IN (SELECT gram FROM tr) GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+         | CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
+         |   AS contaminated_share
+         |FROM tot t LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q64_hash_split" ->
       """WITH s AS (
         | SELECT doc_id, lang, text,

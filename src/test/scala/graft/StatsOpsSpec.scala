@@ -68,4 +68,47 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(math.abs(vals(0) - 1.0) < 1e-12)
     assert(math.abs(vals(1)) < 1e-12)
   }
+
+  test("robust outliers: median/MAD agree with a driver-side computation") {
+    val rows = StatsOps.q103RobustOutliers(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val byType = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("event_type"), graft.streaming.EventsStream.cents(col("value")).as("c"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    def medOf(xs: Array[Long]): Double = {
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2).toDouble else (xs(n / 2 - 1) + xs(n / 2)) / 2.0
+    }
+    rows.foreach { r =>
+      val xs = byType(r.getString(0))
+      assert(r.getAs[Long]("n") === xs.length)
+      val med = medOf(xs)
+      assert(r.getAs[Double]("med") === med / 100.0)
+      // adev values are integer-or-half-integer; recompute in doubles
+      val madD = {
+        val devs = xs.map(x => math.abs(x - med)).sorted
+        val n = devs.length
+        if (n % 2 == 1) devs(n / 2) else (devs(n / 2 - 1) + devs(n / 2)) / 2.0
+      }
+      assert(r.getAs[Double]("mad") === madD / 100.0)
+      val nOut = xs.count(x => math.abs(x - med) > 4.4478 * madD)
+      assert(r.getAs[Long]("n_outliers") === nOut)
+    }
+  }
+
+  test("chi-square: full grid incl. zero cells, contributions recompute, total telescopes") {
+    val rows = StatsOps.q104ChiSquare(spark, TestSpark.sf).collect()
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val nLang = docs.select("lang").distinct().count()
+    val nSrc = docs.select("source").distinct().count()
+    assert(rows.length === nLang * nSrc)
+    // sf0.001 has at least one structurally-missing cell — it must appear as o=0
+    assert(rows.exists(_.getAs[Long]("o") === 0L))
+    assert(rows.map(_.getAs[Long]("o")).sum === docs.count())
+    val total = rows.head.getAs[Double]("chi2_total")
+    rows.foreach(r => assert(r.getAs[Double]("chi2_total") === total))
+    val sumContrib = BigDecimal(rows.map(r => BigDecimal(r.getAs[Double]("contrib"))).sum
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(sumContrib === BigDecimal(total))
+  }
 }

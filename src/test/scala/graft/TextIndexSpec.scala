@@ -86,4 +86,31 @@ class TextIndexSpec extends AnyFunSuite {
       .count()
     assert(top.getAs[Long]("n") === toks)
   }
+
+  test("contamination audit covers every eval doc; spot doc agrees with direct check") {
+    import graft.ops.{DedupOps, TextOps}
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val rows = TextOps.q102Contamination(spark, TestSpark.sf).collect()
+    val nEval = docs.filter(TextOps.splitAssign(col("text")) === "eval").count()
+    assert(rows.length === nEval)
+    rows.foreach { r =>
+      val (g, h) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"))
+      assert(h >= 0 && h <= g)
+      assert(r.getAs[Double]("contaminated_share") === h.toDouble / g)
+    }
+    // corpus plants near-dups, so some eval doc must hit train grams
+    assert(rows.exists(_.getAs[Long]("n_hit") > 0))
+    // direct recheck of the most contaminated doc
+    graft.functions.GraftFunctions.register(spark)
+    val top = rows.maxBy(r => (r.getAs[Double]("contaminated_share"), r.getAs[Long]("doc_id")))
+    val withSplit = docs.select(col("doc_id"),
+      TextOps.splitAssign(col("text")).as("split"),
+      array_distinct(DedupOps.shingles(col("text"))).as("grams"))
+    val trainGrams = withSplit.filter(col("split") === "train")
+      .select(explode(col("grams")).as("gram")).distinct()
+    val docGrams = withSplit.filter(col("doc_id") === top.getAs[Long]("doc_id"))
+      .select(explode(col("grams")).as("gram"))
+    assert(docGrams.join(trainGrams, Seq("gram"), "left_semi").count()
+      === top.getAs[Long]("n_hit"))
+  }
 }
