@@ -187,34 +187,113 @@ object GraphOps {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------- q105
+  /** PageRank in EXACT INTEGER arithmetic — fixed-point iteration made
+    * engine-portable: float PageRank is unreproducible across engines
+    * (the in-neighbor sum is order-sensitive), so ranks live on an
+    * integer grid of 1e-12 units and every update is integer multiply /
+    * floor-divide — r' = ⌊0.15·S/n⌋ + ⌊85·Σ⌊r_u/deg_u⌋/100⌋ — which sums
+    * exactly in any order on any engine. Three synchronous iterations
+    * over the mutually-capped co-order graph ([[coOrderEdges]]), each one
+    * edge-join + groupBy-sum shuffling bare (node, long) pairs.
+    *
+    * Scale: the rank vector is one long per node; contributions ride the
+    * (already capped) edge list with map-side partial sums; the chain of
+    * 3 iterations executes as one lazy plan (each rank referenced once —
+    * linear plan growth, unlike the multi-reference CC iteration that
+    * needs checkpoints). Adjacency and degrees materialize once. The
+    * oracle unrolls the same three iterations in SQL — floor division on
+    * non-negative longs is identical in both engines. */
+  /** Integer-grid PageRank core over a canonical undirected edge list
+    * (columns `u` < `v`): returns (node, r) with r in units of scale⁻¹. */
+  def pageRankScaled(edges: DataFrame, iterations: Int,
+                     scale: Long = 1000000000000L): DataFrame = {
+    val adj = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val n = deg.count()
+    val base = (scale * 15L / 100L) / n
+    var rank = deg.select(col("u").as("node"), lit(scale / n).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = adj
+        .join(deg, "u")
+        .join(rank.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node"), expr("r div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("inr"))
+      rank = deg.select(col("u").as("node"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(coalesce(inr, 0L) * 85L) div 100L")).as("r"))
+    }
+    rank
+  }
+
+  def q105PageRank(s: SparkSession, d: String,
+                   iterations: Int = 3): DataFrame =
+    pageRankScaled(coOrderEdges(Tables.load(s, d, "lineitem")), iterations)
+      .select(col("node"), col("r").as("rank_scaled"),
+        (col("r").cast("double") / 1000000000000L).as("rank"))
+      .orderBy(col("rank_scaled").desc, col("node"))
+      .limit(25)
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_dedup_components" -> (q66DedupComponents _),
-    "q99_triangle_cooccur" -> (q99TriangleCooccur _))
+    "q99_triangle_cooccur" -> (q99TriangleCooccur _),
+    "q105_pagerank" -> ((s: SparkSession, d: String) => q105PageRank(s, d)))
 
   /** Exact oracle: the same thresholded pair basis as q38, closed with a
     * recursive transitive-closure CTE, min-labeled per doc. */
+  /** Shared oracle fragment: the mutually-capped co-order graph —
+    * one definition for the q99 and q105 oracles, mirroring
+    * [[coOrderEdges]]. */
+  private val duckCappedEdges: String =
+    """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pw AS (
+      | SELECT a.p AS u, b.p AS v, count(*) AS w
+      | FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      |adjw AS (SELECT u, v, w FROM pw UNION ALL SELECT v, u, w FROM pw),
+      |rk AS (
+      | SELECT u, v, w,
+      |  row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS r
+      | FROM adjw),
+      |capped AS (
+      | SELECT x.u, x.v, x.w
+      | FROM rk x JOIN rk y ON x.u = y.v AND x.v = y.u
+      | WHERE x.u < x.v AND x.r <= 64 AND y.r <= 64)""".stripMargin
+
+  /** Three unrolled integer-PageRank iterations (the q105 twin). */
+  private val duckPageRankIters: String = (1 to 3).map { i =>
+    s"""c$i AS (
+       | SELECT a.v AS node, sum(r${i - 1}.r // deg.deg) AS inr
+       | FROM a JOIN deg ON a.u = deg.u JOIN r${i - 1} ON a.u = r${i - 1}.node
+       | GROUP BY a.v),
+       |r$i AS (
+       | SELECT deg.u AS node,
+       |  150000000000 // n + (coalesce(c$i.inr, 0) * 85) // 100 AS r
+       | FROM deg CROSS JOIN nn LEFT JOIN c$i ON deg.u = c$i.node)""".stripMargin
+  }.mkString(",\n")
+
   val oracle: Map[String, String] = Map(
     "q99_triangle_cooccur" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |pw AS (
-        | SELECT a.p AS u, b.p AS v, count(*) AS w
-        | FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
-        |adj AS (SELECT u, v, w FROM pw UNION ALL SELECT v, u, w FROM pw),
-        |rk AS (
-        | SELECT u, v, w,
-        |  row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS r
-        | FROM adj),
-        |capped AS (
-        | SELECT x.u, x.v, x.w
-        | FROM rk x JOIN rk y ON x.u = y.v AND x.v = y.u
-        | WHERE x.u < x.v AND x.r <= 64 AND y.r <= 64)
-        |SELECT e1.u AS a, e1.v AS b, e2.v AS c,
-        | e1.w + e2.w + e3.w AS tw
-        |FROM capped e1
-        |JOIN capped e2 ON e1.u = e2.u AND e1.v < e2.v
-        |JOIN capped e3 ON e3.u = e1.v AND e3.v = e2.v
-        |ORDER BY tw DESC, a, b, c LIMIT 20""".stripMargin,
+      s"""WITH $duckCappedEdges
+         |SELECT e1.u AS a, e1.v AS b, e2.v AS c,
+         | e1.w + e2.w + e3.w AS tw
+         |FROM capped e1
+         |JOIN capped e2 ON e1.u = e2.u AND e1.v < e2.v
+         |JOIN capped e3 ON e3.u = e1.v AND e3.v = e2.v
+         |ORDER BY tw DESC, a, b, c LIMIT 20""".stripMargin,
+    "q105_pagerank" ->
+      s"""WITH $duckCappedEdges,
+         |a AS (SELECT u, v FROM capped UNION ALL SELECT v, u FROM capped),
+         |deg AS (SELECT u, count(*) AS deg FROM a GROUP BY u),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT u AS node, 1000000000000 // n AS r FROM deg CROSS JOIN nn),
+         |$duckPageRankIters
+         |SELECT node, CAST(r AS BIGINT) AS rank_scaled,
+         | CAST(r AS DOUBLE) / 1000000000000 AS rank
+         |FROM r3 ORDER BY rank_scaled DESC, node LIMIT 25""".stripMargin,
     "q66_dedup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id,

@@ -89,4 +89,25 @@ class GraphOpsSpec extends AnyFunSuite {
     // ranked by total weight, descending
     assert(tris.map(_._4).toSeq === tris.map(_._4).sortBy(-_).toSeq)
   }
+
+  test("integer PageRank: star center dominates, leaves tie, mass stays bounded") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("u", "v")
+    val r = GraphOps.pageRankScaled(star, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(r(2L) === r(3L) && r(3L) === r(4L) && r(4L) === r(5L)) // symmetry
+    assert(r(1L) > r(2L)) // the hub holds more mass
+    // total mass stays within the damping fixed point (≤ scale; floor-div
+    // loses at most a few units per node per round)
+    assert(r.values.sum <= 1000000000000L)
+    assert(r.values.forall(_ > 0L))
+  }
+
+  test("q105 output is deterministically ordered and positive") {
+    val out = GraphOps.q105PageRank(spark, TestSpark.sf)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length === 25)
+    assert(out.map(_._2).toSeq === out.map(_._2).sortBy(-_).toSeq)
+    out.foreach { case (_, rs, rd) => assert(rs > 0); assert(rd === rs.toDouble / 1e12) }
+  }
 }
