@@ -343,7 +343,81 @@ object EtlOps {
     byDay.withColumn("open_cnt", sum(col("net")).over(w)).orderBy("day")
   }
 
+  // ---------------------------------------------------------------- q106
+  /** SNAPSHOT DIFF — derive the changeset BETWEEN two table versions (the
+    * inverse of the q73 MERGE: q73 applies a delta, this recovers one):
+    * full-outer join on the key, classify insert / delete / update by
+    * side-presence and value inequality, drop unchanged rows. This is the
+    * reconciliation primitive for snapshot-shipping pipelines (no CDC
+    * feed, just yesterday's and today's 100 TB extracts) — and the
+    * row-level drill-down a mismatched q97 checksum bucket triggers: at
+    * scale you'd diff only `pmod(key, 64) = damaged_bucket`, which this
+    * plan supports by pushing that predicate to both scans.
+    *
+    * The two demo versions are deterministic slices of `orders` (v0 drops
+    * key%7=0 as not-yet-arrived; v1 drops key%11=0 as purged and
+    * reprices urgent orders +1.00): inserts, deletes and updates all
+    * occur by construction at every SF. DECIMAL(18,2) prices passthrough
+    * untouched — exact oracle. One key-shuffle join, AQE-coalesced;
+    * unchanged rows (the overwhelming mass at scale) die in the
+    * post-join filter without ever being carried further. */
+  def q106SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "orders").select(col("o_orderkey").as("okey"),
+      col("o_totalprice").cast(dec).as("price"), col("o_orderpriority"))
+    val v0 = base.filter(col("okey") % 7 =!= 0)
+      .select(col("okey"), col("price").as("old_price"))
+    val v1 = base.filter(col("okey") % 11 =!= 0)
+      .select(col("okey"),
+        when(col("o_orderpriority") === "1-URGENT",
+          (col("price") + lit(BigDecimal("1.00")).cast(dec)).cast(dec))
+          .otherwise(col("price")).as("new_price"))
+    v0.join(v1, Seq("okey"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_price").isNull, "insert")
+          .when(col("new_price").isNull, "delete")
+          .when(col("old_price") =!= col("new_price"), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(col("okey"), col("change_type"), col("old_price"), col("new_price"))
+      .orderBy("okey")
+  }
+
+  // ---------------------------------------------------------------- q107
+  /** Event TRANSITION MATRIX — within-session Markov counts: for adjacent
+    * event pairs of the same user separated by at most the session gap
+    * (q28's 30-minute contract), count each (from, to) event-type
+    * transition and its conditional probability P(to | from). The
+    * path-analysis / next-action primitive behind sankey funnels and
+    * behavioral anomaly detection.
+    *
+    * One shuffle on user_id for the lag window (state per row is O(1)),
+    * then a map-side-combinable count on the 5×5 type grid; the
+    * conditional probability is a per-row integer→double division
+    * against the broadcast per-from totals. Integer microsecond
+    * timestamps end to end — exact oracle. */
+  def q107EventTransitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 1800000000L
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val steps = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_tus", lag(col("tus"), 1).over(w))
+      .filter(col("prev_type").isNotNull &&
+        col("tus") - col("prev_tus") <= gapUs)
+    val cnt = steps.groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cnt.groupBy("from_type").agg(sum("n").as("from_n"))
+    cnt.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("from_n").cast("double")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_snapshot_diff" -> (q106SnapshotDiff _),
+    "q107_event_transitions" -> (q107EventTransitions _),
     "q98_open_intervals" -> (q98OpenIntervals _),
     "q95_resample_ffill" -> (q95ResampleFfill _),
     "q93_scd2_history" -> (q93Scd2History _),
@@ -354,6 +428,45 @@ object EtlOps {
     "q82_retention_cohorts" -> (q82RetentionCohorts _))
 
   val oracle: Map[String, String] = Map(
+    "q106_snapshot_diff" ->
+      """WITH base AS (
+        | SELECT o_orderkey AS okey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |  o_orderpriority
+        | FROM orders),
+        |v0 AS (SELECT okey, price AS old_price FROM base WHERE okey % 7 <> 0),
+        |v1 AS (
+        | SELECT okey,
+        |  CASE WHEN o_orderpriority = '1-URGENT'
+        |       THEN CAST(price + CAST(1.00 AS DECIMAL(18,2)) AS DECIMAL(18,2))
+        |       ELSE price END AS new_price
+        | FROM base WHERE okey % 11 <> 0),
+        |d AS (
+        | SELECT coalesce(v0.okey, v1.okey) AS okey, old_price, new_price,
+        |  CASE WHEN old_price IS NULL THEN 'insert'
+        |       WHEN new_price IS NULL THEN 'delete'
+        |       WHEN old_price <> new_price THEN 'update' END AS change_type
+        | FROM v0 FULL OUTER JOIN v1 ON v0.okey = v1.okey)
+        |SELECT okey, change_type, old_price, new_price FROM d
+        |WHERE change_type IS NOT NULL ORDER BY okey""".stripMargin,
+    "q107_event_transitions" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, event_id, epoch_us(ts) AS tus FROM events),
+        |st AS (
+        | SELECT user_id, event_type,
+        |  lag(event_type) OVER w AS prev_type,
+        |  tus, lag(tus) OVER w AS prev_tus
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |cnt AS (
+        | SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+        | FROM st
+        | WHERE prev_type IS NOT NULL AND tus - prev_tus <= 1800000000
+        | GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS from_n
+        |  FROM cnt GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        | CAST(c.n AS DOUBLE) / CAST(t.from_n AS DOUBLE) AS p
+        |FROM cnt c JOIN tot t USING (from_type)
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
     "q98_open_intervals" ->
       """WITH iv AS (
         | SELECT o_orderdate AS start_day, l_shipdate AS end_day

@@ -374,6 +374,56 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(stream.collect().map(_.toSeq).toSeq === batch.collect().map(_.toSeq).toSeq)
   }
 
+  // ---------------------------------------------------- q106 snapshot diff
+  test("snapshot diff: change types partition the key space correctly") {
+    val rows = EtlOps.q106SnapshotDiff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(1))
+    assert(byType.keySet === Set("insert", "delete", "update"))
+    rows.foreach { r =>
+      val k = r.getAs[Long]("okey")
+      r.getString(1) match {
+        case "insert" =>
+          assert(k % 7 == 0 && k % 11 != 0)
+          assert(r.isNullAt(2) && !r.isNullAt(3))
+        case "delete" =>
+          assert(k % 11 == 0 && k % 7 != 0)
+          assert(!r.isNullAt(2) && r.isNullAt(3))
+        case "update" =>
+          assert(k % 7 != 0 && k % 11 != 0)
+          // repriced urgent orders move by exactly +1.00
+          assert(r.getDecimal(3).subtract(r.getDecimal(2))
+            .compareTo(new java.math.BigDecimal("1.00")) == 0)
+      }
+    }
+    // applying the diff to v0 must reconstruct v1 exactly: counts reconcile
+    val orders = Tables.load(spark, sf, "orders")
+    val n0 = orders.filter(col("o_orderkey") % 7 =!= 0).count()
+    val n1 = orders.filter(col("o_orderkey") % 11 =!= 0).count()
+    assert(n0 + byType("insert").length - byType("delete").length === n1)
+  }
+
+  // ------------------------------------------------ q107 transition matrix
+  test("transition matrix: probabilities normalize per from-state; counts reconcile") {
+    val rows = EtlOps.q107EventTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val n = rs.map(_.getAs[Long]("n")).sum
+      rs.foreach(r =>
+        assert(r.getAs[Double]("p") === r.getAs[Long]("n").toDouble / n))
+      assert(math.abs(rs.map(_.getAs[Double]("p")).sum - 1.0) < 1e-9)
+    }
+    // total transitions = total in-gap adjacent pairs, counted directly
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val direct = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .filter(col("prev").isNotNull && col("tus") - col("prev") <= 1800000000L)
+      .count()
+    assert(rows.map(_.getAs[Long]("n")).sum === direct)
+  }
+
   // ------------------------------------------------------ q98 sweep line
   test("open-interval sweep: deltas telescope to zero and count stays non-negative") {
     val rows = EtlOps.q98OpenIntervals(spark, sf).collect()
