@@ -35,7 +35,9 @@ object SparkEntry {
         "q63_stream_interval_join" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q63StreamIntervalJoin(s, d)),
         "q71_stream_dedup" ->
-          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q71StreamDedup(s, d)))
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q71StreamDedup(s, d)),
+        "q108_stream_transitions" ->
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q108StreamTransitions(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,6 +65,9 @@ object SparkEntry {
         // the hopping stream must land on the batch hopping answer
         "q87_stream_hopping" -> Relational.oracle("q86_hopping_window"),
         "q60_stream_sessionize" -> Relational.oracle("q28_sessionize"),
+        // the stateful buffered-replay stream must land on the batch
+        // transition matrix — same oracle as q107 by construction
+        "q108_stream_transitions" -> EtlOps.oracle("q107_event_transitions"),
         // the stream-stream interval join must equal the batch interval join
         "q63_stream_interval_join" ->
           """WITH e AS (SELECT event_id, user_id, event_type, value,

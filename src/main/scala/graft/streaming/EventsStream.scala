@@ -306,6 +306,117 @@ object EventsStream {
       .orderBy("user_id", "session_seq")
   }
 
+  // ------------------------------- q108: stateful stream transition matrix
+  case class TransEvent(event_id: Long, user_id: Long, event_type: String,
+                        tus: Long, ts: java.sql.Timestamp)
+  case class Pending(tus: Long, eventId: Long, tpe: String)
+  case class TransState(hasLast: Boolean, lastTus: Long, lastType: String,
+                        buf: Seq[Pending])
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Per-user event transitions AS A STATEFUL STREAM — the watermark-ordered
+    * BUFFERED REPLAY pattern: adjacency is order-sensitive (a late event
+    * landing between two already-linked events would change TWO
+    * transitions), so unlike the sessionizer's interval fold there is no
+    * order-free merge. Instead each user's state buffers events still
+    * inside the watermark delay and emits only the prefix older than the
+    * current watermark — by the watermark contract nothing can still
+    * arrive before it, so emitted adjacency is final. State per user is
+    * bounded by the out-of-orderness window (delay × event rate), NOT the
+    * stream length: each flush drops the emitted prefix and keeps one
+    * last-emitted event to stitch the next batch's first transition.
+    * Timeout (event-time) re-fires on watermark advance to flush users
+    * that stop receiving data; the far-future sentinel pushes the final
+    * flush through everything. */
+  def transitionsExact(events: Dataset[TransEvent],
+                       gapUs: Long = 1800000000L): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", s"${gapUs / 60000000} minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[TransEvent], state: GroupState[TransState]) =>
+          val st = state.getOption.getOrElse(TransState(false, 0L, "", Seq.empty))
+          val buf = st.buf ++
+            batch.map(e => Pending(e.tus, e.event_id, e.event_type))
+          val wmUs = state.getCurrentWatermarkMs * 1000L
+          val flushAll = state.hasTimedOut
+          val (safe, hold) =
+            if (flushAll) (buf, Seq.empty[Pending])
+            else buf.partition(_.tus < wmUs)
+          val ordered = safe.sortBy(p => (p.tus, p.eventId))
+          val out = Seq.newBuilder[Transition]
+          var last: Option[(Long, String)] =
+            if (st.hasLast) Some((st.lastTus, st.lastType)) else None
+          ordered.foreach { p =>
+            last match {
+              case Some((lt, lty)) if p.tus - lt <= gapUs =>
+                out += Transition(uid, lty, p.tpe)
+              case _ => ()
+            }
+            last = Some((p.tus, p.tpe))
+          }
+          if (flushAll) state.remove()
+          else {
+            state.update(TransState(last.isDefined,
+              last.map(_._1).getOrElse(0L), last.map(_._2).getOrElse(""), hold))
+            // re-arm on every watermark advance so held events keep draining
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+          }
+          out.result().iterator
+      }
+  }
+
+  /** q108: the q107 transition matrix produced by the stateful stream —
+    * drained transitions batch-aggregate to (from, to) counts and
+    * conditional probabilities, byte-equal to the batch twin (shares
+    * q107's exact oracle). Drain mechanics identical to q60: in-place
+    * events source ∪ one-row far-future sentinel, memory sink. */
+  def q108StreamTransitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val maxRow = graft.Tables.load(s, d, "events").agg(max(expr("ts div 1000"))).head
+    if (maxRow.isNullAt(0)) throw new IllegalArgumentException(
+      s"events table at $d is empty — nothing to transition-count")
+    val maxUs = maxRow.getLong(0)
+    val stagePath = java.nio.file.Files.createTempDirectory("graft_q108")
+    val stageDir = stagePath.toString
+    val name = "graft_stream_transitions"
+    var drained: DataFrame = null
+    try {
+      Seq((-1L, (maxUs + 10L * 24 * 3600 * 1000000) * 1000, -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(stageDir)
+      drained = withDrainSession(s) { drain =>
+        val main = readEventsNanos(drain, d)
+        val sentinel = drain.readStream.schema(eventsSchemaNanos).parquet(stageDir)
+        val stream = main.unionAll(sentinel)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000").as("tus"))
+          .withColumn("ts", timestamp_micros(col("tus")))
+          .as[TransEvent]
+        val q = transitionsExact(stream).toDF()
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        drain.table(name)
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
+    // per-from totals via a window over the tiny counts frame (a self-join
+    // of a memory-sink table trips reference dedup; the window avoids it)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+    drained.filter(col("user_id") >= 0)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("from_n", sum(col("n")).over(w))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("from_n").cast("double")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Run a stateful drain on a DEDICATED child session whose
     * spark.sql.shuffle.partitions is lowered to `n`: a stateful streaming
     * query creates one state store per shuffle partition per stateful

@@ -70,6 +70,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.contains((7L, 3L, 3.0))) // the closed first burst
   }
 
+  test("buffered-replay transitions reorder cross-batch late events correctly") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStream.TransEvent]
+    val q = EventsStream.transitionsExact(mem.toDS(), gapUs = 1800000000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trans_out").start()
+    def ev(id: Long, minute: Long, tpe: String): EventsStream.TransEvent =
+      EventsStream.TransEvent(id, 7L, tpe,
+        minute * 60000000L, new java.sql.Timestamp(minute * 60000L))
+    try {
+      // batch 1: A at t=1, C at t=20 — within the 30-min watermark delay,
+      // so adjacency must NOT be finalized yet
+      mem.addData(ev(1, 1, "A"), ev(3, 20, "C"))
+      q.processAllAvailable()
+      // batch 2: B arrives LATE at t=10 (between A and C), plus a far
+      // event that pushes the watermark beyond all three
+      mem.addData(ev(2, 10, "B"), ev(4, 600, "Z"))
+      q.processAllAvailable()
+      // flush the tail
+      mem.addData(ev(5, 2000, "Z"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("trans_out")
+      .select("from_type", "to_type").as[(String, String)].collect().toSeq
+    // the late B must link INTO the middle: A->B->C, never A->C
+    assert(got.contains(("A", "B")) && got.contains(("B", "C")), got.toString)
+    assert(!got.contains(("A", "C")), got.toString)
+  }
+
+  test("streaming transition matrix equals the batch twin at test SF") {
+    val stream = EventsStream.q108StreamTransitions(spark, TestSpark.sf).collect()
+    val batch = graft.ops.EtlOps.q107EventTransitions(spark, TestSpark.sf).collect()
+    assert(stream.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     import org.apache.spark.sql.types.DecimalType
     val streamed = EventsStream.q63StreamIntervalJoin(spark, TestSpark.sf).collect()
