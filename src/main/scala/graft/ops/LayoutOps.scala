@@ -203,10 +203,13 @@ object LayoutOps {
       floor(col("l_extendedprice") * 100).cast("long"),
       col("l_returnflag"))
 
-  def bucketChecksums(rows: DataFrame, buckets: Int = 64): DataFrame =
+  /** Generic over table shape: callers supply the integer bucket key and
+    * the canonical row rendering (the q97 demo passes lineitem's). */
+  def bucketChecksums(rows: DataFrame, bucketKey: Column, rendered: Column,
+                      buckets: Int = 64): DataFrame =
     rows
-      .withColumn("bucket", pmod(col("l_orderkey"), lit(buckets)))
-      .withColumn("h", rowHash56(lineitemRendered))
+      .withColumn("bucket", pmod(bucketKey, lit(buckets)))
+      .withColumn("h", rowHash56(rendered))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"),
         (sum(col("h")) % checksumMod).cast("long").as("checksum"))
@@ -219,9 +222,9 @@ object LayoutOps {
     val minKey = base.agg(min("l_orderkey").as("mk"))
     val mutated = base.join(broadcast(minKey), col("l_orderkey") === col("mk"),
       "left_anti")
-    val a = bucketChecksums(base)
+    val a = bucketChecksums(base, col("l_orderkey"), lineitemRendered)
       .withColumnRenamed("n_rows", "n_rows_a").withColumnRenamed("checksum", "cs_a")
-    val b = bucketChecksums(mutated)
+    val b = bucketChecksums(mutated, col("l_orderkey"), lineitemRendered)
       .withColumnRenamed("n_rows", "n_rows_b").withColumnRenamed("checksum", "cs_b")
     a.join(b, Seq("bucket"), "full_outer")
       .select(col("bucket"), col("n_rows_a"), col("n_rows_b"),

@@ -201,15 +201,17 @@ object StatsOps {
     * observed (lang, source) counts against the independence expectation
     * rl·cs/N on the FULL grid (structurally-missing cells count as
     * observed 0 — dropping them understates the statistic). Per-cell
-    * contributions (o−e)²/e are rounded once to 6 dp and pinned to
-    * DECIMAL so the grand total is an exact decimal sum (double summation
-    * order would be engine-dependent); e itself and the quotient chain
-    * are deterministic IEEE on identical integer operands. Row/column
-    * totals and the grid are tiny aggregates (|langs|·|sources| cells) —
-    * everything after the first groupBy is broadcast-size. */
+    * contributions (o−e)²/e are quantized once to micro-units with FLOOR
+    * (floor has no tie case, so — unlike round(double, s), whose HALF_UP
+    * vs nearbyint tie handling genuinely differs between engines — the
+    * quantization is engine-exact) and summed as LONGS, making the grand
+    * total an exact integer sum (double summation order would be
+    * engine-dependent); e itself and the quotient chain are deterministic
+    * IEEE on identical integer operands. Row/column totals and the grid
+    * are tiny aggregates (|langs|·|sources| cells) — everything after the
+    * first groupBy is broadcast-size. */
   def q104ChiSquare(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val c = t(s, d, "documents").groupBy("lang", "source")
       .agg(count(lit(1)).as("o"))
     val rl = c.groupBy("lang").agg(sum("o").as("rl"))
@@ -220,13 +222,14 @@ object StatsOps {
       .select(col("lang"), col("source"),
         coalesce(col("o"), lit(0L)).as("o"),
         ((col("rl") * col("cs")).cast("double") / col("nn").cast("double")).as("e"))
-    val x = grid.select(col("lang"), col("source"), col("o"),
-      round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 6)
-        .cast(dec6).as("contrib6"), col("e"))
+    val x = grid.select(col("lang"), col("source"), col("o"), col("e"),
+      floor((col("o") - col("e")) * (col("o") - col("e")) / col("e") * 1000000L)
+        .as("contrib_u"))
     x.select(col("lang"), col("source"), col("o"),
-      round(col("e"), 6).cast(dec6).cast("double").as("n_exp"),
-      col("contrib6").cast("double").as("contrib"),
-      sum(col("contrib6")).over(Window.partitionBy()).cast("double").as("chi2_total"))
+      (floor(col("e") * 1000000L).cast("double") / 1000000L).as("n_exp"),
+      (col("contrib_u").cast("double") / 1000000L).as("contrib"),
+      (sum(col("contrib_u")).over(Window.partitionBy()).cast("double")
+        / 1000000L).as("chi2_total"))
       .orderBy("lang", "source")
   }
 
@@ -272,12 +275,13 @@ object StatsOps {
         | LEFT JOIN c ON grid.lang = c.lang AND grid.source = c.source),
         |x AS (
         | SELECT lang, source, o, e,
-        |  CAST(round((o - e) * (o - e) / e, 6) AS DECIMAL(18,6)) AS contrib6
+        |  CAST(floor((o - e) * (o - e) / e * 1000000) AS BIGINT) AS contrib_u
         | FROM g)
         |SELECT lang, source, o,
-        | CAST(CAST(round(e, 6) AS DECIMAL(18,6)) AS DOUBLE) AS n_exp,
-        | CAST(contrib6 AS DOUBLE) AS contrib,
-        | CAST(CAST(sum(contrib6) OVER () AS DECIMAL(18,6)) AS DOUBLE) AS chi2_total
+        | CAST(floor(e * 1000000) AS DOUBLE) / 1000000 AS n_exp,
+        | CAST(contrib_u AS DOUBLE) / 1000000 AS contrib,
+        | CAST(CAST(sum(contrib_u) OVER () AS BIGINT) AS DOUBLE) / 1000000
+        |   AS chi2_total
         |FROM x ORDER BY lang, source""".stripMargin,
     "q85_value_histogram" ->
       """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,

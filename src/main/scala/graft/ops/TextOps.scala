@@ -605,10 +605,11 @@ object TextOps {
     * O(1) times per row (a transform() lambda referencing the outer token
     * expression would re-split the document once PER ELEMENT — the
     * measured Catalyst inlining trap from the shingle pipeline). Counts
-    * partially aggregate map-side; the head ranking window runs over the
-    * (tiny) per-head aggregate, and the continuation window is keyed by
-    * head token. Probabilities are single integer→double divisions —
-    * exact oracle. */
+    * partially aggregate map-side; the top-20 heads come from
+    * orderBy+limit (TakeOrderedAndProject — per-partition heap + driver
+    * merge, no single-partition sort of the vocabulary), and the
+    * continuation window is keyed by head token. Probabilities are single
+    * integer→double divisions — exact oracle. */
   def q101BigramLm(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bg = t(s, d, "documents")
@@ -619,11 +620,11 @@ object TextOps {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("x"))
       .select(col("x.w1").as("w1"), col("x.w2").as("w2"))
     val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    // top-20 heads via orderBy+limit => TakeOrderedAndProject (per-partition
+    // heap + driver merge), not a single-partition total-sort window
     val heads = cnt.groupBy("w1").agg(sum(col("n")).as("head_n"))
-      .withColumn("hrk", row_number().over(
-        Window.orderBy(col("head_n").desc, col("w1"))))
-      .filter(col("hrk") <= 20)
-      .select("w1", "head_n")
+      .orderBy(col("head_n").desc, col("w1"))
+      .limit(20)
     cnt.join(heads, "w1")
       .withColumn("crk", row_number().over(
         Window.partitionBy("w1").orderBy(col("n").desc, col("w2"))))

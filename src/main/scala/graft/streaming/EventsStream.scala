@@ -331,7 +331,7 @@ object EventsStream {
   def transitionsExact(events: Dataset[TransEvent],
                        gapUs: Long = 1800000000L): Dataset[Transition] = {
     import events.sparkSession.implicits._
-    events.withWatermark("ts", s"${gapUs / 60000000} minutes")
+    events.withWatermark("ts", s"${gapUs / 1000} milliseconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TransState, Transition](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -340,10 +340,11 @@ object EventsStream {
           val buf = st.buf ++
             batch.map(e => Pending(e.tus, e.event_id, e.event_type))
           val wmUs = state.getCurrentWatermarkMs * 1000L
-          val flushAll = state.hasTimedOut
-          val (safe, hold) =
-            if (flushAll) (buf, Seq.empty[Pending])
-            else buf.partition(_.tus < wmUs)
+          // ALWAYS flush only the below-watermark prefix — also on timeout.
+          // (A timeout fires on ANY watermark advance once armed; flushing
+          // the still-in-delay tail there would finalize adjacency the
+          // batch twin may yet reorder.)
+          val (safe, hold) = buf.partition(_.tus < wmUs)
           val ordered = safe.sortBy(p => (p.tus, p.eventId))
           val out = Seq.newBuilder[Transition]
           var last: Option[(Long, String)] =
@@ -356,7 +357,11 @@ object EventsStream {
             }
             last = Some((p.tus, p.tpe))
           }
-          if (flushAll) state.remove()
+          // retire state only when nothing is held AND no future event can
+          // stitch to the last emitted one (events below wm are dropped as
+          // late, so wm - last > gap means the stitch is unreachable)
+          val stitchDead = last.forall(l => wmUs - l._1 > gapUs)
+          if (hold.isEmpty && stitchDead) state.remove()
           else {
             state.update(TransState(last.isDefined,
               last.map(_._1).getOrElse(0L), last.map(_._2).getOrElse(""), hold))

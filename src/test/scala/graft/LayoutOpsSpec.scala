@@ -42,12 +42,17 @@ class LayoutOpsSpec extends AnyFunSuite {
   }
 
   test("bucket checksum is partition-layout invariant (commutative sum)") {
-    val base = Tables.load(spark, TestSpark.sf, "lineitem")
-    val a = LayoutOps.bucketChecksums(base).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val b = LayoutOps.bucketChecksums(base.repartition(7).sortWithinPartitions("l_partkey"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exercise the generic surface with a NON-lineitem rendering: orders
+    // keyed by custkey, to prove the operator is table-shape agnostic
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      LayoutOps.bucketChecksums(df, col("o_custkey"),
+        concat_ws("|", col("o_orderkey"), col("o_orderstatus")), buckets = 16)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = Tables.load(spark, TestSpark.sf, "orders")
+    val a = sums(base)
+    val b = sums(base.repartition(7).sortWithinPartitions("o_orderdate"))
     assert(a === b)
+    assert(a.keySet.size === 16)
   }
 
   test("column profiler equals directly-computed per-column stats") {
