@@ -20,9 +20,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    that reuse is the operator's documented semantics. */
 object Bench {
 
-  /** Queries that fill the dedup pair cache: evict before each timed run so
-    * repeats don't measure a cache hit. Shared with MicroBench. */
-  private[graft] val cacheProducers = Set("q36_minhash_pairs")
+  /** Queries that fill a session-scoped cache (the dedup pair cache, the
+    * co-order edge graph): evict before each timed run so repeats don't
+    * measure a cache hit. Later consumers (q39 over pairs, q99 over the
+    * graph) intentionally measure the cached path — that reuse is the
+    * documented semantics. Shared with MicroBench. */
+  private[graft] val cacheProducers = Set("q36_minhash_pairs", "q105_pagerank")
+
+  private[graft] def evictCaches(spark: SparkSession): Unit = {
+    ops.DedupOps.evict(spark)
+    ops.GraphOps.evict(spark)
+  }
 
   private def execute(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -37,7 +45,7 @@ object Bench {
     try execute(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timeOnce(): Double = {
-        if (cacheProducers(name)) ops.DedupOps.evict(spark)
+        if (cacheProducers(name)) evictCaches(spark)
         val t0 = System.nanoTime()
         execute(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9

@@ -26,7 +26,7 @@ object MicroBench {
       val times = (1 to reps).map { _ =>
         // same discipline as Bench: a cache-producing query must never
         // report a median of cache hits
-        if (Bench.cacheProducers(name)) ops.DedupOps.evict(spark)
+        if (Bench.cacheProducers(name)) Bench.evictCaches(spark)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
