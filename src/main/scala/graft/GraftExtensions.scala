@@ -17,6 +17,8 @@ import graft.functions.{CosineSimilarity, GraftFunctions, JaccardSorted, MinHash
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopK.Planner)
+    // retarget row_number-then-filter plans onto the native top-k operator
+    ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

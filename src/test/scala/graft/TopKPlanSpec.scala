@@ -123,4 +123,38 @@ class TopKPlanSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("optimizer rule retargets row_number-filter onto the native operator") {
+    import org.apache.spark.sql.expressions.Window
+    // a child session with ONLY the rule + strategy installed — the pattern
+    // a conf-deployed GraftExtensions session would run
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations = Seq(graft.plans.RowNumberTopKRewrite)
+    s2.experimental.extraStrategies = Seq(TopK.Planner)
+    def query(sess: org.apache.spark.sql.SparkSession) =
+      Tables.load(sess, TestSpark.sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("l_orderkey")
+            .orderBy(col("l_extendedprice").desc, col("l_linenumber"))))
+        .filter(col("rn") <= 3)
+        .orderBy("l_orderkey", "rn")
+    val rewritten = query(s2)
+    // the native operator is planned, and the Window translation is gone
+    assert(topkNodes(rewritten).nonEmpty, rewritten.queryExecution.executedPlan)
+    assert(!rewritten.queryExecution.executedPlan.toString.contains("WindowExec"))
+    // identical rows to the untouched window form on the parent session
+    val plain = query(spark)
+    assert(topkNodes(plain).isEmpty) // parent session really is untouched
+    assert(rewritten.collect().map(_.toSeq).toSeq === plain.collect().map(_.toSeq).toSeq)
+    // a rank/dense_rank query (tie-admitting) must NOT be rewritten
+    val ranked = Tables.load(s2, TestSpark.sf, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+      .withColumn("rk", rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey").orderBy(col("l_extendedprice"))))
+      .filter(col("rk") <= 3)
+    assert(topkNodes(ranked).isEmpty, "rank() must not match the rewrite")
+  }
 }
