@@ -233,7 +233,69 @@ object StatsOps {
       .orderBy("lang", "source")
   }
 
+  // ---------------------------------------------------------------- q110
+  /** HEAVY HITTERS via a Misra-Gries sketch + exact recount — frequent
+    * tokens with share > 1/64 of all token occurrences, computed WITHOUT a
+    * full-vocabulary shuffle. The naive plan (groupBy token, HAVING) moves
+    * the entire token domain through the exchange; at 100 TB the vocab is
+    * billions of keys of which a handful are heavy. This plan never
+    * shuffles the domain:
+    *
+    *  1. map side: each partition runs Misra-Gries with [[mgCapacity]]
+    *     counters over its local tokens and emits only its surviving
+    *     candidate tokens (≤ capacity per partition). MG's guarantee is a
+    *     SUPERSET property: any token with global count > N/(capacity+1)
+    *     must survive in at least one partition (if it died everywhere,
+    *     its per-partition counts were each ≤ N_p/(capacity+1), and those
+    *     sum to ≤ N/(capacity+1)). Capacity 127 vs the reported 1/64
+    *     threshold leaves a 2× guarantee margin.
+    *  2. the candidate set (tiny) broadcasts back as a semi-join FILTER on
+    *     the token stream, so the exact-recount groupBy shuffles only
+    *     candidate tokens — map-side-filtered, partial-combined.
+    *  3. the exact counts gate on cnt·64 > N (integer compare; N rides a
+    *     broadcast one-row cross join, never a driver collect).
+    *
+    * Step 3 makes the output INDEPENDENT of sketch internals — the sketch
+    * only prunes, the counts and the cut are exact — which is why a plain
+    * GROUP BY / HAVING DuckDB oracle applies verbatim. */
+  val mgCapacity = 127
+  val hhShareDenom = 64
+  /** Misra-Gries over one partition's tokens: the ≤ `cap` survivors. */
+  private[graft] def misraGries(it: Iterator[String], cap: Int): Iterator[String] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { tok =>
+      counters.get(tok) match {
+        case Some(c) => counters.update(tok, c + 1)
+        case None if counters.size < cap => counters.update(tok, 1L)
+        case None =>
+          // decrement-all round: amortized O(1) — each round cancels
+          // cap+1 occurrences (the arriving token plus one per counter)
+          val dead = counters.collect { case (k, 1L) => k }
+          counters.mapValuesInPlace((_, c) => c - 1)
+          dead.foreach(counters.remove)
+      }
+    }
+    counters.keysIterator
+  }
+
+  def q110HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val tok = t(s, d, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+    val candidates = tok.select("token").as(Encoders.STRING)
+      .mapPartitions(it => misraGries(it, mgCapacity))(Encoders.STRING)
+      .toDF("token").distinct()
+    val n = tok.agg(count(lit(1)).as("n_tokens"))
+    tok.join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * hhShareDenom > col("n_tokens"))
+      .select(col("token"), col("cnt"),
+        (col("cnt").cast("double") / col("n_tokens").cast("double")).as("share"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_heavy_hitters" -> (q110HeavyHitters _),
     "q103_robust_outliers" -> (q103RobustOutliers _),
     "q104_chi2_independence" -> (q104ChiSquare _),
     "q85_value_histogram" -> ((s: SparkSession, d: String) => q85ValueHistogram(s, d)),
@@ -247,6 +309,17 @@ object StatsOps {
     "q52_approx_distinct" -> (q52ApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "q110_heavy_hitters" ->
+      """WITH t AS (
+        | SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        | FROM documents),
+        |n AS (SELECT count(*) AS n_tokens FROM t)
+        |SELECT token, count(*) AS cnt,
+        | CAST(count(*) AS DOUBLE) / CAST((SELECT n_tokens FROM n) AS DOUBLE)
+        |   AS share
+        |FROM t GROUP BY token
+        |HAVING count(*) * 64 > (SELECT n_tokens FROM n)
+        |ORDER BY cnt DESC, token""".stripMargin,
     "q103_robust_outliers" ->
       """WITH e AS (
         | SELECT event_type,

@@ -669,7 +669,130 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q109
+  /** Per-document LANGUAGE-MODEL scoring — the perplexity-style quality
+    * filter of a training pipeline: each document is scored by the total
+    * negative log-likelihood of its bigrams under an add-one-smoothed
+    * bigram LM trained on the corpus itself (the classic
+    * train-on-corpus / score-each-doc loop; docs whose text the corpus LM
+    * finds surprising are the pruning candidates that simple length/
+    * stopword heuristics like q33 miss).
+    *
+    * nll(w1 w2) = ln((c(w1 ·) + V) / (c(w1 w2) + 1)) — add-one smoothing
+    * over vocabulary size V. Exactness follows q72's discipline: the log's
+    * argument is a double quotient of exact integers, the log is rounded
+    * ONCE to 6 decimals and pinned to DECIMAL(18,6) (JVM log and DuckDB ln
+    * agree to the rounded digit across the integer-ratio domain — the
+    * q72-verified property), and everything after is exact decimal
+    * arithmetic: per-doc sums multiply the pinned nll by integer bigram
+    * multiplicities and sum as decimals, so partial-aggregation order can
+    * never move a bit. The final avg is one decimal→double cast and one
+    * IEEE division of deterministic operands.
+    *
+    * Scale: the LM table is vocab²-bounded and built with map-side partial
+    * counts; per-doc bigrams pre-aggregate to (doc, w1, w2, multiplicity)
+    * before the join, so the shuffle carries bigram TYPES per doc, not
+    * token positions. The join key (w1, w2) is hash-partitioned on both
+    * sides — at 100 TB the LM side is far too big to broadcast, and this
+    * plan never needs to. V arrives via a broadcast one-row cross join. */
+  def q109LmDocScore(s: SparkSession, d: String): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val docs = t(s, d, "documents")
+    val bg = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("x"))
+      .select(col("doc_id"), col("x.w1").as("w1"), col("x.w2").as("w2"))
+    val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val heads = cnt.groupBy("w1").agg(sum(col("n")).as("head_n"))
+    val vocab = docs.select(explode(tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val nll = cnt.join(heads, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        round(log((col("head_n") + col("v")).cast("double")
+          / (col("n") + lit(1L)).cast("double")), 6).cast(dec6).as("nll"))
+    val perDoc = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+      .join(nll, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_bigrams"), sum(col("m") * col("nll")).as("s"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("s").cast("double"), lit(0.0)).as("sum_nll"),
+        when(col("n_bigrams") > 0,
+          col("s").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q111
+  /** TEMPERATURE-SCALED corpus MIXTURE sampling — the data-mixing step of
+    * LLM training: sources are re-weighted by count^τ with τ = 1/2 (big
+    * sources are downsampled toward parity, small ones kept near-whole —
+    * raw-proportional mixing lets one crawl dominate, uniform mixing
+    * over-amplifies tiny sources), and documents are drawn with the
+    * content-hash predicate so the sample is re-run-, re-shard- and
+    * engine-stable (the q64/q65 family property).
+    *
+    * Everything is exact integer arithmetic end to end:
+    *  - the weight is an exact integer sqrt — floor(sqrt(double)) plus a
+    *    ±1 integer fixup, so the one float op can never shift the result
+    *    off the true isqrt even at a perfect-square boundary;
+    *  - the per-source keep threshold on the 16-bit hash grid is two
+    *    integer floor-divisions — thr_s = ((B·65536 div W)·w_s) div c_s,
+    *    B = target budget (¼ of the corpus), W = Σ w_s — staged so no
+    *    intermediate outgrows a long even at 100 TB source sizes (the
+    *    single-expression form B·w_s·65536 would); the staging quantizes
+    *    the realized rate by ≤ W/65536 of a grid step, which the report
+    *    makes visible (target_rate next to realized rate);
+    *  - the draw compares 4 hex digits of the salted content md5 against
+    *    the threshold rendered in hex — pure string compare.
+    *
+    * Sampled counts land ∝ c_s^τ: the τ=1 (proportional) and τ→0
+    * (uniform) mixtures are the same operator with a different weight
+    * column. Selection is map-side; the only shuffle is the per-source
+    * rollup (|sources| rows). */
+  def q111MixtureWeights(s: SparkSession, d: String, shareDenom: Int = 4): DataFrame = {
+    val docs = t(s, d, "documents")
+    // exact integer sqrt: one float sqrt + integer fixup (never trusts the
+    // float at a boundary)
+    def isqrt(c: Column): Column = {
+      val w0 = floor(sqrt(c.cast("double"))).cast("long")
+      when((w0 + 1) * (w0 + 1) <= c, w0 + 1)
+        .when(w0 * w0 > c, w0 - 1)
+        .otherwise(w0)
+    }
+    val bySource = docs.groupBy("source").agg(count(lit(1)).as("c_s"))
+      .withColumn("w_s", isqrt(col("c_s")))
+    val totals = bySource.agg(sum(col("c_s")).as("n_total"),
+      sum(col("w_s")).as("w_total"))
+    val withThr = bySource.crossJoin(broadcast(totals))
+      .withColumn("thr", expr(
+        s"(((n_total div $shareDenom) * 65536L div w_total) * w_s) div c_s"))
+    val keep = col("thr") >= 65536L ||
+      substring(md5(concat(lit("graft-mix-42:"),
+        regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")), 1, 4) <
+        format_string("%04x", col("thr"))
+    docs.join(broadcast(withThr.select("source", "c_s", "w_s", "thr")), "source")
+      .groupBy("source")
+      .agg(first(col("c_s")).as("n_docs"), first(col("w_s")).as("weight"),
+        first(col("thr")).as("thr"),
+        count(when(keep, 1)).as("n_sampled"))
+      .select(col("source"), col("n_docs"), col("weight"), col("n_sampled"),
+        (col("n_sampled").cast("double") / col("n_docs").cast("double"))
+          .as("realized_rate"),
+        (least(col("thr"), lit(65536L)).cast("double") / 65536.0)
+          .as("target_rate"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_mixture_weights" -> ((s: SparkSession, d: String) => q111MixtureWeights(s, d)),
+    "q109_lm_doc_score" -> (q109LmDocScore _),
     "q100_vocab_coverage" -> (q100VocabCoverage _),
     "q101_bigram_lm" -> (q101BigramLm _),
     "q102_contamination" -> (q102Contamination _),
@@ -703,6 +826,58 @@ object TextOps {
        |       / len($duckToks)), 4)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q111_mixture_weights" ->
+      """WITH bs AS (SELECT source, count(*) AS c_s FROM documents GROUP BY 1),
+        |w AS (
+        | SELECT source, c_s,
+        |  CASE WHEN (w0 + 1) * (w0 + 1) <= c_s THEN w0 + 1
+        |       WHEN w0 * w0 > c_s THEN w0 - 1 ELSE w0 END AS w_s
+        | FROM (SELECT source, c_s,
+        |    CAST(floor(sqrt(CAST(c_s AS DOUBLE))) AS BIGINT) AS w0 FROM bs)),
+        |tot AS (SELECT CAST(sum(c_s) AS BIGINT) AS n_total,
+        |  CAST(sum(w_s) AS BIGINT) AS w_total FROM w),
+        |thr AS (
+        | SELECT source, c_s, w_s,
+        |  ((((n_total // 4) * 65536) // w_total) * w_s) // c_s AS thr
+        | FROM w CROSS JOIN tot),
+        |k AS (
+        | SELECT d.source, thr.c_s, thr.w_s, thr.thr,
+        |  CASE WHEN thr.thr >= 65536 OR substr(md5('graft-mix-42:'
+        |     || regexp_replace(lower(d.text), '\s+', ' ', 'g')), 1, 4)
+        |     < printf('%04x', thr.thr) THEN 1 END AS kept
+        | FROM documents d JOIN thr USING (source))
+        |SELECT source, c_s AS n_docs, w_s AS weight,
+        | count(kept) AS n_sampled,
+        | CAST(count(kept) AS DOUBLE) / CAST(c_s AS DOUBLE) AS realized_rate,
+        | CAST(least(thr, 65536) AS DOUBLE) / 65536.0 AS target_rate
+        |FROM k GROUP BY source, c_s, w_s, thr
+        |ORDER BY source""".stripMargin,
+    "q109_lm_doc_score" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |bg AS (
+         | SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         | FROM toks, unnest(range(1, len(t))) AS u(i)),
+         |cnt AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+         |heads AS (SELECT w1, CAST(sum(n) AS BIGINT) AS head_n FROM cnt GROUP BY 1),
+         |voc AS (SELECT count(DISTINCT tok) AS v
+         |  FROM (SELECT unnest(t) AS tok FROM toks)),
+         |nll AS (
+         | SELECT c.w1, c.w2,
+         |  CAST(round(ln(CAST(h.head_n + voc.v AS DOUBLE)
+         |      / CAST(c.n + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS nll
+         | FROM cnt c JOIN heads h USING (w1) CROSS JOIN voc),
+         |dbg AS (SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY 1, 2, 3),
+         |per AS (
+         | SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |  sum(m * nll.nll) AS s
+         | FROM dbg JOIN nll USING (w1, w2) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+         | coalesce(CAST(per.s AS DOUBLE), 0.0) AS sum_nll,
+         | CASE WHEN per.n_bigrams > 0
+         |   THEN CAST(per.s AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE) END
+         |   AS avg_nll
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q100_vocab_coverage" ->
       s"""WITH tok AS (
          | SELECT lang, unnest($duckToks) AS token FROM documents),

@@ -111,4 +111,36 @@ class StatsOpsSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(sumContrib === BigDecimal(total))
   }
+
+  test("Misra-Gries: survivors form a superset of every item above n/(cap+1)") {
+    // skewed stream: item i appears 2^i times, shuffled deterministically
+    val stream = new scala.util.Random(7)
+      .shuffle((0 to 9).flatMap(i => Seq.fill(1 << i)(s"item$i")).toVector)
+    val n = stream.length // 1023
+    for (cap <- Seq(3, 7, 15)) {
+      val survivors = StatsOps.misraGries(stream.iterator, cap).toSet
+      assert(survivors.size <= cap)
+      val counts = stream.groupBy(identity).view.mapValues(_.size)
+      counts.foreach { case (item, c) =>
+        if (c > n / (cap + 1)) assert(survivors.contains(item), s"cap=$cap $item")
+      }
+    }
+  }
+
+  test("heavy hitters: sketch-pruned plan equals the exact GROUP BY / HAVING answer") {
+    val got = StatsOps.q110HeavyHitters(spark, sf).collect()
+    assert(got.nonEmpty)
+    val tok = Tables.load(spark, sf, "documents")
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+    val n = tok.count()
+    val expect = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * StatsOps.hhShareDenom > n)
+      .orderBy(col("cnt").desc, col("token")).collect()
+    assert(got.length === expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g.getString(0) === e.getString(0))
+      assert(g.getAs[Long]("cnt") === e.getAs[Long]("cnt"))
+      assert(g.getAs[Double]("share") === e.getAs[Long]("cnt").toDouble / n)
+    }
+  }
 }

@@ -113,4 +113,81 @@ class TextIndexSpec extends AnyFunSuite {
     assert(docGrams.join(trainGrams, Seq("gram"), "left_semi").count()
       === top.getAs[Long]("n_hit"))
   }
+
+  test("LM doc score: every doc present, totals tie out, spot doc recomputable") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val rows = TextOps.q109LmDocScore(spark, TestSpark.sf).collect()
+    assert(rows.length === docs.count())
+    // total bigram mass = sum over docs of (n_tokens - 1), floored at 0
+    val expectBg = docs.select(
+      sum(greatest(size(TextOps.tokens(col("text"))) - 1, lit(0))))
+      .head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_bigrams")).sum === expectBg)
+    rows.foreach { r =>
+      val (n, s, a) = (r.getAs[Long]("n_bigrams"), r.getAs[Double]("sum_nll"),
+        r.getAs[Double]("avg_nll"))
+      assert(s >= 0.0) // add-one smoothing: head_n + V > c + 1 in any real corpus
+      if (n > 0) assert(math.abs(a - s / n) < 1e-12) else assert(r.isNullAt(3))
+    }
+    // spot-recompute one document's score directly from corpus counts
+    val bg = docs.select(col("doc_id"),
+      explode(zip_with(
+        slice(TextOps.tokens(col("text")), lit(1),
+          greatest(size(TextOps.tokens(col("text"))) - 1, lit(0))),
+        slice(TextOps.tokens(col("text")), lit(2),
+          greatest(size(TextOps.tokens(col("text"))) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("x"))
+      .select(col("doc_id"), col("x.w1").as("w1"), col("x.w2").as("w2"))
+      .cache()
+    val vocab = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    val cnt = bg.groupBy("w1", "w2").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val heads = cnt.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val target = rows.find(_.getAs[Long]("n_bigrams") > 0).get
+    val docBg = bg.filter(col("doc_id") === target.getLong(0)).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val expect = docBg.map { case (w1, w2) =>
+      BigDecimal(StrictMath.log((heads(w1) + vocab).toDouble / (cnt((w1, w2)) + 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    assert(BigDecimal(target.getAs[Double]("sum_nll")) === expect)
+  }
+
+  test("mixture sampling: exact isqrt weights, recountable draws, sqrt-mixture shape") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val rows = TextOps.q111MixtureWeights(spark, TestSpark.sf).collect()
+    val bySource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length === bySource.size)
+    rows.foreach { r =>
+      val (c, w) = (r.getAs[Long]("n_docs"), r.getAs[Long]("weight"))
+      assert(bySource(r.getString(0)) === c)
+      assert(w * w <= c && (w + 1) * (w + 1) > c) // exact integer sqrt
+      assert(r.getAs[Long]("n_sampled") <= c)
+      // realized rate tracks the 16-bit-grid target (binomial + grid slack)
+      assert(math.abs(r.getAs[Double]("realized_rate")
+        - r.getAs[Double]("target_rate")) < 0.25)
+    }
+    // the draw is re-countable: recompute one source's sample directly,
+    // rebuilding the threshold from first principles
+    val top = rows.maxBy(_.getAs[Long]("n_docs"))
+    val nTotal = bySource.values.sum
+    val wTotal = rows.map(_.getAs[Long]("weight")).sum
+    val thr = ((nTotal / 4) * 65536L / wTotal) * top.getAs[Long]("weight") /
+      top.getAs[Long]("n_docs")
+    val recount = docs.filter(col("source") === top.getString(0))
+      .filter(substring(md5(concat(lit("graft-mix-42:"),
+        regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")), 1, 4)
+        < format_string("%04x", lit(thr)))
+      .count()
+    assert(recount === top.getAs[Long]("n_sampled"))
+    // τ=1/2 pulls rates toward parity: biggest source samples at a LOWER
+    // rate than the smallest (strictly, when counts differ enough for the
+    // grid to see)
+    val big = rows.maxBy(_.getAs[Long]("n_docs"))
+    val small = rows.minBy(_.getAs[Long]("n_docs"))
+    if (big.getAs[Long]("n_docs") > 2 * small.getAs[Long]("n_docs"))
+      assert(big.getAs[Double]("target_rate") < small.getAs[Double]("target_rate"))
+  }
 }
