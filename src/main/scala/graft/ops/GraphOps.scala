@@ -253,8 +253,66 @@ object GraphOps {
       .orderBy(col("rank_scaled").desc, col("node"))
       .limit(25)
 
+  // ---------------------------------------------------------------- q112
+  /** COMMUNITY DETECTION via weighted label propagation — the coarser,
+    * modularity-seeking sibling of [[connectedComponents]] (CC answers
+    * "reachable at all?"; LPA answers "which densely-linked cluster?").
+    * Synchronous rounds on the mutually-capped co-order graph: every node
+    * adopts the label with the highest incident edge-weight sum among its
+    * neighbors, ties broken by the SMALLER label id — a deterministic
+    * total order, which is what makes the whole operator engine-exact
+    * (classic async LPA with random tie-breaks is unreproducible by
+    * design; fixing sweep order + tie order trades a little convergence
+    * speed for a bit-stable result). Labels start as node ids; two
+    * synchronous rounds are unrolled — at 100 TB each round is one
+    * edge-join + (node, label) weight aggregation + one argmax window
+    * over per-(node,label) sums, all shuffling bare longs, and the round
+    * count is the explicit cost knob (LPA quality saturates within a few
+    * rounds on weighted graphs).
+    *
+    * The oracle unrolls the same two rounds in SQL — integer sums and
+    * (sum DESC, label ASC) ranking only, no floats anywhere. */
+  def labelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // BOTH union children alias every column: an unaliased child collapses
+    // to the (possibly checkpointed) relation itself, and Union's
+    // constraint rewrite throws "key not found" when a LogicalRDD child
+    // carries constraints minted against pre-checkpoint attribute ids
+    val adj = edges.select(col("u").as("u"), col("v").as("v"), col("w").as("w"))
+      .union(edges.select(col("v").as("u"), col("u").as("v"),
+        col("w").as("w")))
+      .localCheckpoint()
+    var labels = adj.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val byVote = Window.partitionBy("node")
+      .orderBy(col("wsum").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u").as("node"), col("label"))
+        .agg(sum(col("w")).as("wsum"))
+        .withColumn("rk", row_number().over(byVote))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("label"))
+    }
+    labels
+  }
+
+  /** q112: two-round weighted LPA over the co-order graph; communities of
+    * size >= 3 reported with size, total internal weight rank basis and
+    * deterministic ordering. */
+  def q112LabelCommunities(s: SparkSession, d: String): DataFrame = {
+    val labels = labelPropagate(cachedCoOrderEdges(s, d), rounds = 2)
+    labels.groupBy("label")
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_member"))
+      .filter(col("n_members") >= 3)
+      .orderBy(col("n_members").desc, col("label"))
+      .limit(25)
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_label_communities" -> (q112LabelCommunities _),
     "q66_dedup_components" -> (q66DedupComponents _),
     "q99_triangle_cooccur" -> (q99TriangleCooccur _),
     "q105_pagerank" -> ((s: SparkSession, d: String) => q105PageRank(s, d)))
@@ -291,7 +349,27 @@ object GraphOps {
        | FROM deg CROSS JOIN nn LEFT JOIN c$i ON deg.u = c$i.node)""".stripMargin
   }.mkString(",\n")
 
+  /** Two unrolled synchronous LPA rounds (the q112 twin). */
+  private val duckLpaRounds: String = (1 to 2).map { i =>
+    s"""v$i AS (
+       | SELECT a.u AS node, l${i - 1}.label, CAST(sum(a.w) AS BIGINT) AS wsum
+       | FROM a JOIN l${i - 1} ON a.v = l${i - 1}.node GROUP BY 1, 2),
+       |l$i AS (
+       | SELECT node, label FROM (
+       |  SELECT node, label,
+       |   row_number() OVER (PARTITION BY node ORDER BY wsum DESC, label) AS rk
+       |  FROM v$i) WHERE rk = 1)""".stripMargin
+  }.mkString(",\n")
+
   val oracle: Map[String, String] = Map(
+    "q112_label_communities" ->
+      s"""WITH $duckCappedEdges,
+         |a AS (SELECT u, v, w FROM capped UNION ALL SELECT v, u, w FROM capped),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM a),
+         |$duckLpaRounds
+         |SELECT label, count(*) AS n_members, min(node) AS min_member
+         |FROM l2 GROUP BY label HAVING count(*) >= 3
+         |ORDER BY n_members DESC, label LIMIT 25""".stripMargin,
     "q99_triangle_cooccur" ->
       s"""WITH $duckCappedEdges
          |SELECT e1.u AS a, e1.v AS b, e2.v AS c,

@@ -471,4 +471,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(d1.forall(r => r.getString(0).startsWith("cold ") &&
       r.getString(1).startsWith("old ")))
   }
+
+  test("containment dedup: scores recompute, full-dups score 1.0, excerpt found") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val out = DedupOps.q113ContainmentDedup(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    val grams = docs.select(col("doc_id"), DedupOps.shingles(col("text")).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    out.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b)
+      val (ga, gb) = (grams(a).toSet, grams(b).toSet)
+      assert(r.getAs[Int]("n_grams_a") === ga.size)
+      assert(r.getAs[Int]("n_grams_b") === gb.size)
+      val expect = BigDecimal(ga.intersect(gb).size.toDouble / math.min(ga.size, gb.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("containment") === expect)
+      assert(expect >= 0.5)
+    }
+    // exact duplicates (q30's basis guarantees some) must appear at 1.0
+    assert(out.exists(_.getAs[Double]("containment") === 1.0))
+  }
+
+  test("containment catches a planted low-jaccard excerpt pair") {
+    // doc B = doc A's text embedded in 10x more filler: jaccard is tiny,
+    // containment is 1.0 — the pair symmetric near-dup ops can't see
+    val core = (1 to 20).map(i => s"core$i").mkString(" ")
+    val filler = (1 to 200).map(i => s"filler$i").mkString(" ")
+    val df = Seq((1L, core), (2L, s"$filler $core"))
+      .toDF("doc_id", "text")
+    graft.functions.GraftFunctions.register(spark)
+    val sh = df.select(col("doc_id"), DedupOps.shingles(col("text")).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    val inter = sh(1L).toSet.intersect(sh(2L).toSet).size
+    val jacc = inter.toDouble / sh(1L).toSet.union(sh(2L).toSet).size
+    val cont = inter.toDouble / math.min(sh(1L).size, sh(2L).size)
+    assert(jacc < 0.1) // symmetric score misses it
+    assert(cont >= 0.9) // containment sees it (boundary shingles only differ)
+  }
 }

@@ -110,4 +110,43 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out.map(_._2).toSeq === out.map(_._2).sortBy(-_).toSeq)
     out.foreach { case (_, rs, rd) => assert(rs > 0); assert(rd === rs.toDouble / 1e12) }
   }
+
+  test("label propagation: two triangles joined by one bridge edge split apart") {
+    // nodes 1-2-3 heavily intra-linked, 4-5-6 likewise, 3-4 a weak bridge:
+    // each triangle must converge onto its own label, bridge notwithstanding
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+      (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L), (3L, 4L, 1L))
+      .toDF("u", "v", "w")
+    val labels = GraphOps.labelPropagate(edges, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(Set(labels(1), labels(2), labels(3)).size === 1)
+    assert(Set(labels(4), labels(5), labels(6)).size === 1)
+    assert(labels(1) !== labels(4))
+  }
+
+  test("label propagation ties break toward the smaller label (determinism)") {
+    // node 3 sees labels 1 and 2 with equal weight in round 1 → must pick 1
+    val edges = Seq((1L, 3L, 5L), (2L, 3L, 5L)).toDF("u", "v", "w")
+    val labels = GraphOps.labelPropagate(edges, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(3L) === 1L)
+  }
+
+  test("q112 communities: sizes ordered, members real, sizes tie out") {
+    val out = GraphOps.q112LabelCommunities(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    val sizes = out.map(_.getAs[Long]("n_members"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b })
+    assert(sizes.forall(_ >= 3))
+    // recompute the full labeling: reported sizes must match exactly
+    val full = GraphOps.labelPropagate(
+      GraphOps.cachedCoOrderEdges(spark, TestSpark.sf), rounds = 2)
+      .groupBy("label").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(full(r.getAs[Long]("label")) === r.getAs[Long]("n_members"))
+      assert(!r.isNullAt(r.fieldIndex("min_member")))
+    }
+  }
 }
