@@ -415,7 +415,62 @@ object EtlOps {
       .orderBy("from_type", "to_type")
   }
 
+  // ---------------------------------------------------------------- q114
+  /** DATA-QUALITY / INTEGRITY audit — the constraint suite a pipeline runs
+    * before promoting a snapshot (the reference's verifier,
+    * /root/reference/src/main.rs:102-150, checks column NAMES only; this is
+    * the row-level counterpart): referential integrity across the star
+    * schema, key uniqueness, and domain checks, one result row per check so
+    * a gate can alert on any n_violations > 0.
+    *
+    *  - lineitem_orphan_orderkey / orders_orphan_custkey: child keys with
+    *    no parent row — LEFT ANTI joins carrying only the key column, so
+    *    the shuffle is (key) pairs, never payloads. At 100 TB both sides
+    *    hash-partition on the key; no broadcast assumption on the parent.
+    *  - events_dup_event_id: n_total − n_distinct over the id column (one
+    *    partial-aggregated scan, no self-join).
+    *  - events_nonpositive_value / documents_blank_text: conditional
+    *    counts, map-side only.
+    *
+    * Each check is a one-row aggregate; the union of five one-row frames is
+    * driver-trivial. violation_rate is one IEEE division of exact longs. */
+  def q114IntegrityAudit(s: SparkSession, d: String): DataFrame = {
+    // each check yields a one-row (n_total, n_violations) frame
+    def shape(name: String, counts: DataFrame): DataFrame =
+      counts.select(lit(name).as("check_name"),
+        col("n_total"), col("n_violations"),
+        (col("n_violations").cast("double") / col("n_total").cast("double"))
+          .as("violation_rate"))
+    val li = t(s, d, "lineitem").select(col("l_orderkey"))
+    val ord = t(s, d, "orders")
+    val ev = t(s, d, "events")
+    val liOrphans = li
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    val ordOrphans = ord.select(col("o_custkey"))
+      .join(t(s, d, "customer").select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    shape("1_lineitem_orphan_orderkey",
+        li.agg(count(lit(1)).as("n_total")).crossJoin(liOrphans))
+      .unionByName(shape("2_orders_orphan_custkey",
+        ord.agg(count(lit(1)).as("n_total")).crossJoin(ordOrphans)))
+      .unionByName(shape("3_events_dup_event_id",
+        ev.agg(count(lit(1)).as("n_total"),
+          (count(lit(1)) - countDistinct(col("event_id"))).as("n_violations"))))
+      .unionByName(shape("4_events_nonpositive_value",
+        ev.agg(count(lit(1)).as("n_total"),
+          count(when(col("value") <= 0, 1)).as("n_violations"))))
+      .unionByName(shape("5_documents_blank_text",
+        t(s, d, "documents").agg(count(lit(1)).as("n_total"),
+          count(when(col("text").isNull || trim(col("text")) === "", 1))
+            .as("n_violations"))))
+      .orderBy("check_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_integrity_audit" -> (q114IntegrityAudit _),
     "q106_snapshot_diff" -> (q106SnapshotDiff _),
     "q107_event_transitions" -> (q107EventTransitions _),
     "q98_open_intervals" -> (q98OpenIntervals _),
@@ -428,6 +483,32 @@ object EtlOps {
     "q82_retention_cohorts" -> (q82RetentionCohorts _))
 
   val oracle: Map[String, String] = Map(
+    "q114_integrity_audit" ->
+      """WITH x AS (
+        | SELECT '1_lineitem_orphan_orderkey' AS check_name,
+        |  (SELECT count(*) FROM lineitem) AS n_total,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+        | UNION ALL
+        | SELECT '2_orders_orphan_custkey',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        | UNION ALL
+        | SELECT '3_events_dup_event_id',
+        |  (SELECT count(*) FROM events),
+        |  (SELECT count(*) - count(DISTINCT event_id) FROM events)
+        | UNION ALL
+        | SELECT '4_events_nonpositive_value',
+        |  (SELECT count(*) FROM events),
+        |  (SELECT count(*) FILTER (value <= 0) FROM events)
+        | UNION ALL
+        | SELECT '5_documents_blank_text',
+        |  (SELECT count(*) FROM documents),
+        |  (SELECT count(*) FILTER (text IS NULL OR trim(text) = '') FROM documents))
+        |SELECT check_name, n_total, n_violations,
+        | CAST(n_violations AS DOUBLE) / CAST(n_total AS DOUBLE) AS violation_rate
+        |FROM x ORDER BY check_name""".stripMargin,
     "q106_snapshot_diff" ->
       """WITH base AS (
         | SELECT o_orderkey AS okey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,

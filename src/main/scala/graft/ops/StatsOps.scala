@@ -233,6 +233,114 @@ object StatsOps {
       .orderBy("lang", "source")
   }
 
+  // ---------------------------------------------------------------- q115
+  /** Train/eval DISTRIBUTION-DRIFT detection — Jensen-Shannon divergence
+    * between the language distributions of the q64 content-hash splits.
+    * The check a pipeline runs after any split or resample: a biased split
+    * (one language over-represented in eval) silently skews every eval
+    * metric, and JS — unlike KL — is finite and symmetric even when a
+    * category is missing from one side.
+    *
+    * Exactness: with a_l/A the train counts and b_l/B the eval counts, the
+    * two log arguments reduce to INTEGER ratios —
+    * p_l/m_l = 2·a_l·B/(a_l·B + b_l·A) and symmetrically for q_l/m_l — so
+    * each ln is taken on a double quotient of exact longs, rounded ONCE to
+    * 6 decimals and pinned to DECIMAL(18,6) (the q72-verified JVM-log ==
+    * DuckDB-ln property for integer-ratio arguments). The per-language
+    * partial sums a_l·L1_l and b_l·L2_l are then integer×decimal — exact —
+    * and JS = Σa_l·L1_l/(2A) + Σb_l·L2_l/(2B) finishes with two
+    * decimal→double casts and IEEE ops on deterministic operands. A
+    * missing side contributes exactly 0 (the p·ln(p/m) limit), not NaN.
+    *
+    * Scale: one documents scan computes the (lang, split) contingency
+    * (map-side partial counts); everything after is |langs|-sized and
+    * rides broadcast one-row cross joins — no second scan, no collect. */
+  def q115DistributionDrift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val c = t(s, d, "documents")
+      .select(col("lang"), TextOps.splitAssign(col("text")).as("split"))
+      .groupBy("lang")
+      .agg(count(when(col("split") === "train", 1)).as("a"),
+        count(when(col("split") === "eval", 1)).as("b"))
+    val tot = c.agg(sum("a").as("ta"), sum("b").as("tb"))
+    val lnDec = (num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =>
+      round(log(num.cast("double") / den.cast("double")), 6).cast(dec6)
+    val withLn = c.crossJoin(broadcast(tot))
+      .select(col("lang"), col("a"), col("b"), col("ta"), col("tb"),
+        when(col("a") > 0,
+          lnDec(lit(2) * col("a") * col("tb"),
+            col("a") * col("tb") + col("b") * col("ta")))
+          .otherwise(lit(BigDecimal(0)).cast(dec6)).as("l1"),
+        when(col("b") > 0,
+          lnDec(lit(2) * col("b") * col("ta"),
+            col("a") * col("tb") + col("b") * col("ta")))
+          .otherwise(lit(BigDecimal(0)).cast(dec6)).as("l2"))
+    withLn
+      .select(col("lang"), col("a").as("n_train"), col("b").as("n_eval"),
+        ((col("a") * col("l1")).cast("double") / (lit(2.0) * col("ta").cast("double"))
+          + (col("b") * col("l2")).cast("double") / (lit(2.0) * col("tb").cast("double")))
+          .as("contrib"),
+        (sum(col("a") * col("l1")).over(Window.partitionBy()).cast("double")
+          / (lit(2.0) * col("ta").cast("double"))
+          + sum(col("b") * col("l2")).over(Window.partitionBy()).cast("double")
+            / (lit(2.0) * col("tb").cast("double"))).as("js_total"))
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------- q116
+  /** IQR-fence value clipping (winsorization) — the feature-clipping /
+    * outlier-capping step of a training pipeline: per event type, compute
+    * Tukey fences Q1 − 1.5·IQR and Q3 + 1.5·IQR and clamp every value into
+    * the band, reporting how much mass moved.
+    *
+    * Exactness comes from an INTEGER GRID: values quantize to cents once,
+    * and quartiles of integers interpolate at quarter positions, so
+    * 32·Q1 and 32·Q3 are exactly-representable integer doubles (cast to
+    * long loss-free in both engines — an integer-valued double casts
+    * identically whether the engine truncates or rounds). 32·IQR is then a
+    * long multiple of 8, so the fence 32·(Q1 − 1.5·IQR) = 32·Q1 − 3·32·IQR/2
+    * stays pure long arithmetic: the clamp compares longs, the winsorized
+    * sum is an exact long sum, and the only doubles in the output are
+    * final /3200.0 rescales of exact integers.
+    *
+    * Scale: two passes over events (one per-group exact quantile — sort
+    * within group — and one clamp+sum with the tiny fence table broadcast
+    * back); groups are event types, so the quantile sort distributes. At a
+    * 100 TB single-group extreme you'd swap percentile for
+    * approx_percentile and lose the exactness claim, not the plan. */
+  def q116IqrClip(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select(col("event_type"),
+        (graft.streaming.EventsStream.cents(col("value")) * 32L).as("v32"))
+    val fences = e.groupBy("event_type")
+      .agg((percentile(col("v32"), lit(0.25)) * 32).cast("long").as("q1x"),
+        (percentile(col("v32"), lit(0.75)) * 32).cast("long").as("q3x"))
+      // q1x/q3x are in 1024ths of a cent (32·v32 percentile ⇒ exact ints);
+      // `div` keeps the fence in pure long arithmetic (Spark `/` on longs
+      // widens to double) — exact because 3·IQR here is a multiple of 256
+      .select(col("event_type"), col("q1x"), col("q3x"),
+        expr("q1x - (3 * (q3x - q1x)) div 2").as("lox"),
+        expr("q3x + (3 * (q3x - q1x)) div 2").as("hix"))
+    e.join(broadcast(fences), "event_type")
+      .select(col("event_type"), col("q1x"), col("q3x"), col("lox"), col("hix"),
+        (col("v32") * 32L).as("vx"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (first(col("q1x")).cast("double") / 102400.0).as("q1"),
+        (first(col("q3x")).cast("double") / 102400.0).as("q3"),
+        (first(col("lox")).cast("double") / 102400.0).as("fence_lo"),
+        (first(col("hix")).cast("double") / 102400.0).as("fence_hi"),
+        count(when(col("vx") < col("lox"), 1)).as("n_clip_lo"),
+        count(when(col("vx") > col("hix"), 1)).as("n_clip_hi"),
+        // decimal accumulator: a long sum overflows around 1e13 rows of
+        // 1/1024-cent units; DuckDB's BIGINT sum widens to HUGEINT anyway
+        (sum(greatest(col("lox"), least(col("hix"), col("vx")))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 0)))
+          .cast("double") / 102400.0).as("sum_winsorized"))
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------------------------- q110
   /** HEAVY HITTERS via a Misra-Gries sketch + exact recount — frequent
     * tokens with share > 1/64 of all token occurrences, computed WITHOUT a
@@ -295,6 +403,8 @@ object StatsOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_distribution_drift" -> (q115DistributionDrift _),
+    "q116_iqr_clip" -> (q116IqrClip _),
     "q110_heavy_hitters" -> (q110HeavyHitters _),
     "q103_robust_outliers" -> (q103RobustOutliers _),
     "q104_chi2_independence" -> (q104ChiSquare _),
@@ -309,6 +419,54 @@ object StatsOps {
     "q52_approx_distinct" -> (q52ApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "q115_distribution_drift" ->
+      """WITH c AS (
+        | SELECT lang,
+        |  count(*) FILTER (substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 1) < 'c') AS a,
+        |  count(*) FILTER (substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 1) >= 'c') AS b
+        | FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb FROM c),
+        |x AS (
+        | SELECT lang, a, b, ta, tb,
+        |  CASE WHEN a > 0 THEN CAST(round(ln(CAST(2*a*tb AS DOUBLE)
+        |    / CAST(a*tb + b*ta AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |   ELSE CAST(0 AS DECIMAL(18,6)) END AS l1,
+        |  CASE WHEN b > 0 THEN CAST(round(ln(CAST(2*b*ta AS DOUBLE)
+        |    / CAST(a*tb + b*ta AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |   ELSE CAST(0 AS DECIMAL(18,6)) END AS l2
+        | FROM c CROSS JOIN t)
+        |SELECT lang, a AS n_train, b AS n_eval,
+        | CAST(a*l1 AS DOUBLE)/(2.0*CAST(ta AS DOUBLE))
+        |  + CAST(b*l2 AS DOUBLE)/(2.0*CAST(tb AS DOUBLE)) AS contrib,
+        | CAST(sum(a*l1) OVER () AS DOUBLE)/(2.0*CAST(ta AS DOUBLE))
+        |  + CAST(sum(b*l2) OVER () AS DOUBLE)/(2.0*CAST(tb AS DOUBLE)) AS js_total
+        |FROM x ORDER BY lang""".stripMargin,
+    "q116_iqr_clip" ->
+      """WITH e AS (
+        | SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 32 AS v32
+        | FROM events),
+        |f AS (
+        | SELECT event_type,
+        |  CAST(quantile_cont(v32, 0.25) * 32 AS BIGINT) AS q1x,
+        |  CAST(quantile_cont(v32, 0.75) * 32 AS BIGINT) AS q3x
+        | FROM e GROUP BY 1),
+        |g AS (
+        | SELECT event_type, q1x, q3x,
+        |  q1x - (3 * (q3x - q1x)) // 2 AS lox,
+        |  q3x + (3 * (q3x - q1x)) // 2 AS hix
+        | FROM f)
+        |SELECT e.event_type, count(*) AS n,
+        | CAST(any_value(q1x) AS DOUBLE) / 102400.0 AS q1,
+        | CAST(any_value(q3x) AS DOUBLE) / 102400.0 AS q3,
+        | CAST(any_value(lox) AS DOUBLE) / 102400.0 AS fence_lo,
+        | CAST(any_value(hix) AS DOUBLE) / 102400.0 AS fence_hi,
+        | count(*) FILTER (e.v32 * 32 < lox) AS n_clip_lo,
+        | count(*) FILTER (e.v32 * 32 > hix) AS n_clip_hi,
+        | CAST(sum(greatest(lox, least(hix, e.v32 * 32))) AS DOUBLE) / 102400.0
+        |   AS sum_winsorized
+        |FROM e JOIN g USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q110_heavy_hitters" ->
       """WITH t AS (
         | SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token

@@ -447,4 +447,42 @@ class EtlOpsSpec extends AnyFunSuite {
       .count()
     assert(peak.getAs[Long]("open_cnt") === direct)
   }
+
+  // ------------------------------------------------------ q114 integrity
+  test("integrity audit: clean corpus reports zero violations with full totals") {
+    val rows = EtlOps.q114IntegrityAudit(spark, sf).collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getAs[Long]("n_violations") === 0L))
+    val liTotal = rows.find(_.getString(0).startsWith("1_")).get.getAs[Long]("n_total")
+    assert(liTotal === Tables.load(spark, sf, "lineitem").count())
+  }
+
+  test("integrity audit: injected violations are each counted by their check") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      TestSpark.writeSingleFile(df, s"$dir/$name.parquet")
+    val li = Tables.load(spark, sf, "lineitem")
+    // two orphan lineitems pointing at keys no order has
+    stage("lineitem", li.unionByName(
+      li.limit(2).withColumn("l_orderkey", -col("l_orderkey") - 1)))
+    val ord = Tables.load(spark, sf, "orders")
+    // one orphan order
+    stage("orders", ord.unionByName(
+      ord.limit(1).withColumn("o_custkey", lit(-42L))))
+    stage("customer", Tables.load(spark, sf, "customer"))
+    val ev = Tables.load(spark, sf, "events")
+    // a triple-delivered event id (2 extra rows) and one non-positive value
+    stage("events", ev.unionByName(ev.limit(1)).unionByName(ev.limit(1))
+      .unionByName(ev.limit(1).withColumn("event_id", lit(-7L))
+        .withColumn("value", lit(-1.5))))
+    val docs = Tables.load(spark, sf, "documents")
+    // one whitespace-only document
+    stage("documents", docs.unionByName(docs.limit(1)
+      .withColumn("doc_id", lit(-1L)).withColumn("text", lit("   "))))
+    val got = EtlOps.q114IntegrityAudit(spark, dir).collect()
+      .map(r => r.getString(0).substring(0, 1) -> r.getAs[Long]("n_violations"))
+      .toMap
+    assert(got === Map("1" -> 2L, "2" -> 1L, "3" -> 2L, "4" -> 1L, "5" -> 1L))
+  }
 }

@@ -143,4 +143,63 @@ class StatsOpsSpec extends AnyFunSuite {
       assert(g.getAs[Double]("share") === e.getAs[Long]("cnt").toDouble / n)
     }
   }
+
+  // ------------------------------------------------------------ q115 drift
+  test("JS drift: bounded by ln 2, contribs sum to the total, matches a driver recompute") {
+    val rows = StatsOps.q115DistributionDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val js = rows.head.getAs[Double]("js_total")
+    assert(rows.forall(_.getAs[Double]("js_total") === js))
+    assert(js >= 0.0 && js <= math.log(2.0))
+    assert(math.abs(rows.map(_.getAs[Double]("contrib")).sum - js) < 1e-9)
+    // free-form double recompute (no 6-dp pinning) should land within the
+    // pinning error budget: |langs| terms × 0.5e-6 max rounding each
+    val counts = Tables.load(spark, sf, "documents")
+      .select(col("lang"), graft.ops.TextOps.splitAssign(col("text")).as("s"))
+      .collect().groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.size.toDouble).toMap
+    val langs = counts.keys.map(_._1).toSet
+    val ta = counts.collect { case ((_, "train"), n) => n }.sum
+    val tb = counts.collect { case ((_, "eval"), n) => n }.sum
+    val free = langs.toSeq.map { l =>
+      val p = counts.getOrElse((l, "train"), 0.0) / ta
+      val q = counts.getOrElse((l, "eval"), 0.0) / tb
+      val m = (p + q) / 2
+      (if (p > 0) p * math.log(p / m) else 0.0) / 2 +
+        (if (q > 0) q * math.log(q / m) else 0.0) / 2
+    }.sum
+    assert(math.abs(free - js) < langs.size * 1e-6)
+  }
+
+  // ------------------------------------------------------------ q116 clip
+  test("IQR clip: fences ordered and clip counts/winsorized sum match a driver recompute") {
+    val rows = StatsOps.q116IqrClip(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fence_lo") <= r.getAs[Double]("q1"))
+      assert(r.getAs[Double]("q1") <= r.getAs[Double]("q3"))
+      assert(r.getAs[Double]("q3") <= r.getAs[Double]("fence_hi"))
+    }
+    val byType = Tables.load(spark, sf, "events")
+      .select(col("event_type"), graft.streaming.EventsStream.cents(col("value")).as("c"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).sorted).toMap
+    rows.foreach { r =>
+      val xs = byType(r.getString(0))
+      assert(r.getAs[Long]("n") === xs.length.toLong)
+      def quart(p: Double): Double = { // lo + f·(hi−lo) on the sorted cents
+        val pos = p * (xs.length - 1)
+        val i = pos.toInt
+        val f = pos - i
+        xs(i) + f * (xs(math.min(i + 1, xs.length - 1)) - xs(i))
+      }
+      val (q1, q3) = (quart(0.25), quart(0.75))
+      val iqr = q3 - q1
+      val (lo, hi) = (q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+      assert(r.getAs[Long]("n_clip_lo") === xs.count(_ < lo).toLong)
+      assert(r.getAs[Long]("n_clip_hi") === xs.count(_ > hi).toLong)
+      val winsor = xs.map(v => math.max(lo, math.min(hi, v.toDouble))).sum
+      assert(math.abs(r.getAs[Double]("sum_winsorized") - winsor / 100.0) < 1e-6)
+    }
+  }
 }
