@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, GraftFunctions, JaccardSorted, MinHashBands, NgramShingles, RollingHash, SimHash64}
+import graft.functions.{CosineSimilarity, GraftFunctions, IntersectSorted, JaccardSorted, MinHashBands, NgramShingles, RollingHash, SimHash64}
 
 /** SparkSessionExtensions entry point: makes the engine's native expressions
   * AND the top-k-per-group planner strategy available to any session built
@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaccardSorted].getName, "graft_jaccard_sorted"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftFunctions.jaccardBuilder(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_intersect_sorted"),
+      new ExpressionInfo(classOf[IntersectSorted].getName, "graft_intersect_sorted"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftFunctions.intersectBuilder(exprs)))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Loaders for the driver-generated test tables (TESTDATA.md, FIXTURES.md §B):
   * a TPC-H-ish star schema plus `events` / `documents` / `embeddings`, one
@@ -16,6 +17,25 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Hash-repartition `df` on `key` before a COMPUTE-heavy per-row stage.
+    *
+    * Scan parallelism is sized by BYTES (`files.maxPartitionBytes`), so a
+    * small-but-expensive table — a 600 KB documents file whose every row
+    * feeds a shingle/minhash/simhash signature build — arrives as ONE
+    * input split, and the signature stage runs serially no matter how many
+    * cores exist (measured: 2.7 s single-task gram builds dominating q113
+    * at sf0.1). One narrow exchange of the raw rows buys stage-wide
+    * parallelism for everything downstream, and lands the table hash-
+    * partitioned on its join key, which the verify-attach joins reuse.
+    * The partition count is pinned (not AQE-advisory) because the byte
+    * size that fooled the scan sizing would fool the coalescer the same
+    * way. When the layout already yields enough splits — the 100 TB case —
+    * callers computing per-row signatures still lose nothing: the exchange
+    * ships exactly the payload the signature stage was going to read. */
+  def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      col(key))
 
   /** Register every table as a temp view, for the spark.sql query surface. */
   def registerViews(spark: SparkSession, dir: String): Unit =

@@ -131,6 +131,11 @@ object GraftFunctions {
     JaccardSorted(exprs(0), exprs(1))
   }
 
+  private[graft] def intersectBuilder(exprs: Seq[Expression]): Expression = {
+    requireArity("graft_intersect_sorted", exprs, 2)
+    IntersectSorted(exprs(0), exprs(1))
+  }
+
   private def literalInt(name: String, e: Expression, arg: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -164,6 +169,8 @@ object GraftFunctions {
       "graft_cosine", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaccard_sorted", jaccardBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_intersect_sorted", intersectBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_bands", minhashBandsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

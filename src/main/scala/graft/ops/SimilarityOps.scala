@@ -43,7 +43,9 @@ object SimilarityOps {
     * Ranking happens on the ROUNDED similarity with vec_id tie-break, so the
     * cut is deterministic and oracle-stable. */
   def q40CosineTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val e = t(s, d, "embeddings")
+    // spread: the candidate side computes one cosine per (candidate, query)
+    // pair in the scan's map stage — single-split without it (Tables.spread)
+    val e = Tables.spread(t(s, d, "embeddings"), "vec_id")
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
@@ -86,7 +88,8 @@ object SimilarityOps {
   def q42AnnLsh(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val dim = 64
     val planes = hyperplanes(tables = 4, bits = 8, dim = dim)
-    val e = t(s, d, "embeddings")
+    // spread: 32 hyperplane dot products per row ride the scan stage
+    val e = Tables.spread(t(s, d, "embeddings"), "vec_id")
     val withBuckets = e.select(col("vec_id"),
       posexplode(array(planes.indices.map(ti =>
         lshBucket(col("embedding"), planes(ti))): _*)).as(Seq("tbl", "bucket")))
@@ -120,7 +123,9 @@ object SimilarityOps {
     * (float->double widening is exact, so the math is bit-identical). */
   def q53CosineTopKNative(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val e = t(s, d, "embeddings")
+    // spread: same rationale as q40 — the per-pair scoring loop otherwise
+    // runs inside the single-split scan stage
+    val e = Tables.spread(t(s, d, "embeddings"), "vec_id")
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
@@ -184,7 +189,8 @@ object SimilarityOps {
                 k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    val e = t(s, d, "embeddings")
+    // spread: centroid assignment scores nlist cosines per row map-side
+    val e = Tables.spread(t(s, d, "embeddings"), "vec_id")
     val centroids = learnCentroids(e, nlist).toDF("list_id", "c_emb")
     def nearestLists(v: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy(col("c_sim").desc, col("list_id"))
@@ -235,7 +241,8 @@ object SimilarityOps {
     graft.functions.GraftFunctions.register(s)
     val dim = 64
     val planes = hyperplanes(tables = 4, bits = 8, dim = dim)
-    val e = t(s, d, "embeddings")
+    // spread: 32 hyperplane dot products per row ride the scan stage
+    val e = Tables.spread(t(s, d, "embeddings"), "vec_id")
     val withBuckets = e.select(col("vec_id"),
       posexplode(array(planes.indices.map(ti =>
         lshBucket(col("embedding"), planes(ti))): _*)).as(Seq("band_idx", "band_hash")))
