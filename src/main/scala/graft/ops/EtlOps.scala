@@ -469,7 +469,78 @@ object EtlOps {
       .orderBy("check_name")
   }
 
+  // ---------------------------------------------------------------- q117
+  /** INCREMENTAL VIEW MAINTENANCE for an aggregate — the update path of a
+    * materialized per-type revenue rollup: a base aggregate (events before
+    * the cutoff — the "materialized view") is REFRESHED with only the
+    * delta partition's partial aggregate, never rescanning the base. The
+    * merge is the associative-state discipline the engine's aggregates
+    * already follow (count and decimal-cents sum are both mergeable), so
+    * base ⊕ delta is provably the full recompute — which is exactly what
+    * the oracle checks: the output exposes the base/delta decomposition
+    * next to totals that a single full-table GROUP BY must reproduce.
+    *
+    * Scale: the base aggregate is |groups|-sized state (what a warehouse
+    * stores as the view); each refresh scans ONLY the delta — at 100 TB
+    * with daily deltas that is the difference between a 100 TB scan per
+    * refresh and a 100 GB one. The merge itself is a full-outer join of
+    * two |groups|-row frames. */
+  def q117IvmAgg(s: SparkSession, d: String,
+                 cutoff: String = "2024-01-21T00:00:00"): DataFrame = {
+    val cutUs = lit(java.time.LocalDateTime.parse(cutoff)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L)
+    val cents = graft.streaming.EventsStream.cents(col("value"))
+    val ev = t(s, d, "events")
+      .select(col("event_type"), expr("ts div 1000").as("tus"), cents.as("c"))
+    def rollup(part: DataFrame, pfx: String): DataFrame =
+      part.groupBy("event_type")
+        .agg(count(lit(1)).as(s"n_$pfx"), sum(col("c")).as(s"s_$pfx"))
+    val base = rollup(ev.filter(col("tus") < cutUs), "base")
+    val delta = rollup(ev.filter(col("tus") >= cutUs), "delta")
+    base.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
+          .as("n_total"),
+        ((coalesce(col("s_base"), lit(0L)) + coalesce(col("s_delta"), lit(0L)))
+          .cast("double") / 100.0).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------- q119
+  /** Week-over-week MOVERS — the trend-break report over the per-type
+    * revenue series: integer epoch-weeks (q82's calendar-free week math),
+    * exact cents sums per (type, week), and a lag window that only pairs
+    * CONSECUTIVE weeks (a gap week yields no delta row rather than a
+    * misleading long-range diff). Top movers rank by |delta| with a
+    * deterministic tiebreak. All arithmetic is long cents until the final
+    * /100.0 rescales; the window partitions by event type, so the series
+    * state never concentrates on one task. */
+  def q119WowMovers(s: SparkSession, d: String, topK: Int = 15): DataFrame = {
+    val cents = graft.streaming.EventsStream.cents(col("value"))
+    val wk = t(s, d, "events")
+      .select(col("event_type"),
+        expr("(ts div 1000) div 604800000000").as("week"), cents.as("c"))
+      .groupBy("event_type", "week")
+      .agg(sum(col("c")).as("sc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("week")
+    wk.withColumn("prev_week", lag(col("week"), 1).over(w))
+      .withColumn("prev_sc", lag(col("sc"), 1).over(w))
+      .filter(col("prev_week") === col("week") - 1)
+      // rank on the exact cents delta, not its double rescale
+      .orderBy(abs(col("sc") - col("prev_sc")).desc, col("event_type"), col("week"))
+      .limit(topK)
+      .select(col("event_type"), col("week"),
+        (col("sc").cast("double") / 100.0).as("sum_value"),
+        (col("prev_sc").cast("double") / 100.0).as("prev_value"),
+        ((col("sc") - col("prev_sc")).cast("double") / 100.0).as("delta"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_ivm_agg" -> ((s: SparkSession, d: String) => q117IvmAgg(s, d)),
+    "q119_wow_movers" -> ((s: SparkSession, d: String) => q119WowMovers(s, d)),
     "q114_integrity_audit" -> (q114IntegrityAudit _),
     "q106_snapshot_diff" -> (q106SnapshotDiff _),
     "q107_event_transitions" -> (q107EventTransitions _),
@@ -483,6 +554,32 @@ object EtlOps {
     "q82_retention_cohorts" -> (q82RetentionCohorts _))
 
   val oracle: Map[String, String] = Map(
+    "q117_ivm_agg" ->
+      """WITH ev AS (
+        | SELECT event_type, epoch_us(ts) AS tus,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        | FROM events)
+        |SELECT event_type,
+        | count(*) FILTER (tus < epoch_us(TIMESTAMP '2024-01-21 00:00:00')) AS n_base,
+        | count(*) FILTER (tus >= epoch_us(TIMESTAMP '2024-01-21 00:00:00')) AS n_delta,
+        | count(*) AS n_total,
+        | CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100.0 AS sum_value
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q119_wow_movers" ->
+      """WITH wk AS (
+        | SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sc
+        | FROM events GROUP BY 1, 2),
+        |x AS (
+        | SELECT event_type, week, sc,
+        |  lag(week) OVER (PARTITION BY event_type ORDER BY week) AS pw,
+        |  lag(sc) OVER (PARTITION BY event_type ORDER BY week) AS psc
+        | FROM wk)
+        |SELECT event_type, week, CAST(sc AS DOUBLE) / 100.0 AS sum_value,
+        | CAST(psc AS DOUBLE) / 100.0 AS prev_value,
+        | CAST(sc - psc AS DOUBLE) / 100.0 AS delta
+        |FROM x WHERE pw = week - 1
+        |ORDER BY abs(sc - psc) DESC, event_type, week LIMIT 15""".stripMargin,
     "q114_integrity_audit" ->
       """WITH x AS (
         | SELECT '1_lineitem_orphan_orderkey' AS check_name,

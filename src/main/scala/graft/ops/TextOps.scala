@@ -790,7 +790,43 @@ object TextOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q118
+  /** PARETO-SKYLINE document selection — the multi-objective version of
+    * q70's single-score cut: keep exactly the documents no other document
+    * dominates on (quality score, length). A doc is dominated when another
+    * is >= on both axes and > on at least one; the frontier is what "high
+    * quality AND long" means without inventing a weighting between the two.
+    *
+    * The naive skyline is the O(n²) NOT-EXISTS self-join (the oracle runs
+    * exactly that — fine at oracle scale). The engine plan is the
+    * sort-based skyline made distributable by a BOUNDED group axis: the
+    * quality score is rounded to 4 decimals in [0, 1], so there are at
+    * most 10001 distinct values at ANY corpus size. Per quality value one
+    * aggregate takes max length (gmax); a window over that ≤10001-row
+    * frame computes the running strict-prefix max M(q) (best length among
+    * strictly higher qualities); a doc is on the frontier iff its length
+    * equals its quality's gmax and strictly beats M(q) — ties on both
+    * axes are mutually non-dominating and all survive. Two document scans
+    * (one aggregate, one broadcast-joined filter), one window over a
+    * provably bounded frame — no pair enumeration anywhere. */
+  def q118Skyline(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"),
+        qualityScore(col("text"), col("n_chars")).as("quality"), col("n_chars"))
+    val perQ = docs.groupBy("quality").agg(max(col("n_chars")).as("gmax"))
+    val w = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val m = perQ.withColumn("m_strict", max(col("gmax")).over(w))
+    docs.join(broadcast(m), "quality")
+      .filter(col("n_chars") === col("gmax") &&
+        (col("m_strict").isNull || col("n_chars") > col("m_strict")))
+      .select(col("doc_id"), col("quality"), col("n_chars"))
+      .orderBy(col("quality").desc, col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_skyline" -> (q118Skyline _),
     "q111_mixture_weights" -> ((s: SparkSession, d: String) => q111MixtureWeights(s, d)),
     "q109_lm_doc_score" -> (q109LmDocScore _),
     "q100_vocab_coverage" -> (q100VocabCoverage _),
@@ -826,6 +862,16 @@ object TextOps {
        |       / len($duckToks)), 4)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q118_skyline" ->
+      s"""WITH s AS (
+        | SELECT doc_id, $duckQualityScore AS quality, n_chars
+        | FROM documents)
+        |SELECT doc_id, quality, n_chars FROM s a
+        |WHERE NOT EXISTS (
+        | SELECT 1 FROM s b
+        | WHERE b.quality >= a.quality AND b.n_chars >= a.n_chars
+        |  AND (b.quality > a.quality OR b.n_chars > a.n_chars))
+        |ORDER BY quality DESC, doc_id""".stripMargin,
     "q111_mixture_weights" ->
       """WITH bs AS (SELECT source, count(*) AS c_s FROM documents GROUP BY 1),
         |w AS (

@@ -510,4 +510,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(jacc < 0.1) // symmetric score misses it
     assert(cont >= 0.9) // containment sees it (boundary shingles only differ)
   }
+
+  // ------------------------------------------------------------ q118 skyline
+  test("skyline equals the quadratic dominance filter on the real corpus") {
+    val got = graft.ops.TextOps.q118Skyline(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"),
+        r.getAs[Long]("n_chars")))
+    assert(got.nonEmpty)
+    val all = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"),
+        graft.ops.TextOps.qualityScore(col("text"), col("n_chars")).as("q"),
+        col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val brute = all.filter { case (_, q, c) =>
+      !all.exists { case (_, q2, c2) =>
+        q2 >= q && c2 >= c && (q2 > q || c2 > c)
+      }
+    }.sortBy { case (id, q, _) => (-q, id) }
+    assert(got.toSeq === brute.toSeq)
+  }
+
+  test("skyline keeps mutually-tied maxima and drops every dominated doc") {
+    import spark.implicits._
+    // (quality, chars): two ties at the top-right corner survive together;
+    // (0.9, 50) dominated by (0.9, 100); (0.8, 100) dominated by (0.9, 100)
+    val docs = Seq(
+      (1L, 0.9, 100L), (2L, 0.9, 100L), (3L, 0.9, 50L),
+      (4L, 0.8, 100L), (5L, 0.8, 200L))
+      .toDF("doc_id", "quality", "n_chars")
+    import org.apache.spark.sql.expressions.Window
+    val perQ = docs.groupBy("quality").agg(max(col("n_chars")).as("gmax"))
+    val w = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val m = perQ.withColumn("m_strict", max(col("gmax")).over(w))
+    val frontier = docs.join(broadcast(m), "quality")
+      .filter(col("n_chars") === col("gmax") &&
+        (col("m_strict").isNull || col("n_chars") > col("m_strict")))
+      .select("doc_id").as[Long].collect().sorted
+    assert(frontier.toSeq === Seq(1L, 2L, 5L))
+  }
 }

@@ -485,4 +485,46 @@ class EtlOpsSpec extends AnyFunSuite {
       .toMap
     assert(got === Map("1" -> 2L, "2" -> 1L, "3" -> 2L, "4" -> 1L, "5" -> 1L))
   }
+
+  // ------------------------------------------------------------- q117 IVM
+  test("IVM merge: base + delta partitions the rows and totals equal a full recompute") {
+    val rows = EtlOps.q117IvmAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_base") + r.getAs[Long]("n_delta") === r.getAs[Long]("n_total"))
+    }
+    val full = Tables.load(spark, sf, "events")
+      .select(col("event_type"), graft.streaming.EventsStream.cents(col("value")).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("sc")).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("sc"))).toMap
+    rows.foreach { r =>
+      val (n, sc) = full(r.getString(0))
+      assert(r.getAs[Long]("n_total") === n)
+      assert(r.getAs[Double]("sum_value") === sc.toDouble / 100.0)
+    }
+  }
+
+  test("IVM merge: a delta-only group appears with zero base counts") {
+    // cutoff before the data's start: everything is delta, base is empty
+    val rows = EtlOps.q117IvmAgg(spark, sf, cutoff = "2000-01-01T00:00:00").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_base") === 0L)
+      assert(r.getAs[Long]("n_delta") === r.getAs[Long]("n_total"))
+    }
+  }
+
+  // ------------------------------------------------------------ q119 WoW
+  test("WoW movers: deltas reconcile with the weekly sums and weeks are consecutive") {
+    val rows = EtlOps.q119WowMovers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Double]("sum_value") - r.getAs[Double]("prev_value")
+      assert(math.abs(d - r.getAs[Double]("delta")) < 1e-9)
+    }
+    // ranked by |delta| non-increasing
+    val deltas = rows.map(r => math.abs(r.getAs[Double]("delta")))
+    assert(deltas.zip(deltas.tail).forall { case (a, b) => a >= b - 1e-12 })
+  }
 }
