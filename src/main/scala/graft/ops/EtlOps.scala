@@ -538,7 +538,42 @@ object EtlOps {
         ((col("sc") - col("prev_sc")).cast("double") / 100.0).as("delta"))
   }
 
+  // ---------------------------------------------------------------- q120
+  /** LAST-TOUCH ATTRIBUTION — credit each purchase to the user's most
+    * recent click within the attribution window (1 h), keyed by the
+    * click's campaign id (`props.k`); purchases with no in-window click
+    * fall into the organic bucket (-1). The per-purchase PICK-ONE is what
+    * distinguishes attribution from q63's interval aggregate (which counts
+    * every purchase per click).
+    *
+    * The pick is [[AsofJoin.backward]] — one union + window pass per key,
+    * the sort-merge shape that replaces the O(clicks×purchases)-per-user
+    * naive range join — followed by a window-bound credit test and a
+    * campaign rollup in exact cents. DuckDB's native ASOF LEFT JOIN
+    * replicates the pick, so the whole report keeps an exact oracle. */
+  def q120LastTouch(s: SparkSession, d: String,
+                    windowUs: Long = 3600L * 1000000L): DataFrame = {
+    val ev = t(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        expr("ts div 1000").as("click_tus"),
+        get_json_object(col("props"), "$.k").cast("int").as("campaign"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        graft.streaming.EventsStream.cents(col("value")).as("cents"))
+    AsofJoin.backward(purchases, clicks,
+      key = "user_id", time = "tus", attach = Seq("click_tus", "campaign"))
+      .select(col("cents"),
+        when(col("click_tus").isNotNull && col("tus") - col("click_tus") <= windowUs,
+          col("campaign")).otherwise(lit(-1)).as("campaign"))
+      .groupBy("campaign")
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(col("cents")).cast("double") / 100.0).as("sum_value"))
+      .orderBy("campaign")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_last_touch" -> ((s: SparkSession, d: String) => q120LastTouch(s, d)),
     "q117_ivm_agg" -> ((s: SparkSession, d: String) => q117IvmAgg(s, d)),
     "q119_wow_movers" -> ((s: SparkSession, d: String) => q119WowMovers(s, d)),
     "q114_integrity_audit" -> (q114IntegrityAudit _),
@@ -554,6 +589,24 @@ object EtlOps {
     "q82_retention_cohorts" -> (q82RetentionCohorts _))
 
   val oracle: Map[String, String] = Map(
+    "q120_last_touch" ->
+      """WITH c AS (
+        | SELECT user_id, epoch_us(ts) AS tus, epoch_us(ts) AS click_tus,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS campaign
+        | FROM events WHERE event_type = 'click'),
+        |p AS (
+        | SELECT user_id, epoch_us(ts) AS tus,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        | SELECT p.cents, p.tus, c.click_tus, c.campaign
+        | FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.tus >= c.tus)
+        |SELECT CASE WHEN click_tus IS NOT NULL AND tus - click_tus <= 3600000000
+        |  THEN campaign ELSE -1 END AS campaign,
+        | count(*) AS n_purchases,
+        | CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS sum_value
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q117_ivm_agg" ->
       """WITH ev AS (
         | SELECT event_type, epoch_us(ts) AS tus,

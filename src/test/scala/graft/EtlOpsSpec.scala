@@ -515,6 +515,41 @@ class EtlOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------- q120 attribution
+  test("last-touch attribution partitions purchases and matches a brute-force pick") {
+    val rows = EtlOps.q120LastTouch(spark, sf).collect()
+    val nPurch = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum === nPurch)
+    // brute-force driver recompute: argmax click ts <= purchase ts per user
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id"), expr("ts div 1000").as("tus"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        graft.streaming.EventsStream.cents(col("value")).as("c"))
+      .collect()
+    val clicksByUser: Map[Long, Seq[(Long, Int)]] = ev.filter(_.getString(0) == "click")
+      .groupBy(_.getLong(1)).view
+      .mapValues(_.map(r => (r.getLong(2), r.getInt(3))).toSeq.sortBy(_._1)).toMap
+    val expect = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    ev.filter(_.getString(0) == "purchase").foreach { p =>
+      val (tus, cents) = (p.getLong(2), p.getLong(4))
+      val last = clicksByUser.getOrElse(p.getLong(1), Seq.empty)
+        .takeWhile(_._1 <= tus).lastOption
+      val camp = last match {
+        case Some((ct, k)) if tus - ct <= 3600L * 1000000L => k
+        case _ => -1
+      }
+      val (n, s0) = expect(camp); expect(camp) = (n + 1, s0 + cents)
+    }
+    rows.foreach { r =>
+      val (n, s0) = expect(r.getAs[Int]("campaign"))
+      assert(r.getAs[Long]("n_purchases") === n)
+      assert(r.getAs[Double]("sum_value") === s0.toDouble / 100.0)
+    }
+    assert(rows.length === expect.size)
+  }
+
   // ------------------------------------------------------------ q119 WoW
   test("WoW movers: deltas reconcile with the weekly sums and weeks are consecutive") {
     val rows = EtlOps.q119WowMovers(spark, sf).collect()
