@@ -31,11 +31,14 @@ object Tables {
     * The partition count is pinned (not AQE-advisory) because the byte
     * size that fooled the scan sizing would fool the coalescer the same
     * way. When the layout already yields enough splits — the 100 TB case —
-    * callers computing per-row signatures still lose nothing: the exchange
-    * ships exactly the payload the signature stage was going to read. */
-  def spread(df: DataFrame, key: String): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-      col(key))
+    * the exchange would be pure waste, so it is SKIPPED: the split count
+    * is read off the planned scan and the repartition only fires when the
+    * layout starves the compute (fewer splits than the shuffle width). */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions >= n) df
+    else df.repartition(n, col(key))
+  }
 
   /** Register every table as a temp view, for the spark.sql query surface. */
   def registerViews(spark: SparkSession, dir: String): Unit =

@@ -125,7 +125,9 @@ object LayoutOps {
       "o_orderpriority" -> "o_orderpriority",
       "o_orderdate" -> "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')")
     val pairs = rendered.map { case (n, e) => s"'$n', $e" }
-    t(s, d, "orders")
+    // spread: the stack() fan-out and partial profile aggregates otherwise
+    // run inside the byte-sized single-split scan stage (Tables.spread)
+    graft.Tables.spread(t(s, d, "orders"), "o_orderkey")
       .select(expr(s"stack(${rendered.size}, ${pairs.mkString(", ")}) AS (col_name, val)"))
       .groupBy("col_name")
       .agg(count(lit(1)).as("n_rows"),
