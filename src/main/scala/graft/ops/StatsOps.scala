@@ -341,6 +341,62 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q121
+  /** POISSON-BOOTSTRAP standard error of the mean — uncertainty
+    * quantification for corpus/revenue statistics at scales where classic
+    * resampling (draw n rows WITH replacement, B times) is impossible: the
+    * Poisson approximation gives every row an independent Poisson(1)
+    * multiplicity per replica, so all B resamples ride ONE map-side pass —
+    * no sampling shuffle, no row duplication, the standard big-data
+    * bootstrap.
+    *
+    * Engine-exactness (no RNG anywhere): replica b's multiplicity for a
+    * row is read off the first 8 hex digits of md5(event_id ":" b)
+    * compared against the EMBEDDED cumulative-Poisson(1) thresholds
+    * (floor(P·2³²) as fixed-width hex strings — the q64/q65 string-compare
+    * trick, so the draw is a pure content function both engines evaluate
+    * identically; the ladder truncates at k=9, P(X>9|λ=1) < 1.2e-7).
+    * Replica sums are exact longs; each replica mean is one IEEE division;
+    * means are floored ONCE onto a micro-cent grid, and the variance of
+    * the B grid values is an exact decimal sum of long squares — so the
+    * final sqrt takes a deterministic argument (IEEE sqrt is correctly
+    * rounded, hence engine-identical).
+    *
+    * Scale: explode ×B then groupBy(b) — the shuffle carries B partial
+    * sums per map task (combiner-collapsed), not B× the data; B=32 rows
+    * reach the final window. */
+  def q121BootstrapSe(s: SparkSession, d: String, reps: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // floor(P(X <= k)·2^32) for k = 0..8, λ = 1, as 8-hex-digit strings
+    val hexT = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+      "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c", "ffffed1f")
+    val ev = t(s, d, "events").filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        graft.streaming.EventsStream.cents(col("value")).as("c"))
+    val rep = ev
+      .select(col("event_id"), col("c"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .withColumn("u", substring(md5(concat(col("event_id").cast("string"),
+        lit(":"), col("b").cast("string")).cast("binary")), 1, 8))
+      .withColumn("k", hexT.zipWithIndex
+        .foldRight(lit(hexT.length): org.apache.spark.sql.Column) {
+        case ((t, i), acc) => when(col("u") < lit(t), lit(i)).otherwise(acc)
+      })
+    val w = Window.partitionBy()
+    rep.groupBy("b")
+      .agg(sum(col("k")).as("n_eff"), sum(col("k") * col("c")).as("sc"))
+      .withColumn("mean_c", col("sc").cast("double") / col("n_eff").cast("double"))
+      .withColumn("mbu", floor(col("mean_c") * 1000000L).cast("long"))
+      .withColumn("mbar_u", expr(s"sum(mbu) OVER () div $reps"))
+      .withColumn("dev", col("mbu") - col("mbar_u"))
+      .withColumn("dev2",
+        col("dev").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("dev"))
+      .select(col("b"), col("n_eff"), (col("mean_c") / 100.0).as("mean_value"),
+        (sqrt(sum(col("dev2")).over(w).cast("double") / (reps - 1).toDouble)
+          / 1e8).as("se_value"))
+      .orderBy("b")
+  }
+
   // ---------------------------------------------------------------- q110
   /** HEAVY HITTERS via a Misra-Gries sketch + exact recount — frequent
     * tokens with share > 1/64 of all token occurrences, computed WITHOUT a
@@ -403,6 +459,7 @@ object StatsOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_bootstrap_se" -> ((s: SparkSession, d: String) => q121BootstrapSe(s, d)),
     "q115_distribution_drift" -> (q115DistributionDrift _),
     "q116_iqr_clip" -> (q116IqrClip _),
     "q110_heavy_hitters" -> (q110HeavyHitters _),
@@ -419,6 +476,40 @@ object StatsOps {
     "q52_approx_distinct" -> (q52ApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "q121_bootstrap_se" ->
+      """WITH p AS (
+        | SELECT event_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        | FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        | SELECT p.event_id, p.c, b.b
+        | FROM p CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b),
+        |ku AS (
+        | SELECT c, b,
+        |  substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8) AS u
+        | FROM r),
+        |k AS (
+        | SELECT b, c,
+        |  CASE WHEN u < '5e2d58d8' THEN 0 WHEN u < 'bc5ab1b1' THEN 1
+        |   WHEN u < 'eb715e1d' THEN 2 WHEN u < 'fb239797' THEN 3
+        |   WHEN u < 'ff1025f5' THEN 4 WHEN u < 'ffd90f3b' THEN 5
+        |   WHEN u < 'fffa8b71' THEN 6 WHEN u < 'ffff540c' THEN 7
+        |   WHEN u < 'ffffed1f' THEN 8 ELSE 9 END AS k
+        | FROM ku),
+        |g AS (
+        | SELECT b, CAST(sum(k) AS BIGINT) AS n_eff, CAST(sum(k * c) AS BIGINT) AS sc
+        | FROM k GROUP BY 1),
+        |m AS (
+        | SELECT b, n_eff, CAST(sc AS DOUBLE) / CAST(n_eff AS DOUBLE) AS mean_c,
+        |  CAST(floor(CAST(sc AS DOUBLE) / CAST(n_eff AS DOUBLE) * 1000000) AS BIGINT) AS mbu
+        | FROM g),
+        |x AS (
+        | SELECT b, n_eff, mean_c, mbu,
+        |  CAST(sum(mbu) OVER () AS BIGINT) // 32 AS mbar_u
+        | FROM m)
+        |SELECT b, n_eff, mean_c / 100.0 AS mean_value,
+        | sqrt(CAST(sum(CAST(mbu - mbar_u AS DECIMAL(38,0)) * (mbu - mbar_u)) OVER ()
+        |   AS DOUBLE) / 31.0) / 100000000.0 AS se_value
+        |FROM x ORDER BY b""".stripMargin,
     "q115_distribution_drift" ->
       """WITH c AS (
         | SELECT lang,

@@ -171,6 +171,28 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(math.abs(free - js) < langs.size * 1e-6)
   }
 
+  // ------------------------------------------------------------ q121 bootstrap
+  test("Poisson bootstrap: replica sizes concentrate at n and SE tracks sd/sqrt(n)") {
+    val rows = StatsOps.q121BootstrapSe(spark, sf).collect()
+    assert(rows.length === 32)
+    val se = rows.head.getAs[Double]("se_value")
+    assert(rows.forall(_.getAs[Double]("se_value") === se))
+    val vals = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(graft.streaming.EventsStream.cents(col("value")))
+      .collect().map(_.getLong(0).toDouble / 100.0)
+    val n = vals.length
+    // Poisson(1) multiplicities: replica size within 20% of n at n ~ 200
+    rows.foreach(r => assert(math.abs(r.getAs[Long]("n_eff") - n) < n * 0.2))
+    val mean = vals.sum / n
+    val sd = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+    val analytic = sd / math.sqrt(n.toDouble)
+    assert(se > analytic * 0.5 && se < analytic * 2.0,
+      s"bootstrap se=$se vs analytic=$analytic")
+    rows.foreach(r =>
+      assert(math.abs(r.getAs[Double]("mean_value") - mean) < 5 * analytic))
+  }
+
   // ------------------------------------------------------------ q116 clip
   test("IQR clip: fences ordered and clip counts/winsorized sum match a driver recompute") {
     val rows = StatsOps.q116IqrClip(spark, sf).collect()
