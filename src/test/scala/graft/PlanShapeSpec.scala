@@ -94,4 +94,41 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = planOf(ops.TextOps.q78PiiScrub(spark, TestSpark.sf))
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("q113: verify attaches shuffle-hash — no docs-wide broadcast build") {
+    // the containment verify must never broadcast (doc_id, grams): the
+    // build serializes the whole corpus' shingle sets through one task
+    // and cannot exist at scale. Gram payloads attach via ShuffledHashJoin.
+    val plan = planOf(ops.DedupOps.q113ContainmentDedup(spark, TestSpark.sf))
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    val broadcastGrams = plan.linesIterator.exists(l =>
+      l.contains("BroadcastExchange") && l.contains("grams"))
+    assert(!broadcastGrams, plan)
+  }
+
+  test("banded pair generation pins its bucket-key partitioning (AQE can't fold it)") {
+    // the ranking window must consume the pinned REPARTITION_BY_NUM
+    // exchange, not plan its own byte-coalescible one
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val pairs = ops.DedupOps.minhashNearDupPairs(docs, maxBucketNeighbors = 16)
+    try {
+      val plan = pairs.queryExecution.executedPlan.toString
+      val pinned = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(band_idx") &&
+          l.contains("REPARTITION_BY_NUM"))
+      assert(pinned >= 1, plan)
+    } finally ops.DedupOps.evict(spark)
+  }
+
+  test("compute-spread: single-split scans widen before heavy per-row stages") {
+    // Tables.spread repartitions a one-split table and no-ops once the
+    // layout already yields enough splits
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    assert(docs.rdd.getNumPartitions === 1)
+    val spreadN = Tables.spread(docs, "doc_id").rdd.getNumPartitions
+    assert(spreadN ===
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val wide = docs.repartition(64, org.apache.spark.sql.functions.col("doc_id"))
+    assert(Tables.spread(wide, "doc_id").rdd.getNumPartitions === 64)
+  }
 }
