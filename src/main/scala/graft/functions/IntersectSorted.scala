@@ -3,11 +3,10 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType}
 
 /** Native Catalyst expression: |a ∩ b| of two SORTED, distinct string
-  * arrays via a single merge walk — the counting sibling of
+  * arrays via the shared [[SortedMergeWalk]] — the counting sibling of
   * [[JaccardSorted]] (same contract, same walk) for scores whose
   * denominator is NOT the union: containment |a∩b|/min(|a|,|b|), overlap
   * |a∩b|/|a|, Sørensen–Dice 2|a∩b|/(|a|+|b|) all divide the same count by
@@ -19,49 +18,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
   * distinct, non-null elements — what [[NgramShingles]] emits.
   */
 case class IntersectSorted(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with SortedMergeWalk {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_intersect_sorted"
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(StringType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<string> arguments, got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
-  }
+  override def checkInputDataTypes(): TypeCheckResult = walkTypeCheck()
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val na = x.numElements(); val nb = y.numElements()
-    var i = 0; var j = 0; var inter = 0
-    while (i < na && j < nb) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { inter += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
-    }
-    inter
-  }
+  override def nullSafeEval(a: Any, b: Any): Any = intersectCount(a, b)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
-      val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
+      val (code, inter) = genWalk(ctx, a, b)
       s"""
-         |int $na = $a.numElements(); int $nb = $b.numElements();
-         |int $i = 0, $j = 0, $inter = 0;
-         |while ($i < $na && $j < $nb) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $inter++; $i++; $j++; }
-         |  else if ($c < 0) { $i++; } else { $j++; }
-         |}
+         |$code
          |${ev.value} = $inter;
        """.stripMargin
     })

@@ -4,65 +4,40 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Native Catalyst expression: Jaccard similarity of two SORTED, distinct
-  * string arrays via a single merge walk — O(n+m) comparisons, zero
-  * allocation — replacing `array_intersect`/`array_union`, which build a
-  * hash set per invocation. On millions of candidate pairs (the LSH verify
-  * stage) that per-pair allocation is the dominant cost.
+  * string arrays via the shared [[SortedMergeWalk]] — O(n+m) comparisons,
+  * zero allocation — replacing `array_intersect`/`array_union`, which build
+  * a hash set per invocation. On millions of candidate pairs (the LSH
+  * verify stage) that per-pair allocation is the dominant cost.
   *
   * Contract: both inputs ascending-sorted (`sort_array`) with distinct,
   * non-null elements; Jaccard = |a ∩ b| / (|a| + |b| - |a ∩ b|), identical
   * to the set-function formulation, so DuckDB oracles are unchanged.
   */
 case class JaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with SortedMergeWalk {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_jaccard_sorted"
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(StringType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<string> arguments, got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
-  }
+  override def checkInputDataTypes(): TypeCheckResult = walkTypeCheck()
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val na = x.numElements(); val nb = y.numElements()
-    var i = 0; var j = 0; var inter = 0
-    while (i < na && j < nb) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { inter += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
-    }
-    val union = na + nb - inter
+    val inter = intersectCount(a, b)
+    val union = a.asInstanceOf[ArrayData].numElements() +
+      b.asInstanceOf[ArrayData].numElements() - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
-      val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
+      val (code, inter) = genWalk(ctx, a, b)
       val union = ctx.freshName("union")
       s"""
-         |int $na = $a.numElements(); int $nb = $b.numElements();
-         |int $i = 0, $j = 0, $inter = 0;
-         |while ($i < $na && $j < $nb) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $inter++; $i++; $j++; }
-         |  else if ($c < 0) { $i++; } else { $j++; }
-         |}
-         |int $union = $na + $nb - $inter;
+         |$code
+         |int $union = $a.numElements() + $b.numElements() - $inter;
          |${ev.value} = $union == 0 ? 0.0 : ((double) $inter) / $union;
        """.stripMargin
     })

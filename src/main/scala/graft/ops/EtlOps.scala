@@ -452,16 +452,22 @@ object EtlOps {
       .join(t(s, d, "customer").select(col("c_custkey")),
         col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
+    // both events checks ride ONE scan: a 100 TB table should not be read
+    // twice by its own integrity gate
+    val evChecks = ev.agg(count(lit(1)).as("n_total"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("dup"),
+        count(when(col("value") <= 0, 1)).as("nonpos"))
+      .select(col("n_total"), expr(
+        "stack(2, '3_events_dup_event_id', dup, " +
+          "'4_events_nonpositive_value', nonpos) AS (check_name, n_violations)"))
+      .select(col("check_name"), col("n_total"), col("n_violations"),
+        (col("n_violations").cast("double") / col("n_total").cast("double"))
+          .as("violation_rate"))
     shape("1_lineitem_orphan_orderkey",
         li.agg(count(lit(1)).as("n_total")).crossJoin(liOrphans))
       .unionByName(shape("2_orders_orphan_custkey",
         ord.agg(count(lit(1)).as("n_total")).crossJoin(ordOrphans)))
-      .unionByName(shape("3_events_dup_event_id",
-        ev.agg(count(lit(1)).as("n_total"),
-          (count(lit(1)) - countDistinct(col("event_id"))).as("n_violations"))))
-      .unionByName(shape("4_events_nonpositive_value",
-        ev.agg(count(lit(1)).as("n_total"),
-          count(when(col("value") <= 0, 1)).as("n_violations"))))
+      .unionByName(evChecks)
       .unionByName(shape("5_documents_blank_text",
         t(s, d, "documents").agg(count(lit(1)).as("n_total"),
           count(when(col("text").isNull || trim(col("text")) === "", 1))
@@ -495,7 +501,10 @@ object EtlOps {
     def rollup(part: DataFrame, pfx: String): DataFrame =
       part.groupBy("event_type")
         .agg(count(lit(1)).as(s"n_$pfx"), sum(col("c")).as(s"s_$pfx"))
-    val base = rollup(ev.filter(col("tus") < cutUs), "base")
+    // the split must PARTITION the table: a null-ts row fails both `<`
+    // and `>=`, so base takes the complement of delta explicitly — the
+    // merge-equals-recompute invariant the oracle checks is total
+    val base = rollup(ev.filter(col("tus") < cutUs || col("tus").isNull), "base")
     val delta = rollup(ev.filter(col("tus") >= cutUs), "delta")
     base.join(delta, Seq("event_type"), "full_outer")
       .select(col("event_type"),
@@ -550,7 +559,13 @@ object EtlOps {
     * the sort-merge shape that replaces the O(clicks×purchases)-per-user
     * naive range join — followed by a window-bound credit test and a
     * campaign rollup in exact cents. DuckDB's native ASOF LEFT JOIN
-    * replicates the pick, so the whole report keeps an exact oracle. */
+    * replicates the pick, so the whole report keeps an exact oracle.
+    *
+    * Tie caveat (shared with q25): among clicks at the IDENTICAL
+    * microsecond for one user, the engine picks deterministically (max
+    * (click_tus, campaign) struct) while DuckDB's ASOF has no documented
+    * tie order — the oracle claim assumes per-user-distinct click
+    * timestamps, which µs-resolution event streams satisfy in practice. */
   def q120LastTouch(s: SparkSession, d: String,
                     windowUs: Long = 3600L * 1000000L): DataFrame = {
     val ev = t(s, d, "events")
@@ -564,7 +579,11 @@ object EtlOps {
     AsofJoin.backward(purchases, clicks,
       key = "user_id", time = "tus", attach = Seq("click_tus", "campaign"))
       .select(col("cents"),
-        when(col("click_tus").isNotNull && col("tus") - col("click_tus") <= windowUs,
+        // an in-window click with no campaign id can't be credited →
+        // organic; also keeps the group key non-null (Spark and DuckDB
+        // order NULL groups on opposite ends)
+        when(col("click_tus").isNotNull && col("tus") - col("click_tus") <= windowUs
+          && col("campaign").isNotNull,
           col("campaign")).otherwise(lit(-1)).as("campaign"))
       .groupBy("campaign")
       .agg(count(lit(1)).as("n_purchases"),
@@ -603,6 +622,7 @@ object EtlOps {
         | FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.tus >= c.tus)
         |SELECT CASE WHEN click_tus IS NOT NULL AND tus - click_tus <= 3600000000
+        |   AND campaign IS NOT NULL
         |  THEN campaign ELSE -1 END AS campaign,
         | count(*) AS n_purchases,
         | CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS sum_value
@@ -613,7 +633,8 @@ object EtlOps {
         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
         | FROM events)
         |SELECT event_type,
-        | count(*) FILTER (tus < epoch_us(TIMESTAMP '2024-01-21 00:00:00')) AS n_base,
+        | count(*) FILTER (tus < epoch_us(TIMESTAMP '2024-01-21 00:00:00')
+        |   OR tus IS NULL) AS n_base,
         | count(*) FILTER (tus >= epoch_us(TIMESTAMP '2024-01-21 00:00:00')) AS n_delta,
         | count(*) AS n_total,
         | CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100.0 AS sum_value

@@ -264,17 +264,19 @@ object StatsOps {
       .agg(count(when(col("split") === "train", 1)).as("a"),
         count(when(col("split") === "eval", 1)).as("b"))
     val tot = c.agg(sum("a").as("ta"), sum("b").as("tb"))
+    // products widen to DECIMAL before multiplying: a·B with both counts
+    // ~1e10 (the 100 TB corpus) overflows a raw long product
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val lnDec = (num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =>
       round(log(num.cast("double") / den.cast("double")), 6).cast(dec6)
     val withLn = c.crossJoin(broadcast(tot))
       .select(col("lang"), col("a"), col("b"), col("ta"), col("tb"),
-        when(col("a") > 0,
-          lnDec(lit(2) * col("a") * col("tb"),
-            col("a") * col("tb") + col("b") * col("ta")))
+        (col("a").cast(dec38) * col("tb")).as("ab"),
+        (col("b").cast(dec38) * col("ta")).as("ba"))
+      .select(col("lang"), col("a"), col("b"), col("ta"), col("tb"),
+        when(col("a") > 0, lnDec(lit(2) * col("ab"), col("ab") + col("ba")))
           .otherwise(lit(BigDecimal(0)).cast(dec6)).as("l1"),
-        when(col("b") > 0,
-          lnDec(lit(2) * col("b") * col("ta"),
-            col("a") * col("tb") + col("b") * col("ta")))
+        when(col("b") > 0, lnDec(lit(2) * col("ba"), col("ab") + col("ba")))
           .otherwise(lit(BigDecimal(0)).cast(dec6)).as("l2"))
     withLn
       .select(col("lang"), col("a").as("n_train"), col("b").as("n_eval"),

@@ -809,11 +809,12 @@ object TextOps {
     * axes are mutually non-dominating and all survive. Two document scans
     * (one aggregate, one broadcast-joined filter), one window over a
     * provably bounded frame — no pair enumeration anywhere. */
-  def q118Skyline(s: SparkSession, d: String): DataFrame = {
+  /** Frontier core over any (doc_id, quality, n_chars) frame — the
+    * testable unit the q118 entry wraps (specs drive edge cases through
+    * THIS function so tie/dominance handling can't silently drift from a
+    * private test copy). */
+  def skylineFrontier(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = t(s, d, "documents")
-      .select(col("doc_id"),
-        qualityScore(col("text"), col("n_chars")).as("quality"), col("n_chars"))
     val perQ = docs.groupBy("quality").agg(max(col("n_chars")).as("gmax"))
     val w = Window.orderBy(col("quality").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -824,6 +825,11 @@ object TextOps {
       .select(col("doc_id"), col("quality"), col("n_chars"))
       .orderBy(col("quality").desc, col("doc_id"))
   }
+
+  def q118Skyline(s: SparkSession, d: String): DataFrame =
+    skylineFrontier(t(s, d, "documents")
+      .select(col("doc_id"),
+        qualityScore(col("text"), col("n_chars")).as("quality"), col("n_chars")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_skyline" -> (q118Skyline _),

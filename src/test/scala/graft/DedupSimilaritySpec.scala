@@ -538,14 +538,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (1L, 0.9, 100L), (2L, 0.9, 100L), (3L, 0.9, 50L),
       (4L, 0.8, 100L), (5L, 0.8, 200L))
       .toDF("doc_id", "quality", "n_chars")
-    import org.apache.spark.sql.expressions.Window
-    val perQ = docs.groupBy("quality").agg(max(col("n_chars")).as("gmax"))
-    val w = Window.orderBy(col("quality").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val m = perQ.withColumn("m_strict", max(col("gmax")).over(w))
-    val frontier = docs.join(broadcast(m), "quality")
-      .filter(col("n_chars") === col("gmax") &&
-        (col("m_strict").isNull || col("n_chars") > col("m_strict")))
+    val frontier = graft.ops.TextOps.skylineFrontier(docs)
       .select("doc_id").as[Long].collect().sorted
     assert(frontier.toSeq === Seq(1L, 2L, 5L))
   }
