@@ -591,7 +591,59 @@ object EtlOps {
       .orderBy("campaign")
   }
 
+  // ---------------------------------------------------------------- q122
+  /** COHORT LTV TRIANGLE — cumulative revenue per acquisition cohort by
+    * week-since-acquisition: the lifetime-value view that q82's retention
+    * grid (activity yes/no) cannot give. Users cohort by their FIRST
+    * activity week (integer epoch-weeks, q82's calendar-free math);
+    * purchase revenue lands in (cohort, weeks_since) cells; the triangle
+    * densifies over each cohort's observable span (a zero-revenue week
+    * must appear — the cumulative curve is defined there) and a window
+    * cumsum in exact long cents produces the LTV curve; per-user LTV is
+    * one final IEEE division by the cohort size.
+    *
+    * Scale: one events scan for cohorts (min-week per user, partial-agg),
+    * one for revenue; the densified triangle is |cohorts|·|weeks| rows —
+    * calendar-bounded, not data-bounded (the q98 sweep-line argument) —
+    * so the cumsum window runs over a tiny frame. */
+  def q122CohortLtv(s: SparkSession, d: String): DataFrame = {
+    val wkExpr = expr("(ts div 1000) div 604800000000")
+    val cents = graft.streaming.EventsStream.cents(col("value"))
+    cohortLtv(t(s, d, "events")
+      .select(col("user_id"), col("event_type"), wkExpr.as("week"), cents.as("c")))
+  }
+
+  /** Triangle core over any (user_id, event_type, week, c) frame — the
+    * testable unit (the driver corpus collapses to one cohort; specs feed
+    * multi-cohort frames through here). */
+  def cohortLtv(ev: DataFrame): DataFrame = {
+    val cohorts = ev.groupBy("user_id").agg(min(col("week")).as("cw"))
+    val maxWeek = ev.agg(max(col("week")).as("mw"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(cohorts, "user_id")
+      .groupBy(col("cw"), (col("week") - col("cw")).as("ws"))
+      .agg(sum(col("c")).as("rc"))
+    val sizes = cohorts.groupBy("cw").agg(count(lit(1)).as("n_users"))
+    val grid = sizes.crossJoin(broadcast(maxWeek))
+      .select(col("cw"), col("n_users"),
+        explode(sequence(lit(0L), col("mw") - col("cw"))).as("ws"))
+    grid.join(rev, Seq("cw", "ws"), "left")
+      .select(col("cw").as("cohort_week"), col("ws").as("weeks_since"),
+        col("n_users"), coalesce(col("rc"), lit(0L)).as("rc"))
+      .withColumn("cum_rc", sum(col("rc")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("cohort_week").orderBy("weeks_since")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("cohort_week"), col("weeks_since"), col("n_users"),
+        (col("rc").cast("double") / 100.0).as("week_revenue"),
+        (col("cum_rc").cast("double") / 100.0).as("cum_revenue"),
+        (col("cum_rc").cast("double") / (lit(100.0) * col("n_users").cast("double")))
+          .as("ltv_per_user"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_cohort_ltv" -> (q122CohortLtv _),
     "q120_last_touch" -> ((s: SparkSession, d: String) => q120LastTouch(s, d)),
     "q117_ivm_agg" -> ((s: SparkSession, d: String) => q117IvmAgg(s, d)),
     "q119_wow_movers" -> ((s: SparkSession, d: String) => q119WowMovers(s, d)),
@@ -608,6 +660,34 @@ object EtlOps {
     "q82_retention_cohorts" -> (q82RetentionCohorts _))
 
   val oracle: Map[String, String] = Map(
+    "q122_cohort_ltv" ->
+      """WITH ev AS (
+        | SELECT user_id, event_type, epoch_us(ts) // 604800000000 AS week,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        | FROM events),
+        |cohorts AS (SELECT user_id, min(week) AS cw FROM ev GROUP BY 1),
+        |mw AS (SELECT max(week) AS mw FROM ev),
+        |rev AS (
+        | SELECT c2.cw, e.week - c2.cw AS ws, CAST(sum(e.c) AS BIGINT) AS rc
+        | FROM ev e JOIN cohorts c2 USING (user_id)
+        | WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+        |sizes AS (SELECT cw, count(*) AS n_users FROM cohorts GROUP BY 1),
+        |grid AS (
+        | SELECT s2.cw, s2.n_users, g.ws
+        | FROM sizes s2 CROSS JOIN mw,
+        |  LATERAL (SELECT unnest(range(0, CAST(mw.mw - s2.cw + 1 AS BIGINT))) AS ws) g),
+        |cells AS (
+        | SELECT grid.cw AS cohort_week, grid.ws AS weeks_since, grid.n_users,
+        |  coalesce(rev.rc, 0) AS rc
+        | FROM grid LEFT JOIN rev ON grid.cw = rev.cw AND grid.ws = rev.ws)
+        |SELECT cohort_week, weeks_since, n_users,
+        | CAST(rc AS DOUBLE) / 100.0 AS week_revenue,
+        | CAST(CAST(sum(rc) OVER (PARTITION BY cohort_week ORDER BY weeks_since
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE) / 100.0 AS cum_revenue,
+        | CAST(CAST(sum(rc) OVER (PARTITION BY cohort_week ORDER BY weeks_since
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+        |   / (100.0 * CAST(n_users AS DOUBLE)) AS ltv_per_user
+        |FROM cells ORDER BY cohort_week, weeks_since""".stripMargin,
     "q120_last_touch" ->
       """WITH c AS (
         | SELECT user_id, epoch_us(ts) AS tus, epoch_us(ts) AS click_tus,

@@ -550,6 +550,31 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(rows.length === expect.size)
   }
 
+  // ------------------------------------------------------------ q122 LTV
+  test("cohort LTV: multi-cohort triangle densifies, cumsum telescopes, sizes fixed") {
+    import spark.implicits._
+    // cohort A (users 1, 2) starts week 10; cohort B (user 3) starts week 11;
+    // horizon = week 13. User 2 buys nothing; week 12 is empty for cohort A.
+    val ev = Seq(
+      (1L, "signup", 10L, 0L), (1L, "purchase", 10L, 1000L),
+      (2L, "signup", 10L, 0L), (1L, "purchase", 11L, 500L),
+      (3L, "signup", 11L, 0L), (3L, "purchase", 13L, 700L),
+      (1L, "purchase", 13L, 300L))
+      .toDF("user_id", "event_type", "week", "c")
+    val rows = EtlOps.cohortLtv(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // cohort 10 spans ws 0..3, cohort 11 spans ws 0..2 — dense triangles
+    assert(rows.keySet === Set((10L, 0L), (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 0L), (11L, 1L), (11L, 2L)))
+    assert(rows((10L, 0L)) === ((2L, 10.0, 10.0, 5.0)))
+    assert(rows((10L, 1L)) === ((2L, 5.0, 15.0, 7.5)))
+    assert(rows((10L, 2L)) === ((2L, 0.0, 15.0, 7.5))) // empty week carried
+    assert(rows((10L, 3L)) === ((2L, 3.0, 18.0, 9.0)))
+    assert(rows((11L, 0L)) === ((1L, 0.0, 0.0, 0.0)))
+    assert(rows((11L, 2L)) === ((1L, 7.0, 7.0, 7.0)))
+  }
+
   // ------------------------------------------------------------ q119 WoW
   test("WoW movers: deltas reconcile with the weekly sums and weeks are consecutive") {
     val rows = EtlOps.q119WowMovers(spark, sf).collect()
