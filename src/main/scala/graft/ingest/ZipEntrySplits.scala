@@ -126,8 +126,9 @@ object ZipEntrySplits {
   }
 
   /** Task-side: read exactly one entry's bytes (seek to its local header,
-    * skip the header, read the compressed range, inflate if deflated). */
-  private def readEntry(fs: FileSystem, split: EntrySplit): Array[Byte] = {
+    * skip the header, read the compressed range, inflate if deflated).
+    * Shared with the graft-zip DataSourceV2 reader ([[ZipDataSource]]). */
+  private[ingest] def readEntry(fs: FileSystem, split: EntrySplit): Array[Byte] = {
     val in = fs.open(new Path(split.archive))
     try {
       val header = new Array[Byte](30)

@@ -114,4 +114,41 @@ class ZipSplitSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("end-of-central-directory"))
   }
+
+  // ------------------------------------------------- graft-zip DataSourceV2
+  test("graft-zip connector: one partition per entry, bytes match the expansion") {
+    val dir = tmpDir()
+    writeFixture(dir, "dsv2.zip", entries = 6)
+    val path = new File(dir, "dsv2.zip").getAbsolutePath
+    val df = spark.read.format("graft-zip").load(path)
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("archive", "entry", "size", "content"))
+    // per-ENTRY parallelism: 6 deflated + 1 stored = 7 flat entries
+    assert(df.rdd.getNumPartitions === 7)
+    val got = df.collect()
+      .map(r => r.getAs[String]("entry") ->
+        (r.getAs[Long]("size"), r.getAs[Array[Byte]]("content").toSeq)).toMap
+    val expect = ZipEntrySplits.expand(spark, path).collect()
+      .map(e => e.entry -> e.content.toSeq).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (entry, (size, bytes)) =>
+      assert(bytes === expect(entry), entry)
+      assert(size === bytes.length.toLong, entry)
+    }
+  }
+
+  test("graft-zip connector: column pruning keeps content out of the scan schema") {
+    val dir = tmpDir()
+    writeFixture(dir, "prune.zip", entries = 3)
+    val path = new File(dir, "prune.zip").getAbsolutePath
+    val df = spark.read.format("graft-zip").load(path).select("entry", "size")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    val readSchema = scans.head.scan.readSchema()
+    assert(!readSchema.fieldNames.contains("content"), readSchema.treeString)
+    // the metadata-only read still answers correctly
+    assert(df.collect().map(_.getAs[String]("entry")).sorted.length === 4)
+  }
 }
