@@ -12,7 +12,8 @@ object Explain {
     else Seq("q02_filter_project", "q11_join_star", "q15_topk",
       "q01_pricing_summary", "q40_cosine_topk", "q25_asof_join",
       "q54_topk_group_native", "q59_min_cost_supplier", "q36_minhash_pairs",
-      "q38_ngram_jaccard", "q66_dedup_components", "q37_simhash_pairs")
+      "q38_ngram_jaccard", "q66_dedup_components", "q37_simhash_pairs",
+      "q113_containment_dedup", "q105_pagerank", "q118_skyline")
     val spark = Graft.sessionBuilder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -71,14 +71,64 @@ private[ingest] class ZipTable(path: String) extends Table with SupportsRead {
 }
 
 private[ingest] class ZipScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = ZipDataSource.fullSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new ZipScan(path, required)
+
+  /** Metadata-column predicates prune SPLITS at planning time — a
+    * `WHERE entry LIKE '%.csv'` never even creates InputPartitions for
+    * the other entries, the connector-level analogue of partition
+    * pruning. Only exactly-evaluable entry/archive predicates are
+    * accepted (and still re-checked by Spark post-scan is unnecessary:
+    * we return them as fully handled). Everything else stays with Spark. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+  : Array[org.apache.spark.sql.sources.Filter] = {
+    val (accepted, rejected) = filters.partition(ZipScanBuilder.evaluable)
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan = new ZipScan(path, required, pushed)
 }
 
-private[ingest] class ZipScan(path: String, required: StructType)
+private[ingest] object ZipScanBuilder {
+  import org.apache.spark.sql.sources._
+  /** Filters this connector can evaluate EXACTLY against split metadata. */
+  def evaluable(f: Filter): Boolean = f match {
+    case EqualTo(a, _: String) => meta(a)
+    case StringStartsWith(a, _) => meta(a)
+    case StringEndsWith(a, _) => meta(a)
+    case StringContains(a, _) => meta(a)
+    case In(a, vs) => meta(a) && vs.forall(_.isInstanceOf[String])
+    case And(l, r) => evaluable(l) && evaluable(r)
+    case Or(l, r) => evaluable(l) && evaluable(r)
+    case Not(c) => evaluable(c)
+    case _ => false
+  }
+  private def meta(attr: String): Boolean = attr == "entry" || attr == "archive"
+
+  /** Evaluate an accepted filter against one split. */
+  def matches(f: Filter, s: ZipEntrySplits.EntrySplit): Boolean = {
+    def v(attr: String): String = if (attr == "entry") s.entry else s.archive
+    f match {
+      case EqualTo(a, x: String) => v(a) == x
+      case StringStartsWith(a, p) => v(a).startsWith(p)
+      case StringEndsWith(a, p) => v(a).endsWith(p)
+      case StringContains(a, p) => v(a).contains(p)
+      case In(a, vs) => vs.exists(_ == v(a))
+      case And(l, r) => matches(l, s) && matches(r, s)
+      case Or(l, r) => matches(l, s) || matches(r, s)
+      case Not(c) => !matches(c, s)
+      case _ => true
+    }
+  }
+}
+
+private[ingest] class ZipScan(path: String, required: StructType,
+                              pushed: Array[org.apache.spark.sql.sources.Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -86,6 +136,7 @@ private[ingest] class ZipScan(path: String, required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     ZipEntrySplits.listEntries(spark, path)
+      .filter(s => pushed.forall(ZipScanBuilder.matches(_, s)))
       .map(s => ZipEntryPartition(s): InputPartition).toArray
   }
 

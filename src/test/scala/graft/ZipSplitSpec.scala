@@ -151,4 +151,19 @@ class ZipSplitSpec extends AnyFunSuite {
     // the metadata-only read still answers correctly
     assert(df.collect().map(_.getAs[String]("entry")).sorted.length === 4)
   }
+
+  test("graft-zip connector: entry predicates prune input partitions at planning") {
+    val dir = tmpDir()
+    writeFixture(dir, "filter.zip", entries = 5)
+    val path = new File(dir, "filter.zip").getAbsolutePath
+    val df = spark.read.format("graft-zip").load(path)
+      .filter(org.apache.spark.sql.functions.col("entry").endsWith(".bin"))
+    // 5 part*.bin entries; stored.txt pruned BEFORE partition planning
+    assert(df.rdd.getNumPartitions === 5)
+    assert(df.count() === 5)
+    val one = spark.read.format("graft-zip").load(path)
+      .filter(org.apache.spark.sql.functions.col("entry") === "part3.bin")
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.select("size").head().getLong(0) === 1003L)
+  }
 }
