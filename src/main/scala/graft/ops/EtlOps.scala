@@ -304,6 +304,61 @@ object EtlOps {
       .orderBy("user_id", "hour_id")
   }
 
+  // ---------------------------------------------------------------- q123
+  /** Time-grid resample with LINEAR INTERPOLATION — the smoothing sibling
+    * of q95's LOCF: a missing hour takes the line between the last
+    * observation before it and the first one after it, the fill a metric
+    * dashboard or feature pipeline wants for continuous signals (LOCF
+    * staircases them). Same three shuffle-once-on-user stages as q95
+    * (per-hour latest via max-struct, map-side grid generator, window
+    * pass); the interpolation needs BOTH directions, so two streaming
+    * frames run over the grid — prev = last non-null observation before,
+    * next = first after — each O(1) state per row.
+    *
+    * Exactness: values quantize to cents, hours are integers, and the
+    * interpolated value vp + (vn−vp)·(h−hp)/(hn−hp) evaluates entirely in
+    * LONG arithmetic with one micro-cent integer division. Both engines
+    * TRUNCATE integer division toward zero (Spark `div`, DuckDB `//` —
+    * measured, not assumed: -7//2 = -3 in DuckDB), so negative slopes
+    * quantize identically with no adjustment. Interior grid hours always
+    * have both neighbors (the span runs first→last observation), so the
+    * denominator is never zero on unobserved rows. */
+  def q123LinearGapfill(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, d, "events").filter(col("user_id") < 8)
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"),
+        graft.streaming.EventsStream.cents(col("value")).as("vc"))
+      .withColumn("hour_id", expr("tus div 3600000000"))
+    val hourly = e.groupBy("user_id", "hour_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("tus"), col("event_id"), col("vc"))).as("le"))
+      .select(col("user_id"), col("hour_id"), col("n_events"),
+        col("le.vc").as("vc"))
+    val grid = e.groupBy("user_id")
+      .agg(min("hour_id").as("h0"), max("hour_id").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour_id"))
+    val wPrev = Window.partitionBy("user_id").orderBy("hour_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy("hour_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(hourly, Seq("user_id", "hour_id"), "left")
+      .withColumn("obs", when(col("vc").isNotNull,
+        struct(col("hour_id").as("h"), col("vc").as("v"))))
+      .withColumn("prev", last(col("obs"), ignoreNulls = true).over(wPrev))
+      .withColumn("next", first(col("obs"), ignoreNulls = true).over(wNext))
+      .withColumn("value_u",
+        when(col("vc").isNotNull, col("vc") * 1000000L)
+          .otherwise(col("prev.v") * 1000000L + expr(
+            // truncating integer division — identical in both engines
+            "((next.v - prev.v) * (hour_id - prev.h) * 1000000)" +
+              " div (next.h - prev.h)")))
+      .select(col("user_id"), col("hour_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("vc").isNotNull.as("is_observed"),
+        (col("value_u").cast("double") / 100000000.0).as("value_interp"))
+      .orderBy("user_id", "hour_id")
+  }
+
   // ---------------------------------------------------------------- q98
   /** Interval-concurrency SWEEP LINE — "how many order lines were in
     * fulfillment on each day": every (order date, ship date) interval
@@ -643,6 +698,7 @@ object EtlOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_linear_gapfill" -> (q123LinearGapfill _),
     "q122_cohort_ltv" -> (q122CohortLtv _),
     "q120_last_touch" -> ((s: SparkSession, d: String) => q120LastTouch(s, d)),
     "q117_ivm_agg" -> ((s: SparkSession, d: String) => q117IvmAgg(s, d)),
@@ -660,6 +716,42 @@ object EtlOps {
     "q82_retention_cohorts" -> (q82RetentionCohorts _))
 
   val oracle: Map[String, String] = Map(
+    "q123_linear_gapfill" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+        |  epoch_us(ts) // 3600000000 AS hour_id
+        | FROM events WHERE user_id < 8),
+        |h AS (
+        | SELECT user_id, hour_id, count(*) AS n_events,
+        |  max(struct_pack(tus := tus, event_id := event_id, vc := vc)) AS le
+        | FROM e GROUP BY 1, 2),
+        |hh AS (SELECT user_id, hour_id, n_events, le.vc AS vc FROM h),
+        |span AS (SELECT user_id, min(hour_id) AS h0, max(hour_id) AS h1
+        |  FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hour_id FROM span),
+        |cells AS (
+        | SELECT g.user_id, g.hour_id, hh.n_events, hh.vc,
+        |  CASE WHEN hh.vc IS NOT NULL
+        |   THEN struct_pack(h := g.hour_id, v := hh.vc) END AS obs
+        | FROM grid g LEFT JOIN hh
+        |   ON g.user_id = hh.user_id AND g.hour_id = hh.hour_id),
+        |f AS (
+        | SELECT user_id, hour_id, n_events, vc,
+        |  last_value(obs IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY hour_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+        |  first_value(obs IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY hour_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next
+        | FROM cells)
+        |SELECT user_id, hour_id, coalesce(n_events, 0) AS n_events,
+        | vc IS NOT NULL AS is_observed,
+        | CAST(CASE WHEN vc IS NOT NULL THEN vc * 1000000
+        |  ELSE prev.v * 1000000
+        |   + ((next.v - prev.v) * (hour_id - prev.h) * 1000000) // (next.h - prev.h)
+        |  END AS DOUBLE) / 100000000.0 AS value_interp
+        |FROM f ORDER BY user_id, hour_id""".stripMargin,
     "q122_cohort_ltv" ->
       """WITH ev AS (
         | SELECT user_id, event_type, epoch_us(ts) // 604800000000 AS week,

@@ -550,6 +550,35 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(rows.length === expect.size)
   }
 
+  // ------------------------------------------------------------ q123 interp
+  test("linear gap-fill: observed hours exact, gaps interpolate the integer line") {
+    val rows = EtlOps.q123LinearGapfill(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      // dense hourly grid, endpoints observed
+      assert(sorted.head.getBoolean(3) && sorted.last.getBoolean(3))
+      assert(sorted.map(_.getLong(1)).toSeq ===
+        (sorted.head.getLong(1) to sorted.last.getLong(1)).toSeq)
+      val obs = sorted.filter(_.getBoolean(3))
+        .map(r => r.getLong(1) -> r.getDouble(4))
+      sorted.filterNot(_.getBoolean(3)).foreach { r =>
+        val h = r.getLong(1)
+        val (hp, vp) = obs.takeWhile(_._1 < h).last
+        val (hn, vn) = obs.dropWhile(_._1 < h).head
+        // driver recompute in the same micro-cent integer arithmetic
+        val vpU = math.round(vp * 1e8); val vnU = math.round(vn * 1e8)
+        // weak bound (between neighbors) plus exact micro-cent recompute
+        assert(r.getDouble(4) >= math.min(vp, vn) - 1e-9, r.toString)
+        assert(r.getDouble(4) <= math.max(vp, vn) + 1e-9, r.toString)
+        val cpU = vpU / 1000000L; val cnU = vnU / 1000000L
+        val exactU = cpU * 1000000L + ((cnU - cpU) * (h - hp) * 1000000L) / (hn - hp)
+        assert(math.round(r.getDouble(4) * 1e8) === exactU, r.toString)
+      }
+    }
+  }
+
   // ------------------------------------------------------------ q122 LTV
   test("cohort LTV: multi-cohort triangle densifies, cumsum telescopes, sizes fixed") {
     import spark.implicits._

@@ -33,6 +33,18 @@ object PropertySpec extends Properties("graft") {
       got == expected
   }
 
+  property("merge intersect count == set intersect size") =
+    Prop.forAll(tokenGen, tokenGen) { (xs: List[String], ys: List[String]) =>
+      graft.functions.GraftFunctions.register(spark)
+      val a = xs.distinct.sorted
+      val b = ys.distinct.sorted
+      val expected = a.toSet.intersect(b.toSet).size
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(call_function("graft_intersect_sorted", col("a"), col("b")))
+        .head.getInt(0)
+      got == expected
+  }
+
   private val vecGen: Gen[List[Double]] =
     Gen.listOfN(8, Gen.choose(-100.0, 100.0)).suchThat(_.exists(_ != 0.0))
 
