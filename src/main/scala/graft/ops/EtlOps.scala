@@ -697,7 +697,59 @@ object EtlOps {
       .orderBy("cohort_week", "weeks_since")
   }
 
+  // ---------------------------------------------------------------- q124
+  /** POINT-IN-TIME (temporal) dimension join — attach to every fact row
+    * the dimension VERSION that was in effect at the fact's own timestamp,
+    * the standard warehouse read of an SCD2 history (q93 builds the
+    * history; this query consumes it): each shipped lineitem of the
+    * tracked customers joins the purchasing-state version valid at its
+    * ship time, then rolls up shipped items/quantity/revenue per version.
+    *
+    * The naive form is an interval join (`valid_from <= ts < valid_to`) —
+    * a per-key O(facts×versions) nested loop. Because SCD2 intervals TILE
+    * (each version runs to the next one's start), the pick is exactly a
+    * backward as-of against the version-start feed, so the operator reuses
+    * [[AsofJoin.backward]]: one union + window pass, sort-merge cost, the
+    * same shape at any scale. `valid_to` never needs to exist.
+    *
+    * Determinism: same-day orders collapse to the LAST version (max
+    * (orderkey, totalprice) struct) BEFORE versioning — a version
+    * superseded the same instant is never visible to any fact, and it
+    * leaves version starts unique per key, so DuckDB's ASOF JOIN (which
+    * has no documented tie order) is deterministic too. Facts at exactly
+    * a version's start see that version (>= contract, both engines).
+    * Quantity/revenue accumulate in exact long cents; `state_price` is a
+    * raw passthrough double. Facts earlier than their key's FIRST version
+    * have no version in effect — inner ASOF semantics exclude them in
+    * both engines (the standard PIT contract; the spec counts them). */
+  def q124PitJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = graft.streaming.EventsStream.cents _
+    val o = t(s, d, "orders").filter(col("o_custkey") % 20 === 1)
+    val hist = o
+      .groupBy(col("o_custkey").as("custkey"), ntz(col("o_orderdate")).as("pit_ts"))
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("eff"))
+      .select(col("custkey"), col("pit_ts"), col("eff.o_totalprice").as("state_price"))
+      .withColumn("version",
+        row_number().over(Window.partitionBy("custkey").orderBy("pit_ts")).cast("long"))
+    val facts = t(s, d, "lineitem")
+      .join(o.select(col("o_orderkey"), col("o_custkey").as("custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("custkey"), ntz(col("l_shipdate")).as("pit_ts"),
+        cents(col("l_quantity")).as("qc"), cents(col("l_extendedprice")).as("pc"))
+    AsofJoin.backward(facts, hist, key = "custkey", time = "pit_ts",
+        attach = Seq("version", "state_price"))
+      .filter(col("version").isNotNull)
+      .groupBy("custkey", "version")
+      .agg(max(col("state_price")).as("state_price"),
+        count(lit(1)).as("n_items"),
+        (sum(col("qc")).cast("double") / 100.0).as("sum_qty"),
+        (sum(col("pc")).cast("double") / 100.0).as("revenue"))
+      .orderBy("custkey", "version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_pit_join" -> (q124PitJoin _),
     "q123_linear_gapfill" -> (q123LinearGapfill _),
     "q122_cohort_ltv" -> (q122CohortLtv _),
     "q120_last_touch" -> ((s: SparkSession, d: String) => q120LastTouch(s, d)),
@@ -716,6 +768,29 @@ object EtlOps {
     "q82_retention_cohorts" -> (q82RetentionCohorts _))
 
   val oracle: Map[String, String] = Map(
+    "q124_pit_join" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_custkey % 20 = 1),
+        |h0 AS (
+        | SELECT o_custkey AS custkey, CAST(o_orderdate AS TIMESTAMP) AS pit_ts,
+        |  max(struct_pack(k := o_orderkey, p := o_totalprice)) AS eff
+        | FROM o GROUP BY 1, 2),
+        |h AS (
+        | SELECT custkey, pit_ts, eff.p AS state_price,
+        |  CAST(row_number() OVER (PARTITION BY custkey ORDER BY pit_ts) AS BIGINT) AS version
+        | FROM h0),
+        |f AS (
+        | SELECT o.o_custkey AS custkey, CAST(l.l_shipdate AS TIMESTAMP) AS pit_ts,
+        |  CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc,
+        |  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+        | FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey),
+        |j AS (
+        | SELECT f.custkey, f.qc, f.pc, h.version, h.state_price
+        | FROM f ASOF JOIN h ON f.custkey = h.custkey AND f.pit_ts >= h.pit_ts)
+        |SELECT custkey, version, max(state_price) AS state_price,
+        | count(*) AS n_items,
+        | CAST(CAST(sum(qc) AS BIGINT) AS DOUBLE) / 100.0 AS sum_qty,
+        | CAST(CAST(sum(pc) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q123_linear_gapfill" ->
       """WITH e AS (
         | SELECT user_id, epoch_us(ts) AS tus, event_id,

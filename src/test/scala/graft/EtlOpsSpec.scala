@@ -616,4 +616,42 @@ class EtlOpsSpec extends AnyFunSuite {
     val deltas = rows.map(r => math.abs(r.getAs[Double]("delta")))
     assert(deltas.zip(deltas.tail).forall { case (a, b) => a >= b - 1e-12 })
   }
+
+  // ------------------------------------------------------------ q124 PIT
+  test("PIT join equals the explicit interval-join form") {
+    import org.apache.spark.sql.expressions.Window
+    val cents = graft.streaming.EventsStream.cents _
+    val ntz = (c: org.apache.spark.sql.Column) => c.cast("timestamp_ntz")
+    val o = Tables.load(spark, sf, "orders").filter(col("o_custkey") % 20 === 1)
+    val w = Window.partitionBy("custkey").orderBy("pit_ts")
+    val hist = o
+      .groupBy(col("o_custkey").as("custkey"), ntz(col("o_orderdate")).as("pit_ts"))
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("eff"))
+      .select(col("custkey"), col("pit_ts"), col("eff.o_totalprice").as("state_price"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("pit_ts"), 1).over(w))
+    val facts = Tables.load(spark, sf, "lineitem")
+      .join(o.select(col("o_orderkey"), col("o_custkey").as("custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("custkey").as("f_custkey"), ntz(col("l_shipdate")).as("f_ts"),
+        cents(col("l_quantity")).as("qc"), cents(col("l_extendedprice")).as("pc"))
+    // the naive tiling-interval join the as-of pass replaces
+    val brute = facts.join(hist,
+        col("f_custkey") === col("custkey") && col("f_ts") >= col("pit_ts") &&
+          (col("valid_to").isNull || col("f_ts") < col("valid_to")))
+      .groupBy("custkey", "version")
+      .agg(max(col("state_price")).as("state_price"), count(lit(1)).as("n_items"),
+        (sum(col("qc")).cast("double") / 100.0).as("sum_qty"),
+        (sum(col("pc")).cast("double") / 100.0).as("revenue"))
+      .orderBy("custkey", "version")
+    val got = ops.EtlOps.q124PitJoin(spark, sf)
+    assert(got.collect().map(_.toSeq).toSeq === brute.collect().map(_.toSeq).toSeq)
+    // every fact at/after its key's first version is attributed exactly once;
+    // facts before any version existed are excluded (standard PIT contract)
+    val firstV = hist.groupBy(col("custkey").as("f_custkey"))
+      .agg(min(col("pit_ts")).as("v0"))
+    val inEffect = facts.join(firstV, "f_custkey").filter(col("f_ts") >= col("v0"))
+    assert(got.agg(sum("n_items")).head.getLong(0) === inEffect.count())
+    assert(inEffect.count() < facts.count()) // the excluded band is non-empty here
+  }
 }
