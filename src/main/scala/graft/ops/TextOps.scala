@@ -831,7 +831,86 @@ object TextOps {
       .select(col("doc_id"),
         qualityScore(col("text"), col("n_chars")).as("quality"), col("n_chars")))
 
+  // ---------------------------------------------------------------- q125
+  /** BPE MERGE-STEP counting — the inner loop of training a byte-pair
+    * encoder: over the corpus' pre-tokens (q67's GPT-2-style regex), count
+    * every adjacent CHARACTER pair weighted by pre-token frequency and
+    * rank the top merge candidates. This is exactly the statistic a BPE
+    * trainer computes to pick its next merge rule; iterating it (apply the
+    * merge, recount) is a driver loop over this same operator.
+    *
+    * Scale is the reason real BPE trainers survive web corpora, and this
+    * plan mirrors them: the corpus aggregates to the DISTINCT pre-token
+    * frequency table FIRST (Zipf: |distinct pre-tokens| ≪ corpus tokens,
+    * with map-side partial counts), and character pairs explode only off
+    * that small table — the pair fan-out never touches corpus-sized data.
+    * Top-k lands on TakeOrderedAndProject. Both engines count substrings
+    * in Unicode code points (the corpus is code-point-clean; q67 pins the
+    * same property for length()). Exact DuckDB oracle. */
+  def q125BpeMerges(s: SparkSession, d: String, topK: Int = 50): DataFrame = {
+    val wf = t(s, d, "documents")
+      .select(explode(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .filter(length(col("tok")) >= 2)
+    wf.select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("merge_count"))
+      .orderBy(col("merge_count").desc, col("pair"))
+      .limit(topK)
+  }
+
+  // ---------------------------------------------------------------- q126
+  /** REPETITION filtering (Gopher-style) — the quality gate that catches
+    * boilerplate and degenerate generation loops, which length/stopword
+    * scores (q33) structurally miss: a page of "click here click here …"
+    * scores fine on punctuation ratios but is pure repetition. Per
+    * document: the duplicate fraction of word 2-grams and 3-grams
+    * (1 − distinct/total) and the share of all 2-grams taken by the single
+    * most frequent one; a document is flagged when either the top-2-gram
+    * share or the duplicate-3-gram fraction crosses its threshold
+    * (defaults near the published Gopher cuts).
+    *
+    * Scale: the distinct/total fractions are MAP-SIDE array math (codegen
+    * transform + array_distinct, zero shuffle). Only the top-2-gram share
+    * needs a shuffle — (doc_id, gram) partial counts then a per-doc max —
+    * and map-side combine collapses exactly the repeats the operator
+    * exists to find, so the exchange carries near-distinct rows. Short
+    * docs (< n tokens) yield NULL fractions, never 0/0. Exact DuckDB
+    * oracle. */
+  def q126RepetitionStats(s: SparkSession, d: String,
+                          topGramMax: Double = 0.18,
+                          dupTriMax: Double = 0.30): DataFrame = {
+    def grams(tc: Column, n: Int): Column =
+      when(size(tc) >= n,
+        transform(sequence(lit(1), size(tc) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(o => element_at(tc, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val base = t(s, d, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        grams(col("t"), 2).as("g2"), grams(col("t"), 3).as("g3"))
+    val top2 = base.select(col("doc_id"), explode(col("g2")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top2"))
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 4))
+    base.join(top2, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        frac(size(col("g2")) - size(array_distinct(col("g2"))), size(col("g2")))
+          .as("frac_dup_2gram"),
+        frac(col("top2"), size(col("g2"))).as("frac_top_2gram"),
+        frac(size(col("g3")) - size(array_distinct(col("g3"))), size(col("g3")))
+          .as("frac_dup_3gram"))
+      .withColumn("flagged",
+        coalesce(col("frac_top_2gram") > topGramMax, lit(false)) ||
+          coalesce(col("frac_dup_3gram") > dupTriMax, lit(false)))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_bpe_merges" -> ((s: SparkSession, d: String) => q125BpeMerges(s, d)),
+    "q126_repetition_stats" -> ((s: SparkSession, d: String) => q126RepetitionStats(s, d)),
     "q118_skyline" -> (q118Skyline _),
     "q111_mixture_weights" -> ((s: SparkSession, d: String) => q111MixtureWeights(s, d)),
     "q109_lm_doc_score" -> (q109LmDocScore _),
@@ -868,6 +947,49 @@ object TextOps {
        |       / len($duckToks)), 4)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q125_bpe_merges" -> {
+      val pat = bpePattern.replace("'", "''")
+      s"""WITH pt AS (
+         | SELECT unnest(regexp_extract_all(text, '$pat')) AS tok FROM documents),
+         |wf AS (
+         | SELECT tok, count(*) AS freq FROM pt GROUP BY 1 HAVING length(tok) >= 2),
+         |pr AS (
+         | SELECT substr(tok, i, 2) AS pair, freq
+         | FROM wf, unnest(range(1, length(tok))) AS u(i))
+         |SELECT pair, CAST(sum(freq) AS BIGINT) AS merge_count
+         |FROM pr GROUP BY 1
+         |ORDER BY merge_count DESC, pair LIMIT 50""".stripMargin
+    },
+    "q126_repetition_stats" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |g AS (
+         | SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+         |  CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i + 1]) ELSE CAST([] AS VARCHAR[]) END AS g2,
+         |  CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+         |   ELSE CAST([] AS VARCHAR[]) END AS g3
+         | FROM tk),
+         |t2 AS (
+         | SELECT doc_id, max(c) AS top2 FROM (
+         |  SELECT doc_id, count(*) AS c FROM (
+         |   SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY doc_id, gram)
+         | GROUP BY doc_id),
+         |f AS (
+         | SELECT g.doc_id, n_tokens,
+         |  CASE WHEN len(g2) > 0 THEN round(
+         |   CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2), 4)
+         |   END AS frac_dup_2gram,
+         |  CASE WHEN len(g2) > 0 THEN round(
+         |   CAST(t2.top2 AS DOUBLE) / len(g2), 4) END AS frac_top_2gram,
+         |  CASE WHEN len(g3) > 0 THEN round(
+         |   CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3), 4)
+         |   END AS frac_dup_3gram
+         | FROM g LEFT JOIN t2 ON g.doc_id = t2.doc_id)
+         |SELECT doc_id, n_tokens, frac_dup_2gram, frac_top_2gram, frac_dup_3gram,
+         | coalesce(frac_top_2gram > 0.18, false)
+         |  OR coalesce(frac_dup_3gram > 0.30, false) AS flagged
+         |FROM f ORDER BY doc_id""".stripMargin,
     "q118_skyline" ->
       s"""WITH s AS (
         | SELECT doc_id, $duckQualityScore AS quality, n_chars

@@ -190,4 +190,52 @@ class TextIndexSpec extends AnyFunSuite {
     if (big.getAs[Long]("n_docs") > 2 * small.getAs[Long]("n_docs"))
       assert(big.getAs[Double]("target_rate") < small.getAs[Double]("target_rate"))
   }
+
+  test("BPE merges: distinct-pretoken plan equals the brute per-occurrence recount") {
+    val got = TextOps.q125BpeMerges(spark, TestSpark.sf).collect()
+    assert(got.length === 50)
+    // brute: pairs counted straight off every pre-token OCCURRENCE (no
+    // word-frequency pre-aggregation) — the plan optimization must be
+    // invisible in the counts
+    val brute = Tables.load(spark, TestSpark.sf, "documents")
+      .select(explode(regexp_extract_all(col("text"),
+        lit(TextOps.bpePattern), lit(0))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("tok")) - 1),
+        i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("merge_count"))
+      .orderBy(col("merge_count").desc, col("pair")).limit(50)
+      .collect()
+    assert(got.map(_.toSeq).toSeq === brute.map(_.toSeq).toSeq)
+    // counts are non-increasing and every pair is exactly 2 code points
+    val counts = got.map(_.getAs[Long]("merge_count"))
+    assert(counts.zip(counts.drop(1)).forall { case (a, b) => a >= b })
+    assert(got.forall(_.getAs[String]("pair").codePointCount(0, 2) <= 2))
+  }
+
+  test("repetition stats: degenerate loop doc flags, varied doc does not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "click here ".repeat(30) + "end", "en", "s", 0L),
+      (2L, (1 to 60).map(i => s"w$i").mkString(" "), "en", "s", 0L),
+      (3L, "one two", "en", "s", 0L), // 1 bigram, 0 trigrams
+      (4L, "solo", "en", "s", 0L))    // no n-grams at all
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val outDir = java.nio.file.Files.createTempDirectory("rep").toString
+    docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val r = TextOps.q126RepetitionStats(spark, outDir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("flagged"))
+    assert(r(1L).getAs[Double]("frac_top_2gram") > 0.4)
+    assert(r(1L).getAs[Double]("frac_dup_3gram") > 0.8)
+    assert(!r(2L).getAs[Boolean]("flagged"))
+    assert(r(2L).getAs[Double]("frac_dup_2gram") === 0.0)
+    // a 2-token doc has one bigram (share 1.0 → flags; run the filter
+    // after a length cut, as Gopher does) and NULL trigram stats
+    assert(r(3L).getAs[Double]("frac_top_2gram") === 1.0)
+    assert(r(3L).isNullAt(r(3L).fieldIndex("frac_dup_3gram")))
+    assert(r(3L).getAs[Boolean]("flagged"))
+    assert(r(4L).isNullAt(r(4L).fieldIndex("frac_top_2gram")))
+    assert(!r(4L).getAs[Boolean]("flagged"))
+  }
 }
