@@ -695,9 +695,13 @@ object TextOps {
     * token positions. The join key (w1, w2) is hash-partitioned on both
     * sides — at 100 TB the LM side is far too big to broadcast, and this
     * plan never needs to. V arrives via a broadcast one-row cross join. */
-  def q109LmDocScore(s: SparkSession, d: String): DataFrame = {
+  /** Shared core of q109/q127: per-document totals of the add-one-smoothed
+    * corpus-bigram NLL — (doc_id, n_bigrams, s) with `s` an EXACT decimal
+    * sum of per-bigram-type pinned-log scores. Docs with zero bigrams do
+    * not appear (callers left-join or drop by contract). Plan shape as
+    * documented on [[q109LmDocScore]]. */
+  private def lmPerDocNll(docs: DataFrame): DataFrame = {
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val docs = t(s, d, "documents")
     val bg = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(zip_with(
@@ -714,10 +718,15 @@ object TextOps {
       .select(col("w1"), col("w2"),
         round(log((col("head_n") + col("v")).cast("double")
           / (col("n") + lit(1L)).cast("double")), 6).cast(dec6).as("nll"))
-    val perDoc = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+    bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
       .join(nll, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(sum(col("m")).as("n_bigrams"), sum(col("m") * col("nll")).as("s"))
+  }
+
+  def q109LmDocScore(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val perDoc = lmPerDocNll(docs)
     docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -727,6 +736,41 @@ object TextOps {
           col("s").cast("double") / col("n_bigrams").cast("double"))
           .as("avg_nll"))
       .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q127
+  /** PERPLEXITY BUCKETING (CCNet-style) — the filtering layout CCNet made
+    * standard: score every document with a language model (q109's per-doc
+    * bigram NLL) and cut each language into equal-count head/middle/tail
+    * buckets by average NLL, so downstream mixing can oversample the
+    * fluent head and drop or down-weight the noisy tail. Reuses
+    * [[lmPerDocNll]] verbatim — the scoring plan is computed once and the
+    * bucketing adds one |docs|-sized window per language plus a
+    * |langs×buckets|-row rollup.
+    *
+    * Determinism: avg_nll is one IEEE division of an exact decimal by an
+    * exact long (same value in any engine), ntile orders by (avg_nll,
+    * doc_id) so ties cannot reorder, and the bucket report's mass columns
+    * are exact sums with a single final division. Docs with zero bigrams
+    * have no perplexity and are excluded by contract (q109 reports them
+    * as NULL for the same reason). Exact DuckDB oracle. */
+  def q127PplBuckets(s: SparkSession, d: String, nBuckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+    val per = lmPerDocNll(docs)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("avg_nll", col("s").cast("double") / col("n_bigrams").cast("double"))
+    per
+      .withColumn("bucket",
+        ntile(nBuckets).over(Window.partitionBy("lang").orderBy("avg_nll", "doc_id")))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        (sum(col("s")).cast("double") / sum(col("n_bigrams")).cast("double"))
+          .as("bucket_nll"),
+        min(col("avg_nll")).as("min_nll"),
+        max(col("avg_nll")).as("max_nll"))
+      .orderBy("lang", "bucket")
   }
 
   // ---------------------------------------------------------------- q111
@@ -911,6 +955,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_bpe_merges" -> ((s: SparkSession, d: String) => q125BpeMerges(s, d)),
     "q126_repetition_stats" -> ((s: SparkSession, d: String) => q126RepetitionStats(s, d)),
+    "q127_ppl_buckets" -> ((s: SparkSession, d: String) => q127PplBuckets(s, d)),
     "q118_skyline" -> (q118Skyline _),
     "q111_mixture_weights" -> ((s: SparkSession, d: String) => q111MixtureWeights(s, d)),
     "q109_lm_doc_score" -> (q109LmDocScore _),
@@ -939,6 +984,28 @@ object TextOps {
 
   private def duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
+  /** SQL twin of [[lmPerDocNll]] — the CTE chain shared by the q109 and
+    * q127 oracles, ending in `per(doc_id, n_bigrams, s)`. */
+  private def duckLmPerDoc: String =
+    s"""toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+       |bg AS (
+       | SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       | FROM toks, unnest(range(1, len(t))) AS u(i)),
+       |cnt AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+       |heads AS (SELECT w1, CAST(sum(n) AS BIGINT) AS head_n FROM cnt GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT tok) AS v
+       |  FROM (SELECT unnest(t) AS tok FROM toks)),
+       |nll AS (
+       | SELECT c.w1, c.w2,
+       |  CAST(round(ln(CAST(h.head_n + voc.v AS DOUBLE)
+       |      / CAST(c.n + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS nll
+       | FROM cnt c JOIN heads h USING (w1) CROSS JOIN voc),
+       |dbg AS (SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY 1, 2, 3),
+       |per AS (
+       | SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+       |  sum(m * nll.nll) AS s
+       | FROM dbg JOIN nll USING (w1, w2) GROUP BY doc_id)""".stripMargin
+
   /** SQL twin of [[qualityScore]] — one fragment shared by the q33 and q70
     * oracles, so the engine-side helper and both oracles move together. */
   private def duckQualityScore: String =
@@ -960,6 +1027,23 @@ object TextOps {
          |FROM pr GROUP BY 1
          |ORDER BY merge_count DESC, pair LIMIT 50""".stripMargin
     },
+    "q127_ppl_buckets" ->
+      s"""WITH $duckLmPerDoc,
+         |pp AS (
+         | SELECT d.doc_id, d.lang, per.n_bigrams, per.s,
+         |  CAST(per.s AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE) AS avg_nll
+         | FROM documents d JOIN per USING (doc_id)),
+         |b AS (
+         | SELECT lang, doc_id, n_bigrams, s, avg_nll,
+         |  CAST(ntile(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id)
+         |    AS INT) AS bucket
+         | FROM pp)
+         |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+         | CAST(sum(s) AS DOUBLE) / CAST(CAST(sum(n_bigrams) AS BIGINT) AS DOUBLE)
+         |   AS bucket_nll,
+         | min(avg_nll) AS min_nll, max(avg_nll) AS max_nll
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q126_repetition_stats" ->
       s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
          |g AS (
@@ -1027,24 +1111,7 @@ object TextOps {
         |FROM k GROUP BY source, c_s, w_s, thr
         |ORDER BY source""".stripMargin,
     "q109_lm_doc_score" ->
-      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
-         |bg AS (
-         | SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-         | FROM toks, unnest(range(1, len(t))) AS u(i)),
-         |cnt AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
-         |heads AS (SELECT w1, CAST(sum(n) AS BIGINT) AS head_n FROM cnt GROUP BY 1),
-         |voc AS (SELECT count(DISTINCT tok) AS v
-         |  FROM (SELECT unnest(t) AS tok FROM toks)),
-         |nll AS (
-         | SELECT c.w1, c.w2,
-         |  CAST(round(ln(CAST(h.head_n + voc.v AS DOUBLE)
-         |      / CAST(c.n + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS nll
-         | FROM cnt c JOIN heads h USING (w1) CROSS JOIN voc),
-         |dbg AS (SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY 1, 2, 3),
-         |per AS (
-         | SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
-         |  sum(m * nll.nll) AS s
-         | FROM dbg JOIN nll USING (w1, w2) GROUP BY doc_id)
+      s"""WITH $duckLmPerDoc
          |SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
          | coalesce(CAST(per.s AS DOUBLE), 0.0) AS sum_nll,
          | CASE WHEN per.n_bigrams > 0

@@ -191,6 +191,27 @@ class TextIndexSpec extends AnyFunSuite {
       assert(big.getAs[Double]("target_rate") < small.getAs[Double]("target_rate"))
   }
 
+  test("ppl buckets: per-lang equal-count cut, ordered nll bands, totals tie to q109") {
+    val rows = TextOps.q127PplBuckets(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.foreach { case (_, bs) =>
+      // ntile: bucket sizes differ by at most 1 and are non-increasing
+      val sizes = bs.sortBy(_.getInt(1)).map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1)
+      assert(sizes.zip(sizes.drop(1)).forall { case (a, b) => a >= b })
+      // bands are ordered: bucket k's max_nll <= bucket k+1's min_nll
+      val bands = bs.sortBy(_.getInt(1))
+        .map(r => (r.getAs[Double]("min_nll"), r.getAs[Double]("max_nll")))
+      assert(bands.forall { case (lo, hi) => lo <= hi })
+      assert(bands.zip(bands.drop(1)).forall { case ((_, hi), (lo2, _)) => hi <= lo2 })
+    }
+    // every scored doc (q109 rows with bigrams) lands in exactly one bucket
+    val scored = TextOps.q109LmDocScore(spark, TestSpark.sf)
+      .filter(col("n_bigrams") > 0).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === scored)
+  }
+
   test("BPE merges: distinct-pretoken plan equals the brute per-occurrence recount") {
     val got = TextOps.q125BpeMerges(spark, TestSpark.sf).collect()
     assert(got.length === 50)
