@@ -295,8 +295,55 @@ object SimilarityOps {
       .orderBy("label", "pos")
   }
 
+  // ---------------------------------------------------------------- q128
+  /** Deterministic NEGATIVE SAMPLING for contrastive training — for every
+    * embedding (the anchor), pick k negatives with a DIFFERENT label,
+    * chosen by a salted content-hash draw so the pair set is re-run-,
+    * re-shard- and engine-stable (the q64/q65/q96 reproducibility family,
+    * applied to pair construction: an epoch's negatives must be exactly
+    * replayable to debug a loss spike).
+    *
+    * Scale is the whole design: candidates come from a HASH-BUCKET
+    * self-join (both sides bucketed by a salted digest of the id into
+    * `nBuckets` groups), so pair generation is Σ m_b² ≈ n²/nBuckets —
+    * tune nBuckets ∝ n for a constant per-anchor candidate pool, and
+    * rotate the salt per epoch to re-draw fresh buckets (documented
+    * contract; one salt = one epoch's pairing). Within the pool the
+    * per-anchor top-k runs through the engine's native [[graft.plans
+    * .TopKPerGroup]] operator — bounded heaps, no per-bucket sort. The
+    * draw hash covers BOTH ids, so each anchor's negatives are an
+    * independent uniform pick from its pool. Anchors whose bucket holds
+    * only same-label vectors get no negatives this epoch (the next salt
+    * re-buckets them); that absence is deterministic too. Exact DuckDB
+    * oracle (md5 strings + window rank). */
+  def q128NegativeSampling(s: SparkSession, d: String,
+                           salt: String = "graft-neg-7",
+                           nBuckets: Int = 16, k: Int = 3): DataFrame = {
+    require(nBuckets == 16, "bucket id is one hex digit; widen the substr to scale")
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        substring(md5(concat(lit(salt + ":"), col("vec_id").cast("string"))
+          .cast("binary")), 1, 1).as("bkt"))
+    val cand = e.select(col("bkt"), col("vec_id").as("anchor_id"),
+        col("label").as("anchor_label"))
+      .join(e.select(col("bkt"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label")), Seq("bkt"))
+      .filter(col("anchor_label") =!= col("neg_label"))
+      .withColumn("draw", md5(concat(lit(salt + ":pair:"),
+        col("anchor_id").cast("string"), lit(":"),
+        col("neg_id").cast("string")).cast("binary")))
+    graft.plans.TopK.perGroup(
+        cand.select("anchor_id", "anchor_label", "neg_id", "neg_label", "draw"),
+        groupCols = Seq("anchor_id"),
+        orderBy = Seq(("draw", true), ("neg_id", true)),
+        k = k, rankName = "rk")
+      .select("anchor_id", "anchor_label", "rk", "neg_id", "neg_label")
+      .orderBy("anchor_id", "rk")
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_negative_sampling" -> ((s: SparkSession, d: String) => q128NegativeSampling(s, d)),
     "q77_label_centroids" -> (q77LabelCentroids _),
     "q40_cosine_topk" -> ((s: SparkSession, d: String) => q40CosineTopK(s, d)),
     "q41_embedding_norms" -> (q41EmbeddingNorms _),
@@ -308,6 +355,24 @@ object SimilarityOps {
   /** q42's hyperplanes live in the Spark plan only → rows-only check.
     * q40/q41/q53/q77 recompute the same double math in DuckDB. */
   val oracle: Map[String, String] = Map(
+    "q128_negative_sampling" ->
+      """WITH e AS (
+        | SELECT vec_id, label,
+        |  substr(md5('graft-neg-7:' || CAST(vec_id AS VARCHAR)), 1, 1) AS bkt
+        | FROM embeddings),
+        |c AS (
+        | SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+        |  b.vec_id AS neg_id, b.label AS neg_label,
+        |  md5('graft-neg-7:pair:' || CAST(a.vec_id AS VARCHAR)
+        |    || ':' || CAST(b.vec_id AS VARCHAR)) AS draw
+        | FROM e a JOIN e b ON a.bkt = b.bkt AND a.label <> b.label),
+        |r AS (
+        | SELECT anchor_id, anchor_label, neg_id, neg_label,
+        |  CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY draw, neg_id)
+        |    AS INT) AS rk
+        | FROM c)
+        |SELECT anchor_id, anchor_label, rk, neg_id, neg_label
+        |FROM r WHERE rk <= 3 ORDER BY anchor_id, rk""".stripMargin,
     "q77_label_centroids" ->
       """WITH ix AS (
         | SELECT label, embedding,

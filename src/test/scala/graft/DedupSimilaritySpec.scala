@@ -542,4 +542,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted
     assert(frontier.toSeq === Seq(1L, 2L, 5L))
   }
+
+  test("negative sampling: label-disjoint, ranked, bucket-consistent, salt-sensitive") {
+    val rows = SimilarityOps.q128NegativeSampling(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("anchor_label") != r.getAs[Int]("neg_label"))
+      assert(r.getAs[Int]("rk") >= 1 && r.getAs[Int]("rk") <= 3)
+    }
+    // every sampled pair shares the anchor's hash bucket (the blocking claim)
+    val e = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), substring(md5(concat(lit("graft-neg-7:"),
+        col("vec_id").cast("string")).cast("binary")), 1, 1).as("bkt"))
+    val got = SimilarityOps.q128NegativeSampling(spark, TestSpark.sf)
+    val crossBucket = got
+      .join(e.select(col("vec_id").as("anchor_id"), col("bkt").as("ba")), "anchor_id")
+      .join(e.select(col("vec_id").as("neg_id"), col("bkt").as("bb")), "neg_id")
+      .filter(col("ba") =!= col("bb")).count()
+    assert(crossBucket === 0L)
+    // a different salt re-buckets: the pair set must actually move
+    val other = SimilarityOps.q128NegativeSampling(spark, TestSpark.sf,
+      salt = "graft-neg-8").collect()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("anchor_id"), r.getAs[Long]("neg_id"))
+    assert(rows.map(key).toSet != other.map(key).toSet)
+  }
 }
