@@ -460,7 +460,47 @@ object StatsOps {
       .orderBy(col("cnt").desc, col("token"))
   }
 
+  // ---------------------------------------------------------------- q129
+  /** Categorical-column ENTROPY profiling — the information-content row of
+    * a data profile (q92 reports nulls/distincts/ranges; this reports how
+    * concentrated each categorical column's distribution is): Shannon
+    * entropy in nats per column, next to the count and distinct count. An
+    * entropy near 0 flags a near-constant column (a broken extractor, a
+    * single-source scrape); entropy near ln(n_distinct) means a near-
+    * uniform mix — both are the profile signals a pipeline alarms on.
+    *
+    * Exactness is the q115 pinned-log discipline: H = ln N − (Σ c·ln c)/N
+    * needs only ln of exact INTEGER counts — each ln is taken once,
+    * rounded once to 6 decimals and pinned to DECIMAL(18,6); Σ c·ln c is
+    * then integer×decimal (exact in any order), and the finish is one
+    * decimal→double cast, one IEEE division and one subtraction on
+    * deterministic operands. NULL categories count as a category (a
+    * null-heavy column IS concentrated).
+    *
+    * Scale: one scan per profiled table feeding (column, value) partial
+    * counts — the shuffle carries at most |domain| rows per column, and
+    * the per-column rollup is |columns|-sized. Exact DuckDB oracle. */
+  def q129ColumnEntropy(s: SparkSession, d: String): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val docs = t(s, d, "documents")
+    val vals = docs.select(lit("documents.lang").as("col_name"), col("lang").as("val"))
+      .unionAll(docs.select(lit("documents.source"), col("source")))
+      .unionAll(t(s, d, "events")
+        .select(lit("events.event_type"), col("event_type")))
+    vals.groupBy("col_name", "val").agg(count(lit(1)).as("c"))
+      .withColumn("lnc", round(log(col("c").cast("double")), 6).cast(dec6))
+      .groupBy("col_name")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("lnc")).as("sclnc"))
+      .select(col("col_name"), col("n"), col("n_distinct"),
+        (round(log(col("n").cast("double")), 6).cast(dec6).cast("double")
+          - col("sclnc").cast("double") / col("n").cast("double"))
+          .as("entropy_nats"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_column_entropy" -> (q129ColumnEntropy _),
     "q121_bootstrap_se" -> ((s: SparkSession, d: String) => q121BootstrapSe(s, d)),
     "q115_distribution_drift" -> (q115DistributionDrift _),
     "q116_iqr_clip" -> (q116IqrClip _),
@@ -478,6 +518,21 @@ object StatsOps {
     "q52_approx_distinct" -> (q52ApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "q129_column_entropy" ->
+      """WITH vals AS (
+        | SELECT 'documents.lang' AS col_name, lang AS val FROM documents
+        | UNION ALL SELECT 'documents.source', source FROM documents
+        | UNION ALL SELECT 'events.event_type', event_type FROM events),
+        |c AS (SELECT col_name, val, count(*) AS c FROM vals GROUP BY 1, 2),
+        |l AS (SELECT col_name, c,
+        |  CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lnc FROM c)
+        |SELECT col_name, CAST(sum(c) AS BIGINT) AS n,
+        | CAST(count(*) AS BIGINT) AS n_distinct,
+        | CAST(CAST(round(ln(CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6)) AS DOUBLE)
+        |  - CAST(sum(c * lnc) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)
+        |  AS entropy_nats
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "q121_bootstrap_se" ->
       """WITH p AS (
         | SELECT event_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c

@@ -224,4 +224,29 @@ class StatsOpsSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("sum_winsorized") - winsor / 100.0) < 1e-6)
     }
   }
+
+  test("column entropy: constant column ~0, uniform column ~ln(k), bounds hold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_entropy").toString
+    Seq.tabulate(8)(i => (i.toLong, s"t$i", "en", s"src${i % 4}", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq.tabulate(8)(i => (i.toLong, if (i % 2 == 0) "click" else "view"))
+      .toDF("event_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = StatsOps.q129ColumnEntropy(spark, dir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(math.abs(r("documents.lang").getAs[Double]("entropy_nats")) < 1e-9)
+    assert(r("documents.lang").getAs[Long]("n_distinct") === 1L)
+    assert(math.abs(r("documents.source").getAs[Double]("entropy_nats")
+      - math.log(4)) < 1e-5)
+    assert(math.abs(r("events.event_type").getAs[Double]("entropy_nats")
+      - math.log(2)) < 1e-5)
+    // the real tables: 0 <= H <= ln(n_distinct) for every profiled column
+    StatsOps.q129ColumnEntropy(spark, TestSpark.sf).collect().foreach { row =>
+      val h = row.getAs[Double]("entropy_nats")
+      assert(h >= -1e-9 &&
+        h <= math.log(row.getAs[Long]("n_distinct").toDouble) + 1e-6)
+    }
+  }
 }
