@@ -748,7 +748,118 @@ object EtlOps {
       .orderBy("custkey", "version")
   }
 
+  // ---------------------------------------------------------------- q130
+  /** TIME-WEIGHTED average (TWAP) per user — the right mean for IRREGULAR
+    * observations (sensor reads, price ticks, metric gauges): each value
+    * holds until the next observation, so it weighs by its holding
+    * duration, not by its count — a burst of 100 reads in one second must
+    * not dominate a value that held for an hour. The q95 LOCF grid
+    * resamples then averages; TWAP integrates the step function directly,
+    * with no grid resolution to pick.
+    *
+    * Exact integer core: timestamps floor to μs (`ts div 1000`, the
+    * engine-wide events convention), values to cents, and Σ v_i·Δt_i
+    * accumulates in DECIMAL(38,0) — cents×μs terms overflow a long at
+    * corpus durations, the q115 widening rule. The final TWAP is ONE IEEE
+    * division of exact integers (μs-cents / μs-total), then /100. The
+    * last observation carries no weight (nothing is observed after it);
+    * same-μs ties contribute zero-duration segments — deterministic
+    * either way. Users with a single observation (or an all-ties span of
+    * zero) have no time axis and are excluded by contract.
+    *
+    * Scale: one shuffle (user partition for the lead window), then the
+    * per-user aggregate rides the same partitioning. */
+  def q130Twap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec38 = DecimalType(38, 0)
+    val cents = graft.streaming.EventsStream.cents _
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    t(s, d, "events")
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        cents(col("value")).as("vc"), col("event_id"))
+      .withColumn("dur", coalesce(lead(col("tus"), 1).over(w) - col("tus"), lit(0L)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_obs"),
+        (max(col("tus")) - min(col("tus"))).as("span_us"),
+        sum(col("vc").cast(dec38) * col("dur")).as("wsum"))
+      .filter(col("span_us") > 0)
+      .select(col("user_id"), col("n_obs"), col("span_us"),
+        (col("wsum").cast("double")
+          / (col("span_us") * 100L).cast("double")).as("twap"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- q131
+  /** Hourly PERCENTILE BANDS per event type — the SLA/observability read
+    * of a metric stream: for each (event_type, hour) cell, the median and
+    * a tail quantile of `value`. The tail fraction is 15/16 = 0.9375, ON
+    * PURPOSE: with values quantized to integer cents, a DYADIC fraction
+    * makes every step of the interpolation exact in ANY IEEE engine —
+    * (n−1)·(15/16) is an exact product, the fractional part is dyadic,
+    * and lo + (hi−lo)·frac multiplies sub-2⁵³ integers by dyadic
+    * rationals with zero rounding — so Spark's percentile() and DuckDB's
+    * quantile_cont() agree bit-for-bit BY CONSTRUCTION, not by luck (the
+    * q103/q116 integer-grid discipline; a 0.95 tail would instead hinge
+    * on both engines grouping the interpolation identically).
+    *
+    * Hours are integer `tus div 3600e6` buckets (the q82 calendar-free
+    * convention). Scale: one shuffle to (type, hour) cells; the exact
+    * per-cell sort is bounded by the cell's row count — at 100 TB switch
+    * the same query to approx_percentile per cell, losing the oracle but
+    * keeping the shape. */
+  def q131PercentileBands(s: SparkSession, d: String): DataFrame = {
+    val cents = graft.streaming.EventsStream.cents _
+    t(s, d, "events")
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("hour"),
+        cents(col("value")).as("vc"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"),
+        (percentile(col("vc"), lit(0.5)) / 100.0).as("p50"),
+        (percentile(col("vc"), lit(0.9375)) / 100.0).as("p9375"))
+      .orderBy("event_type", "hour")
+  }
+
+  // ---------------------------------------------------------------- q132
+  /** MARKET-BASKET co-occurrence with LIFT — association analysis over
+    * event types: each user's basket is the SET of event types they ever
+    * produced; for every type pair, the co-occurrence count, support and
+    * lift = P(a∧b)/(P(a)·P(b)) (lift > 1: seeing `a` makes `b` more
+    * likely — the cross-sell/funnel-design signal; q90's PMI is ln(lift)
+    * over token space, this is the transactional member of the family).
+    *
+    * Scale: baskets dedupe to (user, type) with map-side combine; pair
+    * fan-out is per-user C(|basket|,2) ≤ C(|type domain|,2) — bounded by
+    * the DOMAIN, not the event count — and pair counts aggregate on a
+    * domain²-sized key space. The singleton counts and user total ride a
+    * broadcast. Lift's integer products widen to DECIMAL(38,0) before the
+    * one double division each (q115 rule), so the report is engine-exact. */
+  def q132BasketLift(s: SparkSession, d: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val baskets = t(s, d, "events").select(col("user_id"), col("event_type")).distinct()
+    val users = baskets.agg(countDistinct(col("user_id")).as("n_users"))
+    val singles = baskets.groupBy("event_type").agg(count(lit(1)).as("n_single"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("type_a"),
+        col("n_single").as("n_a"))), "type_a")
+      .join(broadcast(singles.select(col("event_type").as("type_b"),
+        col("n_single").as("n_b"))), "type_b")
+      .crossJoin(broadcast(users))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n_users").cast("double")).as("support"),
+        ((col("n_ab").cast(dec38) * col("n_users")).cast("double")
+          / (col("n_a").cast(dec38) * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_twap" -> (q130Twap _),
+    "q131_percentile_bands" -> (q131PercentileBands _),
+    "q132_basket_lift" -> (q132BasketLift _),
     "q124_pit_join" -> (q124PitJoin _),
     "q123_linear_gapfill" -> (q123LinearGapfill _),
     "q122_cohort_ltv" -> (q122CohortLtv _),
@@ -768,6 +879,52 @@ object EtlOps {
     "q82_retention_cohorts" -> (q82RetentionCohorts _))
 
   val oracle: Map[String, String] = Map(
+    "q130_twap" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS tus,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc, event_id
+        | FROM events),
+        |w AS (
+        | SELECT user_id, tus, vc,
+        |  coalesce(lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |    - tus, 0) AS dur
+        | FROM e),
+        |g AS (
+        | SELECT user_id, count(*) AS n_obs,
+        |  max(tus) - min(tus) AS span_us,
+        |  sum(CAST(vc AS HUGEINT) * dur) AS wsum
+        | FROM w GROUP BY 1)
+        |SELECT user_id, n_obs, span_us,
+        | CAST(wsum AS DOUBLE) / CAST(span_us * 100 AS DOUBLE) AS twap
+        |FROM g WHERE span_us > 0 ORDER BY user_id""".stripMargin,
+    "q131_percentile_bands" ->
+      """WITH e AS (
+        | SELECT event_type, (epoch_us(ts) // 3600000000) AS hour,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        | FROM events)
+        |SELECT event_type, hour, count(*) AS n,
+        | quantile_cont(vc, 0.5) / 100.0 AS p50,
+        | quantile_cont(vc, 0.9375) / 100.0 AS p9375
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q132_basket_lift" ->
+      """WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+        |u AS (SELECT count(DISTINCT user_id) AS n_users FROM b),
+        |s AS (SELECT event_type, count(*) AS n_single FROM b GROUP BY 1),
+        |p AS (
+        | SELECT a.event_type AS type_a, b2.event_type AS type_b,
+        |  count(*) AS n_ab
+        | FROM b a JOIN b b2 ON a.user_id = b2.user_id
+        |  AND a.event_type < b2.event_type
+        | GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n_single AS n_a, sb.n_single AS n_b, n_ab,
+        | CAST(n_ab AS DOUBLE) / CAST(u.n_users AS DOUBLE) AS support,
+        | CAST(CAST(n_ab AS HUGEINT) * u.n_users AS DOUBLE)
+        |  / CAST(CAST(sa.n_single AS HUGEINT) * sb.n_single AS DOUBLE) AS lift
+        |FROM p
+        |JOIN s sa ON p.type_a = sa.event_type
+        |JOIN s sb ON p.type_b = sb.event_type
+        |CROSS JOIN u
+        |ORDER BY lift DESC, type_a, type_b""".stripMargin,
     "q124_pit_join" ->
       """WITH o AS (SELECT * FROM orders WHERE o_custkey % 20 = 1),
         |h0 AS (

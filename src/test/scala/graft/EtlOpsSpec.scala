@@ -617,6 +617,72 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(deltas.zip(deltas.tail).forall { case (a, b) => a >= b - 1e-12 })
   }
 
+  // ------------------------------------------------------------ q130 TWAP
+  test("TWAP equals the hand integral; count-mean diverges on a burst") {
+    import spark.implicits._
+    // value 10.0 holds for 90 us, then a 3-read burst at 100.0 for 10 us:
+    // TWAP = (1000c*90 + 10000c*(4+3+3)) / 100us / 100 = 19.0; the count
+    // mean (10+100*3)/4 = 77.5 is the artifact TWAP exists to avoid
+    val ev = Seq(
+      (1L, 0L, 10.0, 101L), (2L, 90000L, 100.0, 101L),
+      (3L, 94000L, 100.0, 101L), (4L, 97000L, 100.0, 101L),
+      (5L, 100000L, 50.0, 101L), // last obs: zero weight
+      (6L, 0L, 5.0, 202L))       // single obs: excluded (no span)
+      .map { case (id, tus, v, u) => (id, tus * 1000L, u, "x", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_twap").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EtlOps.q130Twap(spark, dir).collect()
+    assert(r.length === 1 && r.head.getAs[Long]("user_id") === 101L)
+    assert(r.head.getAs[Long]("n_obs") === 5L)
+    assert(r.head.getAs[Long]("span_us") === 100000L)
+    val expect = (1000.0 * 90000 + 10000.0 * (4000 + 3000 + 3000)) / 100000 / 100
+    assert(r.head.getAs[Double]("twap") === expect)
+  }
+
+  // ------------------------------------------------------------ q131 bands
+  test("percentile bands: spot cell matches the dyadic interpolation by hand") {
+    val bands = EtlOps.q131PercentileBands(spark, sf)
+    val cell = bands.orderBy(col("n").desc, col("event_type"), col("hour")).head()
+    val (ty, hr) = (cell.getString(0), cell.getLong(1))
+    val vs = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === ty &&
+        expr("(ts div 1000) div 3600000000") === hr)
+      .select((col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    def q(f: Double): Double = {
+      val h = (vs.length - 1) * f
+      val lo = h.toInt
+      val frac = h - lo
+      (vs(lo) + (if (frac > 0) (vs(lo + 1) - vs(lo)) * frac else 0.0)) / 100.0
+    }
+    assert(cell.getAs[Long]("n") === vs.length.toLong)
+    assert(cell.getAs[Double]("p50") === q(0.5))
+    assert(cell.getAs[Double]("p9375") === q(0.9375))
+  }
+
+  // ------------------------------------------------------------ q132 lift
+  test("basket lift: top pair recomputable from raw baskets; identities hold") {
+    val rows = EtlOps.q132BasketLift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val baskets = Tables.load(spark, sf, "events")
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nUsers = baskets.map(_._1).distinct.length
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      val ua = baskets.filter(_._2 == a).map(_._1).toSet
+      val ub = baskets.filter(_._2 == b).map(_._1).toSet
+      val nab = (ua & ub).size.toLong
+      assert(r.getAs[Long]("n_a") === ua.size.toLong)
+      assert(r.getAs[Long]("n_ab") === nab)
+      assert(r.getAs[Double]("support") === nab.toDouble / nUsers)
+      assert(r.getAs[Double]("lift") ===
+        (nab.toDouble * nUsers) / (ua.size.toDouble * ub.size))
+    }
+  }
+
   // ------------------------------------------------------------ q124 PIT
   test("PIT join equals the explicit interval-join form") {
     import org.apache.spark.sql.expressions.Window
