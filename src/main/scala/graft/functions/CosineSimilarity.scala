@@ -164,6 +164,11 @@ object GraftFunctions {
     SimHash64(exprs(0))
   }
 
+  private[graft] def maxRunBuilder(exprs: Seq[Expression]): Expression = {
+    requireArity("graft_max_run", exprs, 1)
+    MaxRunLength(exprs(0))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
@@ -179,5 +184,7 @@ object GraftFunctions {
       "graft_shingles", shinglesBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", simhashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_max_run", maxRunBuilder, "built-in")
   }
 }

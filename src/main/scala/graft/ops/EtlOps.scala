@@ -856,7 +856,51 @@ object EtlOps {
       .orderBy(col("lift").desc, col("type_a"), col("type_b"))
   }
 
+  // ---------------------------------------------------------------- q133
+  /** EWMA SMOOTHING, engine-exact — the classic "exponentially weighted
+    * moving average is inherently float-recursive" objection, dissolved by
+    * picking α = 1/2 (dyadic) and truncating to the last 16 observations:
+    * lag k carries integer weight c_k = 2^(15−k) (the 10^16 scaling that
+    * would make these the literal EWMA coefficients cancels in the
+    * ratio, and DROPPING it is what keeps both Σ v_k·c_k and Σ c_k under
+    * 2^53 — exactly representable doubles, so even an engine whose
+    * wide-integer→double cast rounds sloppily, as DuckDB's HUGEINT cast
+    * measurably does at ~5e19, computes the identical result). The
+    * smoothed value is a ratio of two exact LONG sums; the only float ops
+    * are the final two divisions (deterministic IEEE on deterministic
+    * operands). Early rows with fewer than 16 predecessors renormalize
+    * over the weights actually present, so the head of each series is a
+    * true weighted mean, not a damped ramp from zero. Lag-16+ history
+    * carries weight < 2⁻¹⁶ in the untruncated EWMA — below the cents
+    * quantization, which is what makes the truncation honest.
+    *
+    * Scale: ONE window pass per user (all 32 lag terms share the frame),
+    * no self-joins, state bounded at 16 rows regardless of series length
+    * — the same shape a Structured-Streaming port would keep per key. */
+  def q133EwmaSmooth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = graft.streaming.EventsStream.cents _
+    val c = (0 until 16).map(k => 1L << (15 - k))
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val num = (0 until 16).map { k =>
+      val l = lag(col("vc"), k).over(w)
+      when(l.isNotNull, l * c(k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val den = (0 until 16).map { k =>
+      val l = lag(col("vc"), k).over(w)
+      when(l.isNotNull, lit(c(k))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"),
+        cents(col("value")).as("vc"))
+      .select(col("user_id"), col("event_id"), col("tus"),
+        (col("vc").cast("double") / 100.0).as("value"),
+        (num.cast("double") / den.cast("double") / 100.0).as("ewma"))
+      .orderBy("user_id", "tus", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_ewma_smooth" -> (q133EwmaSmooth _),
     "q130_twap" -> (q130Twap _),
     "q131_percentile_bands" -> (q131PercentileBands _),
     "q132_basket_lift" -> (q132BasketLift _),
@@ -879,6 +923,32 @@ object EtlOps {
     "q82_retention_cohorts" -> (q82RetentionCohorts _))
 
   val oracle: Map[String, String] = Map(
+    "q133_ewma_smooth" -> {
+      val c = (0 until 16).map(k => 1L << (15 - k))
+      val lags = (0 until 16)
+        .map(k => if (k == 0) "vc AS l0" else s"lag(vc, $k) OVER w AS l$k")
+        .mkString(",\n |  ")
+      val num = (0 until 16)
+        .map(k => s"coalesce(l$k * ${c(k)}, 0)")
+        .mkString("\n |   + ")
+      val den = (0 until 16)
+        .map(k => s"CASE WHEN l$k IS NOT NULL THEN ${c(k)} ELSE 0 END")
+        .mkString("\n |   + ")
+      s"""WITH e AS (
+         | SELECT user_id, event_id, epoch_us(ts) AS tus,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+         | FROM events),
+         |l AS (
+         | SELECT user_id, event_id, tus, vc,
+         |  $lags
+         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+         |SELECT user_id, event_id, tus, CAST(vc AS DOUBLE) / 100.0 AS value,
+         | CAST($num
+         |  AS DOUBLE)
+         | / CAST($den
+         |  AS DOUBLE) / 100.0 AS ewma
+         |FROM l ORDER BY user_id, tus, event_id""".stripMargin
+    },
     "q130_twap" ->
       """WITH e AS (
         | SELECT user_id, epoch_us(ts) AS tus,

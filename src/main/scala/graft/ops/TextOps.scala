@@ -915,35 +915,31 @@ object TextOps {
     * share or the duplicate-3-gram fraction crosses its threshold
     * (defaults near the published Gopher cuts).
     *
-    * Scale: the distinct/total fractions are MAP-SIDE array math (codegen
-    * transform + array_distinct, zero shuffle). Only the top-2-gram share
-    * needs a shuffle — (doc_id, gram) partial counts then a per-doc max —
-    * and map-side combine collapses exactly the repeats the operator
-    * exists to find, so the exchange carries near-distinct rows. Short
+    * Scale: the whole filter is ONE MAP-SIDE PROJECTION — zero shuffle,
+    * zero joins. The distinct/total fractions are codegen array math
+    * (transform + array_distinct), and the top-2-gram multiplicity runs
+    * through the native [[graft.functions.MaxRunLength]] expression over
+    * the sorted gram array (the composed form exploded every 2-gram into a
+    * corpus-size (doc_id, gram) shuffle and joined the per-doc max back —
+    * 13 s vs ~1 s at sf0.1; the spec pins the two forms equal). Short
     * docs (< n tokens) yield NULL fractions, never 0/0. Exact DuckDB
     * oracle. */
   def q126RepetitionStats(s: SparkSession, d: String,
                           topGramMax: Double = 0.18,
                           dupTriMax: Double = 0.30): DataFrame = {
-    def grams(tc: Column, n: Int): Column =
-      when(size(tc) >= n,
-        transform(sequence(lit(1), size(tc) - (n - 1)), i =>
-          concat_ws(" ", (0 until n).map(o => element_at(tc, i + o)): _*)))
-        .otherwise(array().cast("array<string>"))
+    graft.functions.GraftFunctions.register(s)
     val base = t(s, d, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), size(col("t")).as("n_tokens"),
-        grams(col("t"), 2).as("g2"), grams(col("t"), 3).as("g3"))
-    val top2 = base.select(col("doc_id"), explode(col("g2")).as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("top2"))
+        wordGrams(col("t"), 2).as("g2"), wordGrams(col("t"), 3).as("g3"))
     def frac(num: Column, den: Column): Column =
       when(den > 0, round(num.cast("double") / den.cast("double"), 4))
-    base.join(top2, Seq("doc_id"), "left")
+    base
       .select(col("doc_id"), col("n_tokens"),
         frac(size(col("g2")) - size(array_distinct(col("g2"))), size(col("g2")))
           .as("frac_dup_2gram"),
-        frac(col("top2"), size(col("g2"))).as("frac_top_2gram"),
+        frac(call_function("graft_max_run", array_sort(col("g2"))), size(col("g2")))
+          .as("frac_top_2gram"),
         frac(size(col("g3")) - size(array_distinct(col("g3"))), size(col("g3")))
           .as("frac_dup_3gram"))
       .withColumn("flagged",
@@ -951,6 +947,14 @@ object TextOps {
           coalesce(col("frac_dup_3gram") > dupTriMax, lit(false)))
       .orderBy("doc_id")
   }
+
+  /** Word n-gram array (space-joined) off a token array; empty below n
+    * tokens. Shared by q126 and its equivalence spec. */
+  def wordGrams(tc: Column, n: Int): Column =
+    when(size(tc) >= n,
+      transform(sequence(lit(1), size(tc) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(tc, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_bpe_merges" -> ((s: SparkSession, d: String) => q125BpeMerges(s, d)),

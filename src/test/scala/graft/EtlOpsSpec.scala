@@ -683,6 +683,38 @@ class EtlOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------ q133 EWMA
+  test("EWMA: constant series is a fixpoint; short-head renormalizes by hand") {
+    import spark.implicits._
+    val mk = (id: Long, tus: Long, v: Double, u: Long) =>
+      (id, tus * 1000L, u, "x", v, "{}")
+    val ev = (Seq.tabulate(20)(i => mk(i.toLong, i.toLong * 10, 7.25, 1L)) ++
+      Seq(mk(100L, 0L, 1.0, 2L), mk(101L, 10L, 2.0, 2L), mk(102L, 20L, 4.0, 2L)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EtlOps.q133EwmaSmooth(spark, dir).collect()
+    // constant series: exact fixpoint — num = vc·W and den = W are both
+    // under 2^53, so num/den/100 reproduces the constant exactly
+    r.filter(_.getAs[Long]("user_id") == 1L).foreach { row =>
+      assert(row.getAs[Double]("ewma") === 7.25)
+    }
+    // short head, by hand: c_k = 2^(15-k), renormalized over present lags
+    val c = (0 until 16).map(k => BigInt(1) << (15 - k))
+    val u2 = r.filter(_.getAs[Long]("user_id") == 2L)
+      .sortBy(_.getAs[Long]("tus")).map(_.getAs[Double]("ewma"))
+    def hand(vsCents: Seq[Long]): Double = {
+      val num = vsCents.reverse.zipWithIndex.map { case (v, k) => BigInt(v) * c(k) }.sum
+      val den = vsCents.indices.map(c(_)).sum
+      num.toDouble / den.toDouble / 100.0
+    }
+    assert(u2(0) === hand(Seq(100L)))
+    assert(u2(1) === hand(Seq(100L, 200L)))
+    assert(u2(2) === hand(Seq(100L, 200L, 400L)))
+    // one output row per event, no drops at series heads
+    assert(r.count(_.getAs[Long]("user_id") == 1L) === 20)
+  }
+
   // ------------------------------------------------------------ q124 PIT
   test("PIT join equals the explicit interval-join form") {
     import org.apache.spark.sql.expressions.Window

@@ -234,6 +234,22 @@ class TextIndexSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[String]("pair").codePointCount(0, 2) <= 2))
   }
 
+  test("max-run expression equals the exploded count-max form on the corpus") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), TextOps.wordGrams(TextOps.tokens(col("text")), 2).as("g2"))
+    val native = base.select(col("doc_id"),
+      call_function("graft_max_run", array_sort(col("g2"))).as("m"))
+    val composed = base.select(col("doc_id"), explode(col("g2")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).cast("int").as("m"))
+    val joined = native.as("n").join(composed.as("c"), "doc_id")
+      .filter(col("n.m") =!= col("c.m"))
+    assert(joined.count() === 0)
+    // docs with no 2-grams: native reports 0 (composed form has no row)
+    assert(native.filter(size(col("g2")) === 0 && col("m") =!= 0).count() === 0)
+  }
+
   test("repetition stats: degenerate loop doc flags, varied doc does not") {
     import spark.implicits._
     val docs = Seq(
