@@ -48,7 +48,12 @@ object Bench {
         if (cacheProducers(name)) evictCaches(spark)
         val t0 = System.nanoTime()
         execute(fn(spark, sfDir))
-        (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // release single-query checkpoint residue OUTSIDE the timed span:
+        // left pinned, it bleeds eviction/spill pressure into every later
+        // query (measured 2-4x drift across a full cycle)
+        Transients.drop(spark)
+        elapsed
       }
       val timed = try {
         val first = timeOnce()

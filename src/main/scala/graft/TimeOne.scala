@@ -13,7 +13,9 @@ object TimeOne {
         if (Bench.cacheProducers(name)) Bench.evictCaches(spark)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        Transients.drop(spark)
+        elapsed
       }
       println(f"TIMEONE $name median=${ts.sorted.apply(1)}%.2f runs=${ts.map(t => f"$t%.2f").mkString(",")}")
     }

@@ -86,6 +86,10 @@ object GraphOps {
       // round's count is carried, not recomputed.
       val smallCount = small.count()
       converged = smallCount == curCount && small.exceptAll(cur).head(1).isEmpty
+      // the superseded round's checkpoint blocks are dead the moment the
+      // new round is materialized (count above) — release them NOW, or a
+      // log-round run pins every intermediate edge set until session death
+      cur.unpersist(blocking = false)
       cur = small
       curCount = smallCount
       i += 1
@@ -96,7 +100,10 @@ object GraphOps {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIterations iterations " +
         s"($curCount edges remaining) — raise maxIterations")
-    // final edge set is a star forest: every v points at its component min u
+    // final edge set is a star forest: every v points at its component min u.
+    // This last checkpoint backs the returned plan — released at the next
+    // query boundary, not here.
+    graft.Transients.track(cur)
     cur.select(col("v").as("id"), col("u").as("component"))
       .union(cur.select(col("u").as("id"), col("u").as("component")))
       .groupBy("id").agg(min("component").as("component"))
@@ -161,10 +168,10 @@ object GraphOps {
     // materialize the capped ranking ONCE (≤ n·cap rows): the mutual join
     // probes it from both sides with swapped keys, which defeats exchange
     // reuse — without the checkpoint the adjacency window runs twice
-    val rk = adj.withColumn("r",
+    val rk = graft.Transients.track(adj.withColumn("r",
       row_number().over(Window.partitionBy("u").orderBy(col("w").desc, col("v"))))
       .filter(col("r") <= cap)
-      .localCheckpoint()
+      .localCheckpoint())
     rk.as("x")
       .join(rk.select(col("u").as("yu"), col("v").as("yv")).as("y"),
         col("x.u") === col("y.yv") && col("x.v") === col("y.yu"))
@@ -186,7 +193,12 @@ object GraphOps {
       coOrderEdges(Tables.load(s, d, "lineitem")).localCheckpoint())
 
   def evict(s: SparkSession): Unit =
-    edgeCache.keys.filter(_._1 eq s).foreach(edgeCache.remove)
+    edgeCache.keys.filter(_._1 eq s).foreach { k =>
+      // release the checkpoint's blocks, not just the reference — dropping
+      // the map entry alone leaves the blocks pinned until session death
+      edgeCache.remove(k).foreach(df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    }
 
   /** q99: top-20 heaviest triangles of the mutually-capped co-order graph,
     * ranked by summed edge weight with a full (a, b, c) id tiebreak —
@@ -224,10 +236,11 @@ object GraphOps {
     * (columns `u` < `v`): returns (node, r) with r in units of scale⁻¹. */
   def pageRankScaled(edges: DataFrame, iterations: Int,
                      scale: Long = 1000000000000L): DataFrame = {
-    val adj = edges.select(col("u"), col("v"))
+    val adj = graft.Transients.track(edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
-    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint()
+      .localCheckpoint())
+    val deg = graft.Transients.track(
+      adj.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint())
     val n = deg.count()
     val base = (scale * 15L / 100L) / n
     var rank = deg.select(col("u").as("node"), lit(scale / n).as("r"))
@@ -278,10 +291,11 @@ object GraphOps {
     // to the (possibly checkpointed) relation itself, and Union's
     // constraint rewrite throws "key not found" when a LogicalRDD child
     // carries constraints minted against pre-checkpoint attribute ids
-    val adj = edges.select(col("u").as("u"), col("v").as("v"), col("w").as("w"))
-      .union(edges.select(col("v").as("u"), col("u").as("v"),
-        col("w").as("w")))
-      .localCheckpoint()
+    val adj = graft.Transients.track(
+      edges.select(col("u").as("u"), col("v").as("v"), col("w").as("w"))
+        .union(edges.select(col("v").as("u"), col("u").as("v"),
+          col("w").as("w")))
+        .localCheckpoint())
     var labels = adj.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     val byVote = Window.partitionBy("node")
