@@ -899,7 +899,93 @@ object EtlOps {
       .orderBy("user_id", "tus", "event_id")
   }
 
+  // ---------------------------------------------------------------- q134
+  /** INCREMENTAL VARIANCE maintenance — q117's IVM contract extended to
+    * second moments: the maintained state per key is the integer partial
+    * (n, Σc, Σc²) in cents, which MERGES EXACTLY in any order — the
+    * float-domain alternative (Chan's pairwise mean/M2 update) drifts
+    * with merge shape, which is precisely what an incremental view must
+    * never do. Refresh cost is the delta scan; the oracle recomputes the
+    * whole table single-pass and the merged path must equal it.
+    *
+    * The one subtle exactness step is REPORTING variance: the closed
+    * formula's numerator n·Σc² − (Σc)² reaches ~1e24 — past 2^53, where
+    * DuckDB's wide-int→double casts are measurably NOT correctly rounded
+    * (q133 found this; 8% of 66-bit values drift an ulp). So the variance
+    * quantizes on the integer grid FIRST: one exact integral division
+    * (num div n(n−1), truncation ≤ 1 cent² — Spark decimal `div` and
+    * DuckDB HUGEINT `//` are both exact) yields a quotient small enough
+    * that every later double op is on sub-2^53 operands. n < 2 reports
+    * NULL variance, never a divide-by-zero. */
+  def q134IvmMoments(s: SparkSession, d: String,
+                     cutoff: String = "2024-01-21T00:00:00"): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val cutUs = lit(java.time.LocalDateTime.parse(cutoff)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L)
+    val cents = graft.streaming.EventsStream.cents(col("value"))
+    val ev = t(s, d, "events")
+      .select(col("event_type"), expr("ts div 1000").as("tus"), cents.as("c"))
+    def rollup(part: DataFrame, pfx: String): DataFrame =
+      part.groupBy("event_type")
+        .agg(count(lit(1)).as(s"n_$pfx"), sum(col("c")).as(s"s_$pfx"),
+          sum(col("c").cast(dec38) * col("c")).as(s"s2_$pfx"))
+    val base = rollup(ev.filter(col("tus") < cutUs || col("tus").isNull), "base")
+    val delta = rollup(ev.filter(col("tus") >= cutUs), "delta")
+    val z = lit(0L).cast(dec38)
+    base.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L))).as("n"),
+        (coalesce(col("s_base"), lit(0L)) + coalesce(col("s_delta"), lit(0L))).as("sc"),
+        (coalesce(col("s2_base"), z) + coalesce(col("s2_delta"), z)).as("s2"))
+      .select(col("event_type"), col("n"),
+        (col("sc").cast("double") / col("n").cast("double") / 100.0).as("mean_value"),
+        when(col("n") > 1,
+          expr("(n * s2 - cast(sc as decimal(38,0)) * sc) div (n * (n - 1))"))
+          .as("var_cents2"))
+      .withColumn("var_value", col("var_cents2").cast("double") / 10000.0)
+      .withColumn("stddev_value", sqrt(col("var_value")))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------- q135
+  /** LATE-DATA audit — the batch answer to "what watermark delay would
+    * this stream need?": events are replayed in ARRIVAL order (event_id,
+    * within synthetic ingest partitions — the per-partition-ordered model
+    * Kafka and Spark's file source actually provide; a global arrival
+    * order would also make the running-max window a single task, which is
+    * exactly the shape this engine refuses), each event's lateness is how
+    * far its event time sits behind the partition's high-water mark at
+    * arrival, and the report counts, per event type, how many events a
+    * 1-minute / 10-minute / 1-hour watermark delay would have dropped —
+    * the q71/q108 streaming operators consume precisely this delay
+    * parameter, so the audit is their sizing tool.
+    *
+    * All integer-μs math (running max, subtraction, threshold compares);
+    * the only shuffle is the ingest-partition window plus the per-type
+    * rollup. Exact DuckDB oracle. */
+  def q135LateDataAudit(s: SparkSession, d: String,
+                        nPartitions: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("part").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, d, "events")
+      .select(col("event_type"), col("event_id"),
+        pmod(col("event_id"), lit(nPartitions)).as("part"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("hwm", max(col("tus")).over(w))
+      .withColumn("late_us", greatest(coalesce(col("hwm") - col("tus"), lit(0L)), lit(0L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("late_us") > 60000000L, 1)).as("n_late_1m"),
+        count(when(col("late_us") > 600000000L, 1)).as("n_late_10m"),
+        count(when(col("late_us") > 3600000000L, 1)).as("n_late_1h"),
+        max(col("late_us")).as("max_late_us"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_ivm_moments" -> ((s: SparkSession, d: String) => q134IvmMoments(s, d)),
+    "q135_late_data_audit" -> ((s: SparkSession, d: String) => q135LateDataAudit(s, d)),
     "q133_ewma_smooth" -> (q133EwmaSmooth _),
     "q130_twap" -> (q130Twap _),
     "q131_percentile_bands" -> (q131PercentileBands _),
@@ -923,6 +1009,44 @@ object EtlOps {
     "q82_retention_cohorts" -> (q82RetentionCohorts _))
 
   val oracle: Map[String, String] = Map(
+    "q134_ivm_moments" ->
+      """WITH e AS (
+        | SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        | FROM events),
+        |g AS (
+        | SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS sc,
+        |  sum(CAST(c AS HUGEINT) * c) AS s2
+        | FROM e GROUP BY 1),
+        |q AS (
+        | SELECT event_type, n, sc,
+        |  CASE WHEN n > 1
+        |   THEN CAST((n * s2 - CAST(sc AS HUGEINT) * sc) // (n * (n - 1))
+        |     AS BIGINT) END AS var_cents2
+        | FROM g)
+        |SELECT event_type, n,
+        | CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_value,
+        | var_cents2,
+        | CAST(var_cents2 AS DOUBLE) / 10000.0 AS var_value,
+        | sqrt(CAST(var_cents2 AS DOUBLE) / 10000.0) AS stddev_value
+        |FROM q ORDER BY event_type""".stripMargin,
+    "q135_late_data_audit" ->
+      """WITH e AS (
+        | SELECT event_type, event_id, event_id % 8 AS part,
+        |  epoch_us(ts) AS tus
+        | FROM events),
+        |w AS (
+        | SELECT event_type,
+        |  greatest(coalesce(max(tus) OVER (PARTITION BY part ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - tus, 0), 0)
+        |   AS late_us
+        | FROM e)
+        |SELECT event_type, count(*) AS n,
+        | count(CASE WHEN late_us > 60000000 THEN 1 END) AS n_late_1m,
+        | count(CASE WHEN late_us > 600000000 THEN 1 END) AS n_late_10m,
+        | count(CASE WHEN late_us > 3600000000 THEN 1 END) AS n_late_1h,
+        | CAST(max(late_us) AS BIGINT) AS max_late_us
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q133_ewma_smooth" -> {
       val c = (0 until 16).map(k => 1L << (15 - k))
       val lags = (0 until 16)

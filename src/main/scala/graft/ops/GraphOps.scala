@@ -325,10 +325,36 @@ object GraphOps {
   }
 
   // ------------------------------------------------------------------------
+  // ---------------------------------------------------------------- q136
+  /** DEGREE DISTRIBUTION of the co-order graph — the first profile anyone
+    * runs on a graph before picking algorithms (a heavy tail says "cap or
+    * salt the hot nodes"; this engine's mutual top-64 cap is visible here
+    * as the hard right edge of the histogram). Nodes bucket by
+    * floor(log2(degree)), computed EXACTLY as length(bin(deg)) − 1 —
+    * integer bit-length, no float log whose engine rounding could flip a
+    * power-of-two boundary bucket.
+    *
+    * Scale: degrees are one aggregation over the (cached) edge list; the
+    * histogram is |buckets|-sized. Consumer of the session edge memo, same
+    * as q99/q112. Exact DuckDB oracle over the shared capped-edge CTE. */
+  def q136DegreeHistogram(s: SparkSession, d: String): DataFrame = {
+    val e = cachedCoOrderEdges(s, d)
+    e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .select(col("node"), col("deg"),
+        (length(bin(col("deg"))) - 1).cast("int").as("bucket_log2"))
+      .groupBy("bucket_log2")
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"), sum(col("deg")).as("sum_deg"))
+      .orderBy("bucket_log2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_label_communities" -> (q112LabelCommunities _),
     "q66_dedup_components" -> (q66DedupComponents _),
     "q99_triangle_cooccur" -> (q99TriangleCooccur _),
+    "q136_degree_histogram" -> (q136DegreeHistogram _),
     "q105_pagerank" -> ((s: SparkSession, d: String) => q105PageRank(s, d)))
 
   /** Exact oracle: the same thresholded pair basis as q38, closed with a
@@ -376,6 +402,17 @@ object GraphOps {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q136_degree_histogram" ->
+      s"""WITH $duckCappedEdges,
+         |a AS (SELECT u AS node FROM capped UNION ALL SELECT v FROM capped),
+         |deg AS (SELECT node, count(*) AS deg FROM a GROUP BY node),
+         |b AS (
+         | SELECT deg, CAST(length(printf('%b', deg)) - 1 AS INT) AS bucket_log2
+         | FROM deg)
+         |SELECT bucket_log2, count(*) AS n_nodes,
+         | CAST(min(deg) AS BIGINT) AS min_deg, CAST(max(deg) AS BIGINT) AS max_deg,
+         | CAST(sum(deg) AS BIGINT) AS sum_deg
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q112_label_communities" ->
       s"""WITH $duckCappedEdges,
          |a AS (SELECT u, v, w FROM capped UNION ALL SELECT v, u, w FROM capped),

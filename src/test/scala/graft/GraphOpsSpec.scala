@@ -149,4 +149,22 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(!r.isNullAt(r.fieldIndex("min_member")))
     }
   }
+
+  test("degree histogram: buckets tile powers of two and conserve nodes and degree mass") {
+    val h = GraphOps.q136DegreeHistogram(spark, TestSpark.sf).collect()
+    assert(h.nonEmpty)
+    h.foreach { r =>
+      val b = r.getAs[Int]("bucket_log2")
+      assert(r.getAs[Long]("min_deg") >= (1L << b))
+      assert(r.getAs[Long]("max_deg") < (1L << (b + 1)))
+    }
+    val e = GraphOps.cachedCoOrderEdges(spark, TestSpark.sf)
+    val nodes = e.select(col("u").as("n")).union(e.select(col("v")))
+      .distinct().count()
+    assert(h.map(_.getAs[Long]("n_nodes")).sum === nodes)
+    // every undirected edge contributes exactly 2 to total degree
+    assert(h.map(_.getAs[Long]("sum_deg")).sum === 2 * e.count())
+    // the mutual cap is the histogram's hard right edge
+    assert(h.map(_.getAs[Long]("max_deg")).max <= 64L)
+  }
 }
