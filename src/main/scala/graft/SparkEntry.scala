@@ -37,7 +37,9 @@ object SparkEntry {
         "q71_stream_dedup" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q71StreamDedup(s, d)),
         "q108_stream_transitions" ->
-          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q108StreamTransitions(s, d)))
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q108StreamTransitions(s, d)),
+        "q137_stream_ewma" ->
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q137StreamEwma(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -68,6 +70,9 @@ object SparkEntry {
         // the stateful buffered-replay stream must land on the batch
         // transition matrix — same oracle as q107 by construction
         "q108_stream_transitions" -> EtlOps.oracle("q107_event_transitions"),
+        // the buffered-replay streaming smoother is arithmetic-identical
+        // to the batch lag-window form — same oracle as q133
+        "q137_stream_ewma" -> EtlOps.oracle("q133_ewma_smooth"),
         // the stream-stream interval join must equal the batch interval join
         "q63_stream_interval_join" ->
           """WITH e AS (SELECT event_id, user_id, event_type, value,

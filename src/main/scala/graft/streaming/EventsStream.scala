@@ -422,6 +422,107 @@ object EventsStream {
       .orderBy("from_type", "to_type")
   }
 
+  // ------------------------------- q137: stateful streaming EWMA
+  case class EwmaEvent(event_id: Long, user_id: Long, tus: Long, vc: Long,
+                       ts: java.sql.Timestamp)
+  case class EwmaObs(tus: Long, eventId: Long, vc: Long)
+  case class EwmaState(hist: Seq[EwmaObs], buf: Seq[EwmaObs])
+  case class EwmaOut(user_id: Long, event_id: Long, tus: Long,
+                     value: Double, ewma: Double)
+
+  /** q133's EWMA as a STATEFUL STREAM — the proof of q133's "the stream
+    * keeps 16 rows per key" claim. Like q108's adjacency, the smoother is
+    * order-sensitive (a late event inside the window would shift every
+    * later smoothed value), so it uses the same watermark-ordered BUFFERED
+    * REPLAY: per user, events inside the watermark delay are held; only
+    * the prefix older than the watermark is smoothed and emitted, in
+    * (tus, event_id) order, against a retained history of the last 15
+    * emitted observations. Weights are q133's integer 2^(15−k): the num/
+    * den longs and the two final divisions are arithmetic-identical to
+    * the batch window form, so the drained stream is BYTE-EQUAL to q133
+    * and shares its exact DuckDB oracle.
+    *
+    * State per user is ≤ 15 history rows + the out-of-orderness buffer.
+    * History never times out by construction (any future event needs it);
+    * a production deployment bounds it with an inactivity TTL — the drain
+    * keeps it live, which for a finite replay is exactly |users|·15. */
+  def ewmaExact(events: Dataset[EwmaEvent],
+                delayUs: Long = 1800000000L): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", s"${delayUs / 1000} milliseconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
+          val st = state.getOption.getOrElse(EwmaState(Nil, Nil))
+          val buf = st.buf ++ batch.map(e => EwmaObs(e.tus, e.event_id, e.vc))
+          val wmUs = state.getCurrentWatermarkMs * 1000L
+          val (safe, hold) = buf.partition(_.tus < wmUs)
+          var hist = st.hist
+          val out = safe.sortBy(p => (p.tus, p.eventId)).map { p =>
+            val win = hist.takeRight(15) :+ p // oldest..newest, ≤16
+            val m = win.length
+            var num = 0L; var den = 0L
+            var idx = 0
+            while (idx < m) {
+              val w = 1L << (15 - (m - 1 - idx)) // newest gets 2^15
+              num += win(idx).vc * w; den += w
+              idx += 1
+            }
+            hist = (hist :+ p).takeRight(15)
+            EwmaOut(uid, p.eventId, p.tus, p.vc / 100.0,
+              num.toDouble / den.toDouble / 100.0)
+          }
+          state.update(EwmaState(hist, hold))
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+          out.iterator
+      }
+  }
+
+  /** q137: the q133 smoother produced by the stateful stream — drained
+    * rows are byte-equal to the batch twin (shares q133's exact oracle).
+    * Drain mechanics identical to q108: in-place events source ∪ one-row
+    * far-future sentinel, memory sink, dedicated drain session. */
+  def q137StreamEwma(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val maxRow = graft.Tables.load(s, d, "events").agg(max(expr("ts div 1000"))).head
+    if (maxRow.isNullAt(0)) throw new IllegalArgumentException(
+      s"events table at $d is empty — nothing to smooth")
+    val maxUs = maxRow.getLong(0)
+    val stagePath = java.nio.file.Files.createTempDirectory("graft_q137")
+    val stageDir = stagePath.toString
+    val name = "graft_stream_ewma"
+    var drained: DataFrame = null
+    try {
+      Seq((-1L, (maxUs + 10L * 24 * 3600 * 1000000) * 1000, -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(stageDir)
+      drained = withDrainSession(s) { drain =>
+        val main = readEventsNanos(drain, d)
+        val sentinel = drain.readStream.schema(eventsSchemaNanos).parquet(stageDir)
+        val stream = main.unionAll(sentinel)
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("tus"),
+            cents(col("value")).as("vc"))
+          .withColumn("ts", timestamp_micros(col("tus")))
+          .as[EwmaEvent]
+        val q = ewmaExact(stream).toDF()
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        drain.table(name)
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
+    drained.filter(col("user_id") >= 0)
+      .select("user_id", "event_id", "tus", "value", "ewma")
+      .orderBy("user_id", "tus", "event_id")
+  }
+
   /** Run a stateful drain on a DEDICATED child session whose
     * spark.sql.shuffle.partitions is lowered to `n`: a stateful streaming
     * query creates one state store per shuffle partition per stateful

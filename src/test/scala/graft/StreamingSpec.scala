@@ -105,6 +105,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("streaming EWMA reorders cross-batch late events and equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStream.EwmaEvent]
+    val q = EventsStream.ewmaExact(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_out").start()
+    def ev(id: Long, minute: Long, vc: Long): EventsStream.EwmaEvent =
+      EventsStream.EwmaEvent(id, 9L, minute * 60000000L, vc,
+        new java.sql.Timestamp(minute * 60000L))
+    try {
+      // batch 1: 100c at t=1, 400c at t=20 (inside the delay: held)
+      mem.addData(ev(1, 1, 100L), ev(3, 20, 400L))
+      q.processAllAvailable()
+      // batch 2: 200c arrives LATE at t=10 — must smooth BETWEEN them
+      mem.addData(ev(2, 10, 200L), ev(4, 600, 0L))
+      q.processAllAvailable()
+      mem.addData(ev(5, 2000, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ewma_out")
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    // id 3's window must be (100, 200, 400) in time order, late 200 included
+    val c = (0 until 16).map(k => 1L << (15 - k))
+    def hand(vs: Seq[Long]): Double = {
+      val num = vs.reverse.zipWithIndex.map { case (v, k) => v * c(k) }.sum
+      (num.toDouble / vs.indices.map(c(_)).sum) / 100.0
+    }
+    assert(got(1L) === hand(Seq(100L)))
+    assert(got(2L) === hand(Seq(100L, 200L)))
+    assert(got(3L) === hand(Seq(100L, 200L, 400L)))
+    // full-table: the drained stream is byte-equal to the batch window form
+    val stream = EventsStream.q137StreamEwma(spark, TestSpark.sf).collect()
+    val batch = graft.ops.EtlOps.q133EwmaSmooth(spark, TestSpark.sf).collect()
+    assert(stream.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     import org.apache.spark.sql.types.DecimalType
     val streamed = EventsStream.q63StreamIntervalJoin(spark, TestSpark.sf).collect()
