@@ -983,7 +983,44 @@ object EtlOps {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q138
+  /** Event DEBOUNCE (burst collapse) — the third member of the dedup-
+    * by-time family (q71 drops exact redelivery, q80 keeps the latest per
+    * key; this keeps the FIRST of each activity burst): events of the
+    * same (user, type) chaining within `gapUs` collapse to their head
+    * row, annotated with how many rows the burst absorbed and its span.
+    * The UI/telemetry de-noising step — a button mashed 14 times in 3
+    * seconds is one intent.
+    *
+    * Semantics are the q28 session contract (transitive ≤-gap chaining,
+    * so the burst head is well-defined under any arrival order), NOT the
+    * sequential "5 s since last kept" greedy — the greedy rule's output
+    * depends on a per-key serial scan that no partitioned plan can
+    * reproduce; the chained form is the one with a distributed shape (one
+    * window per (user, type)) and a declarative oracle. Exact μs math. */
+  def q138Debounce(s: SparkSession, d: String, gapUs: Long = 300000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("user_id", "event_type")
+    val w = byKey.orderBy("tus", "event_id")
+    t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("fresh",
+        when(col("tus") - lag(col("tus"), 1).over(w) <= gapUs, 0L).otherwise(1L))
+      .withColumn("burst",
+        sum(col("fresh")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "event_type", "burst")
+      .agg(min(struct(col("tus"), col("event_id"))).as("head"),
+        count(lit(1)).as("n_collapsed"),
+        (max(col("tus")) - min(col("tus"))).as("span_us"))
+      .select(col("user_id"), col("event_type"),
+        col("head.event_id").as("event_id"), col("head.tus").as("tus"),
+        col("n_collapsed"), col("span_us"))
+      .orderBy("user_id", "event_type", "tus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_debounce" -> ((s: SparkSession, d: String) => q138Debounce(s, d)),
     "q134_ivm_moments" -> ((s: SparkSession, d: String) => q134IvmMoments(s, d)),
     "q135_late_data_audit" -> ((s: SparkSession, d: String) => q135LateDataAudit(s, d)),
     "q133_ewma_smooth" -> (q133EwmaSmooth _),
@@ -1009,6 +1046,29 @@ object EtlOps {
     "q82_retention_cohorts" -> (q82RetentionCohorts _))
 
   val oracle: Map[String, String] = Map(
+    "q138_debounce" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+        | FROM events),
+        |f AS (
+        | SELECT *, CASE WHEN tus - lag(tus) OVER w <= 300000000
+        |   THEN 0 ELSE 1 END AS fresh
+        | FROM e WINDOW w AS (PARTITION BY user_id, event_type
+        |   ORDER BY tus, event_id)),
+        |b AS (
+        | SELECT *, sum(fresh) OVER (PARTITION BY user_id, event_type
+        |   ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |   AND CURRENT ROW) AS burst
+        | FROM f),
+        |g AS (
+        | SELECT user_id, event_type, burst,
+        |  min(struct_pack(t := tus, i := event_id)) AS head,
+        |  count(*) AS n_collapsed,
+        |  max(tus) - min(tus) AS span_us
+        | FROM b GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type, head.i AS event_id, head.t AS tus,
+        | n_collapsed, span_us
+        |FROM g ORDER BY user_id, event_type, tus""".stripMargin,
     "q134_ivm_moments" ->
       """WITH e AS (
         | SELECT event_type,

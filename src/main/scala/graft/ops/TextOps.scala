@@ -956,7 +956,41 @@ object TextOps {
         concat_ws(" ", (0 until n).map(o => element_at(tc, i + o)): _*)))
       .otherwise(array().cast("array<string>"))
 
+  // ---------------------------------------------------------------- q139
+  /** K-FOLD cross-validation assignment — the q64 content-hash split
+    * generalized from one train/eval cut to k rotating folds: fold =
+    * first hex digit of the normalized-text md5, bucketed 4 digits per
+    * fold (k = 4 divides the 16-digit grid exactly, so folds are
+    * unbiased by construction and the mapping is a pure string range
+    * compare — no hex-to-int parsing to get engine-wrong). Re-runs,
+    * re-shards and re-ingests never migrate a document, so every fold's
+    * model sees a stable universe — the property CV needs to be
+    * comparable across experiments. Reports the fold × language grid
+    * with each fold's held-out share and train-size complement; the
+    * assignment itself is the map-side predicate, reusable as a column.
+    * Scale: one scan, |folds × langs| aggregate. Exact oracle. */
+  def foldAssign(text: Column): Column = {
+    val h = substring(md5(regexp_replace(lower(text), "\\s+", " ")
+      .cast("binary")), 1, 1)
+    when(h < "4", 0).when(h < "8", 1).when(h < "c", 2).otherwise(3)
+  }
+
+  def q139KfoldAssign(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy("lang")
+    t(s, d, "documents")
+      .select(col("lang"), foldAssign(col("text")).as("fold"))
+      .groupBy("fold", "lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_total", sum(col("n_docs")).over(byLang))
+      .select(col("fold"), col("lang"), col("n_docs"),
+        (col("lang_total") - col("n_docs")).as("n_train_held_out"),
+        (col("n_docs").cast("double") / col("lang_total").cast("double"))
+          .as("holdout_share"))
+      .orderBy("fold", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_kfold_assign" -> (q139KfoldAssign _),
     "q125_bpe_merges" -> ((s: SparkSession, d: String) => q125BpeMerges(s, d)),
     "q126_repetition_stats" -> ((s: SparkSession, d: String) => q126RepetitionStats(s, d)),
     "q127_ppl_buckets" -> ((s: SparkSession, d: String) => q127PplBuckets(s, d)),
@@ -1240,6 +1274,22 @@ object TextOps {
          | CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
          |   AS contaminated_share
          |FROM tot t LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q139_kfold_assign" ->
+      """WITH s AS (
+        | SELECT lang,
+        |  CASE WHEN h < '4' THEN 0 WHEN h < '8' THEN 1
+        |       WHEN h < 'c' THEN 2 ELSE 3 END AS fold
+        | FROM (SELECT lang,
+        |   substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 1) AS h
+        |  FROM documents)),
+        |g AS (SELECT fold, lang, count(*) AS n_docs FROM s GROUP BY 1, 2)
+        |SELECT fold, lang, n_docs,
+        | CAST(sum(n_docs) OVER (PARTITION BY lang) - n_docs AS BIGINT)
+        |   AS n_train_held_out,
+        | CAST(n_docs AS DOUBLE)
+        |   / CAST(CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS DOUBLE)
+        |   AS holdout_share
+        |FROM g ORDER BY fold, lang""".stripMargin,
     "q64_hash_split" ->
       """WITH s AS (
         | SELECT doc_id, lang, text,

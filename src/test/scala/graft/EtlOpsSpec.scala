@@ -715,6 +715,30 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(r.count(_.getAs[Long]("user_id") == 1L) === 20)
   }
 
+  // ------------------------------------------------------------ q138 debounce
+  test("debounce: bursts collapse to their head with count and span; singles pass through") {
+    import spark.implicits._
+    val mk = (id: Long, sec: Long, ty: String) =>
+      (id, sec * 1000000000L, 5L, ty, 1.0, "{}")
+    // clicks: burst of 3 (0s, 100s, 250s chain at 300s gap), then solo at 1000s
+    val ev = Seq(mk(1, 0, "click"), mk(2, 100, "click"), mk(3, 250, "click"),
+      mk(4, 1000, "click"), mk(5, 0, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_debounce").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EtlOps.q138Debounce(spark, dir).collect()
+    val clicks = r.filter(_.getString(1) == "click")
+    assert(clicks.length === 2)
+    assert(clicks.head.getAs[Long]("event_id") === 1L)
+    assert(clicks.head.getAs[Long]("n_collapsed") === 3L)
+    assert(clicks.head.getAs[Long]("span_us") === 250000000L)
+    assert(clicks(1).getAs[Long]("event_id") === 4L)
+    assert(clicks(1).getAs[Long]("n_collapsed") === 1L)
+    assert(r.count(_.getString(1) == "view") === 1)
+    // conservation: collapsed counts cover every event exactly once
+    assert(r.map(_.getAs[Long]("n_collapsed")).sum === 5L)
+  }
+
   // ------------------------------------------------------------ q134 IVM
   test("IVM moments: merged partials equal the single-pass recompute; var matches var_samp to grid") {
     val got = EtlOps.q134IvmMoments(spark, sf)

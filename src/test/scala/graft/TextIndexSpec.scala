@@ -212,6 +212,25 @@ class TextIndexSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_docs")).sum === scored)
   }
 
+  test("k-fold assignment partitions the corpus and never moves under re-sharding") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val grid = TextOps.q139KfoldAssign(spark, TestSpark.sf).collect()
+    assert(grid.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    assert(grid.map(_.getAs[Int]("fold")).distinct.sorted.toSeq.forall(f => f >= 0 && f <= 3))
+    // per lang, holdout + train complement always reconstructs the total
+    grid.foreach { r =>
+      assert(r.getAs[Long]("n_docs") + r.getAs[Long]("n_train_held_out") ===
+        grid.filter(_.getString(1) == r.getString(1)).map(_.getAs[Long]("n_docs")).sum)
+    }
+    // re-shard stability: fold of each doc unchanged after repartition(13)
+    val a = docs.select(col("doc_id"), TextOps.foldAssign(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = docs.repartition(13)
+      .select(col("doc_id"), TextOps.foldAssign(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a === b)
+  }
+
   test("BPE merges: distinct-pretoken plan equals the brute per-occurrence recount") {
     val got = TextOps.q125BpeMerges(spark, TestSpark.sf).collect()
     assert(got.length === 50)
