@@ -48,6 +48,17 @@ object PropertySpec extends Properties("graft") {
   private val vecGen: Gen[List[Double]] =
     Gen.listOfN(8, Gen.choose(-100.0, 100.0)).suchThat(_.exists(_ != 0.0))
 
+  property("max-run of sorted array == max multiset multiplicity") =
+    Prop.forAll(tokenGen) { xs: List[String] =>
+      graft.functions.GraftFunctions.register(spark)
+      val expected =
+        if (xs.isEmpty) 0 else xs.groupBy(identity).values.map(_.size).max
+      val got = Seq(Tuple1(xs)).toDF("a")
+        .select(call_function("graft_max_run", array_sort(col("a"))).as("m"))
+        .head.getInt(0)
+      got == expected
+    }
+
   property("native cosine bit-identical to composed form") =
     Prop.forAll(vecGen, vecGen) { (xs: List[Double], ys: List[Double]) =>
       graft.functions.GraftFunctions.register(spark)
