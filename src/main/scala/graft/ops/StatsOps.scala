@@ -134,6 +134,53 @@ object StatsOps {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q141
+  /** KMV (k-minimum-values) DISTINCT SKETCH — the mergeable cardinality
+    * estimator built on an engine-portable hash, where q52's HLL++ is
+    * rows-only because no other engine reproduces Spark's sketch bytes.
+    * Per language: hash each document's NORMALIZED content with md5 (the
+    * hash both engines share, same normalization as q34/q64 — parity
+    * proven there), keep the k smallest distinct hash values, and read the
+    * estimate off the k-th smallest: with hashes uniform on [0,1), the
+    * k-th order statistic sits near k/n, so n_est = (k-1)/u_k
+    * (Bar-Yossef et al., RANDOM'02; Beyer et al., SIGMOD'07's unbiased
+    * form). u_k is taken from the hash's first 8 hex digits as a 32-bit
+    * integer, and the estimate is ONE integral division on a <2^53 grid —
+    * (k-1)*2^32 div u32 — so DuckDB reproduces it bit-for-bit (double
+    * division at this magnitude can floor() off-by-one; `div`//`//` is
+    * exact in both engines). A group with fewer than k distinct hashes is
+    * below sketch capacity: the sketch IS the distinct set and the
+    * estimate is exact.
+    *
+    * Scale: min-k sets merge by union + re-take-k (associative and
+    * commutative), so the sketch partial-aggregates map-side like any
+    * mergeable accumulator — the window formulation here is the
+    * harness-sized spelling; the constant-size-buffer spelling is the
+    * same Aggregator shape as q50's UDAF. The exact n_distinct column
+    * rides along to EXPOSE the estimator's error against truth in the
+    * result itself (est within ~1/sqrt(k) relative error). */
+  def q141KmvSketch(s: SparkSession, d: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = t(s, d, "documents").select(col("lang"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("h"))
+    val dh = h.distinct()
+    val mink = dh
+      .withColumn("rn", row_number().over(Window.partitionBy("lang").orderBy("h")))
+      .filter(col("rn") <= k)
+    val sk = mink.groupBy("lang")
+      .agg(count(lit(1)).as("m"), max(col("h")).as("kth"))
+    val stats = h.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_distinct"))
+    stats.join(sk, "lang")
+      .withColumn("kth_prefix", substring(col("kth"), 1, 8))
+      .withColumn("u32", conv(col("kth_prefix"), 16, 10).cast("long"))
+      .withColumn("est_distinct",
+        when(col("m") < k, col("n_distinct"))
+          .otherwise(expr(s"CAST(${(k - 1) * 4294967296L} AS BIGINT) div greatest(u32, CAST(1 AS BIGINT))")))
+      .select("lang", "n_docs", "n_distinct", "kth_prefix", "est_distinct")
+      .orderBy("lang")
+  }
+
   // ---------------------------------------------------------------- q85
   /** Fixed-width HISTOGRAM — equi-width value binning per event type
     * (bin = floor(value / width)), the distribution-sketching aggregate
@@ -500,6 +547,7 @@ object StatsOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_kmv_distinct" -> ((s: SparkSession, d: String) => q141KmvSketch(s, d)),
     "q129_column_entropy" -> (q129ColumnEntropy _),
     "q121_bootstrap_se" -> ((s: SparkSession, d: String) => q121BootstrapSe(s, d)),
     "q115_distribution_drift" -> (q115DistributionDrift _),
@@ -518,6 +566,35 @@ object StatsOps {
     "q52_approx_distinct" -> (q52ApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    // u32 = first 8 hex digits of the k-th smallest hash, expanded digit
+    // by digit (DuckDB has no hex->int cast); est is HUGEINT-exact //
+    "q141_kmv_distinct" ->
+      """WITH h AS (
+        | SELECT lang, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+        | FROM documents),
+        |dh AS (SELECT DISTINCT lang, h FROM h),
+        |mink AS (
+        | SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        | FROM dh),
+        |sk AS (SELECT lang, count(*) AS m, max(h) AS kth
+        |  FROM mink WHERE rn <= 64 GROUP BY lang),
+        |stats AS (SELECT lang, count(*) AS n_docs, count(DISTINCT h) AS n_distinct
+        |  FROM h GROUP BY lang),
+        |j AS (
+        | SELECT s.lang, s.n_docs, s.n_distinct, k.m, substr(k.kth, 1, 8) AS kth_prefix,
+        |  (strpos('0123456789abcdef', substr(k.kth, 1, 1)) - 1) * 268435456
+        |  + (strpos('0123456789abcdef', substr(k.kth, 2, 1)) - 1) * 16777216
+        |  + (strpos('0123456789abcdef', substr(k.kth, 3, 1)) - 1) * 1048576
+        |  + (strpos('0123456789abcdef', substr(k.kth, 4, 1)) - 1) * 65536
+        |  + (strpos('0123456789abcdef', substr(k.kth, 5, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(k.kth, 6, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(k.kth, 7, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(k.kth, 8, 1)) - 1) AS u32
+        | FROM stats s JOIN sk k USING (lang))
+        |SELECT lang, n_docs, n_distinct, kth_prefix,
+        | CAST(CASE WHEN m < 64 THEN n_distinct
+        |      ELSE 270582939648 // greatest(u32, 1) END AS BIGINT) AS est_distinct
+        |FROM j ORDER BY lang""".stripMargin,
     "q129_column_entropy" ->
       """WITH vals AS (
         | SELECT 'documents.lang' AS col_name, lang AS val FROM documents

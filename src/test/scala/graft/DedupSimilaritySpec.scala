@@ -567,4 +567,55 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (r.getAs[Long]("anchor_id"), r.getAs[Long]("neg_id"))
     assert(rows.map(key).toSet != other.map(key).toSet)
   }
+
+  test("ppjoin: exact recall on a corpus with all its mass AT the threshold") {
+    // 8-token docs sliding by 2 over a shared word stream: adjacent docs
+    // share 4 of their 6 3-gram shingles both ways -> jaccard = 4/8 = 0.5
+    // EXACTLY, the worst case for probabilistic banding and precisely the
+    // corpus the round-4 ADVICE warned about. Prefix filtering must find
+    // every adjacent pair and nothing else.
+    val words = (0 until 70).map(i => f"w$i%03d")
+    val tdocs = (0 until 31).map { i =>
+      (i.toLong, words.slice(2 * i, 2 * i + 8).mkString(" "), "s")
+    }.toDF("doc_id", "text", "source")
+    val got = DedupOps.ppjoinPairs(tdocs)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = (0 until 30).map(i => (i.toLong, i + 1L, 0.5)).toSet
+    assert(got === want)
+  }
+
+  test("ppjoin: set-identical to brute force on a mixed synthetic corpus") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => f"v$i%02d")
+    val tdocs = (0 until 25).map { i =>
+      val n = 5 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "), "s")
+    }.toDF("doc_id", "text", "source")
+    val sh = tdocs.select(col("doc_id"),
+      DedupOps.shingles(col("text")).as("g"))
+    val brute = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(call_function("graft_jaccard_sorted", col("a.g"), col("b.g")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val got = DedupOps.ppjoinPairs(tdocs)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === brute)
+  }
+
+  test("ppjoin matches the banded pipeline on the real corpus") {
+    val docsTbl = Tables.load(spark, TestSpark.sf, "documents")
+    val pp = DedupOps.ppjoinPairs(docsTbl)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val banded = DedupOps.ngramNearDupPairs(docsTbl)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pp === banded)
+  }
 }

@@ -6,6 +6,7 @@ import graft.ops.{SimilarityOps, StatsOps}
 
 class StatsOpsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
+  import spark.implicits._
   private val sf = TestSpark.sf
 
   test("percentiles are ordered p25 <= p50 <= p75 <= p90") {
@@ -248,5 +249,37 @@ class StatsOpsSpec extends AnyFunSuite {
       assert(h >= -1e-9 &&
         h <= math.log(row.getAs[Long]("n_distinct").toDouble) + 1e-6)
     }
+  }
+
+  test("kmv sketch: below-capacity groups are exact, estimates track truth") {
+    val rows = StatsOps.q141KmvSketch(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_distinct")
+      val est = r.getAs[Long]("est_distinct")
+      if (exact < 64) assert(est === exact)             // sketch is lossless
+      else assert(est > exact / 3 && est < exact * 3)   // ~1/sqrt(64) regime
+    }
+  }
+
+  test("kmv sketch merges: min-k of union == min-k over re-unioned halves") {
+    // the mergeability claim behind the scale argument, on the real corpus:
+    // splitting the table in half, taking each half's k smallest hashes,
+    // unioning those SKETCHES and re-taking k smallest must equal the
+    // whole-table sketch (so partial aggregation is lossless)
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val h = docs.select(col("lang"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("h"))
+      .distinct()
+    val w = Window.partitionBy("lang").orderBy("h")
+    def minK(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    val whole = minK(h).as[(String, String)].collect().toSet
+    val half1 = minK(h.filter(col("h") < "8"))
+    val half2 = minK(h.filter(col("h") >= "8"))
+    val merged = minK(half1.union(half2)).as[(String, String)].collect().toSet
+    assert(merged === whole)
   }
 }
