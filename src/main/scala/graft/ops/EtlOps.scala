@@ -398,6 +398,56 @@ object EtlOps {
     byDay.withColumn("open_cnt", sum(col("net")).over(w)).orderBy("day")
   }
 
+  // ---------------------------------------------------------------- q142
+  /** ROLLING 7-DAY ACTIVE USERS (DAU/WAU) — sliding-window DISTINCT
+    * count, the product-analytics metric that defeats ordinary window
+    * frames (distinct doesn't decompose over a moving frame) and whose
+    * naive plans are scale traps: per-day range self-joins fan every
+    * event out 7×, and per-window re-distincting is quadratic in window
+    * overlap. The linear shape: a user's presence on day p makes them
+    * "active" on days [p, p+6], so per user, merge overlapping coverage
+    * intervals (the q28 gap-sessionize pattern at gap 6), then sweep-line
+    * the merged intervals — +1 at start, -1 past end — and one running
+    * sum over the CALENDAR domain (q98's discipline: the only
+    * single-partition window runs over days, which are bounded by the
+    * data's span, not its volume) yields the distinct-active count for
+    * every day. Each user contributes ±1 per merged interval, not per
+    * event: cost is one (user, day) distinct + one per-user window +
+    * one calendar-keyed aggregate, all linear at 100 TB.
+    *
+    * Day-0 deltas carry the observed data days through the same
+    * aggregate, so the report emits exactly the days that have events
+    * (with dau riding along) — and every count is an integer, so the
+    * brute-force range-join DuckDB oracle matches exactly. */
+  def q142RollingActives(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = t(s, d, "events")
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val dau = p.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wUser = Window.partitionBy("user_id").orderBy("day")
+    val iv = p
+      .withColumn("prev", lag(col("day"), 1).over(wUser))
+      .withColumn("brk",
+        when(col("prev").isNull || col("day") > col("prev") + 6, 1L).otherwise(0L))
+      .withColumn("iv", sum(col("brk")).over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "iv")
+      .agg(min(col("day")).as("s"), (max(col("day")) + 6).as("e"))
+    val deltas = iv.select(explode(array(
+        struct(col("s").as("day"), lit(1L).as("dd")),
+        struct((col("e") + 1).as("day"), lit(-1L).as("dd")))).as("x"))
+      .select(col("x.day").as("day"), col("x.dd").as("dd"))
+      .union(dau.select(col("day"), lit(0L).as("dd")))
+      .groupBy("day").agg(sum(col("dd")).as("net"))
+    val wDay = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("wau7", sum(col("net")).over(wDay))
+      .join(dau, "day")
+      .select(col("day"), col("dau"), col("wau7"))
+      .orderBy("day")
+  }
+
   // ---------------------------------------------------------------- q106
   /** SNAPSHOT DIFF — derive the changeset BETWEEN two table versions (the
     * inverse of the q73 MERGE: q73 applies a delta, this recovers one):
@@ -1037,6 +1087,7 @@ object EtlOps {
     "q106_snapshot_diff" -> (q106SnapshotDiff _),
     "q107_event_transitions" -> (q107EventTransitions _),
     "q98_open_intervals" -> (q98OpenIntervals _),
+    "q142_rolling_actives" -> (q142RollingActives _),
     "q95_resample_ffill" -> (q95ResampleFfill _),
     "q93_scd2_history" -> (q93Scd2History _),
     "q73_merge_upsert" -> (q73MergeUpsert _),
@@ -1391,6 +1442,19 @@ object EtlOps {
         | CAST(sum(net) OVER (ORDER BY day
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_cnt
         |FROM byday ORDER BY day""".stripMargin,
+    // brute force: every observed day range-joined against the presence
+    // set — the quadratic spelling the engine's sweep-line plan avoids
+    "q142_rolling_actives" ->
+      """WITH p AS (
+        | SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        | FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM p GROUP BY day),
+        |wau AS (
+        | SELECT d.day, count(DISTINCT p.user_id) AS wau7
+        | FROM dau d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
+        | GROUP BY d.day)
+        |SELECT day, dau, wau7 FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
     "q95_resample_ffill" ->
       """WITH e AS (
         | SELECT user_id, epoch_us(ts) AS tus, event_id, value,

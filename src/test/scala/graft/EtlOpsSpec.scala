@@ -835,4 +835,39 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(got.agg(sum("n_items")).head.getLong(0) === inEffect.count())
     assert(inEffect.count() < facts.count()) // the excluded band is non-empty here
   }
+
+  test("rolling actives: sweep-line equals the brute-force range join") {
+    val p = Tables.load(spark, sf, "events")
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val days = p.select("day").distinct()
+    val brute = days.as("d").join(p.as("p"),
+        col("p.day").between(col("d.day") - 6, col("d.day")))
+      .groupBy(col("d.day").as("day"))
+      .agg(countDistinct(col("p.user_id")).as("wau7_brute"))
+    val got = EtlOps.q142RollingActives(spark, sf)
+    assert(got.count() === days.count())
+    val joined = got.join(brute, "day")
+    assert(joined.filter(col("wau7") =!= col("wau7_brute")).count() === 0)
+    // dau can never exceed the window count
+    assert(got.filter(col("dau") > col("wau7")).count() === 0)
+  }
+
+  test("rolling actives: coverage window expires after exactly 7 days") {
+    import spark.implicits._
+    val us = 86400000000L // one day of microseconds
+    val ev = Seq(
+      (1L, 0L), (1L, 10L), // user 1: days 0 and 10 — gap breaks coverage
+      (2L, 3L)             // user 2: day 3 only
+    ).map { case (u, day) => (u, day * us * 1000L, s"e$u-$day") }
+      .toDF("user_id", "ts", "event_id")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wau").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EtlOps.q142RollingActives(spark, tmp)
+      .select("day", "dau", "wau7").as[(Long, Long, Long)].collect()
+      .map { case (d, a, w) => d -> ((a, w)) }.toMap
+    assert(got(0L) === ((1L, 1L)))  // day 0: only user 1
+    assert(got(3L) === ((1L, 2L)))  // day 3: user 2 active, user 1 still covered
+    assert(got(10L) === ((1L, 1L))) // day 10: user 1's new interval; day-3 expired day 9
+  }
 }
