@@ -295,6 +295,50 @@ object SimilarityOps {
       .orderBy("label", "pos")
   }
 
+  // ---------------------------------------------------------------- q143
+  /** NEAREST-CENTROID assignment + confusion matrix — the evaluation loop
+    * of an embedding pipeline (how well do the learned label centroids
+    * separate the corpus?), and the assignment step every centroid-based
+    * index (q56's IVF) runs at scale. The whole computation lives on the
+    * 10^-7 INTEGER grid: components quantize through the proven
+    * round->DECIMAL(18,7) path (q77), centroids are ONE truncating
+    * integral division per (label, dim) — Spark `div` and DuckDB `//`
+    * both truncate toward zero, verified including negatives — and
+    * squared-L2 distances are exact BIGINT sums (64 * (2e7)^2 ~ 2.5e16,
+    * far under 2^63). No float survives past the first cast, so argmin
+    * ties are impossible to mis-order and the confusion matrix carries a
+    * fully exact DuckDB oracle; ties break to the smaller label via the
+    * lexicographic min-struct (q80's aggregation pattern — no windowed
+    * sort over the corpus).
+    *
+    * Scale: the exploded (vec, dim) relation partial-aggregates map-side
+    * into per-(vec, label) distances before any shuffle; centroids are a
+    * labels x dims broadcast. At 100 TB the same plan fuses naturally
+    * into a codegen expression over the array column with the broadcast
+    * centroid matrix (the CosineSimilarity pattern); the relational
+    * spelling here is what the cross-engine oracle can share. */
+  def q143NearestCentroid(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 7)
+    val v = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label").as("true_label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("true_label"), col("pos"),
+        (round(col("x").cast("double"), 7).cast(dec) * 10000000)
+          .cast("long").as("v7"))
+    val cent = v.groupBy(col("true_label").as("clabel"), col("pos"))
+      .agg(sum(col("v7")).as("s7"), count(lit(1)).as("n"))
+      .select(col("clabel"), col("pos"), expr("s7 div n").as("c7"))
+    val dist = v.join(broadcast(cent), Seq("pos"))
+      .groupBy("vec_id", "true_label", "clabel")
+      .agg(sum((col("v7") - col("c7")) * (col("v7") - col("c7"))).as("dist2"))
+    dist
+      .groupBy("vec_id", "true_label")
+      .agg(min(struct(col("dist2"), col("clabel"))).as("m"))
+      .groupBy(col("true_label"), col("m.clabel").as("assigned_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("true_label", "assigned_label")
+  }
+
   // ---------------------------------------------------------------- q128
   /** Deterministic NEGATIVE SAMPLING for contrastive training — for every
     * embedding (the anchor), pick k negatives with a DIFFERENT label,
@@ -345,6 +389,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_negative_sampling" -> ((s: SparkSession, d: String) => q128NegativeSampling(s, d)),
     "q77_label_centroids" -> (q77LabelCentroids _),
+    "q143_nearest_centroid" -> (q143NearestCentroid _),
     "q40_cosine_topk" -> ((s: SparkSession, d: String) => q40CosineTopK(s, d)),
     "q41_embedding_norms" -> (q41EmbeddingNorms _),
     "q42_ann_lsh" -> ((s: SparkSession, d: String) => q42AnnLsh(s, d)),
@@ -355,6 +400,28 @@ object SimilarityOps {
   /** q42's hyperplanes live in the Spark plan only → rows-only check.
     * q40/q41/q53/q77 recompute the same double math in DuckDB. */
   val oracle: Map[String, String] = Map(
+    // integer-grid L2: quantize, truncating-divide centroids, BIGINT
+    // squared sums — `//` and Spark's `div` both truncate toward zero
+    "q143_nearest_centroid" ->
+      """WITH ve AS (
+        | SELECT vec_id, label AS true_label, i AS pos,
+        |  CAST(CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(18,7))
+        |    * 10000000 AS BIGINT) AS v7
+        | FROM embeddings, range(1, 65) t(i)),
+        |c AS (
+        | SELECT true_label AS clabel, pos,
+        |  CAST(sum(v7) AS BIGINT) // count(*) AS c7
+        | FROM ve GROUP BY 1, 2),
+        |t2 AS (
+        | SELECT ve.vec_id, ve.true_label, c.clabel,
+        |  sum((ve.v7 - c.c7) * (ve.v7 - c.c7)) AS dist2
+        | FROM ve JOIN c USING (pos) GROUP BY 1, 2, 3),
+        |a AS (
+        | SELECT vec_id, true_label,
+        |  min(struct_pack(d := dist2, l := clabel)) AS m
+        | FROM t2 GROUP BY 1, 2)
+        |SELECT true_label, m.l AS assigned_label, count(*) AS n_vecs
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q128_negative_sampling" ->
       """WITH e AS (
         | SELECT vec_id, label,

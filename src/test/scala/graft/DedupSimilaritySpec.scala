@@ -608,6 +608,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === brute)
   }
 
+  test("nearest-centroid: conserves counts and equals a driver brute force") {
+    val e = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+    // the operator's exact integer grid, replicated independently:
+    // HALF_UP round to 7dp, scale to long, truncating-division centroids
+    val v7 = e.map { r =>
+      val arr = r.getSeq[Float](2).map(x =>
+        BigDecimal(x.toDouble).setScale(7, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(10000000)).toLongExact).toArray
+      (r.getLong(0), r.getInt(1), arr)
+    }
+    val cent = v7.groupBy(_._2).map { case (lbl, vs) =>
+      val dims = vs.head._3.length
+      lbl -> Array.tabulate(dims) { i =>
+        vs.map(_._3(i)).sum / vs.length // Long / truncates toward zero
+      }
+    }
+    val brute = v7.map { case (_, trueLbl, a) =>
+      val best = cent.map { case (lbl, c) =>
+        val d2 = a.indices.map { i =>
+          val d = a(i) - c(i); d * d
+        }.sum
+        (d2, lbl)
+      }.min // ties break to the smaller label, same as min(struct)
+      (trueLbl, best._2)
+    }.groupBy(identity).map { case ((t, asg), g) => (t, asg, g.size.toLong) }
+      .toSet
+    val got = SimilarityOps.q143NearestCentroid(spark, TestSpark.sf)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(got === brute)
+    assert(got.toSeq.map(_._3).sum === e.length.toLong)
+  }
+
   test("ppjoin matches the banded pipeline on the real corpus") {
     val docsTbl = Tables.load(spark, TestSpark.sf, "documents")
     val pp = DedupOps.ppjoinPairs(docsTbl)
