@@ -403,6 +403,70 @@ object TextOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  // ---------------------------------------------------------------- q144
+  /** EXACT DUPLICATED-SPAN DETECTION — the substring-level dedup audit of
+    * a training corpus (find every 16-token window that occurs more than
+    * once anywhere, then measure how much of each document those windows
+    * cover). Unlike the document-level families (q36/q38/q140) this is
+    * the span-granular contract: a boilerplate paragraph shared by two
+    * otherwise-different pages is found even though the docs are nowhere
+    * near any whole-doc similarity threshold.
+    *
+    * Plan: one windowed-gram projection per doc (explode over start
+    * positions, md5 fingerprint of each 16-token slice — the q74 parity
+    * machinery), a gram-frequency aggregate keeps only fingerprints with
+    * corpus count > 1, occurrences of those grams semi-join back, and the
+    * surviving per-doc span set collapses to disjoint islands with one
+    * per-doc window (running max of span end; a span starts a new island
+    * iff its start clears every earlier end — the union of an overlap
+    * chain is contiguous, so island length = max(end) − min(start) + 1).
+    * Coverage is reported in basis points via one truncating integral
+    * division, so every number is integer-exact and the DuckDB oracle
+    * compares hash-equal.
+    *
+    * Scale: the gram shuffle carries (id, pos, 16-byte hash) only — never
+    * text; duplicated grams are a small fraction of the corpus, so the
+    * join-back is semi-join-shaped; the island window partitions per doc.
+    * At 100 TB the md5-of-slice projection (O(n·k) chars per doc) is the
+    * part to upgrade: the graft_rolling_hash expression computes all
+    * window fingerprints in one O(n) pass (q62's machinery) — md5 is the
+    * spelling the cross-engine oracle can share. */
+  def q144DupSpans(s: SparkSession, d: String, k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = t(s, d, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val occ = tk
+      .filter(col("n_tokens") >= k)
+      .select(col("doc_id"), col("toks"), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_tokens") - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        md5(array_join(slice(col("toks"), col("pos").cast("int"), lit(k)), " ")
+          .cast("binary")).as("g"))
+    val dupG = occ.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("g")
+    val spans = occ.join(dupG, "g")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + (k - 1)).as("e"))
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    val islands = spans
+      .withColumn("pe", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("iid", sum(
+        when(col("pe").isNull || col("s") > col("pe"), 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "iid")
+      .agg((max(col("e")) - min(col("s")) + 1L).as("ilen"))
+      .groupBy("doc_id").agg(sum(col("ilen")).as("dup_tokens"))
+    tk.select("doc_id", "n_tokens")
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("cov_bp",
+        expr("(dup_tokens * 10000) div n_tokens"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q78
   /** PII SCRUBBING — the redaction step of a training-data pipeline:
     * count and replace email addresses, URLs and phone-shaped numbers
@@ -1017,6 +1081,7 @@ object TextOps {
     "q70_quality_prune" -> ((s: SparkSession, d: String) => q70QualityPrune(s, d)),
     "q72_tfidf_terms" -> ((s: SparkSession, d: String) => q72TfidfTerms(s, d)),
     "q74_doc_chunks" -> ((s: SparkSession, d: String) => q74DocChunks(s, d)),
+    "q144_dup_spans" -> ((s: SparkSession, d: String) => q144DupSpans(s, d)),
     "q78_pii_scrub" -> (q78PiiScrub _),
     "q84_weighted_sample" -> (q84WeightedSample _))
 
@@ -1390,6 +1455,43 @@ object TextOps {
          | CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS INT) AS n_chunk_tokens,
          | md5(array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ')) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // duplicated 16-token spans: gram fingerprints with corpus count > 1,
+    // merged to disjoint islands per doc; all-integer coverage
+    "q144_dup_spans" ->
+      s"""WITH tk AS (
+         | SELECT doc_id, $duckToks AS toks,
+         |  CAST(len($duckToks) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |occ AS (
+         | SELECT doc_id, n_tokens,
+         |  unnest(range(1, n_tokens - 14)) AS pos, toks
+         | FROM tk WHERE n_tokens >= 16),
+         |og AS (
+         | SELECT doc_id, n_tokens, pos,
+         |  md5(array_to_string(toks[pos : pos + 15], ' ')) AS g
+         | FROM occ),
+         |dup AS (SELECT g FROM og GROUP BY g HAVING count(*) > 1),
+         |sp AS (SELECT og.doc_id, og.pos AS s, og.pos + 15 AS e
+         |       FROM og JOIN dup USING (g)),
+         |m AS (SELECT doc_id, s, e,
+         |  max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+         | FROM sp),
+         |isl AS (SELECT doc_id, s, e,
+         |  sum(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+         | FROM m),
+         |cov AS (
+         | SELECT doc_id, CAST(sum(ilen) AS BIGINT) AS dup_tokens
+         | FROM (SELECT doc_id, iid, max(e) - min(s) + 1 AS ilen
+         |       FROM isl GROUP BY doc_id, iid)
+         | GROUP BY doc_id)
+         |SELECT tk.doc_id, tk.n_tokens,
+         | COALESCE(cov.dup_tokens, 0) AS dup_tokens,
+         | (COALESCE(cov.dup_tokens, 0) * 10000) // tk.n_tokens AS cov_bp
+         |FROM tk LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q78_pii_scrub" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, '$emailPattern')) AS INT) AS n_emails,

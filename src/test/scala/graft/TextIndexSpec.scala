@@ -13,6 +13,38 @@ class TextIndexSpec extends AnyFunSuite {
     .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
     .distinct().cache()
 
+  test("dup spans: operator equals a raw-string brute force over the corpus") {
+    // brute force with raw gram STRINGS (not md5) — also proves the
+    // operator's fingerprint join introduces no collision dependence
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase
+        .split("\\s+").toSeq))
+    val k = 16
+    val counts = scala.collection.mutable.Map.empty[Seq[String], Int]
+    for ((_, ts) <- docs; p <- 0 to ts.length - k)
+      counts.updateWith(ts.slice(p, p + k)) { c => Some(c.getOrElse(0) + 1) }
+    val want = docs.map { case (id, ts) =>
+      val spans = (0 to ts.length - k)
+        .filter(p => counts(ts.slice(p, p + k)) > 1)
+        .map(p => (p + 1L, p + k.toLong)) // 1-based inclusive
+      var dup = 0L; var curS = -1L; var curE = -2L
+      for ((st, en) <- spans) {
+        if (st > curE) { dup += curE - curS + 1; curS = st; curE = en }
+        else curE = math.max(curE, en)
+      }
+      if (curS >= 0) dup += curE - curS + 1
+      val n = ts.length.toLong
+      (id, n, dup, dup * 10000 / n)
+    }.toSet
+    val got = TextOps.q144DupSpans(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === want)
+    // the corpus actually exercises the operator: some doc has dup spans
+    assert(want.exists(_._3 > 0))
+  }
+
   test("inverted index: df and postings head match direct counts") {
     val idx = TextOps.q89InvertedIndex(spark, TestSpark.sf).collect()
     assert(idx.nonEmpty)
