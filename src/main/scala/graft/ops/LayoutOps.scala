@@ -234,13 +234,91 @@ object LayoutOps {
       .orderBy("bucket")
   }
 
+  // ---------------------------------------------------------------- q145
+  /** BALANCED SHARD ASSIGNMENT — place every document into one of S
+    * training shards so shard token totals come out near-equal: rank the
+    * corpus by (n_tokens DESC, doc_id) and deal ranks out SERPENTINE
+    * (round-robin that reverses direction every round, the distributed
+    * stand-in for greedy LPT — greedy's "current lightest shard" state
+    * has no partitioned plan, the serpentine deal does).
+    *
+    * The global size rank is computed WITHOUT a single-partition window:
+    * band = bit-length of n_tokens (exact as length(bin(n)) − 1, the q136
+    * idiom). Bit-length is monotone, so band-major order + in-band rank
+    * IS the global order: global_rank = (count of docs in strictly longer
+    * bands) + row_number within band. Band offsets are a ≤64-row
+    * aggregate (the only driver-scale window); in-band row_numbers run
+    * partitioned and parallel. At 100 TB, bands whose doc count exceeds a
+    * partition's capacity refine by leading mantissa bits — same monotone
+    * argument, finer keys. Output is the per-shard balance audit; the
+    * assignment itself is `withShard`'s column set.
+    *
+    * The deal's guarantee (spec-pinned): per-shard doc counts differ by
+    * at most 1, and each serpentine double-round adds one low+high pair
+    * per shard, keeping token totals within one document of each other
+    * empirically — the audit row makes the spread visible. */
+  def withShard(sizes: DataFrame, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = sizes.withColumn("band",
+      (length(bin(col("n_tokens"))) - 1).cast("int"))
+    val wOff = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy("band").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select("band", "offset")
+    val wBand = Window.partitionBy("band")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    banded
+      .withColumn("rb", row_number().over(wBand).cast("long"))
+      .join(broadcast(offsets), "band")
+      .withColumn("r0", col("offset") + col("rb") - 1)
+      .withColumn("pos", col("r0") % shards)
+      .withColumn("shard",
+        when(expr(s"r0 div $shards") % 2 === 0, col("pos"))
+          .otherwise(lit(shards - 1) - col("pos")).cast("int"))
+  }
+
+  def q145ShardBalance(s: SparkSession, d: String, shards: Int = 16): DataFrame = {
+    val sizes = t(s, d, "documents")
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    withShard(sizes, shards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        max("n_tokens").as("max_tokens"))
+      .orderBy("shard")
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_zorder_layout" -> ((s: SparkSession, d: String) => q88ZorderLayout(s, d)),
     "q92_column_profile" -> (q92ColumnProfile _),
-    "q97_table_checksum" -> (q97TableChecksum _))
+    "q97_table_checksum" -> (q97TableChecksum _),
+    "q145_shard_balance" -> ((s: SparkSession, d: String) => q145ShardBalance(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // the oracle's plain single-window rank is semantically identical to
+    // the engine's banded distributed rank (bit-length monotonicity)
+    "q145_shard_balance" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+        |    AS n_tokens
+        | FROM documents),
+        |r AS (
+        | SELECT n_tokens,
+        |  row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r0
+        | FROM tk),
+        |a AS (
+        | SELECT n_tokens,
+        |  CASE WHEN (r0 // 16) % 2 = 0 THEN r0 % 16
+        |       ELSE 15 - (r0 % 16) END AS shard
+        | FROM r)
+        |SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        | CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     "q88_zorder_layout" ->
       s"""WITH p AS (SELECT p_size,
          |  CAST(floor(p_retailprice * 10) AS BIGINT) - 9000 AS price_i FROM part)

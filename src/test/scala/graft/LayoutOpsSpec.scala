@@ -24,6 +24,34 @@ class LayoutOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shard assignment: banded rank equals the single-window rank; deal balances") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.TextOps
+    val sizes = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    // the distributed banded rank must equal the plain global window rank
+    val got = LayoutOps.withShard(sizes, 16)
+      .select("doc_id", "r0").as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toMap
+    val plain = sizes.withColumn("r0",
+        row_number().over(Window.orderBy(col("n_tokens").desc, col("doc_id")))
+          .cast("long") - 1)
+      .select("doc_id", "r0").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === plain)
+    // round-robin property: per-shard doc counts differ by at most 1,
+    // and everything is conserved
+    val shards = LayoutOps.q145ShardBalance(spark, TestSpark.sf).collect()
+    assert(shards.length === 16)
+    val counts = shards.map(_.getAs[Long]("n_docs"))
+    assert(counts.max - counts.min <= 1)
+    assert(counts.sum === sizes.count())
+    val tokTotal = sizes.agg(sum("n_tokens")).head.getLong(0)
+    assert(shards.map(_.getAs[Long]("sum_tokens")).sum === tokTotal)
+  }
+
   test("bucket checksums localize a row diff to exactly one bucket") {
     val report = LayoutOps.q97TableChecksum(spark, TestSpark.sf).collect()
     assert(report.length === 64)
