@@ -339,6 +339,48 @@ object SimilarityOps {
       .orderBy("true_label", "assigned_label")
   }
 
+  // ---------------------------------------------------------------- q146
+  /** INT8 EMBEDDING QUANTIZATION audit — the compression pass of a vector
+    * pipeline (4× smaller index, the question is what it costs in
+    * fidelity). Per vector: symmetric scale s = max|component|, quantized
+    * q_i = (v_i·127) div s, reconstruction r_i = (q_i·s) div 127, and the
+    * squared reconstruction error Σ(v_i − r_i)² — all on the proven
+    * 10^-7 integer grid (q143's quantize path), with every division the
+    * truncate-toward-zero integral kind both engines share, so the whole
+    * audit is integer-exact and carries an exact DuckDB oracle.
+    *
+    * Shape: ONE map-side pass — the per-vector scale, quantize,
+    * reconstruct and error fold all happen inside array higher-order
+    * functions on the unexploded embedding column (no (vec, dim) shuffle
+    * anywhere; contrast the oracle's relational spelling). The only
+    * shuffle is the final labels-sized rollup. Corpus error mass
+    * accumulates in DECIMAL(38,0) — per-vec err² ≲ 6.4e12 fits long, but
+    * a 100 TB corpus sum does not; the mean divides down on the integer
+    * grid BEFORE any cast (DuckDB's wide-int→double cast drifts ulps —
+    * the q134 lesson). */
+  def q146Int8Quantize(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "embeddings")
+      .withColumn("a7", expr(
+        """transform(embedding, x ->
+          | CAST(CAST(round(CAST(x AS DOUBLE), 7) AS DECIMAL(18,7))
+          |   * 10000000 AS BIGINT))""".stripMargin))
+      .withColumn("s7", expr("array_max(transform(a7, v -> abs(v)))"))
+      .withColumn("err2", expr(
+        """CASE WHEN s7 = 0 THEN CAST(0 AS BIGINT)
+          | ELSE aggregate(a7, CAST(0 AS BIGINT), (acc, v) ->
+          |   acc + (v - (v * 127) div s7 * s7 div 127)
+          |       * (v - (v * 127) div s7 * s7 div 127)) END""".stripMargin))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("err2").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("sum_err2"),
+        max("err2").as("max_err2"))
+      .withColumn("sum_err2",
+        col("sum_err2").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .withColumn("mean_err2", expr("sum_err2 div n_vecs"))
+      .orderBy("label")
+  }
+
   // ---------------------------------------------------------------- q128
   /** Deterministic NEGATIVE SAMPLING for contrastive training — for every
     * embedding (the anchor), pick k negatives with a DIFFERENT label,
@@ -390,6 +432,7 @@ object SimilarityOps {
     "q128_negative_sampling" -> ((s: SparkSession, d: String) => q128NegativeSampling(s, d)),
     "q77_label_centroids" -> (q77LabelCentroids _),
     "q143_nearest_centroid" -> (q143NearestCentroid _),
+    "q146_int8_quantize" -> (q146Int8Quantize _),
     "q40_cosine_topk" -> ((s: SparkSession, d: String) => q40CosineTopK(s, d)),
     "q41_embedding_norms" -> (q41EmbeddingNorms _),
     "q42_ann_lsh" -> ((s: SparkSession, d: String) => q42AnnLsh(s, d)),
@@ -422,6 +465,29 @@ object SimilarityOps {
         | FROM t2 GROUP BY 1, 2)
         |SELECT true_label, m.l AS assigned_label, count(*) AS n_vecs
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // int8 quantization audit: same 1e-7 grid, truncating integer
+    // divisions, HUGEINT-exact mean division before any cast
+    "q146_int8_quantize" ->
+      """WITH ve AS (
+        | SELECT vec_id, label,
+        |  CAST(CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(18,7))
+        |    * 10000000 AS BIGINT) AS v7
+        | FROM embeddings, range(1, 65) t(i)),
+        |sc AS (SELECT vec_id, max(abs(v7)) AS s7 FROM ve GROUP BY 1),
+        |er AS (
+        | SELECT ve.vec_id, ve.label,
+        |  CASE WHEN sc.s7 = 0 THEN 0
+        |   ELSE (ve.v7 - (ve.v7 * 127) // sc.s7 * sc.s7 // 127)
+        |      * (ve.v7 - (ve.v7 * 127) // sc.s7 * sc.s7 // 127) END AS e2
+        | FROM ve JOIN sc USING (vec_id)),
+        |pv AS (SELECT vec_id, any_value(label) AS label,
+        |        CAST(sum(e2) AS BIGINT) AS err2
+        |       FROM er GROUP BY vec_id)
+        |SELECT label, count(*) AS n_vecs,
+        | CAST(sum(err2) AS DECIMAL(38,0)) AS sum_err2,
+        | max(err2) AS max_err2,
+        | CAST(CAST(sum(err2) AS HUGEINT) // count(*) AS BIGINT) AS mean_err2
+        |FROM pv GROUP BY label ORDER BY label""".stripMargin,
     "q128_negative_sampling" ->
       """WITH e AS (
         | SELECT vec_id, label,

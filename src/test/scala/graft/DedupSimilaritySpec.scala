@@ -641,6 +641,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.toSeq.map(_._3).sum === e.length.toLong)
   }
 
+  test("int8 quantize: audit equals a driver brute force; codes stay in [-127,127]") {
+    val e = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+    val perVec = e.map { r =>
+      val a7 = r.getSeq[Float](2).map(x =>
+        BigDecimal(x.toDouble).setScale(7, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(10000000)).toLongExact)
+      val s7 = a7.map(math.abs).max
+      val err2 = if (s7 == 0) 0L else a7.map { v =>
+        val q = v * 127 / s7 // Long / truncates toward zero, like div
+        assert(math.abs(q) <= 127)
+        val rec = q * s7 / 127
+        (v - rec) * (v - rec)
+      }.sum
+      (r.getInt(1), err2)
+    }
+    val want = perVec.groupBy(_._1).map { case (lbl, g) =>
+      val errs = g.map(_._2)
+      (lbl, g.length.toLong, BigDecimal(errs.map(BigDecimal(_)).sum.toBigInt),
+        errs.max, (errs.map(BigInt(_)).sum / g.length).toLong)
+    }.toSet
+    val got = SimilarityOps.q146Int8Quantize(spark, TestSpark.sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        BigDecimal(r.getDecimal(2)), r.getLong(3), r.getLong(4))).toSet
+    assert(got === want)
+  }
+
   test("ppjoin matches the banded pipeline on the real corpus") {
     val docsTbl = Tables.load(spark, TestSpark.sf, "documents")
     val pp = DedupOps.ppjoinPairs(docsTbl)
