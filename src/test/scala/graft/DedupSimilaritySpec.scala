@@ -641,6 +641,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.toSeq.map(_._3).sum === e.length.toLong)
   }
 
+  test("source overlap: identical sources match fully, disjoint not at all, estimator tracks truth") {
+    graft.functions.GraftFunctions.register(spark)
+    val synth = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "sA"),
+      (2L, "iota kappa lambda mu nu xi omicron pi", "sA"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta", "sB"),
+      (4L, "iota kappa lambda mu nu xi omicron pi", "sB"), // sB's shingle set == sA's
+      (5L, "rho sigma tau upsilon phi chi psi omega", "sC") // disjoint
+    ).toDF("doc_id", "text", "source")
+    val m = DedupOps.sourceOverlap(synth).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(5), r.getLong(6))).toMap
+    // identical shingle sets: every signature component matches, J = 1
+    assert(m(("sA", "sB"))._1 === 64L)
+    assert(m(("sA", "sB"))._3 === 10000L)
+    // disjoint sets: nothing matches (md5 collision would need 2^-128)
+    assert(m(("sA", "sC"))._1 === 0L && m(("sA", "sC"))._3 === 0L)
+    assert(m(("sB", "sC"))._1 === 0L)
+    // real corpus: the K=64 estimator stays within 25 points of truth
+    val real = DedupOps.q147SourceOverlap(spark, TestSpark.sf).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(math.abs(r.getAs[Long]("est_bp") - r.getAs[Long]("true_bp")) <= 2500)
+    }
+  }
+
   test("int8 quantize: audit equals a driver brute force; codes stay in [-127,127]") {
     val e = Tables.load(spark, TestSpark.sf, "embeddings")
       .select("vec_id", "label", "embedding").collect()
