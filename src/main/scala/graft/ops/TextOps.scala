@@ -372,6 +372,62 @@ object TextOps {
       .orderBy("lang", "rk")
   }
 
+  // ---------------------------------------------------------------- q149
+  /** EXACT-ARITHMETIC BM25 RANKING — the retrieval scorer behind every
+    * lexical search stack, restated so the whole score lives on an
+    * integer grid: with k1 = 6/5 and b = 3/4 (the textbook constants as
+    * exact rationals) the per-term score
+    * idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) multiplies through by
+    * 20·T (T = corpus tokens, avgdl = T/N) into
+    * idf · 44·tf·T / (20·tf·T + 6·T + 18·dl·N) — integer numerator and
+    * denominator. idf = ln((2N−2df+1)/(2df+1)) (the +0.5 BM25 smoothing,
+    * doubled into integers) is an ln over an INTEGER ratio, so the
+    * pinned-log discipline applies (round once to 6 decimals, pin to
+    * DECIMAL — JVM and DuckDB agree bit-for-bit on that domain, the q72
+    * verification); one truncating integral division lands the score on
+    * the micro grid. Query terms are data-derived: the 10 rarest terms
+    * with df ≥ N/20 (rare = informative, the floor drops hapax noise).
+    *
+    * Scale: postings build map-side (explode + partial-agg), the
+    * query-term join broadcasts 10 rows, stats broadcast 1 row, and the
+    * per-term top-10 runs through the NATIVE TopKPerGroup operator —
+    * bounded heaps, no per-term global sort. DECIMAL(38,0) products keep
+    * the i6·44·tf·T numerator exact far past the long range. */
+  def q149Bm25(s: SparkSession, d: String, topK: Int = 10): DataFrame = {
+    val dl = t(s, d, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        col("toks"))
+    val post = dl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_tokens"))
+    val qterms = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats).select("n_docs"))
+      .filter(col("df") * 20 >= col("n_docs"))
+      .orderBy(col("df").asc, col("term")).limit(10)
+      .select("term", "df")
+    val scored = post
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("i6", expr(
+        """CAST(CAST(round(ln(CAST(2 * n_docs - 2 * df + 1 AS DOUBLE)
+          |  / CAST(2 * df + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))
+          |  * 1000000 AS BIGINT)""".stripMargin))
+      .withColumn("num", expr(
+        "CAST(i6 AS DECIMAL(38,0)) * 44 * tf * t_tokens"))
+      .withColumn("den", expr(
+        """CAST(20 AS DECIMAL(38,0)) * tf * t_tokens
+          | + CAST(6 AS DECIMAL(38,0)) * t_tokens
+          | + CAST(18 AS DECIMAL(38,0)) * dl * n_docs""".stripMargin))
+      .withColumn("score_micro", expr("num div den"))
+    graft.plans.TopK.perGroup(
+      scored.select("term", "doc_id", "tf", "dl", "score_micro"),
+      groupCols = Seq("term"),
+      orderBy = Seq(("score_micro", false), ("doc_id", true)),
+      k = topK, rankName = "rk")
+  }
+
   // ---------------------------------------------------------------- q74
   /** Overlapping document CHUNKING — the context-window shaping step of a
     * training pipeline: each document becomes ceil-spaced windows of
@@ -1082,6 +1138,7 @@ object TextOps {
     "q72_tfidf_terms" -> ((s: SparkSession, d: String) => q72TfidfTerms(s, d)),
     "q74_doc_chunks" -> ((s: SparkSession, d: String) => q74DocChunks(s, d)),
     "q144_dup_spans" -> ((s: SparkSession, d: String) => q144DupSpans(s, d)),
+    "q149_bm25" -> ((s: SparkSession, d: String) => q149Bm25(s, d)),
     "q78_pii_scrub" -> (q78PiiScrub _),
     "q84_weighted_sample" -> (q84WeightedSample _))
 
@@ -1455,6 +1512,39 @@ object TextOps {
          | CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS INT) AS n_chunk_tokens,
          | md5(array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ')) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // BM25 on the integer grid: k1=6/5, b=3/4 multiplied through into
+    // integer numerator/denominator; idf via the pinned-ln discipline
+    "q149_bm25" ->
+      s"""WITH tk AS (
+         | SELECT doc_id, $duckToks AS toks FROM documents),
+         |d2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
+         |post AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+         | FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d2)
+         | GROUP BY 1, 2, 3),
+         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS t_tokens
+         | FROM d2),
+         |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+         | GROUP BY 1),
+         |qt AS (SELECT term, df FROM dft, st WHERE df * 20 >= n_docs
+         | ORDER BY df ASC, term LIMIT 10),
+         |sc AS (
+         | SELECT p.term, p.doc_id, p.tf, p.dl, st.n_docs, st.t_tokens,
+         |  CAST(CAST(round(ln(CAST(2*st.n_docs - 2*q.df + 1 AS DOUBLE)
+         |    / CAST(2*q.df + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |    * 1000000 AS BIGINT) AS i6
+         | FROM post p JOIN qt q USING (term) CROSS JOIN st),
+         |sc2 AS (
+         | SELECT term, doc_id, tf, dl,
+         |  CAST(CAST(i6 AS HUGEINT) * 44 * tf * t_tokens //
+         |   (CAST(20 AS HUGEINT) * tf * t_tokens + 6 * t_tokens
+         |    + 18 * dl * n_docs) AS BIGINT) AS score_micro
+         | FROM sc),
+         |r AS (SELECT term, doc_id, tf, dl, score_micro,
+         |  CAST(row_number() OVER (PARTITION BY term
+         |    ORDER BY score_micro DESC, doc_id) AS INT) AS rk
+         | FROM sc2)
+         |SELECT term, doc_id, tf, dl, score_micro, rk FROM r WHERE rk <= 10
+         |ORDER BY term, rk""".stripMargin,
     // duplicated 16-token spans: gram fingerprints with corpus count > 1,
     // merged to disjoint islands per doc; all-integer coverage
     "q144_dup_spans" ->

@@ -45,6 +45,41 @@ class TextIndexSpec extends AnyFunSuite {
     assert(want.exists(_._3 > 0))
   }
 
+  test("bm25: operator equals a rational-arithmetic driver brute force") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase
+        .split("\\s+").toSeq))
+    val n = docs.length.toLong
+    val tTok = docs.map(_._2.length.toLong).sum
+    val post = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, g) =>
+        (t, id, ts.length.toLong, g.length.toLong)
+      }
+    }
+    val dfm = post.groupBy(_._1).map { case (t, g) => t -> g.length.toLong }
+    val qterms = dfm.toSeq.filter(_._2 * 20 >= n)
+      .sortBy { case (t, df) => (df, t) }.take(10)
+    val want = qterms.flatMap { case (term, df) =>
+      val idf6 = BigDecimal(math.log((2.0 * n - 2 * df + 1) / (2.0 * df + 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val i6 = (idf6 * 1000000).toLongExact
+      post.filter(_._1 == term).map { case (_, id, dl, tf) =>
+        val num = BigInt(i6) * 44 * tf * tTok
+        val den = BigInt(20) * tf * tTok + BigInt(6) * tTok +
+          BigInt(18) * dl * n
+        (term, id, tf, dl, (num / den).toLong)
+      }.sortBy { case (_, id, _, _, sc) => (-sc, id) }
+        .take(10).zipWithIndex
+        .map { case ((t, id, tf, dl, sc), i) => (t, id, tf, dl, sc, i + 1) }
+    }.toSet
+    val got = TextOps.q149Bm25(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("inverted index: df and postings head match direct counts") {
     val idx = TextOps.q89InvertedIndex(spark, TestSpark.sf).collect()
     assert(idx.nonEmpty)
