@@ -133,6 +133,48 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q148
+  /** QUALITY-AWARE CLUSTER CANONICALIZATION — the selection policy that
+    * follows dedup clustering: q66 labels every doc with its near-dup
+    * component, but "keep the MINIMUM id" is an arbitrary survivor. The
+    * curation-grade policy keeps the HIGHEST-QUALITY member (q33's
+    * composite score), tie-broken to the smaller id, and that argmax is
+    * ONE max(struct(quality, −id)) aggregation per component — map-side
+    * partial, no per-cluster sort, no second join against the cluster
+    * (the q80 latest-per-key shape applied to dedup). Output is the
+    * cluster table a dedup-apply pass consumes: component, size, chosen
+    * survivor, its quality, and the min-id member's quality beside it
+    * (equal iff min-id survivorship was already optimal; the two rounded
+    * scores are reported side by side rather than subtracted — a
+    * difference would need a re-round, the one op that can split engines
+    * on a ...5 boundary, the q72 lesson).
+    *
+    * Exactness: the quality score is a 4-dp-rounded double of integer
+    * ratios (engine-exact, q33's contract), struct comparison is
+    * lexicographic in both engines, and the oracle recomputes the same
+    * pair basis (q38's, recall-verified), closes it with a recursive CTE,
+    * and aggregates the same struct — hash-exact end to end. */
+  def q148ClusterSurvivor(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+    val pairs = DedupOps.ngramNearDupPairs(docs)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comps = connectedComponents(pairs)
+    val labeled = docs
+      .withColumn("q", TextOps.qualityScore(col("text"), col("n_chars")))
+      .select(col("doc_id"), col("q"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("q"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    labeled.groupBy("component")
+      .agg(count(lit(1)).as("component_size"),
+        max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"),
+        min(when(col("doc_id") === col("component"), col("q"))).as("minid_q"))
+      .select(col("component"), col("component_size"),
+        (-col("m.nid")).as("survivor_id"), col("m.q").as("survivor_quality"),
+        col("minid_q").as("minid_quality"))
+      .orderBy("component")
+  }
+
   // ---------------------------------------------------------------- q99
   /** Weighted co-occurrence graph + TRIANGLE enumeration — the "frequently
     * bought together" / community-structure primitive. Nodes are parts,
@@ -353,6 +395,7 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_label_communities" -> (q112LabelCommunities _),
     "q66_dedup_components" -> (q66DedupComponents _),
+    "q148_cluster_survivor" -> (q148ClusterSurvivor _),
     "q99_triangle_cooccur" -> (q99TriangleCooccur _),
     "q136_degree_histogram" -> (q136DegreeHistogram _),
     "q105_pagerank" -> ((s: SparkSession, d: String) => q105PageRank(s, d)))
@@ -439,6 +482,41 @@ object GraphOps {
          |SELECT node, CAST(r AS BIGINT) AS rank_scaled,
          | CAST(r AS DOUBLE) / 1000000000000 AS rank
          |FROM r3 ORDER BY rank_scaled DESC, node LIMIT 25""".stripMargin,
+    // q66's closure + q33's quality, canonical member = max(struct) argmax
+    "q148_cluster_survivor" ->
+      s"""WITH RECURSIVE sh AS (
+         | SELECT doc_id,
+         |  list_distinct(list_transform(
+         |    range(0, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 3, 0) + 1),
+         |    i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+')[i+1:i+3], ' ')
+         |  )) AS grams
+         | FROM documents),
+         |p AS (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         | WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.5),
+         |e AS (
+         | SELECT doc_a AS u, doc_b AS v FROM p
+         | UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(id, r) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r),
+         |lbl AS (
+         | SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+         |q AS (SELECT doc_id, ${TextOps.duckQualityScore} AS qs FROM documents),
+         |j AS (SELECT lbl.doc_id, lbl.component, q.qs
+         |      FROM lbl JOIN q USING (doc_id)),
+         |m AS (
+         | SELECT component, count(*) AS component_size,
+         |  max(struct_pack(q := qs, nid := -doc_id)) AS best,
+         |  min(CASE WHEN doc_id = component THEN qs END) AS minid_quality
+         | FROM j GROUP BY component)
+         |SELECT component, component_size,
+         | -(best.nid) AS survivor_id, best.q AS survivor_quality,
+         | minid_quality
+         |FROM m ORDER BY component""".stripMargin,
     "q66_dedup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id,

@@ -1168,7 +1168,7 @@ object TextOps {
 
   /** SQL twin of [[qualityScore]] — one fragment shared by the q33 and q70
     * oracles, so the engine-side helper and both oracles move together. */
-  private def duckQualityScore: String =
+  private[ops] def duckQualityScore: String =
     s"""round(0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars)
        |   + 0.5 * (1.0 - CAST(len(list_filter($duckToks, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE)
        |       / len($duckToks)), 4)""".stripMargin

@@ -63,6 +63,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(byComp.exists(_._2.length > 1))
   }
 
+  test("cluster survivor is the component's quality argmax, tie-broken to smaller id") {
+    val labels = GraphOps.q66DedupComponents(spark, TestSpark.sf)
+      .select("doc_id", "component").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val qual = graft.ops.TextOps.q33TextQuality(spark, TestSpark.sf)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = labels.groupBy(_._2).map { case (comp, members) =>
+      val ids = members.map(_._1)
+      val best = ids.map(id => (qual(id), -id)).max
+      (comp, ids.length.toLong, -best._2, best._1, qual(comp))
+    }.toSet
+    val got = GraphOps.q148ClusterSurvivor(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    assert(got === want)
+    // the survivor always at least matches the min-id member's quality
+    got.foreach { case (_, _, _, sq, mq) => assert(sq >= mq) }
+  }
+
   test("co-order graph: mutual cap bounds degree and keeps edges symmetric-canonical") {
     val e = GraphOps.coOrderEdges(Tables.load(spark, TestSpark.sf, "lineitem"), cap = 8)
       .as[(Long, Long, Long)].collect()
