@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -173,6 +173,48 @@ object GraphOps {
         (-col("m.nid")).as("survivor_id"), col("m.q").as("survivor_quality"),
         col("minid_q").as("minid_quality"))
       .orderBy("component")
+  }
+
+  // ---------------------------------------------------------------- q150
+  /** ENTITY RESOLUTION — the catalog-cleaning closure over q91's fuzzy
+    * match basis: names whose blocked Levenshtein distance is ≤ 3 chain
+    * into clusters (transitive closure via the same alternating-star CC
+    * as q66 — fuzzy matching is not transitive, so A~B, B~C must merge
+    * A,B,C even when A̸~C), each cluster keyed by its lexicographic-min
+    * name and canonicalized to its MOST FREQUENT member (tie → name asc
+    * via one min(struct(−freq, name)) aggregation — no per-cluster sort).
+    *
+    * String nodes ride the CC machinery as 56-bit ids (first 14 md5 hex
+    * digits, the q97 rendering — deterministic in both engines, and a
+    * collision, ~n²/2^56, would produce the SAME merged answer in both,
+    * so the oracle stays exact even in that remote case). The cluster
+    * label itself never leaves the engine: output keys are names.
+    *
+    * Scale: everything here is catalog-sized (distinct names), not
+    * row-sized — the groupBy collapses 100 TB of parts to |names| rows
+    * before any pair or closure work; the closure converges in
+    * O(log diameter) rounds on bare long pairs. */
+  def q150EntityClusters(s: SparkSession, d: String): DataFrame = {
+    def nid(c: Column): Column =
+      expr(s"CAST(conv(substr(md5(CAST(${c.toString} AS BINARY)), 1, 14), 16, 10) AS BIGINT)")
+    val names = Tables.load(s, d, "part").groupBy("p_name")
+      .agg(count(lit(1)).as("n_parts"))
+    val pairs = DedupOps.q91FuzzyBlocked(s, d).select("name_a", "name_b")
+    val comps = connectedComponents(pairs
+      .select(nid(col("name_a")).as("src"), nid(col("name_b")).as("dst")))
+    names
+      .withColumn("nid", nid(col("p_name")))
+      .join(comps.withColumnRenamed("id", "nid"), Seq("nid"), "left")
+      .withColumn("comp", coalesce(col("component"), col("nid")))
+      .groupBy("comp")
+      .agg(min("p_name").as("cluster_key"),
+        count(lit(1)).as("n_names"),
+        sum("n_parts").as("total_parts"),
+        min(struct((-col("n_parts")).as("nn"), col("p_name").as("nm")))
+          .as("c"))
+      .select(col("cluster_key"), col("n_names"), col("total_parts"),
+        col("c.nm").as("canonical_name"), (-col("c.nn")).as("canonical_parts"))
+      .orderBy("cluster_key")
   }
 
   // ---------------------------------------------------------------- q99
@@ -396,6 +438,7 @@ object GraphOps {
     "q112_label_communities" -> (q112LabelCommunities _),
     "q66_dedup_components" -> (q66DedupComponents _),
     "q148_cluster_survivor" -> (q148ClusterSurvivor _),
+    "q150_entity_clusters" -> (q150EntityClusters _),
     "q99_triangle_cooccur" -> (q99TriangleCooccur _),
     "q136_degree_histogram" -> (q136DegreeHistogram _),
     "q105_pagerank" -> ((s: SparkSession, d: String) => q105PageRank(s, d)))
@@ -482,6 +525,34 @@ object GraphOps {
          |SELECT node, CAST(r AS BIGINT) AS rank_scaled,
          | CAST(r AS DOUBLE) / 1000000000000 AS rank
          |FROM r3 ORDER BY rank_scaled DESC, node LIMIT 25""".stripMargin,
+    // fuzzy-pair transitive closure on name strings; canonical member by
+    // frequency through the min(struct(-freq, name)) argmax
+    "q150_entity_clusters" ->
+      """WITH RECURSIVE names AS (
+        | SELECT p_name, count(*) AS n_parts,
+        |  split_part(p_name, ' ', 2) AS noun
+        | FROM part GROUP BY p_name),
+        |p AS (
+        | SELECT a.p_name AS u, b.p_name AS v
+        | FROM names a JOIN names b
+        |   ON a.noun = b.noun AND a.p_name < b.p_name
+        | WHERE levenshtein(a.p_name, b.p_name) <= 3),
+        |e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        |reach(id, r) AS (
+        | SELECT p_name, p_name FROM names
+        | UNION
+        | SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r),
+        |lbl AS (SELECT id, min(r) AS ck FROM reach GROUP BY id),
+        |j AS (SELECT n.p_name, n.n_parts, l.ck
+        |      FROM names n JOIN lbl l ON l.id = n.p_name),
+        |m AS (
+        | SELECT ck, count(*) AS n_names,
+        |  CAST(sum(n_parts) AS BIGINT) AS total_parts,
+        |  min(struct_pack(nn := -n_parts, nm := p_name)) AS c
+        | FROM j GROUP BY ck)
+        |SELECT ck AS cluster_key, n_names, total_parts,
+        | c.nm AS canonical_name, CAST(-(c.nn) AS BIGINT) AS canonical_parts
+        |FROM m ORDER BY cluster_key""".stripMargin,
     // q66's closure + q33's quality, canonical member = max(struct) argmax
     "q148_cluster_survivor" ->
       s"""WITH RECURSIVE sh AS (

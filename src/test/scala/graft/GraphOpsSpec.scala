@@ -83,6 +83,37 @@ class GraphOpsSpec extends AnyFunSuite {
     got.foreach { case (_, _, _, sq, mq) => assert(sq >= mq) }
   }
 
+  test("entity clusters absorb every fuzzy pair and conserve the name catalog") {
+    val clusters = GraphOps.q150EntityClusters(spark, TestSpark.sf).collect()
+    val names = Tables.load(spark, TestSpark.sf, "part")
+      .select("p_name").distinct().count()
+    assert(clusters.map(_.getAs[Long]("n_names")).sum === names)
+    // rebuild the member→cluster map by driver-side closure over q91 pairs
+    val pairs = graft.ops.DedupOps.q91FuzzyBlocked(spark, TestSpark.sf)
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.Ordering.String.max(ra, rb)) = // union by min
+        math.Ordering.String.min(ra, rb)
+    }
+    val grouped = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).map { case (_, ms) => ms.toSet }
+    // every driver-side cluster appears as one operator cluster keyed by
+    // its min name, with matching size (plus singletons we didn't build)
+    val bySize = clusters.map(r =>
+      r.getAs[String]("cluster_key") -> r.getAs[Long]("n_names")).toMap
+    grouped.foreach { ms =>
+      assert(bySize(ms.min) === ms.size.toLong)
+    }
+    assert(grouped.exists(_.size > 2)) // chaining actually happened
+  }
+
   test("co-order graph: mutual cap bounds degree and keeps edges symmetric-canonical") {
     val e = GraphOps.coOrderEdges(Tables.load(spark, TestSpark.sf, "lineitem"), cap = 8)
       .as[(Long, Long, Long)].collect()
