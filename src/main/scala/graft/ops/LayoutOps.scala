@@ -257,21 +257,38 @@ object LayoutOps {
     * at most 1, and each serpentine double-round adds one low+high pair
     * per shard, keeping token totals within one document of each other
     * empirically — the audit row makes the spread visible. */
-  def withShard(sizes: DataFrame, shards: Int): DataFrame = {
+  /** Distributed global row_number WITHOUT a single-partition window over
+    * the data: `band` must be a coarse integer key that is MONOTONE
+    * NON-DECREASING in the target order (ties across the true order may
+    * share a band — `order` re-sorts inside). Band counts are a
+    * domain-bounded aggregate (the only driver-scale window runs over
+    * |bands| rows); in-band row_numbers run partitioned and parallel.
+    * rank = (rows in strictly earlier bands) + in-band row_number.
+    * Shared by the shard deal (bit-length bands) and the rank-fusion
+    * rankings (value-grid bands). */
+  def bandedRank(df: DataFrame, band: Column,
+                 order: Seq[Column], rankName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val banded = sizes.withColumn("band",
-      (length(bin(col("n_tokens"))) - 1).cast("int"))
-    val wOff = Window.orderBy(col("band").desc)
+    val banded = df.withColumn("__band", band)
+    val wOff = Window.orderBy(col("__band"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = banded.groupBy("band").agg(count(lit(1)).as("cnt"))
-      .withColumn("offset", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
-      .select("band", "offset")
-    val wBand = Window.partitionBy("band")
-      .orderBy(col("n_tokens").desc, col("doc_id"))
+    val offsets = banded.groupBy("__band").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select("__band", "__off")
+    val wIn = Window.partitionBy("__band").orderBy(order: _*)
     banded
-      .withColumn("rb", row_number().over(wBand).cast("long"))
-      .join(broadcast(offsets), "band")
-      .withColumn("r0", col("offset") + col("rb") - 1)
+      .withColumn("__rb", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), "__band")
+      .withColumn(rankName, col("__off") + col("__rb"))
+      .drop("__band", "__rb", "__off")
+  }
+
+  def withShard(sizes: DataFrame, shards: Int): DataFrame = {
+    val ranked = bandedRank(sizes,
+      (-(length(bin(col("n_tokens"))) - 1)).cast("int"),
+      Seq(col("n_tokens").desc, col("doc_id")), "r1")
+    ranked
+      .withColumn("r0", col("r1") - 1)
       .withColumn("pos", col("r0") % shards)
       .withColumn("shard",
         when(expr(s"r0 div $shards") % 2 === 0, col("pos"))

@@ -428,6 +428,48 @@ object TextOps {
       k = topK, rankName = "rk")
   }
 
+  // ---------------------------------------------------------------- q151
+  /** RECIPROCAL-RANK FUSION — the multi-signal curation ranker: combine
+    * the quality ranking (q33's composite score, higher better) and the
+    * fluency ranking (q109's LM avg-NLL, lower better) into one list via
+    * RRF, the fusion rule retrieval stacks use because it needs only
+    * RANKS (no score calibration): rrf = Σ 1/(60 + rank_i). Each rank is
+    * total-ordered (doc_id tie-break) and the fusion score is restated on
+    * the integer micro grid — 1000000 div (60 + r) summed — so the whole
+    * output is engine-exact.
+    *
+    * Scale: both corpus-wide rankings run through [[LayoutOps.bandedRank]]
+    * (value-grid bands + in-band windows — no single-partition sort of
+    * the corpus; the quality band is the score's own 1e-4 grid coarsened
+    * ×250, the NLL band is floor(nll·1000)); the final top-k is a
+    * TakeOrderedAndProject. Docs with no bigrams rank last on the LM side
+    * via an explicit +∞ (never cast — ANSI floor(∞) would throw; the band
+    * guard routes it straight to Long.MaxValue). */
+  def q151RankFusion(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+    val docs = t(s, d, "documents")
+    val qual = docs.select(col("doc_id"),
+      qualityScore(col("text"), col("n_chars")).as("q"))
+    val nll = docs.select(col("doc_id"))
+      .join(lmPerDocNll(docs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_bigrams") > 0,
+          col("s").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(Double.PositiveInfinity)).as("nll"))
+    val rq = LayoutOps.bandedRank(qual,
+      (-floor(col("q") * 10000) / 250).cast("long"),
+      Seq(col("q").desc, col("doc_id")), "r_quality")
+      .select("doc_id", "r_quality")
+    val rl = LayoutOps.bandedRank(nll,
+      when(col("nll") === Double.PositiveInfinity, lit(Long.MaxValue))
+        .otherwise(floor(col("nll") * 1000)).cast("long"),
+      Seq(col("nll").asc, col("doc_id")), "r_lm")
+      .select("doc_id", "r_lm")
+    rq.join(rl, "doc_id")
+      .withColumn("rrf_micro",
+        expr("1000000 div (60 + r_quality) + 1000000 div (60 + r_lm)"))
+      .orderBy(col("rrf_micro").desc, col("doc_id")).limit(k)
+  }
+
   // ---------------------------------------------------------------- q74
   /** Overlapping document CHUNKING — the context-window shaping step of a
     * training pipeline: each document becomes ceil-spaced windows of
@@ -1139,6 +1181,7 @@ object TextOps {
     "q74_doc_chunks" -> ((s: SparkSession, d: String) => q74DocChunks(s, d)),
     "q144_dup_spans" -> ((s: SparkSession, d: String) => q144DupSpans(s, d)),
     "q149_bm25" -> ((s: SparkSession, d: String) => q149Bm25(s, d)),
+    "q151_rank_fusion" -> ((s: SparkSession, d: String) => q151RankFusion(s, d)),
     "q78_pii_scrub" -> (q78PiiScrub _),
     "q84_weighted_sample" -> (q84WeightedSample _))
 
@@ -1512,6 +1555,28 @@ object TextOps {
          | CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS INT) AS n_chunk_tokens,
          | md5(array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ')) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // RRF of the quality and LM-fluency rankings, fused on the micro grid
+    "q151_rank_fusion" ->
+      s"""WITH $duckLmPerDoc,
+         |qx AS (SELECT doc_id, $duckQualityScore AS q FROM documents),
+         |nl AS (
+         | SELECT d.doc_id,
+         |  CASE WHEN per.n_bigrams > 0
+         |       THEN CAST(per.s AS DOUBLE) / per.n_bigrams
+         |       ELSE CAST('infinity' AS DOUBLE) END AS nll
+         | FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id),
+         |rq AS (SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY q DESC, doc_id) AS BIGINT)
+         |    AS r_quality
+         | FROM qx),
+         |rl AS (SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY nll ASC, doc_id) AS BIGINT)
+         |    AS r_lm
+         | FROM nl)
+         |SELECT rq.doc_id, rq.r_quality, rl.r_lm,
+         | 1000000 // (60 + r_quality) + 1000000 // (60 + r_lm) AS rrf_micro
+         |FROM rq JOIN rl ON rl.doc_id = rq.doc_id
+         |ORDER BY rrf_micro DESC, rq.doc_id LIMIT 50""".stripMargin,
     // BM25 on the integer grid: k1=6/5, b=3/4 multiplied through into
     // integer numerator/denominator; idf via the pinned-ln discipline
     "q149_bm25" ->

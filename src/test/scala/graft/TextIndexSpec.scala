@@ -45,6 +45,30 @@ class TextIndexSpec extends AnyFunSuite {
     assert(want.exists(_._3 > 0))
   }
 
+  test("rank fusion: fused head equals a driver recompute from the two rankings") {
+    import graft.ops.{LayoutOps, TextOps => T}
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val qual = docs.select(col("doc_id"),
+        T.qualityScore(col("text"), col("n_chars")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val nll = T.q109LmDocScore(spark, TestSpark.sf)
+      .select("doc_id", "avg_nll").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) Double.PositiveInfinity else r.getDouble(1)))
+    val rq = qual.sortBy { case (id, q) => (-q, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val rl = nll.sortBy { case (id, n) => (n, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val want = qual.map(_._1).map { id =>
+      (id, rq(id), rl(id),
+        1000000L / (60 + rq(id)) + 1000000L / (60 + rl(id)))
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(50).toSet
+    val got = TextOps.q151RankFusion(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+  }
+
   test("bm25: operator equals a rational-arithmetic driver brute force") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
       .select("doc_id", "text").collect()
