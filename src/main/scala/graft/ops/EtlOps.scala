@@ -1073,6 +1073,7 @@ object EtlOps {
     "q138_debounce" -> ((s: SparkSession, d: String) => q138Debounce(s, d)),
     "q134_ivm_moments" -> ((s: SparkSession, d: String) => q134IvmMoments(s, d)),
     "q135_late_data_audit" -> ((s: SparkSession, d: String) => q135LateDataAudit(s, d)),
+    "q152_nearest_event" -> (q152NearestEvent _),
     "q133_ewma_smooth" -> (q133EwmaSmooth _),
     "q130_twap" -> (q130Twap _),
     "q131_percentile_bands" -> (q131PercentileBands _),
@@ -1096,7 +1097,88 @@ object EtlOps {
     "q81_event_funnel" -> (q81EventFunnel _),
     "q82_retention_cohorts" -> (q82RetentionCohorts _))
 
+  // ---------------------------------------------------------------- q152
+  /** NEAREST-EVENT TEMPORAL JOIN — for every click, the same user's
+    * purchase closest in ABSOLUTE time, either direction (the sensor- /
+    * session-alignment semantics backward-only as-of can't express:
+    * "which purchase does this click belong to" when attribution can be
+    * anticipatory as well as causal). Composed as TWO passes of the
+    * [[AsofJoin.backward]] union+window machinery — the second runs on
+    * NEGATED time, which flips the ≤ contract into nearest-following —
+    * then one row-local pick of the closer side. Each pass is a single
+    * sort-merge-shaped window on (user, time): no range join, no
+    * per-key nested loop, skew handled like any window skew.
+    *
+    * Tie discipline (spec-pinned, mirrored exactly by the oracle's
+    * min(struct(dist, t, −id))): equal distance → the EARLIER purchase
+    * (backward side); equal time among candidate purchases → the larger
+    * event id (the as-of pass's max-attach-struct determinism). All
+    * integer-μs arithmetic. */
+  def q152NearestEvent(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tus"))
+    nearestEvent(
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tus"), col("event_id").as("click_id")),
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"), col("tus").as("p_tus"),
+          col("event_id").as("p_id")))
+  }
+
+  /** Core of [[q152NearestEvent]]: `clicks` (user_id, tus, click_id) ×
+    * `purch` (user_id, tus, p_tus, p_id) → nearest purchase per click. */
+  def nearestEvent(clicks: DataFrame, purch: DataFrame): DataFrame = {
+    val b = AsofJoin.backward(clicks, purch, "user_id", "tus",
+        Seq("p_tus", "p_id"))
+      .select(col("click_id"), col("p_tus").as("b_tus"),
+        col("p_id").as("b_id"))
+    val f = AsofJoin.backward(
+        clicks.select(col("user_id"), (-col("tus")).as("ntus"),
+          col("click_id")),
+        purch.select(col("user_id"), (-col("tus")).as("ntus"),
+          col("p_tus"), col("p_id")),
+        "user_id", "ntus", Seq("p_tus", "p_id"))
+      .select(col("click_id"), col("p_tus").as("f_tus"),
+        col("p_id").as("f_id"))
+    clicks.select(col("click_id"), col("user_id"),
+        col("tus").as("click_tus"))
+      .join(b, Seq("click_id"), "left")
+      .join(f, Seq("click_id"), "left")
+      .withColumn("b_dist", col("click_tus") - col("b_tus"))
+      .withColumn("f_dist", col("f_tus") - col("click_tus"))
+      .withColumn("pick_b", col("b_tus").isNotNull &&
+        (col("f_tus").isNull || col("b_dist") <= col("f_dist")))
+      .select(col("click_id"), col("user_id"), col("click_tus"),
+        when(col("pick_b"), col("b_id")).otherwise(col("f_id")).as("p_id"),
+        when(col("pick_b"), col("b_tus")).otherwise(col("f_tus")).as("p_tus"),
+        when(col("pick_b"), col("b_dist")).otherwise(col("f_dist"))
+          .as("dist_us"))
+      .orderBy("click_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    // brute per-user cross of clicks × purchases, argmin by the same
+    // (dist, t, −id) struct the two as-of passes realize
+    "q152_nearest_event" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+        | FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, tus AS click_tus
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS pid, user_id, tus AS ptus
+        |      FROM e WHERE event_type = 'purchase'),
+        |j AS (SELECT c.click_id, p.pid, p.ptus,
+        |       abs(p.ptus - c.click_tus) AS dist
+        |      FROM c JOIN p USING (user_id)),
+        |best AS (SELECT click_id,
+        |  min(struct_pack(d := dist, t := ptus, nid := -pid)) AS b
+        | FROM j GROUP BY click_id)
+        |SELECT c.click_id, c.user_id, c.click_tus,
+        | CAST(-(best.b.nid) AS BIGINT) AS p_id,
+        | best.b.t AS p_tus, best.b.d AS dist_us
+        |FROM c LEFT JOIN best USING (click_id)
+        |ORDER BY c.click_id""".stripMargin,
     "q138_debounce" ->
       """WITH e AS (
         | SELECT user_id, event_type, event_id, epoch_us(ts) AS tus

@@ -769,6 +769,26 @@ class EtlOpsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------ q135 late
+  test("nearest-event join: planted ties pick earlier-then-larger-id; no-match stays null") {
+    import spark.implicits._
+    val clicks = Seq(
+      (1L, 100L, 101L), // equidistant purchases both sides
+      (2L, 100L, 102L), // two purchases at the same instant
+      (3L, 100L, 103L)  // no purchase at all
+    ).toDF("user_id", "tus", "click_id")
+    val purch = Seq(
+      (1L, 90L, 11L), (1L, 110L, 12L),  // dist 10 both ways -> earlier wins
+      (2L, 95L, 21L), (2L, 95L, 22L)    // same tus -> larger id wins
+    ).map { case (u, t2, id) => (u, t2, t2, id) }
+      .toDF("user_id", "tus", "p_tus", "p_id")
+    val got = EtlOps.nearestEvent(clicks, purch)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(got(101L) === ((Some(11L), Some(90L), Some(10L))))
+    assert(got(102L) === ((Some(22L), Some(95L), Some(5L))))
+    assert(got(103L) === ((None, None, None)))
+  }
+
   test("late-data audit: hand-built reordering yields exact lateness and counts") {
     import spark.implicits._
     // partition 0 (ids 0,8,16,24): times 100s, 50s (late 50s), 200s, 199s
