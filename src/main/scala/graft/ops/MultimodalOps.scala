@@ -117,11 +117,59 @@ object MultimodalOps {
   }
 
   // ------------------------------------------------------------------------
+  // ---------------------------------------------------------------- q153
+  /** CROSS-VIDEO FRAME DEDUP — the video-corpus analogue of q30's exact
+    * text dedup: fingerprint every sampled frame and surface fingerprints
+    * that appear in MORE THAN ONE video (shared intros, re-uploads,
+    * stock-footage reuse). Runs through the REAL multimodal plumbing —
+    * [[mediaTable]] binary blobs → [[sampleFrames]]' typed 1→N flatMap —
+    * then shuffles only (16-byte fingerprint, doc_id) pairs; frame BYTES
+    * never cross the exchange. In a production pipeline the fingerprint
+    * swaps from md5-of-bytes to a perceptual hash computed in the same
+    * flatMap — the plan does not change.
+    *
+    * Exact oracle: the blob is the document's UTF-8 bytes and the corpus
+    * is pure ASCII (driver-generated), so DuckDB's VARCHAR substring
+    * reproduces the byte slicing exactly and md5(chunk) matches
+    * md5(frame_bytes) — the multimodal family's first content-level (not
+    * metadata-level) exact check. */
+  def q153FrameDedup(s: SparkSession, d: String, top: Int = 25): DataFrame = {
+    sampleFrames(s, mediaTable(s, d)).toDF()
+      .select(col("doc_id"), md5(col("frame_bytes")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct("doc_id").as("n_videos"),
+        min("doc_id").as("first_video"))
+      .filter(col("n_videos") > 1)
+      .orderBy(col("n_videos").desc, col("n_frames").desc, col("fp"))
+      .limit(top)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_multimodal_meta" -> (q43MultimodalMeta _),
-    "q44_multimodal_features" -> (q44MultimodalFeatures _))
+    "q44_multimodal_features" -> (q44MultimodalFeatures _),
+    "q153_frame_dedup" -> ((s: SparkSession, d: String) => q153FrameDedup(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // frame slicing reproduced byte-for-byte via VARCHAR substring
+    // (pure-ASCII corpus: octet_length == length, spec-asserted)
+    "q153_frame_dedup" ->
+      """WITH v AS (
+        | SELECT doc_id, text AS b,
+        |  CAST(ceil(length(text) / 64.0) AS BIGINT) AS nf
+        | FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        | SELECT doc_id,
+        |  md5(substring(b, CAST(u.i * 64 + 1 AS BIGINT), 64)) AS fp
+        | FROM v, LATERAL unnest(range(0, nf)) u(i)),
+        |d AS (
+        | SELECT fp, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_videos,
+        |  min(doc_id) AS first_video
+        | FROM fr GROUP BY 1)
+        |SELECT fp, n_frames, n_videos, first_video FROM d
+        |WHERE n_videos > 1
+        |ORDER BY n_videos DESC, n_frames DESC, fp LIMIT 25""".stripMargin,
     "q43_multimodal_meta" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'

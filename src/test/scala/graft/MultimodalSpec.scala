@@ -8,6 +8,28 @@ class MultimodalSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("frame dedup: ASCII oracle premise holds; planted shared frame is found") {
+    // the oracle slices VARCHARs — valid only while byte == char length
+    val bad = Tables.load(spark, TestSpark.sf, "documents")
+      .filter(octet_length(encode(col("text"), "UTF-8")) =!= length(col("text")))
+      .count()
+    assert(bad === 0L)
+    // two synthetic videos sharing exactly their first 64-byte frame
+    val media = Seq(
+      (2L, "video", ("x" * 64 + "a" * 64).getBytes("UTF-8"), 64, 64),
+      (5L, "video", ("x" * 64 + "b" * 32).getBytes("UTF-8"), 64, 64)
+    ).toDF("doc_id", "media_type", "content", "width", "height")
+    val dup = MultimodalOps.sampleFrames(spark, media).toDF()
+      .select(col("doc_id"), md5(col("frame_bytes")).as("fp"))
+      .groupBy("fp").agg(countDistinct("doc_id").as("nv"))
+      .filter(col("nv") > 1).collect()
+    assert(dup.length === 1)
+    // the real corpus exercises the operator end to end
+    val got = MultimodalOps.q153FrameDedup(spark, TestSpark.sf).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getAs[Long]("n_videos") >= 2))
+  }
+
   test("decode stub is deterministic and shape-stable") {
     val b = "hello world".getBytes("UTF-8")
     val f1 = MultimodalOps.decodeStub(b)
