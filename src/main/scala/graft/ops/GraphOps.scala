@@ -185,9 +185,11 @@ object GraphOps {
     * via one min(struct(−freq, name)) aggregation — no per-cluster sort).
     *
     * String nodes ride the CC machinery as 56-bit ids (first 14 md5 hex
-    * digits, the q97 rendering — deterministic in both engines, and a
-    * collision, ~n²/2^56, would produce the SAME merged answer in both,
-    * so the oracle stays exact even in that remote case). The cluster
+    * digits, the q97 rendering). A collision (~n²/2^57 for a catalog of n
+    * names) WOULD spuriously merge two clusters and diverge from the
+    * string-keyed oracle — accepted as negligible at catalog cardinality
+    * and caught loudly by the oracle gate if it ever fires; widen to the
+    * full hex digest if a catalog approaches 2^28 names. The cluster
     * label itself never leaves the engine: output keys are names.
     *
     * Scale: everything here is catalog-sized (distinct names), not

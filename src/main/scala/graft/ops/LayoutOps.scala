@@ -269,7 +269,11 @@ object LayoutOps {
   def bandedRank(df: DataFrame, band: Column,
                  order: Seq[Column], rankName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val banded = df.withColumn("__band", band)
+    // the banded input feeds both the offsets aggregate and the window
+    // branch — checkpoint once so upstream map work (tokenize/score) does
+    // not run twice (the q147 multi-consumer discipline)
+    val banded = graft.Transients.track(
+      df.withColumn("__band", band).localCheckpoint())
     val wOff = Window.orderBy(col("__band"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = banded.groupBy("__band").agg(count(lit(1)).as("__cnt"))

@@ -375,8 +375,6 @@ object SimilarityOps {
         sum(col("err2").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .as("sum_err2"),
         max("err2").as("max_err2"))
-      .withColumn("sum_err2",
-        col("sum_err2").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
       .withColumn("mean_err2", expr("sum_err2 div n_vecs"))
       .orderBy("label")
   }

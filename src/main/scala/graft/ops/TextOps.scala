@@ -426,6 +426,7 @@ object TextOps {
       groupCols = Seq("term"),
       orderBy = Seq(("score_micro", false), ("doc_id", true)),
       k = topK, rankName = "rk")
+      .orderBy("term", "rk")
   }
 
   // ---------------------------------------------------------------- q151
@@ -534,13 +535,18 @@ object TextOps {
     val tk = t(s, d, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
-    val occ = tk
+    // the gram projection (the O(n·k) hot part) feeds BOTH the dup-gram
+    // aggregate and the spans join-back — localCheckpoint it once so the
+    // corpus-wide md5-of-slice explode runs once, not twice (the q147
+    // multi-consumer discipline); tracked for drop at the query boundary
+    val occ = graft.Transients.track(tk
       .filter(col("n_tokens") >= k)
       .select(col("doc_id"), col("toks"), col("n_tokens"),
         explode(sequence(lit(1L), col("n_tokens") - (k - 1))).as("pos"))
       .select(col("doc_id"), col("n_tokens"), col("pos"),
         md5(array_join(slice(col("toks"), col("pos").cast("int"), lit(k)), " ")
           .cast("binary")).as("g"))
+      .localCheckpoint())
     val dupG = occ.groupBy("g").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("g")
     val spans = occ.join(dupG, "g")
