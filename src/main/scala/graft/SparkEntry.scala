@@ -39,7 +39,9 @@ object SparkEntry {
         "q108_stream_transitions" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q108StreamTransitions(s, d)),
         "q137_stream_ewma" ->
-          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q137StreamEwma(s, d)))
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q137StreamEwma(s, d)),
+        "q154_stream_hitters" ->
+          ((s: SparkSession, d: String) => graft.streaming.DocsStream.q154StreamHitters(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -73,6 +75,9 @@ object SparkEntry {
         // the buffered-replay streaming smoother is arithmetic-identical
         // to the batch lag-window form — same oracle as q133
         "q137_stream_ewma" -> EtlOps.oracle("q133_ewma_smooth"),
+        // the streamed Misra-Gries candidates feed q110's exact recount
+        // verbatim — the stream twin must land on the batch answer
+        "q154_stream_hitters" -> StatsOps.oracle("q110_heavy_hitters"),
         // the stream-stream interval join must equal the batch interval join
         "q63_stream_interval_join" ->
           """WITH e AS (SELECT event_id, user_id, event_type, value,

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.ops.{StatsOps, TextOps}
+
+/** Streaming over the `documents` table — the corpus-side streaming
+  * operators (EventsStream holds the event-time ones).
+  */
+object DocsStream {
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  case class TokRow(bucket: Int, token: String, sentinel: Boolean)
+  case class MgState(counters: Map[String, Long])
+
+  // ------------------------------------------- q154: streaming heavy hitters
+  /** q154: STREAMING HEAVY HITTERS — q110's two-phase frequency monitor
+    * with the sketch phase run as a STATEFUL STREAM: tokens hash-bucket to
+    * `buckets` keyed groups, each group folds a bounded Misra-Gries
+    * counter set (capacity [[StatsOps.mgCapacity]]) in
+    * flatMapGroupsWithState — state stays ≤ cap counters per bucket NO
+    * MATTER how large the token domain grows, which is the property that
+    * distinguishes a streaming sketch from q55-style exact streaming
+    * aggregation (whose state is domain-sized). Capacity 127 ≥ the 1/64
+    * share threshold's denominator, so every true heavy hitter survives
+    * its bucket's fold (the q110 guarantee, per bucket because a token's
+    * occurrences all hash to ONE bucket).
+    *
+    * Flush discipline: the drain runs processAllAvailable TWICE — all
+    * token batches fold first, then a staged sentinel file (one row per
+    * bucket) arrives as a strictly LATER batch and makes every group emit
+    * its surviving candidates and clear state. No watermark tricks: the
+    * sentinel-after-data order is guaranteed by staging the file after
+    * the first drain returns, not by file-listing order.
+    *
+    * The drained candidates are a superset of the true heavy hitters;
+    * the exact batch recount + threshold (q110's phase 2, verbatim)
+    * finishes the job, so the stream twin shares q110's exact DuckDB
+    * oracle. */
+  def q154StreamHitters(s: SparkSession, d: String, buckets: Int = 16): DataFrame = {
+    val stagePath = java.nio.file.Files.createTempDirectory("graft_q154")
+    val stageDir = stagePath.toString
+    val name = "graft_stream_hitters"
+    var cands: DataFrame = null
+    try {
+      cands = EventsStream.withDrainSession(s) { drain =>
+        import drain.implicits._
+        val toks = drain.readStream.schema(docsSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+          .select(pmod(hash(col("token")), lit(buckets)).as("bucket"),
+            col("token"), lit(false).as("sentinel"))
+        val sentinels = drain.readStream
+          .schema(org.apache.spark.sql.Encoders.product[TokRow].schema)
+          .parquet(stageDir)
+        val out = toks.unionByName(sentinels).as[TokRow]
+          .groupByKey(_.bucket)
+          .flatMapGroupsWithState[MgState, (Int, String)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (bucket: Int, rows: Iterator[TokRow], state: GroupState[MgState]) =>
+              val counters = scala.collection.mutable.HashMap.empty[String, Long]
+              state.getOption.foreach(_.counters.foreach(counters += _))
+              var flush = false
+              // fold tokens first, flush-check after: row order within a
+              // batch is engine-chosen, but the MG superset guarantee
+              // holds under ANY fold order (and the sentinel arrives in a
+              // later batch anyway — see flush discipline above)
+              rows.foreach { r =>
+                if (r.sentinel) flush = true
+                else counters.get(r.token) match {
+                  case Some(c) => counters.update(r.token, c + 1)
+                  case None if counters.size < StatsOps.mgCapacity =>
+                    counters.update(r.token, 1L)
+                  case None =>
+                    val dead = counters.collect { case (k, 1L) => k }
+                    counters.mapValuesInPlace((_, c) => c - 1)
+                    dead.foreach(counters.remove)
+                }
+              }
+              if (flush) {
+                state.remove()
+                counters.keysIterator.map(t => (bucket, t)).toSeq.iterator
+              } else {
+                state.update(MgState(counters.toMap))
+                Iterator.empty
+              }
+          }
+          .toDF("bucket", "token")
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try {
+          q.processAllAvailable() // every token batch folds into state
+          // NOW stage the per-bucket sentinels — a strictly later batch
+          (0 until buckets).map(b => TokRow(b, null, sentinel = true))
+            .toDF().write.mode("overwrite").parquet(stageDir)
+          q.processAllAvailable() // flush batch: every group emits
+        } finally q.stop()
+        drain.table(name)
+      }
+      // phase 2, q110 verbatim: exact recount of the candidate superset
+      val tok = graft.Tables.load(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val n = tok.agg(count(lit(1)).as("n_tokens"))
+      tok.join(broadcast(cands.select("token").distinct()),
+          Seq("token"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .filter(col("cnt") * StatsOps.hhShareDenom > col("n_tokens"))
+        .select(col("token"), col("cnt"),
+          (col("cnt").cast("double") / col("n_tokens").cast("double"))
+            .as("share"))
+        .orderBy(col("cnt").desc, col("token"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: Throwable => () })
+    }
+  }
+}

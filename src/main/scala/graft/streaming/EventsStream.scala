@@ -542,7 +542,7 @@ object EventsStream {
     * registers in the CHILD's catalog — the entire drain pipeline,
     * including the post-drain batch read of the sink, must build on the
     * session this helper passes in. */
-  private def withDrainSession[T](s: SparkSession, n: Int = 8)(run: SparkSession => T): T = {
+  private[streaming] def withDrainSession[T](s: SparkSession, n: Int = 8)(run: SparkSession => T): T = {
     val drain = s.newSession()
     drain.conf.set("spark.sql.shuffle.partitions", n.toString)
     run(drain)

@@ -178,6 +178,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming heavy hitters equal the batch two-phase answer exactly") {
+    val stream = graft.streaming.DocsStream
+      .q154StreamHitters(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val batch = graft.ops.StatsOps
+      .q110HeavyHitters(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(stream.toSeq === batch.toSeq) // order included
+    assert(stream.nonEmpty)
+  }
+
   test("batch sessionization twin agrees on session boundaries") {
     val ev = Seq(
       (1L, 0L, 7L, 1.0), (2L, 5L, 7L, 1.0), (3L, 60L, 7L, 1.0))
