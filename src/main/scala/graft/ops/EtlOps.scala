@@ -1069,7 +1069,94 @@ object EtlOps {
       .orderBy("user_id", "event_type", "tus")
   }
 
+  // ---------------------------------------------------------------- q155
+  /** CUSUM CHANGE-POINT detection — for each event type, the day where the
+    * cumulative deviation of daily revenue from its series mean peaks: the
+    * classic single-change-point screen (Page's CUSUM evaluated offline),
+    * run per series. The textbook statistic Σ_{i≤k}(x_i − x̄) involves the
+    * non-integer mean, so the engine computes the n-SCALED twin instead:
+    *
+    *   CUSUM'_k = n·prefix_k − k·total   (≡ n · Σ_{i≤k}(x_i − x̄))
+    *
+    * which stays on the integer-cents grid end to end — prefix sums and
+    * totals are exact longs, the two products ride DECIMAL(38,0) (a
+    * 1000-day series over petabyte-scale daily revenue stays far inside
+    * 38 digits), and argmax |CUSUM'| is an exact integer compare with a
+    * pinned tie-break (equal mass → the EARLIER day, via max(struct(cu,
+    * −day))). Only the two reporting divisions are IEEE, both on exact
+    * sub-2^53 operands, so DuckDB lands on the identical doubles.
+    *
+    * Scale: the raw scan collapses to (type × day) rows immediately — the
+    * windows that follow run over calendar-bounded series per type, never
+    * over events, and partition by type (no single-partition sort). */
+  def q155CusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec38 = DecimalType(38, 0)
+    val cents = graft.streaming.EventsStream.cents _
+    val daily = t(s, d, "events")
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"),
+        cents(col("value")).as("c"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("c")).as("dc"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wAll = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("pre",
+        sum(col("dc")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("dc")).over(wAll))
+      .withColumn("cu",
+        abs(col("pre").cast(dec38) * col("n") - col("tot").cast(dec38) * col("k")))
+      .groupBy("event_type")
+      .agg(max(struct(col("cu").as("cu"), (-col("day")).as("nd"))).as("best"),
+        max(col("n")).as("n_days"), max(col("tot")).as("tot"))
+      .select(col("event_type"), col("n_days"),
+        (col("tot") / 100.0).as("total_value"),
+        (-col("best.nd")).as("change_day"),
+        col("best.cu").cast("long").as("cusum_abs"),
+        (col("best.cu").cast("double") / col("n_days").cast("double") / 100.0)
+          .as("shift_value"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------- q156
+  /** SESSION PATH MINING — the top behavioral 3-step paths: for every
+    * user's event stream in (time, id) order, each consecutive event-type
+    * triple is one path occurrence; paths are counted corpus-wide and the
+    * head ranked by frequency. q107's transition matrix generalized from
+    * pairs (first-order Markov) to order-preserving trigrams — the
+    * product-analytics "what do users actually do" query.
+    *
+    * Shape: ONE window per user builds both lookaheads (lead 1 and 2
+    * share the frame — no self-joins, no per-user collect), then the
+    * corpus collapses to path-domain-sized counts (≤ |types|³ rows).
+    * The share denominator crosses back as a broadcast single row, and
+    * the head is a TakeOrderedAndProject. The only IEEE op is the final
+    * share division on exact longs — both engines land identical doubles.
+    * Deterministic under ties: ordered by (n DESC, path). */
+  def q156SessionPaths(s: SparkSession, d: String, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val grams = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(" > ", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+    val tot = grams.agg(sum(col("n")).as("tot"))
+    grams.crossJoin(broadcast(tot))
+      .select(col("path"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("share"))
+      .orderBy(col("n").desc, col("path")).limit(topK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_session_paths" -> ((s: SparkSession, d: String) => q156SessionPaths(s, d)),
+    "q155_cusum_changepoint" -> (q155CusumChangepoint _),
     "q138_debounce" -> ((s: SparkSession, d: String) => q138Debounce(s, d)),
     "q134_ivm_moments" -> ((s: SparkSession, d: String) => q134IvmMoments(s, d)),
     "q135_late_data_audit" -> ((s: SparkSession, d: String) => q135LateDataAudit(s, d)),
@@ -1158,6 +1245,51 @@ object EtlOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q156_session_paths" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+        | FROM events),
+        |t AS (
+        | SELECT event_type AS t1,
+        |  lead(event_type, 1) OVER w AS t2,
+        |  lead(event_type, 2) OVER w AS t3
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |g AS (
+        | SELECT t1 || ' > ' || t2 || ' > ' || t3 AS path, count(*) AS n
+        | FROM t WHERE t3 IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+        |SELECT path, n, CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+        |FROM g CROSS JOIN tot
+        |ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q155_cusum_changepoint" ->
+      """WITH e AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        | FROM events),
+        |d AS (SELECT event_type, day, CAST(sum(c) AS BIGINT) AS dc
+        |      FROM e GROUP BY 1, 2),
+        |w AS (
+        | SELECT event_type, day, dc,
+        |  CAST(row_number() OVER wo AS BIGINT) AS k,
+        |  sum(dc) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+        |  count(*) OVER (PARTITION BY event_type) AS n,
+        |  sum(dc) OVER (PARTITION BY event_type) AS tot
+        | FROM d WINDOW wo AS (PARTITION BY event_type ORDER BY day)),
+        |c AS (
+        | SELECT event_type, n, tot, day,
+        |  abs(CAST(pre AS HUGEINT) * n - CAST(tot AS HUGEINT) * k) AS cu
+        | FROM w),
+        |b AS (
+        | SELECT event_type, max(struct_pack(cu := cu, nd := -day)) AS best,
+        |  max(n) AS n_days, max(tot) AS tot
+        | FROM c GROUP BY 1)
+        |SELECT event_type, n_days,
+        | CAST(tot AS DOUBLE) / 100.0 AS total_value,
+        | -(best.nd) AS change_day,
+        | CAST(best.cu AS BIGINT) AS cusum_abs,
+        | CAST(best.cu AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0 AS shift_value
+        |FROM b ORDER BY event_type""".stripMargin,
     // brute per-user cross of clicks × purchases, argmin by the same
     // (dist, t, −id) struct the two as-of passes realize
     "q152_nearest_event" ->

@@ -546,7 +546,57 @@ object StatsOps {
       .orderBy("col_name")
   }
 
+  // ---------------------------------------------------------------- q157
+  /** A/B EXPERIMENT readout — deterministic CONTENT-HASH arm assignment
+    * (first md5 hex digit of the user id: 0-7 → A, 8-f → B; the q64 split
+    * discipline, so re-runs and re-shards never migrate a user between
+    * arms) and the pooled two-proportion z-test on purchase conversion.
+    *
+    * Exactness: counts are exact longs; rates, the pooled variance, and
+    * z² are ONE FIXED TREE of IEEE double ops over those exact integers —
+    * every operand < 2^53, every op correctly rounded, and DuckDB
+    * evaluates the identical tree, so both engines land the identical
+    * doubles (the q130/q133 "deterministic IEEE on deterministic
+    * operands" discipline). An all-integer z² would need N⁵-sized
+    * precision — past DECIMAL(38,0) already at ~10⁷ users — so the fixed
+    * double tree is the form that scales. The χ²₁ 95% threshold then
+    * yields a portable significance flag (identical doubles ⇒ identical
+    * compare). Degenerate pools (everyone or no one converts) report a
+    * NULL z² instead of a 0/0.
+    *
+    * Shape: per-user conversion rollup (one shuffle on user_id, map-side
+    * combinable), then a single-row aggregate — nothing corpus-sized
+    * crosses the wire after the first combine. */
+  def q157AbExperiment(s: SparkSession, d: String): DataFrame = {
+    val users = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+    users.agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "A", col("conv")).otherwise(0L)).as("x_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("x_b"))
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        (col("x_a").cast("double") / col("n_a").cast("double")).as("rate_a"),
+        (col("x_b").cast("double") / col("n_b").cast("double")).as("rate_b"),
+        ((col("x_a") + col("x_b")).cast("double")
+          / (col("n_a") + col("n_b")).cast("double")).as("pooled"))
+      .withColumn("den",
+        col("pooled") * (lit(1.0) - col("pooled")) *
+          (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+      .withColumn("z2",
+        when(col("den") > 0.0,
+          (col("rate_a") - col("rate_b")) * (col("rate_a") - col("rate_b"))
+            / col("den")))
+      .withColumn("significant", when(col("den") > 0.0, col("z2") > 3.841458820694124))
+      .drop("den")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_ab_experiment" -> (q157AbExperiment _),
     "q141_kmv_distinct" -> ((s: SparkSession, d: String) => q141KmvSketch(s, d)),
     "q129_column_entropy" -> (q129ColumnEntropy _),
     "q121_bootstrap_se" -> ((s: SparkSession, d: String) => q121BootstrapSe(s, d)),
@@ -566,6 +616,41 @@ object StatsOps {
     "q52_approx_distinct" -> (q52ApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "q157_ab_experiment" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        | FROM events GROUP BY 1),
+        |a AS (
+        | SELECT conv,
+        |  CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |   THEN 'A' ELSE 'B' END AS arm
+        | FROM u),
+        |g AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+        |  CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS x_b
+        | FROM a),
+        |r AS (
+        | SELECT *,
+        |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |  CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |  CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pooled
+        | FROM g),
+        |z AS (
+        | SELECT *,
+        |  pooled * (1.0 - pooled)
+        |   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)) AS den
+        | FROM r)
+        |SELECT n_a, x_a, n_b, x_b, rate_a, rate_b, pooled,
+        | CASE WHEN den > 0.0
+        |  THEN (rate_a - rate_b) * (rate_a - rate_b) / den END AS z2,
+        | CASE WHEN den > 0.0
+        |  THEN (rate_a - rate_b) * (rate_a - rate_b) / den
+        |    > 3.841458820694124 END AS significant
+        |FROM z""".stripMargin,
     // u32 = first 8 hex digits of the k-th smallest hash, expanded digit
     // by digit (DuckDB has no hex->int cast); est is HUGEINT-exact //
     "q141_kmv_distinct" ->

@@ -873,6 +873,57 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(got.filter(col("dau") > col("wau7")).count() === 0)
   }
 
+  // ------------------------------------------------------------ q156 paths
+  test("session paths: counts and head match a driver-side trigram recompute") {
+    import spark.implicits._
+    val got = EtlOps.q156SessionPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"),
+        col("event_id"))
+      .as[(Long, String, Long, Long)].collect()
+    val counts = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._3, r._4)).map(_._2)
+        .sliding(3).filter(_.length == 3).map(_.mkString(" > "))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = counts.values.sum.toDouble
+    got.foreach { case (path, n, share) =>
+      assert(counts(path) === n, path)
+      assert(share === n / tot)
+    }
+    val expTop = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20).map(_._1)
+    assert(got.map(_._1).toSeq === expTop)
+  }
+
+  // ------------------------------------------------------------ q155 cusum
+  test("cusum change-point matches a driver-side BigInt recompute") {
+    val got = EtlOps.q155CusumChangepoint(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    val rows = Tables.load(spark, sf, "events")
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = rows.groupBy(_._1)
+    assert(got.keySet === byType.keySet)
+    byType.foreach { case (tpe, rs) =>
+      val daily = rs.groupBy(_._2).view.mapValues(_.map(v => BigInt(v._3)).sum)
+        .toSeq.sortBy(_._1)
+      val n = BigInt(daily.length)
+      val tot = daily.map(_._2).sum
+      var pre = BigInt(0)
+      var best = (BigInt(-1), 0L)
+      daily.zipWithIndex.foreach { case ((day, dc), i) =>
+        pre += dc
+        val cu = (n * pre - tot * BigInt(i + 1)).abs
+        if (cu > best._1) best = (cu, day) // ascending days: ties keep earliest
+      }
+      val (nDays, changeDay, cusumAbs) = got(tpe)
+      assert(nDays === daily.length.toLong, tpe)
+      assert(changeDay === best._2, tpe)
+      assert(cusumAbs === best._1.toLong, tpe)
+    }
+  }
+
   test("rolling actives: coverage window expires after exactly 7 days") {
     import spark.implicits._
     val us = 86400000000L // one day of microseconds

@@ -262,6 +262,35 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------ q157 a/b
+  test("a/b experiment: counts, rates, and z2 match a driver recompute") {
+    val r = StatsOps.q157AbExperiment(spark, TestSpark.sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (nA, xA, nB, xB) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // driver recompute of the per-user conversion + md5 arm split
+    val users = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("user_id"), col("event_type")).as[(Long, String)].collect()
+      .groupBy(_._1).iterator.map { case (u, evs) =>
+        val conv = if (evs.exists(_._2 == "purchase")) 1L else 0L
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(u.toString.getBytes("UTF-8"))
+        val arm = if (((md(0) >> 4) & 0xf) < 8) "A" else "B"
+        (arm, conv)
+      }.toSeq
+    assert(nA === users.count(_._1 == "A").toLong)
+    assert(xA === users.filter(_._1 == "A").map(_._2).sum)
+    assert(nB === users.count(_._1 == "B").toLong)
+    assert(xB === users.filter(_._1 == "B").map(_._2).sum)
+    // z2 equals the same fixed IEEE tree evaluated on the driver
+    val (ra, rb) = (xA.toDouble / nA, xB.toDouble / nB)
+    val pooled = (xA + xB).toDouble / (nA + nB)
+    val den = pooled * (1.0 - pooled) * (1.0 / nA + 1.0 / nB)
+    assert(row.getDouble(4) === ra && row.getDouble(5) === rb)
+    if (den > 0.0) assert(row.getDouble(7) === (ra - rb) * (ra - rb) / den)
+    else assert(row.isNullAt(7))
+  }
+
   test("kmv sketch merges: min-k of union == min-k over re-unioned halves") {
     // the mergeability claim behind the scale argument, on the real corpus:
     // splitting the table in half, taking each half's k smallest hashes,
