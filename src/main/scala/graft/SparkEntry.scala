@@ -34,6 +34,8 @@ object SparkEntry {
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q60StreamSessionize(s, d)),
         "q63_stream_interval_join" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q63StreamIntervalJoin(s, d)),
+        "q158_stream_left_join" ->
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q158StreamLeftJoin(s, d)),
         "q71_stream_dedup" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q71StreamDedup(s, d)),
         "q108_stream_transitions" ->
@@ -89,6 +91,20 @@ object SparkEntry {
             |SELECT c.click_id, count(*) AS n_purch_1h,
             | CAST(sum(p.v) AS DOUBLE) AS sum_purch_value
             |FROM c JOIN p ON c.user_id = p.user_id
+            |  AND p.tus >= c.tus - 3600000000 AND p.tus <= c.tus
+            |GROUP BY c.click_id ORDER BY click_id""".stripMargin,
+        // the LEFT OUTER stream join must equal the batch left join:
+        // unmatched clicks emit on watermark eviction with 0 / NULL
+        "q158_stream_left_join" ->
+          """WITH e AS (SELECT event_id, user_id, event_type, value,
+            |  epoch_us(ts) AS tus FROM events),
+            |c AS (SELECT event_id AS click_id, user_id, tus FROM e
+            |  WHERE event_type = 'click'),
+            |p AS (SELECT user_id, tus, CAST(value AS DECIMAL(18,2)) AS v FROM e
+            |  WHERE event_type = 'purchase')
+            |SELECT c.click_id, count(p.user_id) AS n_purch_1h,
+            | CAST(sum(p.v) AS DOUBLE) AS sum_purch_value
+            |FROM c LEFT JOIN p ON c.user_id = p.user_id
             |  AND p.tus >= c.tus - 3600000000 AND p.tus <= c.tus
             |GROUP BY c.click_id ORDER BY click_id""".stripMargin,
         // streaming dedup must make the double delivery invisible: the

@@ -548,6 +548,103 @@ object EventsStream {
     run(drain)
   }
 
+  /** Stage a one-row far-future sentinel beside the in-place events source
+    * and hand the body a FACTORY of (events ∪ sentinel) raw-nanos streams:
+    * each call builds fresh source nodes, so a body can derive several
+    * branches (e.g. both sides of a stream-stream join) and every branch
+    * sees the watermark-advancing sentinel. The q60/q108 drain mechanics,
+    * factored: no O(table) staging copy — only the sentinel row is ever
+    * written — and the staged dir is deleted after the drain completes
+    * (the memory sink, not the file source, holds the drained rows). */
+  /** `sentinelTypes` is the event_type value per staged sentinel row. The
+    * default opaque 'sentinel' is right for stateful-op drains whose plan
+    * keeps every row flowing to the watermark node; a body that FILTERS BY
+    * TYPE before its watermark columns (e.g. the two sides of a
+    * stream-stream join) must pass the types its branches keep — Catalyst
+    * pushes the type filter into the parquet scan BELOW the watermark
+    * node, so an opaque sentinel dies at the reader and advances nothing
+    * (measured: the newest unmatched click never flushed). Each sentinel
+    * gets a distinct negative user/event id, so typed sentinels can never
+    * join each other; bodies exclude them with `col(...) >= 0`. */
+  private def withSentinelDrain(s: SparkSession, d: String, tag: String,
+                                sentinelTypes: Seq[String] = Seq("sentinel"))
+      (body: (SparkSession, () => DataFrame) => DataFrame): DataFrame = {
+    import s.implicits._
+    val maxRow = graft.Tables.load(s, d, "events").agg(max(expr("ts div 1000"))).head
+    if (maxRow.isNullAt(0)) throw new IllegalArgumentException(
+      s"events table at $d is empty — nothing to stream")
+    val maxUs = maxRow.getLong(0)
+    val stagePath = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    try {
+      // sentinels: same RAW column shape as the events source (ts in ns)
+      sentinelTypes.zipWithIndex.map { case (tpe, i) =>
+        (-1L - i, (maxUs + 10L * 24 * 3600 * 1000000) * 1000, -1L - i, tpe, 0.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(stagePath.toString)
+      withDrainSession(s) { drain =>
+        def mk() = readEventsNanos(drain, d).unionAll(
+          drain.readStream.schema(eventsSchemaNanos).parquet(stagePath.toString))
+        body(drain, () => mk())
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
+  }
+
+  // ---------------------- q158: stream-stream LEFT OUTER interval join
+  /** q158: the OUTER face of q63 — every click emits, matched to the same
+    * user's preceding-hour purchases when they exist and as a null-padded
+    * row when they don't. The outer side is the part inner q63 cannot
+    * express, and it leans on the state-eviction contract: an unmatched
+    * click is emitted ONLY when the watermark passes the end of its join
+    * window (before that, a matching purchase could still arrive), so a
+    * total drain needs the watermark pushed past every open window — the
+    * far-future sentinel does exactly that, and it must be visible to the
+    * WATERMARK NODE, which is why the watermark sits on the raw union
+    * BEFORE the type filters (a sentinel filtered out upstream of the
+    * watermark would advance nothing). Event-time metadata survives the
+    * rename projections, so both join inputs keep their watermark.
+    *
+    * State: both sides evict with the watermark exactly as in q63 — the
+    * outer flag changes emission timing, not state size. The drained rows
+    * batch-aggregate per click (count over the nullable purchase column,
+    * so unmatched clicks report 0 / NULL), sharing an exact DuckDB LEFT
+    * JOIN oracle. */
+  def q158StreamLeftJoin(s: SparkSession, d: String): DataFrame = {
+    val drained = withSentinelDrain(s, d, "q158",
+      sentinelTypes = Seq("click", "purchase")) { (drain, mk) =>
+      def side = mk()
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ets", "1 hour")
+      val clicks = side.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ets").as("c_ts"))
+      val purchases = side.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          cents(col("value")).as("p_cents"),
+          col("ets").as("p_ts"))
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"),
+        "leftOuter")
+      val name = "graft_stream_leftjoin"
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      drain.table(name)
+    }
+    drained
+      .filter(col("click_id") >= 0) // the typed sentinels are not data
+      .groupBy(col("click_id"))
+      .agg(count(col("p_cents")).as("n_purch_1h"),
+        (sum(col("p_cents")) / 100.0).as("sum_purch_value"))
+      .orderBy("click_id")
+  }
+
   // ---------------------------------------- q63: stream-stream interval join
   /** q63: watermarked stream-stream INTERVAL JOIN — clicks joined to the
     * same user's purchases in the preceding hour, both sides unbounded

@@ -161,6 +161,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("stream-stream LEFT OUTER join flushes unmatched clicks and equals the batch twin") {
+    import org.apache.spark.sql.types.DecimalType
+    val streamed = EventsStream.q158StreamLeftJoin(spark, TestSpark.sf).collect()
+    val e = Tables.load(spark, TestSpark.sf, "events")
+      .withColumn("tus", expr("ts div 1000"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("tus").as("ct"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+        col("tus").as("pt"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+        col("pt") >= col("ct") - 3600000000L && col("pt") <= col("ct"), "left")
+      .groupBy("click_id")
+      .agg(count(col("cents")).as("n"), (sum("cents") / 100.0).as("sv"))
+      .orderBy("click_id").collect()
+    // every click emits — matched or not — and unmatched ones really exist
+    assert(streamed.map(_.getLong(0)).toSet ===
+      c.select("click_id").collect().map(_.getLong(0)).toSet)
+    assert(streamed.exists(_.getLong(1) == 0L))
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("streaming dedup collapses double delivery to the batch aggregate") {
     val streamed = graft.streaming.EventsStream.q71StreamDedup(spark, TestSpark.sf)
       .collect().map(_.toSeq)
