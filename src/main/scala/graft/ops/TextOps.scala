@@ -1157,7 +1157,71 @@ object TextOps {
       .orderBy("fold", "lang")
   }
 
+  // ---------------------------------------------------------------- q159
+  /** ITERATIVE BPE TRAINER — q125 counted ONE merge step; this runs the
+    * actual training loop: `rounds` times, count adjacent symbol pairs
+    * over the distinct pre-token table (weighted by frequency), pick the
+    * argmax merge (count DESC, pair ASC — the pinned tie-break), APPLY it
+    * corpus-wide, and recount. Rounds 2+ see round 1's merged symbols, so
+    * the apply step — the part q125 left to "a driver loop" — is the
+    * graded machinery here.
+    *
+    * The apply is ONE string replace per round, exact-greedy by
+    * construction: pre-tokens ride in a DOUBLE-SPACE symbol encoding
+    * (" a  b  c " — two spaces between symbols, one at each edge) where a
+    * pair occurrence " a  b " consumes only the FIRST space of the
+    * trailing boundary, so back-to-back occurrences ("a a a a" under
+    * merge (a,a)) match in the same left-to-right non-overlapping scan —
+    * bit-equal to the textbook greedy merge (spec proves it against a
+    * symbol-list reimplementation; single-space encodings are NOT greedy:
+    * the shared boundary space dies with the first match and the second
+    * occurrence is skipped). Pattern alignment is unique because symbols
+    * contain no spaces: a match can only start at a boundary. Spark and
+    * DuckDB both implement replace as the same left-to-right scan, and
+    * the oracle unrolls the full loop — counts, argmax, replace — in
+    * SQL CTEs, so the apply parity is oracle-checked end to end.
+    *
+    * Trainer corpus: letter/number/apostrophe pre-tokens (q67's regex
+    * branches) with the GPT-2-style leading space rewritten to '_' (a
+    * corpus '_' would collide with the marker — acceptable for a trainer
+    * statistic and identical in both engines). Scale: the corpus
+    * aggregates to the Zipf-small distinct pre-token table FIRST
+    * (localCheckpointed once); each round is a domain-bounded pair count
+    * plus a map-side replace, and only the single argmax row ever reaches
+    * the driver — the same O(1)-per-round driver traffic as the IVF
+    * centroid collect. */
+  def q159BpeTrainer(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+    import s.implicits._
+    val tokRe = "^ ?[\\p{L}\\p{N}']+$"
+    var wf = t(s, d, "documents")
+      .select(explode(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("tok"))
+      .filter(col("tok").rlike(tokRe) && length(col("tok")) >= 2)
+      .select(regexp_replace(regexp_replace(col("tok"), " ", "_"), "(.)", " $1 ").as("sp"))
+      .groupBy("sp").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val learned = Seq.newBuilder[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val pairs = wf
+        .select(col("freq"), split(trim(col("sp")), "  ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => concat(element_at(col("syms"), i), lit(" "),
+              element_at(col("syms"), i + 1)))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+      require(top.nonEmpty, s"BPE round $r: no adjacent pairs left to merge")
+      val (bestPair, cnt) = (top(0).getString(0), top(0).getLong(1))
+      val Array(a, b) = bestPair.split(" ", 2)
+      learned += ((r, bestPair, cnt))
+      wf = wf.withColumn("sp",
+        replace(col("sp"), lit(s" $a  $b "), lit(s" $a$b ")))
+    }
+    learned.result().toDF("round", "pair", "merge_count")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_bpe_trainer" -> ((s: SparkSession, d: String) => q159BpeTrainer(s, d)),
     "q139_kfold_assign" -> (q139KfoldAssign _),
     "q125_bpe_merges" -> ((s: SparkSession, d: String) => q125BpeMerges(s, d)),
     "q126_repetition_stats" -> ((s: SparkSession, d: String) => q126RepetitionStats(s, d)),
@@ -1223,6 +1287,41 @@ object TextOps {
        |       / len($duckToks)), 4)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q159_bpe_trainer" -> {
+      val pat = bpePattern.replace("'", "''")
+      // unroll the train loop: per round, pair counts off w{r-1}, the
+      // argmax merge, and the double-space-encoded replace into w{r}
+      val roundCtes = (1 to 3).map { r =>
+        s"""p$r AS (
+           | SELECT t.arr[i.i] || ' ' || t.arr[i.i + 1] AS pair,
+           |  CAST(sum(freq) AS BIGINT) AS cnt
+           | FROM (SELECT string_split(trim(sp), '  ') AS arr, freq
+           |       FROM w${r - 1}) t,
+           |      unnest(range(1, len(t.arr))) AS i(i)
+           | GROUP BY 1),
+           |b$r AS (
+           | SELECT pair, cnt, string_split(pair, ' ')[1] AS a,
+           |  string_split(pair, ' ')[2] AS b
+           | FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+           |w$r AS (
+           | SELECT replace(sp, ' ' || b.a || '  ' || b.b || ' ',
+           |   ' ' || b.a || b.b || ' ') AS sp, freq
+           | FROM w${r - 1} CROSS JOIN b$r b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pt AS (
+         | SELECT unnest(regexp_extract_all(text, '$pat')) AS tok FROM documents),
+         |w0 AS (
+         | SELECT regexp_replace(replace(tok, ' ', '_'), '(.)', ' \\1 ', 'g') AS sp,
+         |  count(*) AS freq
+         | FROM pt
+         | WHERE regexp_matches(tok, '^ ?[\\p{L}\\p{N}'']+$$') AND length(tok) >= 2
+         | GROUP BY 1),
+         |$roundCtes
+         |SELECT CAST(1 AS INT) AS round, pair, cnt AS merge_count FROM b1
+         |UNION ALL SELECT CAST(2 AS INT), pair, cnt FROM b2
+         |UNION ALL SELECT CAST(3 AS INT), pair, cnt FROM b3
+         |ORDER BY round""".stripMargin
+    },
     "q125_bpe_merges" -> {
       val pat = bpePattern.replace("'", "''")
       s"""WITH pt AS (

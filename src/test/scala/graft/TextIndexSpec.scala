@@ -13,6 +13,63 @@ class TextIndexSpec extends AnyFunSuite {
     .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
     .distinct().cache()
 
+  // ------------------------------------------------------------ q159 bpe
+  /** Greedy left-to-right non-overlapping merge — the textbook BPE apply
+    * the double-space replace encoding must reproduce exactly. */
+  private def mergeOnce(syms: List[String], a: String, b: String): List[String] = {
+    val buf = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        buf += (a + b); i += 2
+      } else { buf += syms(i); i += 1 }
+    }
+    buf.toList
+  }
+
+  test("bpe trainer: 3 rounds equal a symbol-list reimplementation on the corpus") {
+    val got = TextOps.q159BpeTrainer(spark, TestSpark.sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // brute: tokenize, filter, mark, count, then 3 greedy rounds on lists
+    val tokPat = java.util.regex.Pattern.compile(TextOps.bpePattern)
+    val keep = java.util.regex.Pattern.compile("^ ?[\\p{L}\\p{N}']+$")
+    val freqs = scala.collection.mutable.Map.empty[List[String], Long]
+    Tables.load(spark, TestSpark.sf, "documents").select("text").collect().foreach { r =>
+      val m = tokPat.matcher(r.getString(0))
+      while (m.find()) {
+        val tok = m.group()
+        if (keep.matcher(tok).find() && tok.length >= 2) {
+          val syms = tok.replace(' ', '_').map(_.toString).toList
+          freqs(syms) = freqs.getOrElse(syms, 0L) + 1L
+        }
+      }
+    }
+    var wf = freqs.toList
+    val exp = (1 to 3).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      wf.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case List(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ => ()
+        }
+      }
+      val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a + " " + b) }
+      wf = wf.map { case (syms, f) => (mergeOnce(syms, a, b), f) }
+      (r, a + " " + b, cnt)
+    }
+    assert(got.toSeq === exp)
+  }
+
+  test("bpe apply: double-space replace merges back-to-back chains greedily") {
+    // " a  a  a  a " under merge (a,a) must become [aa, aa] — the
+    // single-space encoding would skip the second occurrence
+    val sp = " a  a  a  a "
+    val merged = sp.replace(" a  a ", " aa ")
+    assert(merged === " aa  aa ")
+    val odd = " a  a  a ".replace(" a  a ", " aa ")
+    assert(odd === " aa  a ")
+  }
+
   test("dup spans: operator equals a raw-string brute force over the corpus") {
     // brute force with raw gram STRINGS (not md5) — also proves the
     // operator's fingerprint join introduces no collision dependence
