@@ -436,7 +436,46 @@ object GraphOps {
       .orderBy("bucket_log2")
   }
 
+  // ---------------------------------------------------------------- q160
+  /** LOCAL CLUSTERING COEFFICIENT — per node of the mutually-capped
+    * co-order graph: how close its neighborhood is to a clique,
+    * cc(u) = 2·tri(u) / (deg(u)·(deg(u)−1)). The community-structure
+    * companion to q99's triangle enumeration: q99 ranks the heaviest
+    * triangles, this attributes EVERY triangle back to its three corners
+    * and normalizes by the wedge count.
+    *
+    * Shape: the triangle join is exactly q99's id-oriented wedge probe
+    * over the shared session edge memo (bounded at n·C(cap,2) wedges by
+    * the mutual-cap pruning), each triangle then explodes into its three
+    * corners — a 3× fan-out of an already-small triangle set — and the
+    * counts join back to the degree table. Integer counts end to end; the
+    * one IEEE division runs on exact sub-2^53 operands, so DuckDB lands
+    * identical doubles. deg-1 nodes report NULL (no wedge exists), never
+    * 0/0. */
+  def q160ClusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val e = cachedCoOrderEdges(s, d)
+    val adj = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .join(e.as("e3"),
+        col("e1.v") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val tn = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(tn, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clustering",
+        when(col("deg") >= 2,
+          (lit(2L) * col("n_tri")).cast("double")
+            / (col("deg") * (col("deg") - 1)).cast("double")))
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_clustering_coeff" -> (q160ClusteringCoeff _),
     "q112_label_communities" -> (q112LabelCommunities _),
     "q66_dedup_components" -> (q66DedupComponents _),
     "q148_cluster_survivor" -> (q148ClusterSurvivor _),
@@ -509,6 +548,30 @@ object GraphOps {
          |SELECT label, count(*) AS n_members, min(node) AS min_member
          |FROM l2 GROUP BY label HAVING count(*) >= 3
          |ORDER BY n_members DESC, label LIMIT 25""".stripMargin,
+    "q160_clustering_coeff" ->
+      s"""WITH $duckCappedEdges,
+         |tri AS (
+         | SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         | FROM capped e1
+         | JOIN capped e2 ON e1.u = e2.u AND e1.v < e2.v
+         | JOIN capped e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |tn AS (
+         | SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |  SELECT a AS node FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri)
+         | GROUP BY 1),
+         |dg AS (
+         | SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT u AS node FROM capped UNION ALL SELECT v FROM capped)
+         | GROUP BY 1)
+         |SELECT dg.node, dg.deg,
+         | coalesce(tn.n_tri, 0) AS n_tri,
+         | CASE WHEN dg.deg >= 2
+         |  THEN CAST(2 * coalesce(tn.n_tri, 0) AS DOUBLE)
+         |    / CAST(dg.deg * (dg.deg - 1) AS DOUBLE) END AS clustering
+         |FROM dg LEFT JOIN tn USING (node)
+         |ORDER BY node""".stripMargin,
     "q99_triangle_cooccur" ->
       s"""WITH $duckCappedEdges
          |SELECT e1.u AS a, e1.v AS b, e2.v AS c,

@@ -218,4 +218,29 @@ class GraphOpsSpec extends AnyFunSuite {
     // the mutual cap is the histogram's hard right edge
     assert(h.map(_.getAs[Long]("max_deg")).max <= 64L)
   }
+
+  // ------------------------------------------------------------ q160 cc
+  test("clustering coefficient matches a driver-side neighborhood recompute") {
+    val got = GraphOps.q160ClusteringCoeff(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val es = GraphOps.cachedCoOrderEdges(spark, TestSpark.sf)
+      .select("u", "v").as[(Long, Long)].collect()
+    val nbrs = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    es.foreach { case (u, v) => nbrs(u) += v; nbrs(v) += u }
+    assert(got.keySet === nbrs.keySet)
+    nbrs.foreach { case (n, ns) =>
+      val deg = ns.size.toLong
+      val tri = ns.toSeq.sorted.combinations(2)
+        .count { case Seq(x, y) => nbrs(x).contains(y); case _ => false }
+        .toLong
+      val exp = if (deg >= 2)
+        Some((2L * tri).toDouble / (deg * (deg - 1)).toDouble) else None
+      assert(got(n) === ((deg, tri, exp)), s"node $n")
+    }
+    // at least one node actually closes a triangle
+    assert(got.values.exists(_._2 > 0))
+  }
 }
