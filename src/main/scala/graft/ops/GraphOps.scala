@@ -474,7 +474,52 @@ object GraphOps {
       .orderBy("node")
   }
 
+  // ---------------------------------------------------------------- q161
+  /** ITEM-ITEM SIMILARITY (association ranking) — the "customers also
+    * bought" primitive: co-order edge weights normalized to the Ochiai /
+    * cosine coefficient w/√(n_u·n_v) (w = orders containing both, n_x =
+    * orders containing x), top-k neighbors per item. Raw co-counts rank
+    * popular items everywhere; the support normalization is what turns
+    * co-occurrence into similarity.
+    *
+    * Shape: rides the shared capped edge memo (mutual-top-64 pruning is
+    * the candidate bound — at 100 TB the ranking never sees the raw m²
+    * co-occurrence blowup), joins the per-item support table twice by
+    * key, and ranks through the NATIVE TopKPerGroup operator (bounded
+    * per-group heaps, map-side partial pass) rather than a window sort.
+    * Exactness: w, n_u, n_v are exact longs; sim is division-by-sqrt on
+    * exact sub-2^53 operands — two correctly-rounded IEEE ops both
+    * engines evaluate identically, and the (sim DESC, v) rank tiebreak
+    * pins the order. */
+  def q161ItemSimilarity(s: SparkSession, d: String, topK: Int = 10): DataFrame = {
+    val e = cachedCoOrderEdges(s, d)
+    val op = Tables.load(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val support = op.groupBy(col("p")).agg(count(lit(1)).as("n_ord"))
+    // symmetrize via ONE generator pass instead of a Union: the memoized
+    // edge relation carries its u < v constraint, and Union's constraint
+    // rewrite crashes on it under the swapped projection (key-not-found
+    // on the dropped exprId — a Spark constraint-propagation corner);
+    // inline(array(struct…)) emits both orientations with no Union node
+    // and scans the edge memo once
+    val sym = e.select(inline(array(
+      struct(col("u"), col("v"), col("w")),
+      struct(col("v").as("u"), col("u").as("v"), col("w")))))
+    val scored = sym
+      .join(support.select(col("p").as("u"), col("n_ord").as("nu")), Seq("u"))
+      .join(support.select(col("p").as("v"), col("n_ord").as("nv")), Seq("v"))
+      .withColumn("sim",
+        col("w").cast("double") / sqrt((col("nu") * col("nv")).cast("double")))
+    graft.plans.TopK.perGroup(
+      scored.select("u", "v", "w", "nu", "nv", "sim"),
+      groupCols = Seq("u"),
+      orderBy = Seq(("sim", false), ("v", true)),
+      k = topK, rankName = "rk")
+      .orderBy("u", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_item_similarity" -> ((s: SparkSession, d: String) => q161ItemSimilarity(s, d)),
     "q160_clustering_coeff" -> (q160ClusteringCoeff _),
     "q112_label_communities" -> (q112LabelCommunities _),
     "q66_dedup_components" -> (q66DedupComponents _),
@@ -548,6 +593,25 @@ object GraphOps {
          |SELECT label, count(*) AS n_members, min(node) AS min_member
          |FROM l2 GROUP BY label HAVING count(*) >= 3
          |ORDER BY n_members DESC, label LIMIT 25""".stripMargin,
+    "q161_item_similarity" ->
+      s"""WITH $duckCappedEdges,
+         |support AS (
+         | SELECT p, CAST(count(*) AS BIGINT) AS n_ord FROM op GROUP BY 1),
+         |sym AS (
+         | SELECT u, v, w FROM capped UNION ALL SELECT v, u, w FROM capped),
+         |scored AS (
+         | SELECT sym.u, sym.v, CAST(sym.w AS BIGINT) AS w,
+         |  su.n_ord AS nu, sv.n_ord AS nv,
+         |  CAST(sym.w AS DOUBLE) / sqrt(CAST(su.n_ord * sv.n_ord AS DOUBLE))
+         |   AS sim
+         | FROM sym JOIN support su ON sym.u = su.p
+         |          JOIN support sv ON sym.v = sv.p),
+         |ranked AS (
+         | SELECT *, CAST(row_number() OVER (PARTITION BY u
+         |   ORDER BY sim DESC, v) AS INT) AS rk
+         | FROM scored)
+         |SELECT u, v, w, nu, nv, sim, rk
+         |FROM ranked WHERE rk <= 10 ORDER BY u, rk""".stripMargin,
     "q160_clustering_coeff" ->
       s"""WITH $duckCappedEdges,
          |tri AS (

@@ -219,6 +219,33 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(h.map(_.getAs[Long]("max_deg")).max <= 64L)
   }
 
+  // ------------------------------------------------------------ q161 sim
+  test("item similarity: native top-k equals the window form and sim is normalized") {
+    import org.apache.spark.sql.expressions.Window
+    val got = GraphOps.q161ItemSimilarity(spark, TestSpark.sf)
+    val e = GraphOps.cachedCoOrderEdges(spark, TestSpark.sf)
+    val op = Tables.load(spark, TestSpark.sf, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val support = op.groupBy(col("p")).agg(count(lit(1)).as("n_ord"))
+    // inline, not union: the edge memo's u < v constraint crashes Union's
+    // constraint rewrite once a join sits above (same dodge as the operator)
+    val sym = e.select(inline(array(
+      struct(col("u"), col("v"), col("w")),
+      struct(col("v").as("u"), col("u").as("v"), col("w")))))
+    val scored = sym
+      .join(support.select(col("p").as("u"), col("n_ord").as("nu")), Seq("u"))
+      .join(support.select(col("p").as("v"), col("n_ord").as("nv")), Seq("v"))
+      .withColumn("sim",
+        col("w").cast("double") / sqrt((col("nu") * col("nv")).cast("double")))
+    val w = Window.partitionBy("u").orderBy(col("sim").desc, col("v"))
+    val exp = scored.select("u", "v", "w", "nu", "nv", "sim")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .orderBy("u", "rk")
+    assert(got.collect().map(_.toSeq).toSeq === exp.collect().map(_.toSeq).toSeq)
+    // Ochiai is normalized: w <= min(nu, nv) ⇒ 0 < sim <= 1
+    assert(got.filter(col("sim") <= 0.0 || col("sim") > 1.0).count() === 0)
+  }
+
   // ------------------------------------------------------------ q160 cc
   test("clustering coefficient matches a driver-side neighborhood recompute") {
     val got = GraphOps.q160ClusteringCoeff(spark, TestSpark.sf).collect()
