@@ -1154,7 +1154,65 @@ object EtlOps {
       .orderBy(col("n").desc, col("path")).limit(topK)
   }
 
+  // ---------------------------------------------------------------- q162
+  /** FUNNEL CONVERSION CURVE with per-stage deadlines — q81 answered "how
+    * many users converted"; this answers "how fast", under the windowed
+    * contract real funnels use: a click counts only within `days` of the
+    * user's first signup, a purchase only within `days` of that first
+    * qualifying click, and each stage's conversions are bucketed by
+    * whole-day latency into a dense 0..days−1 curve with cumulative
+    * counts and rates. The time-to-convert distribution is the artifact
+    * growth teams actually plot; the deadline is what makes it a funnel
+    * rather than an unordered co-occurrence count.
+    *
+    * Shape: per-stage chained conditional min-aggregations exactly like
+    * q81 (no per-user sort anywhere), then the corpus collapses to
+    * ≤ stages × days rows — the densify join, cumsum window, and rate
+    * division all run on that domain-bounded frame. Integer-μs latencies
+    * and integer day buckets; the one IEEE division per row is on exact
+    * sub-2^53 operands. Stage bases ride 1-row broadcast cross joins (no
+    * driver collect). */
+  def q162FunnelCurve(s: SparkSession, d: String, days: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L
+    val horizon = days * dayUs
+    val e = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tus").as("t_s"))
+    val cl = e.filter(col("event_type") === "click")
+      .join(su, "user_id")
+      .filter(col("tus") >= col("t_s") && col("tus") < col("t_s") + horizon)
+      .groupBy("user_id").agg(min("tus").as("t_c"), min("t_s").as("t_s2"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .join(cl.select("user_id", "t_c"), "user_id")
+      .filter(col("tus") >= col("t_c") && col("tus") < col("t_c") + horizon)
+      .groupBy("user_id").agg(min("tus").as("t_p"), min("t_c").as("t_c2"))
+    val dd = s.range(0, days).select(col("id").as("day_offset"))
+    def curve(conv: DataFrame, from: String, to: String,
+              base: DataFrame, stage: String): DataFrame = {
+      val cnt = conv.select(expr(s"($to - $from) div $dayUs").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n"))
+      dd.join(cnt, dd("day_offset") === cnt("day"), "left")
+        .crossJoin(broadcast(base))
+        .select(lit(stage).as("stage"), col("day_offset"),
+          coalesce(col("n"), lit(0L)).as("n"), col("base"))
+    }
+    val u = curve(cl, "t_s2", "t_c", su.agg(count(lit(1)).as("base")), "click")
+      .unionAll(curve(pu, "t_c2", "t_p", cl.agg(count(lit(1)).as("base")), "purchase"))
+    val w = Window.partitionBy("stage").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn("cum_conv", sum(col("n")).over(w))
+      .select(col("stage"), col("day_offset"), col("n").as("n_conv"),
+        col("cum_conv"),
+        when(col("base") > 0,
+          col("cum_conv").cast("double") / col("base").cast("double"))
+          .as("cum_rate"))
+      .orderBy("stage", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_funnel_curve" -> ((s: SparkSession, d: String) => q162FunnelCurve(s, d)),
     "q156_session_paths" -> ((s: SparkSession, d: String) => q156SessionPaths(s, d)),
     "q155_cusum_changepoint" -> (q155CusumChangepoint _),
     "q138_debounce" -> ((s: SparkSession, d: String) => q138Debounce(s, d)),
@@ -1245,6 +1303,48 @@ object EtlOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q162_funnel_curve" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |su AS (SELECT user_id, min(tus) AS t_s FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |cl AS (
+        | SELECT e.user_id, min(e.tus) AS t_c, min(su.t_s) AS t_s2
+        | FROM e JOIN su ON e.user_id = su.user_id
+        | WHERE e.event_type = 'click' AND e.tus >= su.t_s
+        |  AND e.tus < su.t_s + 604800000000
+        | GROUP BY 1),
+        |pu AS (
+        | SELECT e.user_id, min(e.tus) AS t_p, min(cl.t_c) AS t_c2
+        | FROM e JOIN cl ON e.user_id = cl.user_id
+        | WHERE e.event_type = 'purchase' AND e.tus >= cl.t_c
+        |  AND e.tus < cl.t_c + 604800000000
+        | GROUP BY 1),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS base FROM su),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS base FROM cl),
+        |dd AS (SELECT unnest(range(0, 7)) AS day_offset),
+        |cc AS (SELECT (t_c - t_s2) // 86400000000 AS day, count(*) AS n
+        |       FROM cl GROUP BY 1),
+        |cp AS (SELECT (t_p - t_c2) // 86400000000 AS day, count(*) AS n
+        |       FROM pu GROUP BY 1),
+        |u AS (
+        | SELECT 'click' AS stage, dd.day_offset,
+        |  CAST(coalesce(cc.n, 0) AS BIGINT) AS n, ns.base
+        | FROM dd LEFT JOIN cc ON dd.day_offset = cc.day CROSS JOIN ns
+        | UNION ALL
+        | SELECT 'purchase', dd.day_offset,
+        |  CAST(coalesce(cp.n, 0) AS BIGINT), nc.base
+        | FROM dd LEFT JOIN cp ON dd.day_offset = cp.day CROSS JOIN nc),
+        |c AS (
+        | SELECT stage, day_offset, n,
+        |  CAST(sum(n) OVER (PARTITION BY stage ORDER BY day_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_conv, base
+        | FROM u)
+        |SELECT stage, day_offset, n AS n_conv, cum_conv,
+        | CASE WHEN base > 0
+        |  THEN CAST(cum_conv AS DOUBLE) / CAST(base AS DOUBLE) END AS cum_rate
+        |FROM c ORDER BY stage, day_offset""".stripMargin,
     "q156_session_paths" ->
       """WITH e AS (
         | SELECT user_id, event_type, event_id, epoch_us(ts) AS tus

@@ -873,6 +873,44 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(got.filter(col("dau") > col("wau7")).count() === 0)
   }
 
+  // ------------------------------------------------------------ q162 funnel
+  test("funnel curve: windowed stages and day buckets match a driver recompute") {
+    import spark.implicits._
+    val got = EtlOps.q162FunnelCurve(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val day = 86400000000L
+    val hor = 7 * day
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      .as[(Long, String, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    val sign = byUser.flatMap { case (u, es) =>
+      val ss = es.filter(_._2 == "signup").map(_._3)
+      if (ss.isEmpty) None else Some(u -> ss.min)
+    }
+    val click = sign.flatMap { case (u, ts) =>
+      val cs = byUser(u).filter(e => e._2 == "click" && e._3 >= ts && e._3 < ts + hor)
+      if (cs.isEmpty) None else Some(u -> ((ts, cs.map(_._3).min)))
+    }
+    val purch = click.flatMap { case (u, tc) =>
+      val ps = byUser(u)
+        .filter(e => e._2 == "purchase" && e._3 >= tc._2 && e._3 < tc._2 + hor)
+      if (ps.isEmpty) None else Some(u -> ((tc._2, ps.map(_._3).min)))
+    }
+    def check(spans: Iterable[(Long, Long)], stage: String): Unit = {
+      val bucket = spans.groupBy { case (from, to) => (to - from) / day }
+        .view.mapValues(_.size.toLong).toMap
+      var cum = 0L
+      (0L until 7L).foreach { k =>
+        val n = bucket.getOrElse(k, 0L); cum += n
+        assert(got((stage, k)) === ((n, cum)), s"$stage day $k")
+      }
+    }
+    check(click.values, "click")
+    check(purch.values, "purchase")
+    assert(click.nonEmpty && purch.nonEmpty) // both stages exercised
+  }
+
   // ------------------------------------------------------------ q156 paths
   test("session paths: counts and head match a driver-side trigram recompute") {
     import spark.implicits._
