@@ -1190,13 +1190,22 @@ object TextOps {
     * plus a map-side replace, and only the single argmax row ever reaches
     * the driver — the same O(1)-per-round driver traffic as the IVF
     * centroid collect. */
-  def q159BpeTrainer(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
-    import s.implicits._
-    val tokRe = "^ ?[\\p{L}\\p{N}']+$"
+  /** Trainer-corpus eligibility (letter/number/apostrophe pre-tokens of
+    * length ≥ 2) and the '_'-marked double-space symbol encoding — shared
+    * by the trainer (q159) and the encoder (q163). */
+  private val bpeTokRe = "^ ?[\\p{L}\\p{N}']+$"
+  private def bpeEligible(tok: Column): Column =
+    tok.rlike(bpeTokRe) && length(tok) >= 2
+  private def bpeSpaced(tok: Column): Column =
+    regexp_replace(regexp_replace(tok, " ", "_"), "(.)", " $1 ")
+
+  /** The training loop: returns (round, "a b", weighted count) per merge,
+    * in application order. */
+  def bpeTrain(s: SparkSession, d: String, rounds: Int): Seq[(Int, String, Long)] = {
     var wf = t(s, d, "documents")
       .select(explode(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("tok"))
-      .filter(col("tok").rlike(tokRe) && length(col("tok")) >= 2)
-      .select(regexp_replace(regexp_replace(col("tok"), " ", "_"), "(.)", " $1 ").as("sp"))
+      .filter(bpeEligible(col("tok")))
+      .select(bpeSpaced(col("tok")).as("sp"))
       .groupBy("sp").agg(count(lit(1)).as("freq"))
       .localCheckpoint()
     val learned = Seq.newBuilder[(Int, String, Long)]
@@ -1217,10 +1226,63 @@ object TextOps {
       wf = wf.withColumn("sp",
         replace(col("sp"), lit(s" $a  $b "), lit(s" $a$b ")))
     }
-    learned.result().toDF("round", "pair", "merge_count")
+    learned.result()
+  }
+
+  def q159BpeTrainer(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+    import s.implicits._
+    bpeTrain(s, d, rounds).toDF("round", "pair", "merge_count")
+  }
+
+  // ---------------------------------------------------------------- q163
+  /** BPE ENCODE — the other half of the tokenizer lifecycle: q159 LEARNS
+    * the merge table, this APPLIES it corpus-wide and reports what
+    * training pipelines actually budget by — per-document token counts
+    * under the learned vocabulary, beside chars-per-token compression.
+    *
+    * Shape: the merge chain applies to the DISTINCT eligible pre-token
+    * table (Zipf-small), as a fold of the same double-space replaces the
+    * trainer used — exact-greedy per merge, in learned order; per-token
+    * symbol counts then attach back to per-document occurrences by one
+    * equi-join, so the corpus-sized side only ever carries (doc_id, tok).
+    * Pre-tokens outside the trainer corpus (punctuation runs, single
+    * chars, whitespace) fall back to their code-point count — the
+    * char-level encoding a byte-level BPE gives unmerged input. Docs with
+    * no pre-tokens report zero counts and a NULL ratio. Integer counts
+    * end to end; the one IEEE division per row is on exact operands. */
+  def q163BpeEncode(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+    val merges = bpeTrain(s, d, rounds).map(_._2)
+    val pre = t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("tok"))
+    var enc = pre.select("tok").distinct()
+      .filter(bpeEligible(col("tok")))
+      .withColumn("sp", bpeSpaced(col("tok")))
+    merges.foreach { pair =>
+      val Array(a, b) = pair.split(" ", 2)
+      enc = enc.withColumn("sp",
+        replace(col("sp"), lit(s" $a  $b "), lit(s" $a$b ")))
+    }
+    val nSyms = enc.select(col("tok"),
+      size(split(trim(col("sp")), "  ")).as("n_syms"))
+    val perDoc = pre.join(nSyms, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pretoks"),
+        sum(coalesce(col("n_syms").cast("long"), length(col("tok")).cast("long")))
+          .as("n_bpe_tokens"))
+    t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_pretoks"), lit(0L)).as("n_pretoks"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+      .withColumn("chars_per_bpe",
+        when(col("n_bpe_tokens") > 0,
+          col("n_chars").cast("double") / col("n_bpe_tokens").cast("double")))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_bpe_encode" -> ((s: SparkSession, d: String) => q163BpeEncode(s, d)),
     "q159_bpe_trainer" -> ((s: SparkSession, d: String) => q159BpeTrainer(s, d)),
     "q139_kfold_assign" -> (q139KfoldAssign _),
     "q125_bpe_merges" -> ((s: SparkSession, d: String) => q125BpeMerges(s, d)),
@@ -1286,41 +1348,80 @@ object TextOps {
        |   + 0.5 * (1.0 - CAST(len(list_filter($duckToks, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE)
        |       / len($duckToks)), 4)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
-    "q159_bpe_trainer" -> {
-      val pat = bpePattern.replace("'", "''")
-      // unroll the train loop: per round, pair counts off w{r-1}, the
-      // argmax merge, and the double-space-encoded replace into w{r}
-      val roundCtes = (1 to 3).map { r =>
-        s"""p$r AS (
-           | SELECT t.arr[i.i] || ' ' || t.arr[i.i + 1] AS pair,
-           |  CAST(sum(freq) AS BIGINT) AS cnt
-           | FROM (SELECT string_split(trim(sp), '  ') AS arr, freq
-           |       FROM w${r - 1}) t,
-           |      unnest(range(1, len(t.arr))) AS i(i)
-           | GROUP BY 1),
-           |b$r AS (
-           | SELECT pair, cnt, string_split(pair, ' ')[1] AS a,
-           |  string_split(pair, ' ')[2] AS b
-           | FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-           |w$r AS (
-           | SELECT replace(sp, ' ' || b.a || '  ' || b.b || ' ',
-           |   ' ' || b.a || b.b || ' ') AS sp, freq
-           | FROM w${r - 1} CROSS JOIN b$r b)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH pt AS (
-         | SELECT unnest(regexp_extract_all(text, '$pat')) AS tok FROM documents),
-         |w0 AS (
-         | SELECT regexp_replace(replace(tok, ' ', '_'), '(.)', ' \\1 ', 'g') AS sp,
-         |  count(*) AS freq
-         | FROM pt
-         | WHERE regexp_matches(tok, '^ ?[\\p{L}\\p{N}'']+$$') AND length(tok) >= 2
+  /** Shared CTE chain for the q159/q163 oracles: pre-tokens, the marked
+    * double-space trainer corpus w0, and 3 unrolled (count, argmax b$r,
+    * replace → w$r) training rounds. */
+  private lazy val duckBpeCtes: String = {
+    val pat = bpePattern.replace("'", "''")
+    val roundCtes = (1 to 3).map { r =>
+      s"""p$r AS (
+         | SELECT t.arr[i.i] || ' ' || t.arr[i.i + 1] AS pair,
+         |  CAST(sum(freq) AS BIGINT) AS cnt
+         | FROM (SELECT string_split(trim(sp), '  ') AS arr, freq
+         |       FROM w${r - 1}) t,
+         |      unnest(range(1, len(t.arr))) AS i(i)
          | GROUP BY 1),
-         |$roundCtes
+         |b$r AS (
+         | SELECT pair, cnt, string_split(pair, ' ')[1] AS a,
+         |  string_split(pair, ' ')[2] AS b
+         | FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |w$r AS (
+         | SELECT replace(sp, ' ' || b.a || '  ' || b.b || ' ',
+         |   ' ' || b.a || b.b || ' ') AS sp, freq
+         | FROM w${r - 1} CROSS JOIN b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""pt AS (
+       | SELECT unnest(regexp_extract_all(text, '$pat')) AS tok FROM documents),
+       |w0 AS (
+       | SELECT regexp_replace(replace(tok, ' ', '_'), '(.)', ' \\1 ', 'g') AS sp,
+       |  count(*) AS freq
+       | FROM pt
+       | WHERE regexp_matches(tok, '^ ?[\\p{L}\\p{N}'']+$$') AND length(tok) >= 2
+       | GROUP BY 1),
+       |$roundCtes""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q159_bpe_trainer" ->
+      s"""WITH $duckBpeCtes
          |SELECT CAST(1 AS INT) AS round, pair, cnt AS merge_count FROM b1
          |UNION ALL SELECT CAST(2 AS INT), pair, cnt FROM b2
          |UNION ALL SELECT CAST(3 AS INT), pair, cnt FROM b3
-         |ORDER BY round""".stripMargin
+         |ORDER BY round""".stripMargin,
+    "q163_bpe_encode" -> {
+      val pat = bpePattern.replace("'", "''")
+      s"""WITH $duckBpeCtes,
+         |tk AS (
+         | SELECT DISTINCT tok FROM pt
+         | WHERE regexp_matches(tok, '^ ?[\\p{L}\\p{N}'']+$$') AND length(tok) >= 2),
+         |e0 AS (
+         | SELECT tok,
+         |  regexp_replace(replace(tok, ' ', '_'), '(.)', ' \\1 ', 'g') AS sp
+         | FROM tk),
+         |e1 AS (SELECT tok, replace(sp, ' ' || b.a || '  ' || b.b || ' ',
+         |  ' ' || b.a || b.b || ' ') AS sp FROM e0 CROSS JOIN b1 b),
+         |e2 AS (SELECT tok, replace(sp, ' ' || b.a || '  ' || b.b || ' ',
+         |  ' ' || b.a || b.b || ' ') AS sp FROM e1 CROSS JOIN b2 b),
+         |e3 AS (SELECT tok, replace(sp, ' ' || b.a || '  ' || b.b || ' ',
+         |  ' ' || b.a || b.b || ' ') AS sp FROM e2 CROSS JOIN b3 b),
+         |enc AS (
+         | SELECT tok, len(string_split(trim(sp), '  ')) AS n_syms FROM e3),
+         |ptd AS (
+         | SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS tok
+         | FROM documents),
+         |pd AS (
+         | SELECT ptd.doc_id, CAST(count(*) AS BIGINT) AS n_pretoks,
+         |  CAST(sum(coalesce(enc.n_syms, length(ptd.tok))) AS BIGINT)
+         |   AS n_bpe_tokens
+         | FROM ptd LEFT JOIN enc ON ptd.tok = enc.tok GROUP BY 1)
+         |SELECT d.doc_id, d.n_chars,
+         | coalesce(pd.n_pretoks, 0) AS n_pretoks,
+         | coalesce(pd.n_bpe_tokens, 0) AS n_bpe_tokens,
+         | CASE WHEN coalesce(pd.n_bpe_tokens, 0) > 0
+         |  THEN CAST(d.n_chars AS DOUBLE) / CAST(pd.n_bpe_tokens AS DOUBLE)
+         | END AS chars_per_bpe
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
     "q125_bpe_merges" -> {
       val pat = bpePattern.replace("'", "''")

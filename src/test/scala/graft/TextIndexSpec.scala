@@ -27,10 +27,9 @@ class TextIndexSpec extends AnyFunSuite {
     buf.toList
   }
 
-  test("bpe trainer: 3 rounds equal a symbol-list reimplementation on the corpus") {
-    val got = TextOps.q159BpeTrainer(spark, TestSpark.sf).collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-    // brute: tokenize, filter, mark, count, then 3 greedy rounds on lists
+  /** Brute trainer: tokenize, filter, mark, count, then 3 greedy rounds
+    * on symbol lists. Returns the learned merges in order. */
+  private lazy val bruteMerges: Seq[(Int, String, Long)] = {
     val tokPat = java.util.regex.Pattern.compile(TextOps.bpePattern)
     val keep = java.util.regex.Pattern.compile("^ ?[\\p{L}\\p{N}']+$")
     val freqs = scala.collection.mutable.Map.empty[List[String], Long]
@@ -45,7 +44,7 @@ class TextIndexSpec extends AnyFunSuite {
       }
     }
     var wf = freqs.toList
-    val exp = (1 to 3).map { r =>
+    (1 to 3).map { r =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       wf.foreach { case (syms, f) =>
         syms.sliding(2).foreach {
@@ -57,7 +56,42 @@ class TextIndexSpec extends AnyFunSuite {
       wf = wf.map { case (syms, f) => (mergeOnce(syms, a, b), f) }
       (r, a + " " + b, cnt)
     }
-    assert(got.toSeq === exp)
+  }
+
+  test("bpe trainer: 3 rounds equal a symbol-list reimplementation on the corpus") {
+    val got = TextOps.q159BpeTrainer(spark, TestSpark.sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === bruteMerges)
+  }
+
+  test("bpe encode: per-doc token counts match the symbol-list encoder") {
+    val got = TextOps.q163BpeEncode(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    val tokPat = java.util.regex.Pattern.compile(TextOps.bpePattern)
+    val keep = java.util.regex.Pattern.compile("^ ?[\\p{L}\\p{N}']+$")
+    val merges = bruteMerges.map { case (_, p, _) =>
+      val Array(a, b) = p.split(" ", 2); (a, b)
+    }
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text").collect()
+    assert(docs.nonEmpty && got.size === docs.length)
+    docs.foreach { r =>
+      val m = tokPat.matcher(r.getString(1))
+      var nPre = 0L
+      var nBpe = 0L
+      while (m.find()) {
+        val tok = m.group()
+        nPre += 1
+        nBpe += {
+          if (keep.matcher(tok).find() && tok.length >= 2) {
+            var syms = tok.replace(' ', '_').map(_.toString).toList
+            merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
+            syms.length.toLong
+          } else tok.codePointCount(0, tok.length).toLong
+        }
+      }
+      assert(got(r.getLong(0)) === ((nPre, nBpe)), s"doc ${r.getLong(0)}")
+    }
   }
 
   test("bpe apply: double-space replace merges back-to-back chains greedily") {
