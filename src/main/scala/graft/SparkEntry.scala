@@ -43,7 +43,9 @@ object SparkEntry {
         "q137_stream_ewma" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q137StreamEwma(s, d)),
         "q154_stream_hitters" ->
-          ((s: SparkSession, d: String) => graft.streaming.DocsStream.q154StreamHitters(s, d)))
+          ((s: SparkSession, d: String) => graft.streaming.DocsStream.q154StreamHitters(s, d)),
+        "q164_stream_cascade" ->
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q164StreamCascade(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -112,5 +114,13 @@ object SparkEntry {
         "q71_stream_dedup" ->
           """SELECT event_type, count(*) AS n_events,
             | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        // the chained hourly→6h streaming cascade must land on the batch
+        // 6h rollup: tumbling starts are epoch-aligned integer-µs math
+        "q164_stream_cascade" ->
+          """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+            |  AS win_start,
+            | event_type, count(*) AS n_events,
+            | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)
 }

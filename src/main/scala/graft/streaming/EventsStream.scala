@@ -753,6 +753,55 @@ object EventsStream {
     drained.orderBy("segment", "event_type")
   }
 
+  // ---------------------- q164: chained stateful aggregations (cascade)
+  /** q164: TWO windowed aggregations chained inside ONE streaming query —
+    * the hourly rollup re-aggregated into 6-hour blocks without leaving
+    * the stream. This exercises the engine's multiple-stateful-operator
+    * support (Spark ≥ 3.4): the first aggregation finalizes each 1 h
+    * window as the watermark passes its end and feeds it DOWNSTREAM as an
+    * append-mode row, where `window_time` re-keys it into the enclosing
+    * 6 h window for the second stateful aggregation — the streaming
+    * equivalent of a two-level rollup materialization chain.
+    *
+    * Scale: state for level 1 is (open 1 h windows × types), for level 2
+    * (open 6 h windows × types) — both watermark-bounded and independent
+    * of event volume; the inter-level exchange carries finalized PARTIAL
+    * aggregates (one row per closed hour per type), so the second level's
+    * shuffle is ~events/3600ths of the first's. This is the shape that
+    * lets a 100 TB/day stream keep a minute→hour→day rollup chain in one
+    * job instead of three jobs re-reading each other's sinks. Counts and
+    * decimal sums are both associative, so cascading loses no exactness:
+    * the drained result must land on the batch 6 h rollup, giving the
+    * whole chain an exact DuckDB oracle.
+    *
+    * Drain mechanics: append mode only emits a window once the watermark
+    * passes it, so the far-future sentinel row (never emitted itself —
+    * its own windows stay open) advances the watermark past every real
+    * window end and flushes BOTH levels. */
+  def q164StreamCascade(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    withSentinelDrain(s, d, "q164") { (drain, mk) =>
+      val ev = mk()
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ets", "2 hours")
+      val hourly = ev
+        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sv"))
+      val blocks = hourly
+        .groupBy(window(window_time(col("window")), "6 hours").as("w6"),
+          col("event_type"))
+        .agg(sum(col("n")).as("n_events"),
+          sum(col("sv")).cast("double").as("sum_value"))
+        .select(col("w6.start").cast("timestamp_ntz").as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+      val name = "graft_stream_cascade"
+      val q = blocks.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      drain.table(name).orderBy("win_start", "event_type")
+    }
+  }
+
   /** Shared gap-sessionization core over integer-microsecond event times —
     * the ONE definition of a session boundary, used by the batch query
     * (Relational.q28Sessionize) and the timestamp-typed twin below.

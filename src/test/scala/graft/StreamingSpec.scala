@@ -50,6 +50,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.collect().toSeq === batch.collect().toSeq)
   }
 
+  test("chained windowed aggs (q164): streaming cascade == batch 6h rollup") {
+    val streamed = EventsStream.q164StreamCascade(spark, TestSpark.sf)
+    val batch = Tables.load(spark, TestSpark.sf, "events")
+      .groupBy(
+        timestamp_micros(expr("((ts div 1000) div 21600000000) * 21600000000"))
+          .cast("timestamp_ntz").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .orderBy("win_start", "event_type")
+    // the two stateful levels must compose to exactly the batch rollup —
+    // and the sentinel row must be invisible in the drained output
+    assert(streamed.collect().toSeq === batch.collect().toSeq)
+    assert(streamed.filter(col("event_type") === "sentinel").count() === 0)
+  }
+
   test("stateful sessionization emits gap-closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventsStream.Event]
