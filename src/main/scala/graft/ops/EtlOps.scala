@@ -622,6 +622,63 @@ object EtlOps {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q165
+  /** INCREMENTAL VIEW MAINTENANCE for a JOIN view — q117's discipline
+    * extended from a single-table aggregate to a two-table join view
+    * (revenue per order priority over lineitem ⋈ orders). The classic
+    * delta-join decomposition: with L = L_old ∪ ΔL and O = O_old ∪ ΔO,
+    *
+    *   ΔV = ΔL ⋈ O  ∪  L_old ⋈ ΔO
+    *
+    * covers the three new-row terms exactly once (ΔL⋈ΔO rides the first
+    * term; the second joins only the OLD lineitem side), so the stored
+    * view V_old = L_old ⋈ O_old refreshed with ΔV must equal the full
+    * recompute — which is exactly what the oracle checks: the output
+    * exposes the base/delta decomposition beside totals that a single
+    * full join + GROUP BY must reproduce.
+    *
+    * Scale: a refresh scans ONLY the delta partitions of each input (at
+    * 100 TB with daily deltas, a ~0.1% read instead of a full re-join);
+    * each delta term shuffles |Δ| rows against the join key — and when
+    * the delta is small enough, AQE turns those into broadcast joins at
+    * runtime. The merge is a |groups|-row full-outer join. Revenue stays
+    * an UNROUNDED decimal product-sum per term (mergeable exactly) and is
+    * rounded ONCE after the base⊕delta merge, so incremental equals
+    * recompute to the last bit — the q117 associative-state rule applied
+    * to the join case. Null dates land in the base partition via the
+    * coalesced flags, keeping the split a true partition of the table. */
+  def q165IvmJoin(s: SparkSession, d: String,
+                  cutoff: String = "2000-06-01T00:00:00"): DataFrame = {
+    val cut = tsLit(cutoff)
+    val rev = (col("l_extendedprice").cast(DecimalType(12, 4)) *
+      (lit(1.0) - col("l_discount")).cast(DecimalType(12, 4))).as("rev")
+    val l = t(s, d, "lineitem").select(col("l_orderkey"), rev,
+      coalesce(ntz(col("l_shipdate")) >= cut, lit(false)).as("l_new"))
+    val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+      coalesce(ntz(col("o_orderdate")) >= cut, lit(false)).as("o_new"))
+    val lOld = l.filter(!col("l_new"))
+    val oOld = o.filter(!col("o_new"))
+    def roll(df: DataFrame, pfx: String): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as(s"n_$pfx"), sum(col("rev")).as(s"r_$pfx"))
+    val base = roll(lOld.join(oOld, col("l_orderkey") === col("o_orderkey")), "base")
+    // ΔL joins the FULL order side; ΔO joins only OLD lineitems — the
+    // ΔL⋈ΔO corner lives in the first term and is never double-counted
+    val dl = l.filter(col("l_new")).join(o, col("l_orderkey") === col("o_orderkey"))
+    val dO = lOld.join(o.filter(col("o_new")), col("l_orderkey") === col("o_orderkey"))
+    val delta = roll(dl.unionByName(dO), "delta")
+    base.join(delta, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
+          .as("n_total"),
+        round(coalesce(col("r_delta"), lit(0)), 2).cast("double").as("rev_delta"),
+        round(coalesce(col("r_base"), lit(0)) + coalesce(col("r_delta"), lit(0)), 2)
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   // ---------------------------------------------------------------- q119
   /** Week-over-week MOVERS — the trend-break report over the per-type
     * revenue series: integer epoch-weeks (q82's calendar-free week math),
@@ -1228,6 +1285,7 @@ object EtlOps {
     "q122_cohort_ltv" -> (q122CohortLtv _),
     "q120_last_touch" -> ((s: SparkSession, d: String) => q120LastTouch(s, d)),
     "q117_ivm_agg" -> ((s: SparkSession, d: String) => q117IvmAgg(s, d)),
+    "q165_ivm_join" -> ((s: SparkSession, d: String) => q165IvmJoin(s, d)),
     "q119_wow_movers" -> ((s: SparkSession, d: String) => q119WowMovers(s, d)),
     "q114_integrity_audit" -> (q114IntegrityAudit _),
     "q106_snapshot_diff" -> (q106SnapshotDiff _),
@@ -1662,6 +1720,24 @@ object EtlOps {
         | count(*) AS n_total,
         | CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100.0 AS sum_value
         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the full join + FILTER decomposition must equal the engine's
+    // base ⊕ delta refresh — revenue rounded ONCE from the exact decimal
+    "q165_ivm_join" ->
+      """WITH j AS (
+        | SELECT o_orderpriority,
+        |  coalesce(l_shipdate >= TIMESTAMP '2000-06-01 00:00:00', false) AS l_new,
+        |  coalesce(o_orderdate >= TIMESTAMP '2000-06-01 00:00:00', false) AS o_new,
+        |  CAST(l_extendedprice AS DECIMAL(12,4))
+        |    * CAST(1.0 - l_discount AS DECIMAL(12,4)) AS rev
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority,
+        | count(*) FILTER (NOT l_new AND NOT o_new) AS n_base,
+        | count(*) FILTER (l_new OR o_new) AS n_delta,
+        | count(*) AS n_total,
+        | CAST(round(coalesce(sum(rev) FILTER (l_new OR o_new), 0), 2) AS DOUBLE)
+        |   AS rev_delta,
+        | CAST(round(sum(rev), 2) AS DOUBLE) AS revenue
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q119_wow_movers" ->
       """WITH wk AS (
         | SELECT event_type, epoch_us(ts) // 604800000000 AS week,

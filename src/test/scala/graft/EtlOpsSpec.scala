@@ -604,6 +604,27 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(rows((11L, 2L)) === ((1L, 7.0, 7.0, 7.0)))
   }
 
+  // ------------------------------------------------------------ q165 ivm join
+  test("ivm join: base + delta refresh equals the full join recompute") {
+    val got = EtlOps.q165IvmJoin(spark, sf)
+    val full = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_full"),
+        round(sum(col("l_extendedprice").cast(DecimalType(12, 4)) *
+          (lit(1.0) - col("l_discount")).cast(DecimalType(12, 4))), 2)
+          .cast("double").as("rev_full"))
+    val j = got.join(full, Seq("o_orderpriority"), "full_outer")
+    assert(j.filter(col("n_total") =!= col("n_full")).count() === 0)
+    assert(j.filter(col("revenue") =!= col("rev_full")).count() === 0)
+    assert(j.filter(col("n_total").isNull || col("n_full").isNull).count() === 0)
+    // the base/delta split partitions every joined row exactly once
+    assert(got.filter(col("n_base") + col("n_delta") =!= col("n_total")).count() === 0)
+    // both sides of the decomposition carry real weight at this cutoff
+    assert(got.agg(sum("n_delta")).head.getLong(0) > 0)
+    assert(got.agg(sum("n_base")).head.getLong(0) > 0)
+  }
+
   // ------------------------------------------------------------ q119 WoW
   test("WoW movers: deltas reconcile with the weekly sums and weeks are consecutive") {
     val rows = EtlOps.q119WowMovers(spark, sf).collect()
