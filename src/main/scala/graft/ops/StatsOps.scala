@@ -181,6 +181,62 @@ object StatsOps {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- q166
+  /** MERGEABLE QUANTILE SKETCH — the quantile member of the q141/q147
+    * sketch family: a bottom-k-by-content-hash sample per group is a
+    * uniform random sample that is DETERMINISTIC and re-shard-stable
+    * (hash order, not partition order — the q64 discipline), and min-k
+    * sets merge by union + re-take-k, so the sketch partial-aggregates
+    * map-side like any mergeable accumulator. Quantile estimates are the
+    * sample's order statistics at ⌈p·m⌉ — all integer rank math, so both
+    * engines pick the identical row and the whole sketch keeps an exact
+    * oracle (the classic reservoir alternative is partition-order-
+    * dependent and could never be oracle'd).
+    *
+    * The EXACT side rides along to expose the estimator's error against
+    * truth (the q141/q147 audit discipline) — computed not by a per-group
+    * row sort but from the VALUE HISTOGRAM + running count over distinct
+    * values: state is bounded by the value domain, not the row count, so
+    * even the audit survives scale when the domain is dense-integer
+    * (n_chars here). The sketch is for when it isn't.
+    *
+    * The bottom-k runs through the native TopKPerGroupExec (bounded heap,
+    * partial pass) — no per-group full sort anywhere on the sketch path. */
+  def q166SketchQuantiles(s: SparkSession, d: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        md5(concat(lit("graft-qsketch-42:"),
+          regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("h"))
+    // sketch: bottom-k by hash via the native bounded-heap operator
+    val sample = graft.plans.TopK.perGroup(docs, Seq("lang"),
+      Seq(("h", true), ("doc_id", true)), k = k, rankName = "rk")
+    val sv = sample
+      .withColumn("rv", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("lang")))
+    val est = sv.groupBy("lang").agg(
+      max(col("m")).as("m_sample"),
+      max(when(col("rv") === expr("(25*m + 99) div 100"), col("n_chars"))).as("est_p25"),
+      max(when(col("rv") === expr("(50*m + 99) div 100"), col("n_chars"))).as("est_p50"),
+      max(when(col("rv") === expr("(90*m + 99) div 100"), col("n_chars"))).as("est_p90"))
+    // exact audit: histogram + running count over DISTINCT values
+    val nn = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val cum = docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("lang").orderBy("n_chars")))
+    val exa = cum.join(nn, "lang").groupBy("lang").agg(
+      max(col("n_docs")).as("n_docs"),
+      min(when(col("cum") >= expr("(25*n_docs + 99) div 100"), col("n_chars"))).as("exa_p25"),
+      min(when(col("cum") >= expr("(50*n_docs + 99) div 100"), col("n_chars"))).as("exa_p50"),
+      min(when(col("cum") >= expr("(90*n_docs + 99) div 100"), col("n_chars"))).as("exa_p90"))
+    exa.join(est, "lang")
+      .select(col("lang"), col("n_docs"), col("m_sample"),
+        col("est_p25"), col("est_p50"), col("est_p90"),
+        col("exa_p25"), col("exa_p50"), col("exa_p90"))
+      .orderBy("lang")
+  }
+
   // ---------------------------------------------------------------- q85
   /** Fixed-width HISTOGRAM — equi-width value binning per event type
     * (bin = floor(value / width)), the distribution-sketching aggregate
@@ -598,6 +654,7 @@ object StatsOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_ab_experiment" -> (q157AbExperiment _),
     "q141_kmv_distinct" -> ((s: SparkSession, d: String) => q141KmvSketch(s, d)),
+    "q166_sketch_quantiles" -> ((s: SparkSession, d: String) => q166SketchQuantiles(s, d)),
     "q129_column_entropy" -> (q129ColumnEntropy _),
     "q121_bootstrap_se" -> ((s: SparkSession, d: String) => q121BootstrapSe(s, d)),
     "q115_distribution_drift" -> (q115DistributionDrift _),
@@ -680,6 +737,44 @@ object StatsOps {
         | CAST(CASE WHEN m < 64 THEN n_distinct
         |      ELSE 270582939648 // greatest(u32, 1) END AS BIGINT) AS est_distinct
         |FROM j ORDER BY lang""".stripMargin,
+    // bottom-k-by-hash sample + integer order-statistic ranks: both
+    // engines pick identical rows; exact side from the value histogram
+    "q166_sketch_quantiles" ->
+      """WITH docs AS (
+        | SELECT lang, doc_id, n_chars,
+        |  md5('graft-qsketch-42:'
+        |    || regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+        | FROM documents),
+        |samp AS (
+        | SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |   row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+        |  FROM docs) WHERE rk <= 64),
+        |sv AS (
+        | SELECT lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rv,
+        |  count(*) OVER (PARTITION BY lang) AS m
+        | FROM samp),
+        |est AS (
+        | SELECT lang, max(m) AS m_sample,
+        |  max(CASE WHEN rv = (25*m + 99)//100 THEN n_chars END) AS est_p25,
+        |  max(CASE WHEN rv = (50*m + 99)//100 THEN n_chars END) AS est_p50,
+        |  max(CASE WHEN rv = (90*m + 99)//100 THEN n_chars END) AS est_p90
+        | FROM sv GROUP BY lang),
+        |nn AS (SELECT lang, count(*) AS n_docs FROM docs GROUP BY lang),
+        |cum AS (
+        | SELECT lang, n_chars,
+        |  sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+        | FROM (SELECT lang, n_chars, count(*) AS cnt FROM docs GROUP BY 1, 2)),
+        |exa AS (
+        | SELECT c.lang, max(n.n_docs) AS n_docs,
+        |  min(CASE WHEN cum >= (25*n.n_docs + 99)//100 THEN n_chars END) AS exa_p25,
+        |  min(CASE WHEN cum >= (50*n.n_docs + 99)//100 THEN n_chars END) AS exa_p50,
+        |  min(CASE WHEN cum >= (90*n.n_docs + 99)//100 THEN n_chars END) AS exa_p90
+        | FROM cum c JOIN nn n USING (lang) GROUP BY c.lang)
+        |SELECT e.lang, x.n_docs, e.m_sample,
+        | e.est_p25, e.est_p50, e.est_p90, x.exa_p25, x.exa_p50, x.exa_p90
+        |FROM est e JOIN exa x ON e.lang = x.lang ORDER BY e.lang""".stripMargin,
     "q129_column_entropy" ->
       """WITH vals AS (
         | SELECT 'documents.lang' AS col_name, lang AS val FROM documents

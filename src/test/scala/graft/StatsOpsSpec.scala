@@ -311,4 +311,40 @@ class StatsOpsSpec extends AnyFunSuite {
     val merged = minK(half1.union(half2)).as[(String, String)].collect().toSet
     assert(merged === whole)
   }
+
+  // ------------------------------------------------------------ q166
+  test("sketch quantiles: exact side matches brute order statistics, " +
+    "estimates come from the sample, and re-sharding changes nothing") {
+    val got = StatsOps.q166SketchQuantiles(spark, TestSpark.sf)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // brute exact order statistics per lang (sf0.001 is collectable)
+    val byLang = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("lang"), col("n_chars")).as[(String, Long)].collect()
+      .groupBy(_._1).map { case (l, vs) => l -> vs.map(_._2).sorted }
+    rows.foreach { r =>
+      val vs = byLang(r.getAs[String]("lang"))
+      val n = vs.length
+      assert(r.getAs[Long]("n_docs") === n.toLong)
+      def exa(p: Int): Long = vs((p * n + 99) / 100 - 1)
+      assert(r.getAs[Long]("exa_p25") === exa(25))
+      assert(r.getAs[Long]("exa_p50") === exa(50))
+      assert(r.getAs[Long]("exa_p90") === exa(90))
+      // estimates are real member values within the group's range
+      Seq("est_p25", "est_p50", "est_p90").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(vs.contains(v) && v >= vs.head && v <= vs.last)
+      }
+      // monotone in p
+      assert(r.getAs[Long]("est_p25") <= r.getAs[Long]("est_p50"))
+      assert(r.getAs[Long]("est_p50") <= r.getAs[Long]("est_p90"))
+    }
+    // re-shard determinism: a 7-way repartitioned copy of the table must
+    // produce the identical sketch (hash order, not partition order)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qsketch").toString
+    Tables.load(spark, TestSpark.sf, "documents").repartition(7)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val reshard = StatsOps.q166SketchQuantiles(spark, dir).collect()
+    assert(reshard.toSeq === rows.toSeq)
+  }
 }
