@@ -237,6 +237,58 @@ object StatsOps {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- q167
+  private val corrCols = Seq("quantity" -> "l_quantity",
+    "extendedprice" -> "l_extendedprice", "discount" -> "l_discount",
+    "tax" -> "l_tax")
+  private[graft] val corrPairs: Seq[(String, String)] =
+    for { i <- corrCols.indices; j <- corrCols.indices if i < j }
+      yield (corrCols(i)._1, corrCols(j)._1)
+
+  /** PEARSON CORRELATION MATRIX as EXACT sufficient statistics — the
+    * multivariate profiling pass (which numeric columns move together?)
+    * in one single-pass, fully mergeable aggregate. Values are quantized
+    * to a 10⁻⁴ integer grid (exact for these ≤2-decimal columns), so the
+    * 15 accumulators (n, Σx per column, Σx² per column, Σxy per pair) are
+    * integers summed in DECIMAL(38,0) — order-free, partial-agg-friendly,
+    * and IVM-mergeable like q117/q134. Per-row products stay within int64
+    * (max |x| ≈ 1.05e9 from price·10⁴ → x² ≈ 1.1e18 < 2⁶³); sums get the
+    * 38-digit headroom (6e9 rows × 1.1e18 ≈ 7e27 — fits with 10 digits
+    * to spare at 100 TB).
+    *
+    * The output is the correlation CERTIFICATE, not a float: per pair,
+    * num = n·Σxy − ΣxΣy and den_x/den_y = n·Σx² − (Σx)², from which
+    * corr = num/√(den_x·den_y). The float itself is deliberately NOT
+    * emitted: a DECIMAL(38,0)→double cast drifts ulps across engines
+    * (the q134 lesson), while the certificate is engine-exact — the spec
+    * checks √-reconstruction against Spark's own corr() to 1e-9. One scan,
+    * one 1-row exchange, a 6-row stack — nothing here scales with data
+    * beyond the scan. */
+  def q167CorrMatrix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val q = t(s, d, "lineitem").select(corrCols.map { case (n, c) =>
+      expr(s"CAST(CAST($c AS DECIMAL(18,4)) * 10000 AS BIGINT)").as(n) }: _*)
+    val aggs =
+      corrCols.map { case (n, _) => sum(col(n).cast(dec38)).as(s"s_$n") } ++
+        corrCols.map { case (n, _) =>
+          sum((col(n) * col(n)).cast(dec38)).as(s"ss_$n") } ++
+        corrPairs.map { case (a, b) =>
+          sum((col(a) * col(b)).cast(dec38)).as(s"sp_${a}_$b") }
+    val row = q.agg(count(lit(1)).as("n"), aggs: _*)
+    val stackExpr = corrPairs.map { case (a, b) =>
+      s"'$a', '$b', s_$a, s_$b, ss_$a, ss_$b, sp_${a}_$b"
+    }.mkString(", ")
+    row.selectExpr("n",
+      s"stack(${corrPairs.size}, $stackExpr) AS (col_x, col_y, sx, sy, sxx, syy, sxy)")
+      .select(col("col_x"), col("col_y"), col("n"),
+        col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"),
+        (col("n").cast(dec38) * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n").cast(dec38) * col("sxx") - col("sx") * col("sx")).as("den_x"),
+        (col("n").cast(dec38) * col("syy") - col("sy") * col("sy")).as("den_y"))
+      .orderBy("col_x", "col_y")
+  }
+
   // ---------------------------------------------------------------- q85
   /** Fixed-width HISTOGRAM — equi-width value binning per event type
     * (bin = floor(value / width)), the distribution-sketching aggregate
@@ -655,6 +707,7 @@ object StatsOps {
     "q157_ab_experiment" -> (q157AbExperiment _),
     "q141_kmv_distinct" -> ((s: SparkSession, d: String) => q141KmvSketch(s, d)),
     "q166_sketch_quantiles" -> ((s: SparkSession, d: String) => q166SketchQuantiles(s, d)),
+    "q167_corr_matrix" -> (q167CorrMatrix _),
     "q129_column_entropy" -> (q129ColumnEntropy _),
     "q121_bootstrap_se" -> ((s: SparkSession, d: String) => q121BootstrapSe(s, d)),
     "q115_distribution_drift" -> (q115DistributionDrift _),
@@ -775,6 +828,38 @@ object StatsOps {
         |SELECT e.lang, x.n_docs, e.m_sample,
         | e.est_p25, e.est_p50, e.est_p90, x.exa_p25, x.exa_p50, x.exa_p90
         |FROM est e JOIN exa x ON e.lang = x.lang ORDER BY e.lang""".stripMargin,
+    // same integer grid, HUGEINT row products (int128 ≡ the BIGINT-safe
+    // products Spark uses), DECIMAL(38,0) sums — certificate math in
+    // HUGEINT then cast back for output parity
+    "q167_corr_matrix" -> {
+      val sqlAggs =
+        corrCols.map { case (n, _) =>
+          s"CAST(sum(CAST($n AS HUGEINT)) AS DECIMAL(38,0)) AS s_$n" } ++
+          corrCols.map { case (n, _) =>
+            s"CAST(sum(CAST($n AS HUGEINT) * $n) AS DECIMAL(38,0)) AS ss_$n" } ++
+          corrPairs.map { case (a, b) =>
+            s"CAST(sum(CAST($a AS HUGEINT) * $b) AS DECIMAL(38,0)) AS sp_${a}_$b" }
+      val branches = corrPairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+           | s_$a AS sx, s_$b AS sy, ss_$a AS sxx, ss_$b AS syy,
+           | sp_${a}_$b AS sxy FROM a""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      s"""WITH q AS (
+         | SELECT ${corrCols.map { case (n, c) =>
+        s"CAST(CAST($c AS DECIMAL(18,4)) * 10000 AS BIGINT) AS $n" }.mkString(",\n  ")}
+         | FROM lineitem),
+         |a AS (SELECT count(*) AS n, ${sqlAggs.mkString(",\n  ")} FROM q),
+         |m AS (
+         |$branches)
+         |SELECT col_x, col_y, n, sx, sy, sxx, syy, sxy,
+         | CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+         |   - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DECIMAL(38,0)) AS num,
+         | CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+         |   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DECIMAL(38,0)) AS den_x,
+         | CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+         |   - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DECIMAL(38,0)) AS den_y
+         |FROM m ORDER BY col_x, col_y""".stripMargin
+    },
     "q129_column_entropy" ->
       """WITH vals AS (
         | SELECT 'documents.lang' AS col_name, lang AS val FROM documents

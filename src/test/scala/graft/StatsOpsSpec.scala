@@ -347,4 +347,24 @@ class StatsOpsSpec extends AnyFunSuite {
     val reshard = StatsOps.q166SketchQuantiles(spark, dir).collect()
     assert(reshard.toSeq === rows.toSeq)
   }
+
+  // ------------------------------------------------------------ q167
+  test("corr matrix: certificate reconstructs Spark's own corr()") {
+    val rows = StatsOps.q167CorrMatrix(spark, TestSpark.sf).collect()
+    assert(rows.length === StatsOps.corrPairs.length)
+    val li = Tables.load(spark, TestSpark.sf, "lineitem")
+    val raw = Map("quantity" -> "l_quantity", "extendedprice" -> "l_extendedprice",
+      "discount" -> "l_discount", "tax" -> "l_tax")
+    rows.foreach { r =>
+      def bd(c: String): BigDecimal = BigDecimal(r.getAs[java.math.BigDecimal](c))
+      val rec = (bd("num") /
+        BigDecimal(math.sqrt((bd("den_x") * bd("den_y")).toDouble))).toDouble
+      val expect = li.agg(corr(col(raw(r.getAs[String]("col_x"))),
+        col(raw(r.getAs[String]("col_y"))))).head.getDouble(0)
+      assert(math.abs(rec - expect) < 1e-7,
+        s"${r.getAs[String]("col_x")}/${r.getAs[String]("col_y")}: $rec vs $expect")
+      // basic certificate sanity: denominators are positive variances
+      assert(bd("den_x") > 0 && bd("den_y") > 0)
+    }
+  }
 }
