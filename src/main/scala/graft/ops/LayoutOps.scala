@@ -312,13 +312,78 @@ object LayoutOps {
   }
 
   // ------------------------------------------------------------------------
+  // ---------------------------------------------------------------- q168
+  /** SHUFFLE-KEY SKEW AUDIT — the diagnostic a pipeline runs BEFORE
+    * choosing a partitioning strategy: for each candidate shuffle key,
+    * the heaviest keys with their share of the table and their ratio to
+    * the fair per-key share. A key whose `vs_fair_bp` runs to many
+    * thousands of basis points is the one that makes a plain hash
+    * shuffle strangle one task at 100 TB — the empirical input to the
+    * engine's salting/AQE-skew machinery (SkewUtils): this query is how
+    * you KNOW a join needs it rather than guessing.
+    *
+    * Scale: each audited key's count is a map-side-combinable groupBy
+    * (mappers emit one row per distinct key, so the audit itself cannot
+    * be the skew victim it is hunting); the top-k runs through the
+    * native bounded-heap TopKPerGroupExec; totals are a second tiny
+    * aggregate joined back by audit name. All ratios are integer basis
+    * points (10⁴·cnt div n_rows), so the report keeps an exact oracle. */
+  def q168SkewAudit(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val audits = Seq(
+      ("lineitem.l_partkey", "lineitem", "l_partkey"),
+      ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+      ("events.user_id", "events", "user_id"))
+    val counted = audits.map { case (name, tbl, key) =>
+      t(s, d, tbl).groupBy(col(key).as("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(name).as("key_col"), col("key").cast("long"), col("cnt"))
+    }.reduce(_ unionByName _)
+    val totals = counted.groupBy("key_col")
+      .agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"))
+    graft.plans.TopK.perGroup(counted, Seq("key_col"),
+      Seq(("cnt", false), ("key", true)), k = k, rankName = "rank")
+      .join(totals, "key_col")
+      .select(col("key_col"), col("rank"), col("key"), col("cnt"),
+        col("n_keys"), col("n_rows"),
+        expr("(10000 * cnt) div n_rows").as("share_bp"),
+        expr("(10000 * cnt * n_keys) div n_rows").as("vs_fair_bp"))
+      .orderBy("key_col", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_skew_audit" -> ((s: SparkSession, d: String) => q168SkewAudit(s, d)),
     "q88_zorder_layout" -> ((s: SparkSession, d: String) => q88ZorderLayout(s, d)),
     "q92_column_profile" -> (q92ColumnProfile _),
     "q97_table_checksum" -> (q97TableChecksum _),
     "q145_shard_balance" -> ((s: SparkSession, d: String) => q145ShardBalance(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // window rank over per-key counts ≡ the engine's bounded-heap top-k;
+    // all ratios are integer basis points
+    "q168_skew_audit" -> {
+      val audits = Seq(
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("events.user_id", "events", "user_id"))
+      val branches = audits.map { case (name, tbl, key) =>
+        s"""SELECT '$name' AS key_col, CAST($key AS BIGINT) AS key,
+           | count(*) AS cnt FROM $tbl GROUP BY 2""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      s"""WITH counted AS (
+         |$branches),
+         |totals AS (
+         | SELECT key_col, count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows
+         | FROM counted GROUP BY 1),
+         |ranked AS (
+         | SELECT key_col, key, cnt, CAST(row_number() OVER (
+         |   PARTITION BY key_col ORDER BY cnt DESC, key) AS INT) AS rank
+         | FROM counted)
+         |SELECT r.key_col, r.rank, r.key, r.cnt, t.n_keys, t.n_rows,
+         | (10000 * r.cnt) // t.n_rows AS share_bp,
+         | (10000 * r.cnt * t.n_keys) // t.n_rows AS vs_fair_bp
+         |FROM ranked r JOIN totals t USING (key_col)
+         |WHERE r.rank <= 10 ORDER BY r.key_col, r.rank""".stripMargin
+    },
     // the oracle's plain single-window rank is semantically identical to
     // the engine's banded distributed rank (bit-length monotonicity)
     "q145_shard_balance" ->

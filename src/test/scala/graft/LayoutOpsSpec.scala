@@ -104,4 +104,30 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(keys.getAs[String]("min_val").toLong === kDirect.getLong(0))
     assert(keys.getAs[String]("max_val").toLong === kDirect.getLong(1))
   }
+
+  // ------------------------------------------------------------ q168
+  test("skew audit: ranks match brute per-key counts and ratios are exact") {
+    val got = LayoutOps.q168SkewAudit(spark, TestSpark.sf).collect()
+    assert(got.map(_.getAs[String]("key_col")).distinct.length === 3)
+    // brute-force the events.user_id audit
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    val brute = ev.groupBy("user_id").count()
+      .orderBy(col("count").desc, col("user_id")).limit(10).collect()
+    val gotEv = got.filter(_.getAs[String]("key_col") == "events.user_id")
+      .sortBy(_.getAs[Int]("rank"))
+    assert(gotEv.length === brute.length.min(10))
+    gotEv.zip(brute).foreach { case (g, b) =>
+      assert(g.getAs[Long]("key") === b.getAs[Long]("user_id"))
+      assert(g.getAs[Long]("cnt") === b.getAs[Long]("count"))
+    }
+    val nRows = ev.count()
+    val nKeys = ev.select("user_id").distinct().count()
+    gotEv.foreach { g =>
+      assert(g.getAs[Long]("n_rows") === nRows)
+      assert(g.getAs[Long]("n_keys") === nKeys)
+      assert(g.getAs[Long]("share_bp") === 10000L * g.getAs[Long]("cnt") / nRows)
+      assert(g.getAs[Long]("vs_fair_bp") ===
+        10000L * g.getAs[Long]("cnt") * nKeys / nRows)
+    }
+  }
 }
