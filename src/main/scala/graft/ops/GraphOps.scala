@@ -315,31 +315,34 @@ object GraphOps {
     * (already capped) edge list with map-side partial sums; the chain of
     * 3 iterations executes as one lazy plan (each rank referenced once —
     * linear plan growth, unlike the multi-reference CC iteration that
-    * needs checkpoints). Adjacency and degrees materialize once. The
-    * oracle unrolls the same three iterations in SQL — floor division on
-    * non-negative longs is identical in both engines. */
+    * needs checkpoints). Degrees are attached to the adjacency ONCE at
+    * checkpoint time, so each iteration is exactly one (u)-join + one
+    * (node)-aggregate of bare longs; and because the adjacency is
+    * symmetric, every node has in-edges — the contribution aggregate
+    * already covers the full node domain, so no per-iteration re-join
+    * against the node list is needed (a directed variant would need the
+    * dangling-node left join back). The oracle unrolls the same three
+    * iterations in SQL — floor division on non-negative longs is
+    * identical in both engines. */
   /** Integer-grid PageRank core over a canonical undirected edge list
     * (columns `u` < `v`): returns (node, r) with r in units of scale⁻¹. */
   def pageRankScaled(edges: DataFrame, iterations: Int,
                      scale: Long = 1000000000000L): DataFrame = {
-    val adj = graft.Transients.track(edges.select(col("u"), col("v"))
+    val adj = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint())
-    val deg = graft.Transients.track(
-      adj.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint())
-    val n = deg.count()
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+    // (u, v, deg_u): the only per-iteration join input, materialized once
+    val adjd = graft.Transients.track(adj.join(deg, "u").localCheckpoint())
+    val n = adjd.select(col("u")).distinct().count()
     val base = (scale * 15L / 100L) / n
-    var rank = deg.select(col("u").as("node"), lit(scale / n).as("r"))
+    var rank = adjd.select(col("u").as("node")).distinct()
+      .select(col("node"), lit(scale / n).as("r"))
     for (_ <- 1 to iterations) {
-      val contrib = adj
-        .join(deg, "u")
+      rank = adjd
         .join(rank.withColumnRenamed("node", "u"), "u")
         .select(col("v").as("node"), expr("r div deg").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("inr"))
-      rank = deg.select(col("u").as("node"))
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr("(coalesce(inr, 0L) * 85L) div 100L")).as("r"))
+        .groupBy("node")
+        .agg((lit(base) + expr("(sum(c) * 85L) div 100L")).as("r"))
     }
     rank
   }

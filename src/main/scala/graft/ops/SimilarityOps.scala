@@ -311,27 +311,36 @@ object SimilarityOps {
     * lexicographic min-struct (q80's aggregation pattern — no windowed
     * sort over the corpus).
     *
-    * Scale: the exploded (vec, dim) relation partial-aggregates map-side
-    * into per-(vec, label) distances before any shuffle; centroids are a
-    * labels x dims broadcast. At 100 TB the same plan fuses naturally
-    * into a codegen expression over the array column with the broadcast
-    * centroid matrix (the CosineSimilarity pattern); the relational
-    * spelling here is what the cross-engine oracle can share. */
+    * Scale: only the CENTROID build explodes to (vec, dim) rows (one
+    * map-side-combined shuffle of narrow keys). Distances never shuffle
+    * at all: the learned centroids come back as a labels-sized broadcast
+    * of per-label component ARRAYS, and each vector's squared-L2 to every
+    * centroid is one `zip_with`+`aggregate` fold over its unexploded
+    * embedding — n·labels narrow rows instead of the n·dim·labels
+    * shuffle a relational join-on-pos spelling pays. The argmin then
+    * map-side-combines per vector. At 100 TB the fold is the
+    * CosineSimilarity-style fused kernel; the oracle keeps the relational
+    * spelling both engines can share. */
   def q143NearestCentroid(s: SparkSession, d: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(18, 7)
-    val v = t(s, d, "embeddings")
-      .select(col("vec_id"), col("label").as("true_label"),
-        posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("vec_id"), col("true_label"), col("pos"),
-        (round(col("x").cast("double"), 7).cast(dec) * 10000000)
-          .cast("long").as("v7"))
-    val cent = v.groupBy(col("true_label").as("clabel"), col("pos"))
+    val a7 = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label").as("true_label"), expr(
+        """transform(embedding, x ->
+          | CAST(CAST(round(CAST(x AS DOUBLE), 7) AS DECIMAL(18,7))
+          |   * 10000000 AS BIGINT))""".stripMargin).as("a7"))
+    val cent = a7
+      .select(col("true_label").as("clabel"),
+        posexplode(col("a7")).as(Seq("pos", "v7")))
+      .groupBy("clabel", "pos")
       .agg(sum(col("v7")).as("s7"), count(lit(1)).as("n"))
       .select(col("clabel"), col("pos"), expr("s7 div n").as("c7"))
-    val dist = v.join(broadcast(cent), Seq("pos"))
-      .groupBy("vec_id", "true_label", "clabel")
-      .agg(sum((col("v7") - col("c7")) * (col("v7") - col("c7"))).as("dist2"))
-    dist
+      .groupBy("clabel")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c7))), p -> p.c7)")
+        .as("c7arr"))
+    a7.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("true_label"), col("clabel"), expr(
+        """aggregate(zip_with(a7, c7arr, (x, y) -> (x - y) * (x - y)),
+          | CAST(0 AS BIGINT), (acc, t) -> acc + t)""".stripMargin)
+        .as("dist2"))
       .groupBy("vec_id", "true_label")
       .agg(min(struct(col("dist2"), col("clabel"))).as("m"))
       .groupBy(col("true_label"), col("m.clabel").as("assigned_label"))
