@@ -703,7 +703,163 @@ object StatsOps {
       .drop("den")
   }
 
+  // ---------------------------------------------------------------- q169
+  /** K-ANONYMITY audit — the privacy/compliance gate a curated dataset
+    * passes before release: group rows into EQUIVALENCE CLASSES on the
+    * quasi-identifier tuple (segment, nation, $1000 account-balance band)
+    * and, for each disclosure threshold k, report how many classes and
+    * rows sit below k (those rows are re-identifiable to fewer than k
+    * candidates and must be suppressed or generalized). The balance band
+    * is one truncating integral division on the cents grid — Spark `div`
+    * and DuckDB `//` both truncate toward zero (re-verified incl.
+    * negatives), so the class key is engine-exact and the whole audit
+    * carries an exact oracle; risk_bp = rows_at_risk·10⁴ div n_rows is
+    * integral too.
+    *
+    * Scale: one groupBy on the QI tuple with full map-side combine; the
+    * class-size relation is bounded by the QI DOMAIN (segments × nations
+    * × bands), not the row count, so the k-fanout explode and the final
+    * per-k rollup are constant-size at any corpus scale. */
+  def q169KAnonymity(s: SparkSession, d: String): DataFrame = {
+    val cls = t(s, d, "customer")
+      .select(col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("int").as("nation"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 100000")
+          .as("bal_band"))
+      .groupBy("segment", "nation", "bal_band")
+      .agg(count(lit(1)).as("cls"))
+    cls
+      .select(col("cls"), explode(expr("array(2L, 5L, 10L, 20L)")).as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("cls") < col("k"), 1L).otherwise(0L)).as("classes_below"),
+        sum(col("cls")).as("n_rows"),
+        sum(when(col("cls") < col("k"), col("cls")).otherwise(0L)).as("rows_at_risk"))
+      .select(col("k"), col("n_classes"), col("classes_below"), col("n_rows"),
+        col("rows_at_risk"),
+        expr("rows_at_risk * 10000 div n_rows").as("risk_bp"))
+      .orderBy("k")
+  }
+
+  // ---------------------------------------------------------------- q170
+  /** BENFORD FIRST-DIGIT audit — the classic fabricated-data / ingest-
+    * corruption screen: the first significant digit of a naturally-spread
+    * positive amount should follow P(d) = log₁₀(1+1/d). Everything stays
+    * on the integer grid: the digit is the first character of the cents
+    * BIGINT rendered as a string (leading digit is invariant under the
+    * ×100 shift), observed shares are n·10⁴ div total, and the expected
+    * shares are the PINNED basis-point constants 3010/1761/…/458 (they
+    * sum to exactly 10⁴) written into both engines as the same CASE
+    * literal — no runtime log10, so the per-digit deviation is exact.
+    *
+    * Scale: one map-side digit projection, one 9-group aggregate, one
+    * 9-row window for the total — nothing scales past the scan. */
+  def q170BenfordAudit(s: SparkSession, d: String): DataFrame = {
+    val expCase = """CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761
+      | WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669
+      | WHEN 7 THEN 580 WHEN 8 THEN 512 ELSE 458 END AS BIGINT)""".stripMargin
+    t(s, d, "orders")
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"))
+      .filter(col("cents") > 0L)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", expr("sum(n) OVER ()"))
+      .select(col("digit"), col("n"),
+        expr("n * 10000 div total").as("obs_bp"),
+        expr(expCase).as("exp_bp"))
+      .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
+      .orderBy("digit")
+  }
+
+  // ---------------------------------------------------------------- q171
+  /** Per-group OLS REGRESSION as an EXACT certificate — the feature-vs-
+    * target fit (price explained by quantity, per return flag) delivered
+    * the way q167 delivers correlation: single-pass integer sufficient
+    * statistics (n, Σx, Σy, Σx², Σxy on the cents/units grid, summed in
+    * DECIMAL(38,0)) and the closed-form numerators/denominator
+    *   slope = slope_num/den,  intercept = icept_num/den
+    * with slope_num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)², icept_num =
+    * Σy·Σx² − Σx·Σxy — all integer products, no float until the caller
+    * divides. The spec reconstructs the float slope against Spark's own
+    * covar_pop/var_pop to 1e-9; the oracle recomputes the certificate in
+    * HUGEINT.
+    *
+    * Scale: one scan, one mergeable 5-accumulator aggregate per group —
+    * the q167 headroom argument applies verbatim (products ≤ ~5e8 per
+    * row; 6e9-row sums keep 10 spare digits in DECIMAL(38,0)). */
+  def q171GroupOls(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    t(s, d, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT)").as("x"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("y"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec38)).as("sx"),
+        sum(col("y").cast(dec38)).as("sy"),
+        sum((col("x") * col("x")).cast(dec38)).as("sxx"),
+        sum((col("x") * col("y")).cast(dec38)).as("sxy"))
+      .select(col("grp"), col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+        (col("n").cast(dec38) * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n").cast(dec38) * col("sxx") - col("sx") * col("sx")).as("den"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).as("icept_num"))
+      .orderBy("grp")
+  }
+
+  // ---------------------------------------------------------------- q172
+  /** MANN-WHITNEY U rank test — the nonparametric A/B readout (does the
+    * value distribution of `click` events stochastically dominate `view`
+    * events?) that q157's z-test can't give when normality fails. Ranks
+    * live on the DOUBLED integer grid so tie-averaged ranks stay exact:
+    * for a distinct cents value with a+b occurrences and `cum` rows below
+    * it, every occurrence's 2·rank is 2·cum + (a+b) + 1. Then
+    * 2·R₁ = Σ a·(2·rank), U₁·2 = 2R₁ − n₁(n₁+1), U₂·2 = 2n₁n₂ − U₁·2,
+    * and the variance tie-correction Σ(t³−t) is integral — a complete
+    * exact certificate (the caller divides by 2 / plugs into the normal
+    * approximation).
+    *
+    * Scale: the only window runs over the DISTINCT-VALUE relation
+    * (domain-bounded — cents of a bounded price range — not row-bounded);
+    * at a wider domain the same monotone-band trick as
+    * [[LayoutOps.bandedRank]] splits the cumulative sum. Row-scale work
+    * is one map-side-combined groupBy on value. */
+  def q172RankTest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val perVal = t(s, d, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .groupBy("c")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("b"))
+    val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    perVal
+      .withColumn("cum", coalesce(sum(col("a") + col("b")).over(w), lit(0L)))
+      .withColumn("two_r", lit(2L) * col("cum") + col("a") + col("b") + lit(1L))
+      .agg(sum("a").as("n1"), sum("b").as("n2"),
+        sum((col("a") * col("two_r")).cast(dec38)).as("r1x2"),
+        sum(expr("CAST((a + b) * (a + b) * (a + b) - (a + b) AS DECIMAL(38,0))"))
+          .as("tie_term"))
+      .select(col("n1"), col("n2"), col("r1x2"),
+        (col("r1x2") - col("n1").cast(dec38) * (col("n1") + lit(1L)).cast(dec38))
+          .as("u1x2"),
+        (lit(2L).cast(dec38) * col("n1").cast(dec38) * col("n2").cast(dec38)
+          - (col("r1x2")
+            - col("n1").cast(dec38) * (col("n1") + lit(1L)).cast(dec38)))
+          .as("u2x2"),
+        col("tie_term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_kanon_audit" -> (q169KAnonymity _),
+    "q170_benford_audit" -> (q170BenfordAudit _),
+    "q171_group_ols" -> (q171GroupOls _),
+    "q172_rank_test" -> (q172RankTest _),
     "q157_ab_experiment" -> (q157AbExperiment _),
     "q141_kmv_distinct" -> ((s: SparkSession, d: String) => q141KmvSketch(s, d)),
     "q166_sketch_quantiles" -> ((s: SparkSession, d: String) => q166SketchQuantiles(s, d)),
@@ -726,6 +882,95 @@ object StatsOps {
     "q52_approx_distinct" -> (q52ApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    // same truncating integral division (`//` ≡ Spark `div`, both toward
+    // zero, verified incl. negatives) on the same cents grid
+    "q169_kanon_audit" ->
+      """WITH qi AS (
+        | SELECT c_mktsegment AS segment, c_nationkey AS nation,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000
+        |    AS bal_band
+        | FROM customer),
+        |cls AS (SELECT segment, nation, bal_band, count(*) AS cls
+        |        FROM qi GROUP BY 1, 2, 3),
+        |ks AS (SELECT CAST(unnest([2, 5, 10, 20]) AS BIGINT) AS k)
+        |SELECT k,
+        | CAST(count(*) AS BIGINT) AS n_classes,
+        | CAST(sum(CASE WHEN cls < k THEN 1 ELSE 0 END) AS BIGINT) AS classes_below,
+        | CAST(sum(cls) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN cls < k THEN cls ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        | CAST(CAST(sum(CASE WHEN cls < k THEN cls ELSE 0 END) AS BIGINT) * 10000
+        |   // CAST(sum(cls) AS BIGINT) AS BIGINT) AS risk_bp
+        |FROM cls CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
+    // identical pinned CASE constants; leading digit read off the cents
+    // string in both engines
+    "q170_benford_audit" ->
+      """WITH c AS (
+        | SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM orders),
+        |dg AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |         AS digit
+        |       FROM c WHERE cents > 0),
+        |g AS (SELECT digit, count(*) AS n FROM dg GROUP BY digit),
+        |w AS (SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS total FROM g)
+        |SELECT digit, n,
+        | CAST(n * 10000 // total AS BIGINT) AS obs_bp,
+        | CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761
+        |  WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669
+        |  WHEN 7 THEN 580 WHEN 8 THEN 512 ELSE 458 END AS BIGINT) AS exp_bp,
+        | abs(CAST(n * 10000 // total AS BIGINT)
+        |   - CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761
+        |      WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669
+        |      WHEN 7 THEN 580 WHEN 8 THEN 512 ELSE 458 END AS BIGINT)) AS dev_bp
+        |FROM w ORDER BY digit""".stripMargin,
+    // q167's HUGEINT certificate discipline on the same grids
+    "q171_group_ols" ->
+      """WITH g AS (
+        | SELECT l_returnflag AS grp,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS x,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        | FROM lineitem),
+        |a AS (SELECT grp, count(*) AS n,
+        |  CAST(sum(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sx,
+        |  CAST(sum(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS sy,
+        |  CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+        |  CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy
+        | FROM g GROUP BY grp)
+        |SELECT grp, n, sx, sy, sxx, sxy,
+        | CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+        |   - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DECIMAL(38,0))
+        |   AS slope_num,
+        | CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+        |   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DECIMAL(38,0)) AS den,
+        | CAST(CAST(sy AS HUGEINT) * CAST(sxx AS HUGEINT)
+        |   - CAST(sx AS HUGEINT) * CAST(sxy AS HUGEINT) AS DECIMAL(38,0))
+        |   AS icept_num
+        |FROM a ORDER BY grp""".stripMargin,
+    // doubled-rank grid: 2·rank of every occurrence of a distinct value
+    // is 2·(rows below) + (ties) + 1 — integers end to end
+    "q172_rank_test" ->
+      """WITH v AS (
+        | SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |p AS (SELECT c,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+        | FROM v GROUP BY c),
+        |r AS (SELECT a, b,
+        |  coalesce(sum(a + b) OVER (ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        | FROM p),
+        |tt AS (SELECT a, b, 2 * cum + a + b + 1 AS two_r FROM r),
+        |st AS (SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2,
+        |  CAST(sum(CAST(a AS HUGEINT) * two_r) AS DECIMAL(38,0)) AS r1x2,
+        |  CAST(sum(CAST(a + b AS HUGEINT) * (a + b) * (a + b) - (a + b))
+        |    AS DECIMAL(38,0)) AS tie_term
+        | FROM tt)
+        |SELECT n1, n2, r1x2,
+        | CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DECIMAL(38,0)) AS u1x2,
+        | CAST(2 * CAST(n1 AS HUGEINT) * n2
+        |   - (r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)) AS DECIMAL(38,0)) AS u2x2,
+        | tie_term FROM st""".stripMargin,
     "q157_ab_experiment" ->
       """WITH u AS (
         | SELECT user_id,

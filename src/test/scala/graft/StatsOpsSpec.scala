@@ -367,4 +367,75 @@ class StatsOpsSpec extends AnyFunSuite {
       assert(bd("den_x") > 0 && bd("den_y") > 0)
     }
   }
+
+  // ------------------------------------------------------------ q169
+  test("k-anonymity: rows conserved, risk monotone in k") {
+    val rows = StatsOps.q169KAnonymity(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq === Seq(2L, 5L, 10L, 20L))
+    val total = Tables.load(spark, TestSpark.sf, "customer").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === total)
+      assert(r.getAs[Long]("rows_at_risk") >= r.getAs[Long]("classes_below"))
+    }
+    // a class below k is also below every larger k — both risk columns
+    // are monotone non-decreasing in k
+    val atRisk = rows.map(_.getAs[Long]("rows_at_risk")).toSeq
+    assert(atRisk === atRisk.sorted)
+    val below = rows.map(_.getAs[Long]("classes_below")).toSeq
+    assert(below === below.sorted)
+  }
+
+  // ------------------------------------------------------------ q170
+  test("benford: digits partition the orders, expected shares sum to 10^4") {
+    val rows = StatsOps.q170BenfordAudit(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSeq === (1L to 9L))
+    assert(rows.map(_.getAs[Long]("n")).sum ===
+      Tables.load(spark, TestSpark.sf, "orders").count())
+    assert(rows.map(_.getAs[Long]("exp_bp")).sum === 10000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dev_bp") ===
+        math.abs(r.getAs[Long]("obs_bp") - r.getAs[Long]("exp_bp")))
+    }
+  }
+
+  // ------------------------------------------------------------ q171
+  test("group OLS: certificate reconstructs covar_pop/var_pop slope") {
+    val li = Tables.load(spark, TestSpark.sf, "lineitem").select(
+      col("l_returnflag").as("grp"),
+      col("l_quantity").cast("double").as("x"),
+      (round(col("l_extendedprice").cast("double"), 2) * 100).as("y"))
+    val expect = li.groupBy("grp").agg(
+      (covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("slope"),
+      avg("y").as("my"), avg("x").as("mx")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1),
+        r.getDouble(2) - r.getDouble(1) * r.getDouble(3))).toMap
+    StatsOps.q171GroupOls(spark, TestSpark.sf).collect().foreach { r =>
+      def bd(c: String): BigDecimal = BigDecimal(r.getAs[java.math.BigDecimal](c))
+      val (slope, icept) = expect(r.getAs[String]("grp"))
+      assert(math.abs((bd("slope_num") / bd("den")).toDouble - slope) < 1e-6)
+      assert(math.abs((bd("icept_num") / bd("den")).toDouble - icept) < 1e-4)
+    }
+  }
+
+  // ------------------------------------------------------------ q172
+  test("rank test: U certificate equals brute-force tie-averaged ranks") {
+    val r = StatsOps.q172RankTest(spark, TestSpark.sf).head
+    val vals = Tables.load(spark, TestSpark.sf, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), (round(col("value"), 2) * 100).cast("long").as("c"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val sorted = vals.map(_._2).sorted
+    // 2x the average rank of value v among the pooled sample
+    def twoRank(v: Long): Long =
+      2 * sorted.count(_ < v) + sorted.count(_ == v) + 1
+    val n1 = vals.count(_._1 == "click").toLong
+    val n2 = vals.count(_._1 == "view").toLong
+    val r1x2 = vals.filter(_._1 == "click").map(x => twoRank(x._2)).sum
+    assert(r.getAs[Long]("n1") === n1 && r.getAs[Long]("n2") === n2)
+    assert(BigDecimal(r.getAs[java.math.BigDecimal]("r1x2")) === BigDecimal(r1x2))
+    assert(BigDecimal(r.getAs[java.math.BigDecimal]("u1x2")) ===
+      BigDecimal(r1x2 - n1 * (n1 + 1)))
+    assert(BigDecimal(r.getAs[java.math.BigDecimal]("u2x2")) ===
+      BigDecimal(2 * n1 * n2 - (r1x2 - n1 * (n1 + 1))))
+  }
 }
