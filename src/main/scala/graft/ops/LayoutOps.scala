@@ -287,6 +287,33 @@ object LayoutOps {
       .drop("__band", "__rb", "__off")
   }
 
+  /** Per-GROUP sibling of [[bandedRank]]: a distributed row_number within
+    * each group, again without putting any group's whole row set through a
+    * single-partition window. `band` must be monotone non-decreasing in
+    * the target in-group order; offsets become a (group, band)-grained
+    * aggregate (domain-bounded: |groups|·|bands| rows through the offset
+    * window, partitioned BY GROUP so no global sort either), and in-band
+    * row_numbers run partitioned on (group, band) — a skewed group
+    * spreads across its bands instead of landing on one task. */
+  def groupedBandedRank(df: DataFrame, groups: Seq[String], band: Column,
+                        order: Seq[Column], rankName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = graft.Transients.track(
+      df.withColumn("__band", band).localCheckpoint())
+    val gb = groups :+ "__band"
+    val wOff = Window.partitionBy(groups.map(col): _*).orderBy(col("__band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy(gb.map(col): _*).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select((gb :+ "__off").map(col): _*)
+    val wIn = Window.partitionBy(gb.map(col): _*).orderBy(order: _*)
+    banded
+      .withColumn("__rb", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), gb)
+      .withColumn(rankName, col("__off") + col("__rb"))
+      .drop("__band", "__rb", "__off")
+  }
+
   def withShard(sizes: DataFrame, shards: Int): DataFrame = {
     val ranked = bandedRank(sizes,
       (-(length(bin(col("n_tokens"))) - 1)).cast("int"),

@@ -1281,7 +1281,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q173
+  /** Per-language GINI COEFFICIENT of document token counts — the corpus-
+    * concentration audit (is one language's token mass dominated by a few
+    * giant documents?) that drives per-language sampling and chunking
+    * policy. With per-language ascending ranks i over sizes x,
+    *   gini = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    * — every term an integer, emitted as the numerator/denominator
+    * certificate (q167 discipline) plus the truncated basis-point value.
+    * Rank ties (equal sizes) contribute x·Σi regardless of how doc_id
+    * breaks them, so the certificate is order-stable by construction.
+    *
+    * Scale: ranks come from [[LayoutOps.groupedBandedRank]] — bit-length
+    * bands keep a skewed language spread across (lang, band) partitions
+    * instead of one single-partition window per language; the offset
+    * window touches only |langs|·64 rows. One groupBy(lang) rollup after
+    * that. Sums ride DECIMAL(38,0): rank·tokens products are cast before
+    * summing, so 100 TB row counts keep headroom. */
+  def q173GiniTokens(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val sizes = t(s, d, "documents").select(col("lang"), col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    LayoutOps.groupedBandedRank(sizes, Seq("lang"),
+        (length(bin(col("n_tokens"))) - 1).cast("int"),
+        Seq(col("n_tokens"), col("doc_id")), "rk")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_tokens").cast(dec38)).as("sum_tokens"),
+        sum((col("rk").cast(dec38) * col("n_tokens").cast(dec38))).as("wsum"))
+      .select(col("lang"), col("n"), col("sum_tokens"), col("wsum"),
+        (lit(2L).cast(dec38) * col("wsum")
+          - (col("n") + lit(1L)).cast(dec38) * col("sum_tokens")).as("gini_num"),
+        (col("n").cast(dec38) * col("sum_tokens")).as("gini_den"))
+      .withColumn("gini_bp", expr("(gini_num * 10000) div gini_den"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_gini_tokens" -> (q173GiniTokens _),
     "q163_bpe_encode" -> ((s: SparkSession, d: String) => q163BpeEncode(s, d)),
     "q159_bpe_trainer" -> ((s: SparkSession, d: String) => q159BpeTrainer(s, d)),
     "q139_kfold_assign" -> (q139KfoldAssign _),
@@ -1382,6 +1420,36 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // the oracle's per-lang single-window rank is semantically identical
+    // to the engine's grouped banded rank (bit-length monotonicity);
+    // HUGEINT certificate math, `//` ≡ `div` (both truncate)
+    "q173_gini_tokens" ->
+      """WITH tk AS (
+        | SELECT lang, doc_id,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+        |    AS n_tokens
+        | FROM documents),
+        |r AS (
+        | SELECT lang, n_tokens,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id)
+        |    AS BIGINT) AS rk
+        | FROM tk),
+        |a AS (
+        | SELECT lang, count(*) AS n,
+        |  CAST(sum(CAST(n_tokens AS HUGEINT)) AS DECIMAL(38,0)) AS sum_tokens,
+        |  CAST(sum(CAST(rk AS HUGEINT) * n_tokens) AS DECIMAL(38,0)) AS wsum
+        | FROM r GROUP BY lang)
+        |SELECT lang, n, sum_tokens, wsum,
+        | CAST(2 * CAST(wsum AS HUGEINT)
+        |   - (CAST(n AS HUGEINT) + 1) * CAST(sum_tokens AS HUGEINT)
+        |   AS DECIMAL(38,0)) AS gini_num,
+        | CAST(CAST(n AS HUGEINT) * CAST(sum_tokens AS HUGEINT)
+        |   AS DECIMAL(38,0)) AS gini_den,
+        | CAST((2 * CAST(wsum AS HUGEINT)
+        |    - (CAST(n AS HUGEINT) + 1) * CAST(sum_tokens AS HUGEINT)) * 10000
+        |   // (CAST(n AS HUGEINT) * CAST(sum_tokens AS HUGEINT)) AS BIGINT)
+        |   AS gini_bp
+        |FROM a ORDER BY lang""".stripMargin,
     "q159_bpe_trainer" ->
       s"""WITH $duckBpeCtes
          |SELECT CAST(1 AS INT) AS round, pair, cnt AS merge_count FROM b1

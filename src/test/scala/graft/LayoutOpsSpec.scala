@@ -130,4 +130,41 @@ class LayoutOpsSpec extends AnyFunSuite {
         10000L * g.getAs[Long]("cnt") * nKeys / nRows)
     }
   }
+
+  test("groupedBandedRank == per-group single-window row_number") {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("lang"), col("doc_id"),
+        length(col("text")).cast("long").as("sz"))
+    val banded = LayoutOps.groupedBandedRank(sizes, Seq("lang"),
+      (length(bin(col("sz"))) - 1).cast("int"),
+      Seq(col("sz"), col("doc_id")), "rk")
+    val plain = sizes.withColumn("rk2", row_number()
+      .over(Window.partitionBy("lang").orderBy("sz", "doc_id")).cast("long"))
+    val diff = banded.join(plain, Seq("lang", "doc_id"))
+      .filter(col("rk") =!= col("rk2"))
+    assert(diff.count() === 0)
+  }
+
+  test("gini certificate matches brute-force per-language computation") {
+    val got = graft.ops.TextOps.q173GiniTokens(spark, TestSpark.sf).collect()
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("lang"),
+        size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.map(_.getAs[String]("lang")).toSet === docs.keySet)
+    got.foreach { r =>
+      val xs = docs(r.getAs[String]("lang"))
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val ws = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val num = 2 * ws - (n + 1) * sx
+      assert(r.getAs[Long]("n") === n)
+      assert(BigDecimal(r.getAs[java.math.BigDecimal]("gini_num")) === BigDecimal(num))
+      assert(BigDecimal(r.getAs[java.math.BigDecimal]("gini_den")) === BigDecimal(n * sx))
+      assert(r.getAs[Long]("gini_bp") === num * 10000 / (n * sx))
+      assert(r.getAs[Long]("gini_bp") >= 0 && r.getAs[Long]("gini_bp") < 10000)
+    }
+  }
 }
