@@ -521,7 +521,45 @@ object GraphOps {
       .orderBy("u", "rk")
   }
 
+  // ---------------------------------------------------------------- q174
+  /** HITS hubs-and-authorities as a DIVISION-FREE integer certificate —
+    * the bipartite-importance sibling of q105's PageRank, over the
+    * (user → event_type) interaction graph with edge weight = interaction
+    * count. Classic HITS renormalizes each half-step with an L2 divide;
+    * this operator instead seeds every hub at 1 and runs the two
+    * unnormalized half-step pairs
+    *   auth₁ = Wᵀ·1,  hub₁ = W·auth₁,  auth₂ = Wᵀ·hub₁
+    * emitting raw auth₁/auth₂ — the same RANKING as normalized HITS
+    * (normalization is a positive scalar per step) with zero division, so
+    * the result is engine-exact (the q167 certificate discipline applied
+    * to an iterative graph kernel). Magnitude: auth₂ ≤ (total rows)³ —
+    * 1e12 rows → 1e36, inside DECIMAL(38,0) with the sums cast before
+    * multiplication.
+    *
+    * Scale: the edge list is a (user, type)-grained groupBy of the scan
+    * (map-side combined); auth relations are |types| rows and ride
+    * broadcast joins; the only row-scale shuffles are the two groupBys on
+    * bare ids. The edge subtree feeds three consumers, so it
+    * checkpoints once (the q147 discipline). */
+  def q174HitsScores(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val edges = graft.Transients.track(Tables.load(s, d, "events")
+      .groupBy(col("user_id").as("u"), col("event_type").as("item"))
+      .agg(count(lit(1)).as("w")).localCheckpoint())
+    val auth1 = edges.groupBy("item")
+      .agg(sum(col("w").cast(dec38)).as("auth1"))
+    val hub1 = edges.join(broadcast(auth1), "item")
+      .groupBy("u").agg(sum(col("w").cast(dec38) * col("auth1")).as("hub1"))
+    val auth2 = edges.join(hub1, "u")
+      .groupBy("item").agg(sum(col("w").cast(dec38) * col("hub1")).as("auth2"))
+    auth1.join(auth2, "item")
+      .select(col("item").as("event_type"), col("auth1"), col("auth2"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_hits_scores" -> (q174HitsScores _),
     "q161_item_similarity" -> ((s: SparkSession, d: String) => q161ItemSimilarity(s, d)),
     "q160_clustering_coeff" -> (q160ClusteringCoeff _),
     "q112_label_communities" -> (q112LabelCommunities _),
@@ -577,6 +615,24 @@ object GraphOps {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    // same unnormalized half-steps in HUGEINT, cast to DECIMAL(38,0)
+    "q174_hits_scores" ->
+      """WITH e AS (
+        | SELECT user_id AS u, event_type AS item, count(*) AS w
+        | FROM events GROUP BY 1, 2),
+        |a1 AS (SELECT item,
+        |  CAST(sum(CAST(w AS HUGEINT)) AS DECIMAL(38,0)) AS auth1
+        | FROM e GROUP BY item),
+        |h1 AS (SELECT u,
+        |  CAST(sum(CAST(e.w AS HUGEINT) * CAST(a1.auth1 AS HUGEINT))
+        |    AS DECIMAL(38,0)) AS hub1
+        | FROM e JOIN a1 USING (item) GROUP BY u),
+        |a2 AS (SELECT item,
+        |  CAST(sum(CAST(e.w AS HUGEINT) * CAST(h1.hub1 AS HUGEINT))
+        |    AS DECIMAL(38,0)) AS auth2
+        | FROM e JOIN h1 USING (u) GROUP BY item)
+        |SELECT item AS event_type, auth1, auth2
+        |FROM a1 JOIN a2 USING (item) ORDER BY event_type""".stripMargin,
     "q136_degree_histogram" ->
       s"""WITH $duckCappedEdges,
          |a AS (SELECT u AS node FROM capped UNION ALL SELECT v FROM capped),

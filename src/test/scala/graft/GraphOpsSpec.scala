@@ -270,4 +270,25 @@ class GraphOpsSpec extends AnyFunSuite {
     // at least one node actually closes a triangle
     assert(got.values.exists(_._2 > 0))
   }
+
+  test("HITS certificate matches brute-force unnormalized half-steps") {
+    val got = GraphOps.q174HitsScores(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (BigInt(r.getAs[java.math.BigDecimal]("auth1").toBigInteger),
+          BigInt(r.getAs[java.math.BigDecimal]("auth2").toBigInteger))).toMap
+    val w = Tables.load(spark, TestSpark.sf, "events")
+      .groupBy("user_id", "event_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> BigInt(r.getLong(2))).toMap
+    val auth1 = w.groupMapReduce(_._1._2)(_._2)(_ + _)
+    val hub1 = w.groupMapReduce(_._1._1) { case ((_, i), x) => x * auth1(i) }(_ + _)
+    val auth2 = w.groupMapReduce(_._1._2) { case ((u, _), x) => x * hub1(u) }(_ + _)
+    assert(got.keySet === auth1.keySet)
+    got.foreach { case (item, (a1, a2)) =>
+      assert(a1 === auth1(item), s"auth1 $item")
+      assert(a2 === auth2(item), s"auth2 $item")
+    }
+    // the two iterations genuinely reorder nothing only if rankings agree;
+    // assert auth2 preserves a strict positive ordering (sanity, not parity)
+    assert(got.values.forall { case (a1, a2) => a1 > 0 && a2 > 0 })
+  }
 }
