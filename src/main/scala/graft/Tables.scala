@@ -15,8 +15,27 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The engine-wide `events.ts` contract is a raw nanosecond Long (every
+    * consumer derives µs as `ts div 1000`). Driver testdata has shipped the
+    * column both ways — TIMESTAMP(NANOS) parquet (a Long under
+    * `nanosAsLong`) and TIMESTAMP(MICROS) (arriving as TIMESTAMP_NTZ) — so
+    * the loader pins the contract here instead of spreading type switches
+    * across every query. The NTZ wall-clock → epoch conversion is exact
+    * because every graft session pins spark.sql.session.timeZone=UTC
+    * (Graft.sessionBuilder / TestSpark). */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) => df
+      case Some(_) => df.withColumn(
+        "ts", org.apache.spark.sql.functions.expr(
+          "unix_micros(cast(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)"))
+      case None => df
+    }
 
   /** Hash-repartition `df` on `key` before a COMPUTE-heavy per-row stage.
     *
