@@ -45,7 +45,9 @@ object SparkEntry {
         "q154_stream_hitters" ->
           ((s: SparkSession, d: String) => graft.streaming.DocsStream.q154StreamHitters(s, d)),
         "q164_stream_cascade" ->
-          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q164StreamCascade(s, d)))
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q164StreamCascade(s, d)),
+        "q176_stream_debounce" ->
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q176StreamDebounce(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -122,5 +124,8 @@ object SparkEntry {
             |  AS win_start,
             | event_type, count(*) AS n_events,
             | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-            |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)
+            |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+        // the stateful burst collapse must land on the batch window form —
+        // same oracle as q138 by construction
+        "q176_stream_debounce" -> EtlOps.oracle("q138_debounce"))
 }

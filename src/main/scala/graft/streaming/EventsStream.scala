@@ -31,24 +31,42 @@ object EventsStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventsSchema).parquet(dir)
 
-  /** The driver testdata variant: ts arrives as a nanosecond Long (the
-    * parquet is TIMESTAMP_NANOS, read under nanosAsLong). */
-  val eventsSchemaNanos: StructType = StructType(Seq(
+  /** File schema of the driver testdata's events table: ts is
+    * TIMESTAMP(MICROS), which Spark surfaces as TIMESTAMP_NTZ. */
+  val eventsSchemaNtz: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Restores the engine-wide raw-nanos Long `ts` contract over the NTZ
+    * file column (exact: sessions pin UTC — see Tables.normalizeEventTs). */
+  private def nanosView(raw: DataFrame): DataFrame =
+    raw.withColumn("ts",
+      expr("unix_micros(cast(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)"))
+
+  /** Stage-dir twin of [[readEventsNanos]]: same schema + nanos contract,
+    * no glob (sentinel stages hold exactly one table). */
+  private def readStageNanos(s: SparkSession, dir: String): DataFrame =
+    nanosView(s.readStream.schema(eventsSchemaNtz).parquet(dir))
+
+  /** Converts a raw-nanos Long ts column to the NTZ file type, for staging
+    * sentinel rows next to the real table (write-side inverse of
+    * [[nanosView]]). */
+  private def ntzTs(df: DataFrame): DataFrame =
+    df.withColumn("ts",
+      expr("cast(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
 
   /** The ONE definition of the nanos file-source stream over the driver
     * testdata's events table (the file stream source requires a directory;
     * the glob filter pins it to the one table) — shared by every streaming
     * query here so the ingest shape changes in one place. */
   def readEventsNanos(s: SparkSession, dir: String): DataFrame =
-    s.readStream.schema(eventsSchemaNanos)
+    nanosView(s.readStream.schema(eventsSchemaNtz)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .parquet(dir))
 
   /** Exact decimal-cents quantization of the value column — the shared
     * money convention (quantize once, sum integers, divide at the end). */
@@ -276,10 +294,11 @@ object EventsStream {
       // sentinel: same RAW column shape as the events source (ts in ns)
       Seq((-1L, (maxUs + 10L * 24 * 3600 * 1000000) * 1000, -1L, "sentinel", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .transform(ntzTs)
         .write.mode("overwrite").parquet(stageDir)
       drained = withDrainSession(s) { drain =>
         val main = readEventsNanos(drain, d)
-        val sentinel = drain.readStream.schema(eventsSchemaNanos).parquet(stageDir)
+        val sentinel = readStageNanos(drain, stageDir)
         val stream = toExact(main.unionAll(sentinel)).as[ExactEvent]
         val q = sessionizeExact(stream).toDF()
           .writeStream.outputMode("append")
@@ -390,10 +409,11 @@ object EventsStream {
     try {
       Seq((-1L, (maxUs + 10L * 24 * 3600 * 1000000) * 1000, -1L, "sentinel", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .transform(ntzTs)
         .write.mode("overwrite").parquet(stageDir)
       drained = withDrainSession(s) { drain =>
         val main = readEventsNanos(drain, d)
-        val sentinel = drain.readStream.schema(eventsSchemaNanos).parquet(stageDir)
+        val sentinel = readStageNanos(drain, stageDir)
         val stream = main.unionAll(sentinel)
           .select(col("event_id"), col("user_id"), col("event_type"),
             expr("ts div 1000").as("tus"))
@@ -496,10 +516,11 @@ object EventsStream {
     try {
       Seq((-1L, (maxUs + 10L * 24 * 3600 * 1000000) * 1000, -1L, "sentinel", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .transform(ntzTs)
         .write.mode("overwrite").parquet(stageDir)
       drained = withDrainSession(s) { drain =>
         val main = readEventsNanos(drain, d)
-        val sentinel = drain.readStream.schema(eventsSchemaNanos).parquet(stageDir)
+        val sentinel = readStageNanos(drain, stageDir)
         val stream = main.unionAll(sentinel)
           .select(col("event_id"), col("user_id"),
             expr("ts div 1000").as("tus"),
@@ -580,10 +601,11 @@ object EventsStream {
       sentinelTypes.zipWithIndex.map { case (tpe, i) =>
         (-1L - i, (maxUs + 10L * 24 * 3600 * 1000000) * 1000, -1L - i, tpe, 0.0, "{}")
       }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .transform(ntzTs)
         .write.mode("overwrite").parquet(stagePath.toString)
       withDrainSession(s) { drain =>
         def mk() = readEventsNanos(drain, d).unionAll(
-          drain.readStream.schema(eventsSchemaNanos).parquet(stagePath.toString))
+          readStageNanos(drain, stagePath.toString))
         body(drain, () => mk())
       }
     } finally {
@@ -643,6 +665,109 @@ object EventsStream {
       .agg(count(col("p_cents")).as("n_purch_1h"),
         (sum(col("p_cents")) / 100.0).as("sum_purch_value"))
       .orderBy("click_id")
+  }
+
+  // ------------------------- q176: stateful streaming debounce (q138 twin)
+  case class BounceEvent(event_id: Long, user_id: Long, event_type: String,
+                         tus: Long, ts: java.sql.Timestamp)
+  /** One open burst interval: startUs = head tus (burst min), headId = min
+    * event_id at startUs, lastUs = burst max tus, n = rows absorbed. */
+  case class BurstState(startUs: Long, headId: Long, lastUs: Long, n: Long)
+  case class BurstOut(user_id: Long, event_type: String, event_id: Long,
+                      tus: Long, n_collapsed: Long, span_us: Long)
+
+  /** q138's DEBOUNCE as a STATEFUL STREAM — burst collapse running
+    * per-(user, type) key in flatMapGroupsWithState, the real-time face of
+    * the telemetry de-noiser (a dashboard wants the burst head NOW, not at
+    * end of day). Semantics are q138's transitive ≤-gap chaining, which is
+    * exactly the q60 sessionizer's interval-fold contract with a compound
+    * key and head bookkeeping: per key, state + batch events fold as
+    * intervals in ascending start order, merging when the gap closes and
+    * emitting the absorbed burst (head row id, collapse count, span) when
+    * a later interval leaves a gap — or when the event-time timeout fires
+    * after the watermark passes lastTs + gap. Watermark delay == gap, the
+    * q60 soundness point: no arrival the watermark still admits can bridge
+    * a burst the timeout already closed.
+    *
+    * State per key is ONE open interval (4 longs) — bounded by live keys,
+    * not data; emission is append-mode, so the sink never rewrites. The
+    * drained rows are byte-equal to the batch window form: q176 shares
+    * q138's exact DuckDB oracle. */
+  def debounceExact(events: Dataset[BounceEvent],
+                    gapUs: Long = 300000000L): Dataset[BurstOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapUs / 1000
+    def close(uid: Long, tpe: String, st: BurstState): BurstOut =
+      BurstOut(uid, tpe, st.headId, st.startUs, st.n, st.lastUs - st.startUs)
+    events.withWatermark("ts", s"$gapMs milliseconds")
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[BurstState, BurstOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), batch: Iterator[BounceEvent],
+         state: GroupState[BurstState]) =>
+          val (uid, tpe) = key
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(uid, tpe, _))
+            state.remove()
+            out.iterator
+          } else {
+            val items = (state.getOption.toSeq ++
+              batch.toSeq.sortBy(e => (e.tus, e.event_id))
+                .map(e => BurstState(e.tus, e.event_id, e.tus, 1)))
+              .sortBy(st => (st.startUs, st.lastUs, st.headId))
+            val closed = Seq.newBuilder[BurstOut]
+            var cur: Option[BurstState] = None
+            items.foreach { it =>
+              cur match {
+                case Some(st) if it.startUs - st.lastUs <= gapUs =>
+                  // head = min (tus, id) across the merged burst
+                  val (hTus, hId) =
+                    if (it.startUs < st.startUs ||
+                      (it.startUs == st.startUs && it.headId < st.headId))
+                      (it.startUs, it.headId)
+                    else (st.startUs, st.headId)
+                  cur = Some(BurstState(hTus, hId,
+                    math.max(st.lastUs, it.lastUs), st.n + it.n))
+                case Some(st) =>
+                  closed += close(uid, tpe, st)
+                  cur = Some(it)
+                case None =>
+                  cur = Some(it)
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.lastUs / 1000 + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** q176: the q138 burst collapse produced by the stateful stream —
+    * drained with the standard far-future sentinel (opaque type: the plan
+    * filters nothing before the watermark node) and returned in q138's
+    * column order, sharing its exact oracle. */
+  def q176StreamDebounce(s: SparkSession, d: String): DataFrame = {
+    val drained = withSentinelDrain(s, d, "q176") { (drain, mk) =>
+      import drain.implicits._
+      val stream = mk()
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"))
+        .withColumn("ts", timestamp_micros(col("tus")))
+        .as[BounceEvent]
+      val name = "graft_stream_debounce"
+      val q = debounceExact(stream).toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      drain.table(name)
+    }
+    drained.filter(col("user_id") >= 0)
+      .select("user_id", "event_type", "event_id", "tus",
+        "n_collapsed", "span_us")
+      .orderBy("user_id", "event_type", "tus")
   }
 
   // ---------------------------------------- q63: stream-stream interval join

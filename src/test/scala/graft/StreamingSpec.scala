@@ -237,4 +237,39 @@ class StreamingSpec extends AnyFunSuite {
     val out = EventsStream.sessionizeBatch(ev).collect()
     assert(out.length === 2) // two sessions: {1,2} and {3}
   }
+
+  test("streaming debounce merges cross-batch bursts and equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStream.BounceEvent]
+    val q = EventsStream.debounceExact(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("debounce_out").start()
+    // base offset keeps the first event clear of the initial watermark edge
+    def ev(id: Long, sec: Long, uid: Long = 7L, tpe: String = "click") =
+      EventsStream.BounceEvent(id, uid, tpe, (1000 + sec) * 1000000L,
+        new java.sql.Timestamp((1000 + sec) * 1000L))
+    try {
+      // burst head + a row 200 s later (gap is 300 s)
+      mem.addData(ev(1, 0), ev(3, 200))
+      q.processAllAvailable()
+      // batch 2: id 2 lands BETWEEN them (late, inside the watermark) and
+      // id 4 chains the burst onward; a far event of ANOTHER key advances
+      // the watermark without touching this burst
+      mem.addData(ev(2, 100), ev(4, 450), ev(90, 100000, uid = 8L))
+      q.processAllAvailable()
+      // push the watermark past lastTs + gap so the open burst times out
+      mem.addData(ev(91, 200000, uid = 8L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("debounce_out")
+      .filter(col("user_id") === 7L)
+      .select("event_id", "tus", "n_collapsed", "span_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // ONE burst: head id 1 at t=0, absorbing 4 rows over 450 s
+    assert(got === Seq((1L, 1000000000L, 4L, 450000000L)))
+    // full-table: the drained stream is byte-equal to the batch window form
+    val stream = EventsStream.q176StreamDebounce(spark, TestSpark.sf).collect()
+    val batch = graft.ops.EtlOps.q138Debounce(spark, TestSpark.sf).collect()
+    assert(stream.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
 }
