@@ -558,7 +558,60 @@ object GraphOps {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q175
+  /** Multi-source BFS HOP DISTANCES — the traversal primitive the graph
+    * family lacked (components, ranks and triangles all measure structure;
+    * this measures REACH): from the `nSeeds` highest-degree hubs of the
+    * mutually-capped co-order graph, the minimum hop count to every node
+    * within `maxHops`, rolled up per distance ring (plus a `-1` ring for
+    * nodes the horizon never reaches). The "how far is the catalog from
+    * its hubs" / blast-radius audit.
+    *
+    * Shape is textbook synchronous frontier BFS: each round joins the
+    * CURRENT frontier (bare node ids) against the adjacency, dedups, and
+    * anti-joins the visited set — per-round cost is one id-only shuffle
+    * bounded by the capped edge list (n·cap), never by paths (the visited
+    * anti-join is what kills the exponential path blowup a naive
+    * recursive expansion would hit). Frontiers localCheckpoint per round
+    * (registered in [[graft.Transients]]) because round k+1's anti-join
+    * and the final union both re-reference them — the multi-reference
+    * iterative shape that needs checkpoints (q66's lesson), at ≤ n rows
+    * per round. Seeds are deterministic (degree DESC, id tiebreak), so
+    * the whole result carries an exact DuckDB oracle (unrolled frontier
+    * CTEs over the shared capped-edges fragment). */
+  def q175BfsHops(s: SparkSession, d: String,
+                  maxHops: Int = 3, nSeeds: Int = 8): DataFrame = {
+    val e = cachedCoOrderEdges(s, d)
+    val adj = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+    val seeds = deg.orderBy(col("deg").desc, col("u"))
+      .limit(nSeeds).select(col("u").as("node"))
+    var visited = graft.Transients.track(
+      seeds.withColumn("dist", lit(0)).localCheckpoint())
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      val next = graft.Transients.track(
+        frontier.join(adj, frontier("node") === adj("u"))
+          .select(adj("v").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("dist", lit(h))
+          .localCheckpoint())
+      visited = visited.union(next)
+      frontier = next
+    }
+    val unreached = deg.select(col("u").as("node"))
+      .join(visited, Seq("node"), "left_anti")
+      .withColumn("dist", lit(-1))
+    visited.union(unreached)
+      .groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"),
+        max("node").as("max_node"), sum("node").as("sum_node"))
+      .orderBy("dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_bfs_hops" -> ((s: SparkSession, d: String) => q175BfsHops(s, d)),
     "q174_hits_scores" -> (q174HitsScores _),
     "q161_item_similarity" -> ((s: SparkSession, d: String) => q161ItemSimilarity(s, d)),
     "q160_clustering_coeff" -> (q160ClusteringCoeff _),
@@ -614,7 +667,36 @@ object GraphOps {
        |  FROM v$i) WHERE rk = 1)""".stripMargin
   }.mkString(",\n")
 
+  /** Unrolled BFS frontiers (the q175 twin): f_k = neighbors of f_{k-1}
+    * not seen in any earlier ring. */
+  private val duckBfsRings: String = (1 to 3).map { i =>
+    val seen = (0 until i).map(j => s"SELECT node FROM d$j").mkString(" UNION ALL ")
+    s"""d$i AS (
+       | SELECT DISTINCT a.v AS node, $i AS dist
+       | FROM d${i - 1} JOIN a ON a.u = d${i - 1}.node
+       | WHERE a.v NOT IN ($seen))""".stripMargin
+  }.mkString(",\n")
+
   val oracle: Map[String, String] = Map(
+    "q175_bfs_hops" ->
+      s"""WITH $duckCappedEdges,
+         |a AS (SELECT u, v FROM capped UNION ALL SELECT v, u FROM capped),
+         |deg AS (SELECT u, count(*) AS deg FROM a GROUP BY u),
+         |d0 AS (
+         | SELECT u AS node, 0 AS dist FROM deg ORDER BY deg DESC, u LIMIT 8),
+         |$duckBfsRings,
+         |vis AS (
+         | SELECT * FROM d0 UNION ALL SELECT * FROM d1
+         | UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3),
+         |rings AS (
+         | SELECT * FROM vis
+         | UNION ALL
+         | SELECT u AS node, -1 AS dist FROM deg
+         | WHERE u NOT IN (SELECT node FROM vis))
+         |SELECT dist, count(*) AS n_nodes,
+         | min(node) AS min_node, max(node) AS max_node,
+         | CAST(sum(node) AS BIGINT) AS sum_node
+         |FROM rings GROUP BY dist ORDER BY dist""".stripMargin,
     // same unnormalized half-steps in HUGEINT, cast to DECIMAL(38,0)
     "q174_hits_scores" ->
       """WITH e AS (

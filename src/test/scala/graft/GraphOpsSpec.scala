@@ -291,4 +291,35 @@ class GraphOpsSpec extends AnyFunSuite {
     // assert auth2 preserves a strict positive ordering (sanity, not parity)
     assert(got.values.forall { case (a1, a2) => a1 > 0 && a2 > 0 })
   }
+
+  // ------------------------------------------------------------ q175 bfs
+  test("BFS hop rings match a driver-side frontier recompute") {
+    val got = GraphOps.q175BfsHops(spark, TestSpark.sf).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val es = GraphOps.cachedCoOrderEdges(spark, TestSpark.sf)
+      .select("u", "v").as[(Long, Long)].collect()
+    val nbrs = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    es.foreach { case (u, v) => nbrs(u) += v; nbrs(v) += u }
+    val seeds = nbrs.toSeq.map { case (n, ns) => (n, ns.size) }
+      .sortBy { case (n, deg) => (-deg, n) }.take(8).map(_._1).toSet
+    var visited = seeds
+    var frontier = seeds
+    val rings = scala.collection.mutable.Map(0 -> seeds)
+    (1 to 3).foreach { h =>
+      val next = frontier.flatMap(nbrs) -- visited
+      rings(h) = next
+      visited ++= next
+      frontier = next
+    }
+    rings(-1) = nbrs.keySet.toSet -- visited
+    rings.filter(_._2.nonEmpty).foreach { case (dist, ns) =>
+      val exp = (ns.size.toLong, ns.min, ns.max, ns.sum)
+      assert(got(dist) === exp, s"ring $dist")
+    }
+    assert(got.keySet === rings.filter(_._2.nonEmpty).keys.toSet)
+    // rings partition the reachable set: totals reconcile with the graph
+    assert(got.values.map(_._1).sum === nbrs.size.toLong)
+  }
 }
