@@ -855,7 +855,128 @@ object StatsOps {
         col("tie_term"))
   }
 
+  // ---------------------------------------------------------------- q177
+  /** KAPLAN-MEIER hazard table — survival analysis over the event stream:
+    * time from each user's FIRST CLICK to their first subsequent PURCHASE,
+    * right-censored at the user's last observed event when no purchase
+    * ever lands. Per whole-hour duration t: n_risk (subjects whose
+    * observed time ≥ t), n_event (conversions at t), n_censored
+    * (observation ends at t), and the discrete hazard d/n in basis points.
+    * The textbook KM estimator's cumulative product is a float chain no
+    * two engines reproduce; the hazard TABLE is its exact sufficient
+    * statistic (S(t) = Π(1 − d/n) reconstructs from it), so the operator
+    * emits the table — the q167 certificate discipline applied to
+    * survival curves. hazard_bp = 10000·d div n is the one division,
+    * integral on non-negative operands, identical in both engines.
+    *
+    * Shape: one user-grained agg pins t0 (first click; map-side combined),
+    * one join attaches t0 back (user-keyed shuffle join — |users| rows on
+    * the build side), one more user-grained agg closes each subject's
+    * (duration, event-flag). Everything after is DURATION-GRID-sized: the
+    * n_risk window runs over distinct whole-hour durations (bounded by
+    * the observation span — calendar, not data), never over events. */
+  def q177KmHazard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+    val t0s = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("tus").as("t0"))
+    val subj = ev.join(t0s, "user_id")
+      .groupBy("user_id")
+      .agg(first(col("t0")).as("t0"), max(col("tus")).as("tl"),
+        min(when(col("event_type") === "purchase" && col("tus") >= col("t0"),
+          col("tus"))).as("tp"))
+      .select(
+        when(col("tp").isNotNull, expr("(tp - t0) div 3600000000"))
+          .otherwise(expr("(tl - t0) div 3600000000")).as("t_hours"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"))
+    val grid = subj.groupBy("t_hours")
+      .agg(sum(col("ev")).as("n_event"),
+        sum(lit(1L) - col("ev")).as("n_censored"),
+        count(lit(1)).as("n_obs"))
+    val w = Window.orderBy("t_hours")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    grid
+      .withColumn("n_risk",
+        sum(col("n_obs")).over(wAll) -
+          (sum(col("n_obs")).over(w) - col("n_obs")))
+      .select(col("t_hours"), col("n_risk"), col("n_event"),
+        col("n_censored"),
+        expr("(10000 * n_event) div n_risk").as("hazard_bp"))
+      .orderBy("t_hours")
+  }
+
+  // ---------------------------------------------------------------- q178
+  private val acfMaxLag = 7
+
+  /** AUTOCORRELATION (ACF) CERTIFICATES — per event type, lag-1..7
+    * autocorrelation of the daily-revenue series as EXACT sufficient
+    * statistics: the seasonality screen ("does Tuesday predict next
+    * Tuesday?") behind forecasting and anomaly baselines. The series is
+    * the zero-filled calendar grid per type (missing day = 0 revenue —
+    * the gap IS signal; computing lags over present-days-only would
+    * silently compare non-adjacent days), built with `sequence()` off
+    * each type's [min, max] day span, so the window runs over a
+    * calendar-bounded grid, never over raw events.
+    *
+    * All seven lags ride ONE window pass (7 lag columns), fold into one
+    * row per type (n, Σx, Σy, Σx², Σy², Σxy per lag — integers on the
+    * cents grid, cast DECIMAL(38,0) BEFORE multiplying so a 100 TB
+    * corpus's daily totals can't overflow a long product), and unpivot
+    * via stack. Emitted are the q167-style certificates num / den_x /
+    * den_y with r = num/√(den_x·den_y) left to the reader — the float is
+    * deliberately not computed (engine-exact beats engine-close). */
+  def q178AcfCertificate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val cents = graft.streaming.EventsStream.cents _
+    val daily = t(s, d, "events")
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"),
+        cents(col("value")).as("c"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("c")).as("dc"))
+    val grid = daily.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+    val series = grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("dc"), lit(0L)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = series.select(
+      col("event_type") +: col("c") +:
+        (1 to acfMaxLag).map(k => lag(col("c"), k).over(w).as(s"x$k")): _*)
+    val zero = lit(0).cast(dec38)
+    val aggs = (1 to acfMaxLag).flatMap { k =>
+      val x = col(s"x$k")
+      val pair = x.isNotNull
+      Seq(
+        count(x).as(s"n$k"),
+        coalesce(sum(x.cast(dec38)), zero).as(s"sx$k"),
+        coalesce(sum(when(pair, col("c")).cast(dec38)), zero).as(s"sy$k"),
+        coalesce(sum(x.cast(dec38) * x.cast(dec38)), zero).as(s"sxx$k"),
+        coalesce(sum(when(pair, col("c")).cast(dec38)
+          * when(pair, col("c")).cast(dec38)), zero).as(s"syy$k"),
+        coalesce(sum(x.cast(dec38) * col("c").cast(dec38)), zero).as(s"sxy$k"))
+    }
+    val row = lagged.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    val stackExpr = (1 to acfMaxLag).map(k =>
+      s"$k, n$k, sx$k, sy$k, sxx$k, syy$k, sxy$k").mkString(", ")
+    row.selectExpr("event_type",
+        s"stack($acfMaxLag, $stackExpr) AS (lag, n, sx, sy, sxx, syy, sxy)")
+      .select(col("event_type"), col("lag"), col("n"),
+        col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"),
+        (col("n").cast(dec38) * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n").cast(dec38) * col("sxx") - col("sx") * col("sx")).as("den_x"),
+        (col("n").cast(dec38) * col("syy") - col("sy") * col("sy")).as("den_y"))
+      .orderBy("event_type", "lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_acf" -> (q178AcfCertificate _),
+    "q177_km_hazard" -> (q177KmHazard _),
     "q169_kanon_audit" -> (q169KAnonymity _),
     "q170_benford_audit" -> (q170BenfordAudit _),
     "q171_group_ols" -> (q171GroupOls _),
@@ -882,6 +1003,87 @@ object StatsOps {
     "q52_approx_distinct" -> (q52ApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    // same zero-filled calendar grid, lag windows and integer certificate
+    // arithmetic (HUGEINT products cast to DECIMAL(38,0), the q167 twin)
+    "q178_acf" -> {
+      val lagCols = (1 to acfMaxLag)
+        .map(k => s"lag(c, $k) OVER w AS x$k").mkString(",\n  ")
+      val branches = (1 to acfMaxLag).map { k =>
+        s"""SELECT event_type, $k AS lag, count(x$k) AS n,
+           | CAST(coalesce(sum(CAST(x$k AS HUGEINT)), 0) AS DECIMAL(38,0)) AS sx,
+           | CAST(coalesce(sum(CASE WHEN x$k IS NOT NULL
+           |   THEN CAST(c AS HUGEINT) END), 0) AS DECIMAL(38,0)) AS sy,
+           | CAST(coalesce(sum(CAST(x$k AS HUGEINT) * x$k), 0)
+           |   AS DECIMAL(38,0)) AS sxx,
+           | CAST(coalesce(sum(CASE WHEN x$k IS NOT NULL
+           |   THEN CAST(c AS HUGEINT) * c END), 0) AS DECIMAL(38,0)) AS syy,
+           | CAST(coalesce(sum(CAST(x$k AS HUGEINT) * c), 0)
+           |   AS DECIMAL(38,0)) AS sxy
+           |FROM lagged GROUP BY event_type""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      s"""WITH e AS (
+         | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         | FROM events),
+         |daily AS (
+         | SELECT event_type, day, CAST(sum(c) AS BIGINT) AS dc
+         | FROM e GROUP BY 1, 2),
+         |span AS (
+         | SELECT event_type, min(day) AS d0, max(day) AS d1
+         | FROM daily GROUP BY 1),
+         |grid AS (
+         | SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM span),
+         |series AS (
+         | SELECT g.event_type, g.day, coalesce(d.dc, 0) AS c
+         | FROM grid g LEFT JOIN daily d
+         |   ON g.event_type = d.event_type AND g.day = d.day),
+         |lagged AS (
+         | SELECT event_type, c,
+         |  $lagCols
+         | FROM series WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |m AS (
+         |$branches)
+         |SELECT event_type, lag, n, sx, sy, sxx, syy, sxy,
+         | CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+         |   - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DECIMAL(38,0)) AS num,
+         | CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+         |   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DECIMAL(38,0)) AS den_x,
+         | CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+         |   - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DECIMAL(38,0)) AS den_y
+         |FROM m ORDER BY event_type, lag""".stripMargin
+    },
+    // same subject construction and integer-hour grid; hazard is the one
+    // integral division, both engines truncating on non-negative operands
+    "q177_km_hazard" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |t0s AS (
+        | SELECT user_id, min(tus) AS t0 FROM e
+        | WHERE event_type = 'click' GROUP BY user_id),
+        |subj AS (
+        | SELECT e.user_id, any_value(t0s.t0) AS t0, max(e.tus) AS tl,
+        |  min(CASE WHEN e.event_type = 'purchase' AND e.tus >= t0s.t0
+        |      THEN e.tus END) AS tp
+        | FROM e JOIN t0s USING (user_id) GROUP BY e.user_id),
+        |durs AS (
+        | SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 3600000000
+        |        ELSE (tl - t0) // 3600000000 END AS t_hours,
+        |  CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        | FROM subj),
+        |grid AS (
+        | SELECT t_hours, CAST(sum(ev) AS BIGINT) AS n_event,
+        |  CAST(sum(1 - ev) AS BIGINT) AS n_censored,
+        |  CAST(count(*) AS BIGINT) AS n_obs
+        | FROM durs GROUP BY t_hours),
+        |risk AS (
+        | SELECT *,
+        |  CAST(sum(n_obs) OVER () -
+        |   (sum(n_obs) OVER (ORDER BY t_hours ROWS BETWEEN UNBOUNDED
+        |     PRECEDING AND CURRENT ROW) - n_obs) AS BIGINT) AS n_risk
+        | FROM grid)
+        |SELECT t_hours, n_risk, n_event, n_censored,
+        | (10000 * n_event) // n_risk AS hazard_bp
+        |FROM risk ORDER BY t_hours""".stripMargin,
     // same truncating integral division (`//` ≡ Spark `div`, both toward
     // zero, verified incl. negatives) on the same cents grid
     "q169_kanon_audit" ->

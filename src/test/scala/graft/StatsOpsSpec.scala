@@ -438,4 +438,75 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(BigDecimal(r.getAs[java.math.BigDecimal]("u2x2")) ===
       BigDecimal(2 * n1 * n2 - (r1x2 - n1 * (n1 + 1))))
   }
+
+  // ------------------------------------------------------------ q177 km
+  test("KM hazard table matches a driver-side survival recompute") {
+    val got = StatsOps.q177KmHazard(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      .as[(Long, String, Long)].collect()
+    val t0 = ev.filter(_._2 == "click").groupMapReduce(_._1)(_._3)(math.min)
+    val durs = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      t0.get(uid).map { start =>
+        val tl = rows.map(_._3).max
+        val tp = rows.filter(r => r._2 == "purchase" && r._3 >= start)
+          .map(_._3).minOption
+        tp match {
+          case Some(p) => ((p - start) / 3600000000L, 1L)
+          case None => ((tl - start) / 3600000000L, 0L)
+        }
+      }
+    }
+    val grid = durs.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, xs) =>
+      (t, xs.count(_._2 == 1L).toLong, xs.count(_._2 == 0L).toLong)
+    }
+    var atRisk = durs.size.toLong
+    val exp = grid.map { case (t, d, c) =>
+      val row = t -> (atRisk, d, c, 10000L * d / atRisk)
+      atRisk -= d + c
+      row
+    }
+    assert(got.toSeq === exp)
+    // every subject leaves the risk set exactly once
+    assert(got.map(r => r._2._2 + r._2._3).sum === t0.size.toLong)
+  }
+
+  // ------------------------------------------------------------ q178 acf
+  test("ACF certificates match a BigInt recompute over the zero-filled grid") {
+    val got = StatsOps.q178AcfCertificate(spark, sf).collect().map { r =>
+      (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2) +: Seq("sx", "sy", "sxx", "syy", "sxy", "num", "den_x",
+          "den_y").map(c => BigInt(r.getAs[java.math.BigDecimal](c).toBigInteger)))
+    }.toMap
+    val daily = Tables.load(spark, sf, "events")
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("c"))
+      .groupBy("event_type", "day").agg(sum("c").as("dc"))
+      .as[(String, Long, Long)].collect()
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val byDay = rows.map(r => r._2 -> r._3).toMap
+      val series = (rows.map(_._2).min to rows.map(_._2).max)
+        .map(d => BigInt(byDay.getOrElse(d, 0L)))
+      (1 to 7).foreach { k =>
+        val pairs = series.drop(k).zip(series.dropRight(k)).map(_.swap)
+        val n = BigInt(pairs.size)
+        val sx = pairs.map(_._1).sum
+        val sy = pairs.map(_._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val exp = Seq(sx, sy, sxx, syy, sxy,
+          n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+        val g = got((tpe, k))
+        assert(g.head === pairs.size.toLong, s"$tpe lag $k n")
+        assert(g.tail === exp, s"$tpe lag $k")
+      }
+    }
+    // the grid is non-degenerate: every series has variance (den_x > 0)
+    assert(got.values.forall(v =>
+      v(7).asInstanceOf[BigInt].signum > 0))
+  }
 }
