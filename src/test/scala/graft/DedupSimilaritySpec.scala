@@ -704,4 +704,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(pp === banded)
   }
+
+  // ------------------------------------------------------------ q179 pca
+  test("PCA power iterates match a BigInt brute force over the quantized vectors") {
+    val got = SimilarityOps.q179PcaPower(spark, TestSpark.sf).collect().map { r =>
+      r.getLong(0).toInt -> Seq("w1", "w2", "w3")
+        .map(c => BigInt(r.getAs[java.math.BigDecimal](c).toBigInteger))
+    }.toMap
+    // the engine's own a7→int8 grid (pinned separately by the q146 spec);
+    // what this pins is the partition-folded Gram + the iterate chain
+    val qs = Tables.load(spark, TestSpark.sf, "embeddings")
+      .withColumn("a7", expr(
+        """transform(embedding, x ->
+          | CAST(CAST(round(CAST(x AS DOUBLE), 7) AS DECIMAL(18,7))
+          |   * 10000000 AS BIGINT))""".stripMargin))
+      .withColumn("s7", expr("array_max(transform(a7, v -> abs(v)))"))
+      .select(expr(
+        """CASE WHEN s7 = 0 THEN transform(a7, v -> CAST(0 AS BIGINT))
+          | ELSE transform(a7, v -> (v * 127) div s7) END""".stripMargin))
+      .as[Seq[Long]].collect()
+    val dim = 64
+    val g = Array.fill(dim, dim)(BigInt(0))
+    qs.foreach { q =>
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { g(i)(j) += BigInt(q(i)) * BigInt(q(j)); j += 1 }
+        i += 1
+      }
+    }
+    val w1 = (0 until dim).map(i => g(i).sum)
+    val w2 = (0 until dim).map(i => (0 until dim).map(j => g(i)(j) * w1(j)).sum)
+    val w3 = (0 until dim).map(i => (0 until dim).map(j => g(i)(j) * w2(j)).sum)
+    assert(got.keySet === (1 to dim).toSet)
+    (0 until dim).foreach { i =>
+      assert(got(i + 1) === Seq(w1(i), w2(i), w3(i)), s"dim ${i + 1}")
+    }
+    // the corpus has a genuine principal direction: iterates are not all zero
+    assert(w3.exists(_.signum != 0))
+  }
 }
