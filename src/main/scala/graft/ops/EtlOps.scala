@@ -520,6 +520,52 @@ object EtlOps {
       .orderBy("from_type", "to_type")
   }
 
+  // ---------------------------------------------------------------- q180
+  /** Candidate functional dependencies for the FD audit — (table, lhs,
+    * rhs) meaning "lhs should determine rhs". Mixed on purpose: some hold
+    * by construction (the schema's implicit contracts), some are expected
+    * to fail (real profiling output distinguishes the two). */
+  private[ops] val fdCandidates: Seq[(String, String, String)] = Seq(
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("part", "p_name", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("documents", "source", "lang"))
+
+  /** FUNCTIONAL-DEPENDENCY AUDIT — candidate-FD checking, the profiling
+    * pass behind schema discovery and data-contract enforcement (the
+    * verification half of FD-discovery systems; candidate GENERATION is a
+    * search problem out of scope for one query). For each candidate
+    * lhs→rhs: how many lhs groups exist, how many witness ≥2 distinct rhs
+    * values (violating groups), how many rows sit inside violating groups
+    * (the blast radius a cleanup job would touch), and the worst group's
+    * distinct-rhs count.
+    *
+    * Shape: per candidate ONE lhs-keyed aggregate with a two-phase exact
+    * distinct (partial per-partition distinct before the exchange — no
+    * row-level distinct shuffle), then a one-row rollup; the union is
+    * candidate-count rows. Each candidate's scan prunes to exactly two
+    * columns. Violating-group row counts use a conditional sum in the
+    * same pass — no second scan, no join-back. */
+  def q180FdAudit(s: SparkSession, d: String): DataFrame = {
+    val audits = fdCandidates.map { case (tbl, lhs, rhs) =>
+      t(s, d, tbl)
+        .groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("ndv"), count(lit(1)).as("nrows"))
+        .agg(
+          lit(s"$tbl.$lhs->$rhs").as("fd"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("ndv") > 1, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("ndv") > 1, col("nrows")).otherwise(0L))
+            .as("violating_rows"),
+          max(col("ndv")).as("max_ndv"))
+    }
+    audits.reduce(_.unionAll(_))
+      .withColumn("holds", col("n_violating") === 0L)
+      .orderBy("fd")
+  }
+
   // ---------------------------------------------------------------- q114
   /** DATA-QUALITY / INTEGRITY audit — the constraint suite a pipeline runs
     * before promoting a snapshot (the reference's verifier,
@@ -1288,6 +1334,7 @@ object EtlOps {
     "q165_ivm_join" -> ((s: SparkSession, d: String) => q165IvmJoin(s, d)),
     "q119_wow_movers" -> ((s: SparkSession, d: String) => q119WowMovers(s, d)),
     "q114_integrity_audit" -> (q114IntegrityAudit _),
+    "q180_fd_audit" -> (q180FdAudit _),
     "q106_snapshot_diff" -> (q106SnapshotDiff _),
     "q107_event_transitions" -> (q107EventTransitions _),
     "q98_open_intervals" -> (q98OpenIntervals _),
@@ -1361,6 +1408,23 @@ object EtlOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // same per-candidate grouped distinct + rollup, one UNION ALL branch
+    // per candidate FD
+    "q180_fd_audit" -> {
+      val branches = fdCandidates.map { case (tbl, lhs, rhs) =>
+        s"""SELECT '$tbl.$lhs->$rhs' AS fd, count(*) AS n_groups,
+           | CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_violating,
+           | CAST(sum(CASE WHEN ndv > 1 THEN nrows ELSE 0 END) AS BIGINT)
+           |   AS violating_rows,
+           | max(ndv) AS max_ndv,
+           | sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT $lhs, CAST(count(DISTINCT $rhs) AS BIGINT) AS ndv,
+           |      CAST(count(*) AS BIGINT) AS nrows
+           |      FROM $tbl GROUP BY $lhs)""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      s"$branches\nORDER BY fd"
+    },
     "q162_funnel_curve" ->
       """WITH e AS (
         | SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),

@@ -1000,4 +1000,25 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(got(3L) === ((1L, 2L)))  // day 3: user 2 active, user 1 still covered
     assert(got(10L) === ((1L, 1L))) // day 10: user 1's new interval; day-3 expired day 9
   }
+
+  // ------------------------------------------------------------ q180 fd
+  test("FD audit matches a driver-side recompute and certifies the key FD") {
+    val got = EtlOps.q180FdAudit(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    assert(got.keySet.size === 6)
+    // n_nationkey is the table key: the FD must hold with zero violations
+    val nat = got("nation.n_nationkey->n_regionkey")
+    assert(nat._5 && nat._2 === 0L && nat._3 === 0L && nat._4 === 1L)
+    // independent recompute of a data-bearing candidate
+    val rows = Tables.load(spark, TestSpark.sf, "documents")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val g = rows.groupBy(_._1).view
+      .mapValues(v => (v.map(_._2).distinct.size.toLong, v.size.toLong)).toMap
+    val exp = (g.size.toLong, g.values.count(_._1 > 1).toLong,
+      g.values.filter(_._1 > 1).map(_._2).sum,
+      g.values.map(_._1).max, g.values.forall(_._1 <= 1))
+    assert(got("documents.source->lang") === exp)
+  }
 }
