@@ -294,6 +294,55 @@ object TextOps {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- q181
+  /** CURATION FUNNEL CERTIFICATE — the end-to-end corpus-curation pipeline
+    * (quality gate → exact dedup → content-hash split) run as ONE query
+    * emitting the per-stage (docs, tokens) funnel: the number every
+    * training-data run reports first ("we started with X docs / Y tokens,
+    * kept Z"). Composes the engine's own stage primitives — q33's quality
+    * score, q30's min-id survivor selection, q64's content-hash split —
+    * so the funnel certifies the COMPOSITION, not just each stage.
+    *
+    * Shape: the flagged projection (tokens, quality, normalized-text md5;
+    * no raw text) is computed once and checkpointed (two consumers — the
+    * q147 discipline): stages 0/1 fold in ONE conditional-aggregate pass
+    * (no per-stage scans), the dedup stage is the engine's one md5-keyed
+    * shuffle, and the split rollup runs over the already-deduped grid.
+    * The split needs no second digest — the survivor's split IS a
+    * function of the dedup key (both are the normalized-text md5), which
+    * also guarantees a dup-group never straddles train/eval. */
+  def q181CurationFunnel(s: SparkSession, d: String,
+                         minQuality: Double = 0.5): DataFrame = {
+    val base = graft.Transients.track(t(s, d, "documents")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        qualityScore(col("text"), col("n_chars")).as("q"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary"))
+          .as("nm"))
+      .localCheckpoint())
+    val s01 = base.agg(
+        count(lit(1)).as("n0"),
+        coalesce(sum("n_tokens"), lit(0L)).as("t0"),
+        count(when(col("q") >= minQuality, 1)).as("n1"),
+        coalesce(sum(when(col("q") >= minQuality, col("n_tokens"))), lit(0L))
+          .as("t1"))
+      .selectExpr(
+        "stack(2, '0_raw', n0, t0, '1_quality', n1, t1) AS (stage, n_docs, n_tokens)")
+    val dedup = base.filter(col("q") >= minQuality)
+      .groupBy("nm")
+      .agg(min(struct(col("doc_id"), col("n_tokens"))).as("m"))
+      .select(col("nm"), col("m.n_tokens").as("n_tokens"))
+      .withColumn("split",
+        when(substring(col("nm"), 1, 1) < "c", "train").otherwise("eval"))
+    val s2 = dedup.agg(lit("2_dedup").as("stage"), count(lit(1)).as("n_docs"),
+      coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
+    val s3 = dedup.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .select(concat(lit("3_split_"), col("split")).as("stage"),
+        col("n_docs"), col("n_tokens"))
+    s01.unionAll(s2).unionAll(s3).orderBy("stage")
+  }
+
   // ---------------------------------------------------------------- q35
   /** Heuristic language ID: count distinct stopword hits per language,
     * pick the first maximum in a fixed language order. Deterministic and
@@ -1343,6 +1392,7 @@ object TextOps {
     "q35_lang_id" -> (q35LangId _),
     "q62_rolling_fingerprint" -> (q62RollingFingerprint _),
     "q64_hash_split" -> (q64HashSplit _),
+    "q181_curation_funnel" -> ((s: SparkSession, d: String) => q181CurationFunnel(s, d)),
     "q65_stratified_sample" -> (q65StratifiedSample _),
     "q67_bpe_tokens" -> (q67BpeTokens _),
     "q69_pack_sequences" -> ((s: SparkSession, d: String) => q69PackSequences(s, d)),
@@ -1729,6 +1779,36 @@ object TextOps {
         |   / CAST(CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS DOUBLE)
         |   AS holdout_share
         |FROM g ORDER BY fold, lang""".stripMargin,
+    // same one-pass stage folds, md5-keyed min-struct dedup and
+    // hash-derived split; struct_pack min ≡ Spark min(struct) (q80/q150)
+    "q181_curation_funnel" ->
+      s"""WITH base AS (
+         | SELECT doc_id,
+         |  CAST(len($duckToks) AS BIGINT) AS n_tokens,
+         |  $duckQualityScore AS q,
+         |  md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+         | FROM documents),
+         |a AS (
+         | SELECT CAST(count(*) AS BIGINT) AS n0,
+         |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t0,
+         |  CAST(count(CASE WHEN q >= 0.5 THEN 1 END) AS BIGINT) AS n1,
+         |  CAST(coalesce(sum(CASE WHEN q >= 0.5 THEN n_tokens END), 0)
+         |    AS BIGINT) AS t1
+         | FROM base),
+         |dd AS (
+         | SELECT nm, min(struct_pack(d := doc_id, t := n_tokens)) AS m
+         | FROM base WHERE q >= 0.5 GROUP BY nm),
+         |dedup AS (
+         | SELECT nm, m.t AS n_tokens,
+         |  CASE WHEN substr(nm, 1, 1) < 'c' THEN 'train' ELSE 'eval' END AS split
+         | FROM dd)
+         |SELECT '0_raw' AS stage, n0 AS n_docs, t0 AS n_tokens FROM a
+         |UNION ALL SELECT '1_quality', n1, t1 FROM a
+         |UNION ALL SELECT '2_dedup', CAST(count(*) AS BIGINT),
+         | CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM dedup
+         |UNION ALL SELECT '3_split_' || split, CAST(count(*) AS BIGINT),
+         | CAST(sum(n_tokens) AS BIGINT) FROM dedup GROUP BY split
+         |ORDER BY stage""".stripMargin,
     "q64_hash_split" ->
       """WITH s AS (
         | SELECT doc_id, lang, text,

@@ -476,4 +476,39 @@ class TextIndexSpec extends AnyFunSuite {
     assert(r(4L).isNullAt(r(4L).fieldIndex("frac_top_2gram")))
     assert(!r(4L).getAs[Boolean]("flagged"))
   }
+
+  // ------------------------------------------------------------ q181
+  test("curation funnel matches a driver-side pipeline recompute") {
+    val got = TextOps.q181CurationFunnel(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = docs.map { case (id, text, nChars) =>
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val alpha = text.count(c => c >= 'a' && c <= 'z').toLong
+      val stop = toks.count(Set("the", "a", "of")).toLong
+      val q = BigDecimal(0.5 * (alpha.toDouble / nChars)
+        + 0.5 * (1.0 - stop.toDouble / toks.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, toks.size.toLong, q,
+        md5hex(text.toLowerCase.replaceAll("\\s+", " ")))
+    }
+    val qual = rows.filter(_._3 >= 0.5)
+    val dedup = qual.groupBy(_._4).map { case (nm, g) =>
+      (nm, g.minBy(_._1)._2) // survivor = min doc_id; its token count
+    }.toSeq
+    val (train, eval) = dedup.partition(_._1.charAt(0) < 'c')
+    assert(got("0_raw") === ((rows.length.toLong, rows.map(_._2).sum)))
+    assert(got("1_quality") === ((qual.length.toLong, qual.map(_._2).sum)))
+    assert(got("2_dedup") === ((dedup.size.toLong, dedup.map(_._2).sum)))
+    assert(got("3_split_train") === ((train.size.toLong, train.map(_._2).sum)))
+    assert(got("3_split_eval") === ((eval.size.toLong, eval.map(_._2).sum)))
+    // the funnel only narrows
+    assert(got("0_raw")._1 >= got("1_quality")._1)
+    assert(got("1_quality")._1 >= got("2_dedup")._1)
+  }
 }
