@@ -25,6 +25,19 @@ object SimilarityOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** The proven 10^-7 integer grid and symmetric int8 quantization — ONE
+    * definition shared by q143/q146/q179 and their specs, so a grid or
+    * guard change can never let the consumers drift apart. */
+  private[graft] val a7GridSql: String =
+    """transform(embedding, x ->
+      | CAST(CAST(round(CAST(x AS DOUBLE), 7) AS DECIMAL(18,7))
+      |   * 10000000 AS BIGINT))""".stripMargin
+  private[graft] val s7ScaleSql: String =
+    "array_max(transform(a7, v -> abs(v)))"
+  private[graft] val int8VecSql: String =
+    """CASE WHEN s7 = 0 THEN transform(a7, v -> CAST(0 AS BIGINT))
+      | ELSE transform(a7, v -> (v * 127) div s7) END""".stripMargin
+
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Double-precision dot product of two array columns (higher-order
@@ -323,10 +336,7 @@ object SimilarityOps {
     * spelling both engines can share. */
   def q143NearestCentroid(s: SparkSession, d: String): DataFrame = {
     val a7 = t(s, d, "embeddings")
-      .select(col("vec_id"), col("label").as("true_label"), expr(
-        """transform(embedding, x ->
-          | CAST(CAST(round(CAST(x AS DOUBLE), 7) AS DECIMAL(18,7))
-          |   * 10000000 AS BIGINT))""".stripMargin).as("a7"))
+      .select(col("vec_id"), col("label").as("true_label"), expr(a7GridSql).as("a7"))
     val cent = a7
       .select(col("true_label").as("clabel"),
         posexplode(col("a7")).as(Seq("pos", "v7")))
@@ -369,11 +379,8 @@ object SimilarityOps {
     * the q134 lesson). */
   def q146Int8Quantize(s: SparkSession, d: String): DataFrame = {
     t(s, d, "embeddings")
-      .withColumn("a7", expr(
-        """transform(embedding, x ->
-          | CAST(CAST(round(CAST(x AS DOUBLE), 7) AS DECIMAL(18,7))
-          |   * 10000000 AS BIGINT))""".stripMargin))
-      .withColumn("s7", expr("array_max(transform(a7, v -> abs(v)))"))
+      .withColumn("a7", expr(a7GridSql))
+      .withColumn("s7", expr(s7ScaleSql))
       .withColumn("err2", expr(
         """CASE WHEN s7 = 0 THEN CAST(0 AS BIGINT)
           | ELSE aggregate(a7, CAST(0 AS BIGINT), (acc, v) ->
@@ -420,14 +427,9 @@ object SimilarityOps {
     import s_.implicits._
     // spread: the per-row Gram fold is the compute-heavy map stage
     val qvec = Tables.spread(t(s, d, "embeddings"), "vec_id")
-      .withColumn("a7", expr(
-        """transform(embedding, x ->
-          | CAST(CAST(round(CAST(x AS DOUBLE), 7) AS DECIMAL(18,7))
-          |   * 10000000 AS BIGINT))""".stripMargin))
-      .withColumn("s7", expr("array_max(transform(a7, v -> abs(v)))"))
-      .select(expr(
-        """CASE WHEN s7 = 0 THEN transform(a7, v -> CAST(0 AS BIGINT))
-          | ELSE transform(a7, v -> (v * 127) div s7) END""".stripMargin).as("q"))
+      .withColumn("a7", expr(a7GridSql))
+      .withColumn("s7", expr(s7ScaleSql))
+      .select(expr(int8VecSql).as("q"))
     val partials = qvec.as[Seq[Long]].mapPartitions { it =>
       val g = new Array[Long](dim * dim)
       var any = false

@@ -328,16 +328,22 @@ object TextOps {
           .as("t1"))
       .selectExpr(
         "stack(2, '0_raw', n0, t0, '1_quality', n1, t1) AS (stage, n_docs, n_tokens)")
-    val dedup = base.filter(col("q") >= minQuality)
+    // the md5-keyed dedup aggregate runs ONCE: the per-split rollup (≤2
+    // rows) checkpoints, and the 2_dedup stage derives from it by a
+    // second-level sum instead of re-running the big aggregate
+    val perSplit = graft.Transients.track(base.filter(col("q") >= minQuality)
       .groupBy("nm")
       .agg(min(struct(col("doc_id"), col("n_tokens"))).as("m"))
-      .select(col("nm"), col("m.n_tokens").as("n_tokens"))
-      .withColumn("split",
-        when(substring(col("nm"), 1, 1) < "c", "train").otherwise("eval"))
-    val s2 = dedup.agg(lit("2_dedup").as("stage"), count(lit(1)).as("n_docs"),
-      coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
-    val s3 = dedup.groupBy("split")
+      .select(col("m.n_tokens").as("n_tokens"),
+        when(substring(col("nm"), 1, 1) < "c", "train").otherwise("eval")
+          .as("split"))
+      .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .localCheckpoint())
+    val s2 = perSplit.agg(lit("2_dedup").as("stage"),
+      coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+      coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
+    val s3 = perSplit
       .select(concat(lit("3_split_"), col("split")).as("stage"),
         col("n_docs"), col("n_tokens"))
     s01.unionAll(s2).unionAll(s3).orderBy("stage")

@@ -59,14 +59,34 @@ object EventsStream {
     df.withColumn("ts",
       expr("cast(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
 
+  /** The TIMESTAMP(NANOS) variant of the file schema: under the
+    * `nanosAsLong` conf (set by every graft session builder) the column
+    * arrives as a raw-nanos Long — no conversion needed. */
+  val eventsSchemaNanosLong: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** The ONE definition of the nanos file-source stream over the driver
     * testdata's events table (the file stream source requires a directory;
     * the glob filter pins it to the one table) — shared by every streaming
-    * query here so the ingest shape changes in one place. */
-  def readEventsNanos(s: SparkSession, dir: String): DataFrame =
-    nanosView(s.readStream.schema(eventsSchemaNtz)
+    * query here so the ingest shape changes in one place. The file's ts
+    * type is sniffed from the parquet footer (the driver testdata has
+    * shipped BOTH TIMESTAMP(NANOS) and TIMESTAMP(MICROS)), mirroring the
+    * batch path's Tables.normalizeEventTs so a regeneration in either
+    * direction can't break the streaming surface. */
+  def readEventsNanos(s: SparkSession, dir: String): DataFrame = {
+    val tsIsLong = s.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType == LongType
+    val src = s.readStream
+      .schema(if (tsIsLong) eventsSchemaNanosLong else eventsSchemaNtz)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir))
+      .parquet(dir)
+    if (tsIsLong) src else nanosView(src)
+  }
 
   /** Exact decimal-cents quantization of the value column — the shared
     * money convention (quantize once, sum integers, divide at the end). */
@@ -139,11 +159,49 @@ object EventsStream {
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      n_events: Long, sum_value: Double, duration_s: Double)
 
+  case class SessionBuf(items: Seq[SessionState])
+
+  /** The shared WATERMARK-SAFE interval-fold step: merge the retained
+    * intervals with the batch's, in ascending start order, under the
+    * transitive ≤-gap chaining contract; then split the merged list into
+    * the intervals the watermark has PROVEN closed (last + gap < wm — any
+    * still-admissible event has time ≥ wm, so nothing can ever chain into
+    * them) and the rest, which stay in state. Closing on the fold's local
+    * gap alone is UNSOUND: a closed interval whose gap to its successor is
+    * in (gap, 2·gap] can still be bridged by a late event the watermark
+    * admits (time ≥ wm but ≤ last + gap) — state must therefore hold a
+    * LIST of disjoint open intervals, bounded by the out-of-orderness the
+    * watermark delay admits, not a single open one. */
+  private def foldIntervals[S](retained: Seq[S], incoming: Seq[S], wm: Long,
+                               gap: Long, start: S => Long, last: S => Long,
+                               merge: (S, S) => S): (Seq[S], Seq[S]) = {
+    val items = (retained ++ incoming)
+      .sortBy(st => (start(st), last(st)))
+    val merged = Seq.newBuilder[S]
+    var cur: Option[S] = None
+    items.foreach { it =>
+      cur match {
+        case Some(st) if start(it) - last(st) <= gap =>
+          cur = Some(merge(st, it))
+        case Some(st) =>
+          merged += st
+          cur = Some(it)
+        case None =>
+          cur = Some(it)
+      }
+    }
+    cur.foreach(merged += _)
+    merged.result().partition(st => last(st) + gap < wm)
+  }
+
   /** Gap-based sessionization (30 min inactivity closes a session) with
-    * explicit state + EVENT-TIME timeout: a session also closes when the
-    * watermark passes lastTs+gap with no new data for the key. (A
-    * processing-time timeout here would make results wall-clock-dependent
-    * and busy-loops the micro-batch engine under processAllAvailable.) */
+    * explicit state + EVENT-TIME timeout. A session EMITS only once the
+    * watermark passes lastTs + gap (via [[foldIntervals]] — the proof no
+    * admissible event can extend it); until then it is retained, so a
+    * late event inside the watermark can still merge or bridge sessions
+    * exactly as the batch twin would. (A processing-time timeout here
+    * would make results wall-clock-dependent and busy-loop the
+    * micro-batch engine under processAllAvailable.) */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     import events.sparkSession.implicits._
     def close(userId: Long, st: SessionState): Session =
@@ -151,46 +209,24 @@ object EventsStream {
         st.nEvents, st.sumValue, (st.lastTs - st.start) / 1000.0)
     events.withWatermark("ts", s"${gapMs / 60000} minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionBuf, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(close(userId, _))
-            state.remove()
-            out.iterator
-          } else {
-            // interval fold: the open session from state and each batch
-            // event are time intervals, processed in ascending start order.
-            // This keeps cross-batch late events correct — an in-watermark
-            // event EARLIER than the open session's span by more than the
-            // gap becomes its own session instead of being merged into (and
-            // corrupting) the open one.
-            val items = (state.getOption.toSeq ++
-              batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-                .map(e => SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)))
-              .sortBy(st => (st.start, st.lastTs))
-            val closed = Seq.newBuilder[Session]
-            var cur: Option[SessionState] = None
-            items.foreach { it =>
-              cur match {
-                case Some(st) if it.start - st.lastTs <= gapMs =>
-                  cur = Some(SessionState(st.start, math.max(st.lastTs, it.lastTs),
-                    st.nEvents + it.nEvents, st.sumValue + it.sumValue))
-                case Some(st) =>
-                  closed += close(userId, st)
-                  cur = Some(it)
-                case None =>
-                  cur = Some(it)
-              }
-            }
-            cur.foreach { st =>
-              state.update(st)
-              // timeout must sit strictly beyond the current watermark
-              state.setTimeoutTimestamp(
-                math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs + 1))
-            }
-            closed.result().iterator
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionBuf]) =>
+          val wm = state.getCurrentWatermarkMs
+          val incoming = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .map(e => SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+          val (done, keep) = foldIntervals[SessionState](
+            state.getOption.map(_.items).getOrElse(Nil), incoming, wm, gapMs,
+            _.start, _.lastTs,
+            (a, b) => SessionState(a.start, math.max(a.lastTs, b.lastTs),
+              a.nEvents + b.nEvents, a.sumValue + b.sumValue))
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(SessionBuf(keep))
+            state.setTimeoutTimestamp(
+              math.max(keep.map(_.lastTs + gapMs).min, wm + 1))
           }
+          done.map(close(userId, _)).iterator
       }
   }
 
@@ -205,57 +241,40 @@ object EventsStream {
   case class ExactSession(user_id: Long, start_us: Long, n_events: Long,
                           sum_cents: Long)
 
+  case class ExactBuf(items: Seq[ExactState])
+
   /** Gap-based sessionization with explicit state + event-time timeout,
     * producing byte-exact batch-twin results: the same session boundaries
     * as [[sessionizeByGapUs]] (integer-microsecond gap math) and exact
-    * integer value sums. A session closes inline when a same-batch event
-    * exceeds the gap, or via timeout once the watermark passes
-    * lastTs + gap. */
+    * integer value sums. Sessions retain until the watermark passes
+    * lastUs + gap ([[foldIntervals]] in the µs domain — the emit rule
+    * that makes multi-batch replays equal the batch twin even when a
+    * late event bridges two gap-separated intervals). */
   def sessionizeExact(events: Dataset[ExactEvent],
                       gapUs: Long = 30L * 60 * 1000 * 1000): Dataset[ExactSession] = {
     import events.sparkSession.implicits._
     val gapMs = gapUs / 1000
-    def close(uid: Long, st: ExactState): ExactSession =
-      ExactSession(uid, st.startUs, st.n, st.cents)
     events.withWatermark("ts", s"$gapMs milliseconds")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[ExactState, ExactSession](
+      .flatMapGroupsWithState[ExactBuf, ExactSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, batch: Iterator[ExactEvent], state: GroupState[ExactState]) =>
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(close(uid, _))
-            state.remove()
-            out.iterator
-          } else {
-            // interval fold in ascending start order (see sessionize above):
-            // cross-batch late events earlier than the open session's span
-            // start their own session instead of merging into it
-            val items = (state.getOption.toSeq ++
-              batch.toSeq.sortBy(e => (e.tus, e.event_id))
-                .map(e => ExactState(e.tus, e.tus, 1, e.cents)))
-              .sortBy(st => (st.startUs, st.lastUs))
-            val closed = Seq.newBuilder[ExactSession]
-            var cur: Option[ExactState] = None
-            items.foreach { it =>
-              cur match {
-                case Some(st) if it.startUs - st.lastUs <= gapUs =>
-                  cur = Some(ExactState(st.startUs, math.max(st.lastUs, it.lastUs),
-                    st.n + it.n, st.cents + it.cents))
-                case Some(st) =>
-                  closed += close(uid, st)
-                  cur = Some(it)
-                case None =>
-                  cur = Some(it)
-              }
-            }
-            cur.foreach { st =>
-              state.update(st)
-              // timeout must sit strictly beyond the current watermark
-              state.setTimeoutTimestamp(
-                math.max(st.lastUs / 1000 + gapMs, state.getCurrentWatermarkMs + 1))
-            }
-            closed.result().iterator
+        (uid: Long, batch: Iterator[ExactEvent], state: GroupState[ExactBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs * 1000L
+          val incoming = batch.toSeq.sortBy(e => (e.tus, e.event_id))
+            .map(e => ExactState(e.tus, e.tus, 1, e.cents))
+          val (done, keep) = foldIntervals[ExactState](
+            state.getOption.map(_.items).getOrElse(Nil), incoming, wmUs, gapUs,
+            _.startUs, _.lastUs,
+            (a, b) => ExactState(a.startUs, math.max(a.lastUs, b.lastUs),
+              a.n + b.n, a.cents + b.cents))
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(ExactBuf(keep))
+            state.setTimeoutTimestamp(
+              math.max(keep.map(_.lastUs / 1000 + gapMs).min,
+                state.getCurrentWatermarkMs + 1))
           }
+          done.map(st => ExactSession(uid, st.startUs, st.n, st.cents)).iterator
       }
   }
 
@@ -673,6 +692,7 @@ object EventsStream {
   /** One open burst interval: startUs = head tus (burst min), headId = min
     * event_id at startUs, lastUs = burst max tus, n = rows absorbed. */
   case class BurstState(startUs: Long, headId: Long, lastUs: Long, n: Long)
+  case class BurstBuf(items: Seq[BurstState])
   case class BurstOut(user_id: Long, event_type: String, event_id: Long,
                       tus: Long, n_collapsed: Long, span_us: Long)
 
@@ -682,66 +702,54 @@ object EventsStream {
     * end of day). Semantics are q138's transitive ≤-gap chaining, which is
     * exactly the q60 sessionizer's interval-fold contract with a compound
     * key and head bookkeeping: per key, state + batch events fold as
-    * intervals in ascending start order, merging when the gap closes and
-    * emitting the absorbed burst (head row id, collapse count, span) when
-    * a later interval leaves a gap — or when the event-time timeout fires
-    * after the watermark passes lastTs + gap. Watermark delay == gap, the
-    * q60 soundness point: no arrival the watermark still admits can bridge
-    * a burst the timeout already closed.
+    * intervals in ascending start order ([[foldIntervals]]), merging when
+    * the gap closes; a burst EMITS (head row id, collapse count, span)
+    * only once the watermark passes its lastTs + gap — the proof no
+    * admissible event can still chain into it. Until then gap-separated
+    * intervals are RETAINED: a late event the watermark admits can bridge
+    * two of them, which a close-on-local-gap rule would get wrong.
     *
-    * State per key is ONE open interval (4 longs) — bounded by live keys,
-    * not data; emission is append-mode, so the sink never rewrites. The
-    * drained rows are byte-equal to the batch window form: q176 shares
-    * q138's exact DuckDB oracle. */
+    * State per key is the retained interval list (4 longs each) — bounded
+    * by the out-of-orderness the watermark delay admits, not by data;
+    * emission is append-mode, so the sink never rewrites. The drained
+    * rows are byte-equal to the batch window form: q176 shares q138's
+    * exact DuckDB oracle. */
   def debounceExact(events: Dataset[BounceEvent],
                     gapUs: Long = 300000000L): Dataset[BurstOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapUs / 1000
-    def close(uid: Long, tpe: String, st: BurstState): BurstOut =
-      BurstOut(uid, tpe, st.headId, st.startUs, st.n, st.lastUs - st.startUs)
     events.withWatermark("ts", s"$gapMs milliseconds")
       .groupByKey(e => (e.user_id, e.event_type))
-      .flatMapGroupsWithState[BurstState, BurstOut](
+      .flatMapGroupsWithState[BurstBuf, BurstOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: (Long, String), batch: Iterator[BounceEvent],
-         state: GroupState[BurstState]) =>
+         state: GroupState[BurstBuf]) =>
           val (uid, tpe) = key
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(close(uid, tpe, _))
-            state.remove()
-            out.iterator
-          } else {
-            val items = (state.getOption.toSeq ++
-              batch.toSeq.sortBy(e => (e.tus, e.event_id))
-                .map(e => BurstState(e.tus, e.event_id, e.tus, 1)))
-              .sortBy(st => (st.startUs, st.lastUs, st.headId))
-            val closed = Seq.newBuilder[BurstOut]
-            var cur: Option[BurstState] = None
-            items.foreach { it =>
-              cur match {
-                case Some(st) if it.startUs - st.lastUs <= gapUs =>
-                  // head = min (tus, id) across the merged burst
-                  val (hTus, hId) =
-                    if (it.startUs < st.startUs ||
-                      (it.startUs == st.startUs && it.headId < st.headId))
-                      (it.startUs, it.headId)
-                    else (st.startUs, st.headId)
-                  cur = Some(BurstState(hTus, hId,
-                    math.max(st.lastUs, it.lastUs), st.n + it.n))
-                case Some(st) =>
-                  closed += close(uid, tpe, st)
-                  cur = Some(it)
-                case None =>
-                  cur = Some(it)
-              }
-            }
-            cur.foreach { st =>
-              state.update(st)
-              state.setTimeoutTimestamp(
-                math.max(st.lastUs / 1000 + gapMs, state.getCurrentWatermarkMs + 1))
-            }
-            closed.result().iterator
+          val wmUs = state.getCurrentWatermarkMs * 1000L
+          val incoming = batch.toSeq.sortBy(e => (e.tus, e.event_id))
+            .map(e => BurstState(e.tus, e.event_id, e.tus, 1))
+          val (done, keep) = foldIntervals[BurstState](
+            state.getOption.map(_.items).getOrElse(Nil), incoming, wmUs, gapUs,
+            _.startUs, _.lastUs,
+            (a, b) => {
+              // head = min (tus, id) across the merged burst
+              val (hTus, hId) =
+                if (b.startUs < a.startUs ||
+                  (b.startUs == a.startUs && b.headId < a.headId))
+                  (b.startUs, b.headId)
+                else (a.startUs, a.headId)
+              BurstState(hTus, hId, math.max(a.lastUs, b.lastUs), a.n + b.n)
+            })
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(BurstBuf(keep))
+            state.setTimeoutTimestamp(
+              math.max(keep.map(_.lastUs / 1000 + gapMs).min,
+                state.getCurrentWatermarkMs + 1))
           }
+          done.map(st =>
+            BurstOut(uid, tpe, st.headId, st.startUs, st.n,
+              st.lastUs - st.startUs)).iterator
       }
   }
 

@@ -714,14 +714,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // the engine's own a7→int8 grid (pinned separately by the q146 spec);
     // what this pins is the partition-folded Gram + the iterate chain
     val qs = Tables.load(spark, TestSpark.sf, "embeddings")
-      .withColumn("a7", expr(
-        """transform(embedding, x ->
-          | CAST(CAST(round(CAST(x AS DOUBLE), 7) AS DECIMAL(18,7))
-          |   * 10000000 AS BIGINT))""".stripMargin))
-      .withColumn("s7", expr("array_max(transform(a7, v -> abs(v)))"))
-      .select(expr(
-        """CASE WHEN s7 = 0 THEN transform(a7, v -> CAST(0 AS BIGINT))
-          | ELSE transform(a7, v -> (v * 127) div s7) END""".stripMargin))
+      .withColumn("a7", expr(SimilarityOps.a7GridSql))
+      .withColumn("s7", expr(SimilarityOps.s7ScaleSql))
+      .select(expr(SimilarityOps.int8VecSql))
       .as[Seq[Long]].collect()
     val dim = 64
     val g = Array.fill(dim, dim)(BigInt(0))

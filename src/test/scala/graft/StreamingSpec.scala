@@ -76,15 +76,52 @@ class StreamingSpec extends AnyFunSuite {
     def ev(id: Long, minute: Long): EventsStream.Event =
       EventsStream.Event(id, new java.sql.Timestamp(minute * 60000L), 7L, "click", 1.0)
     try {
-      // one user, two bursts separated by > 30 min: first burst must close.
-      // (start at minute 1: an event at the epoch equals the initial
-      // watermark and would be dropped as late data)
+      // one user, two bursts separated by > 30 min. (Start at minute 1:
+      // an event at the epoch equals the initial watermark and would be
+      // dropped as late data.) The first burst emits only once the
+      // watermark PROVES it closed (last + gap < wm) — an inline close at
+      // fold time would be bridgeable by an admissible late event
       mem.addData(ev(1, 1), ev(2, 5), ev(3, 10), ev(4, 60), ev(5, 62))
+      q.processAllAvailable()
+      // wm is only minute 32 here (62 - 30): nothing is provably closed yet
+      assert(spark.table("sessions_out").count() === 0)
+      // push the watermark past both sessions' last + gap
+      mem.addData(ev(6, 200))
       q.processAllAvailable()
     } finally q.stop()
     val sessions = spark.table("sessions_out")
       .select("user_id", "n_events", "sum_value").as[(Long, Long, Double)].collect()
     assert(sessions.contains((7L, 3L, 3.0))) // the closed first burst
+    assert(sessions.contains((7L, 2L, 2.0))) // the closed second burst
+  }
+
+  test("debounce retains gap-separated intervals until a late bridge can't arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStream.BounceEvent]
+    val q = EventsStream.debounceExact(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("debounce_bridge_out").start()
+    def ev(id: Long, sec: Long) =
+      EventsStream.BounceEvent(id, 7L, "click", sec * 1000000L,
+        new java.sql.Timestamp(sec * 1000L))
+    try {
+      // two events 400 s apart (gap 300 s): NOT chainable directly, but a
+      // bridge at t=1200 is still admissible after batch 1 (wm = 1100)
+      mem.addData(ev(1, 1000), ev(3, 1400))
+      q.processAllAvailable()
+      // an inline close would have emitted (1, n=1) here — it must not:
+      assert(spark.table("debounce_bridge_out").count() === 0)
+      // the late bridge: all three must collapse into ONE burst
+      mem.addData(ev(2, 1200))
+      q.processAllAvailable()
+      mem.addData(ev(9, 100000)) // watermark push
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("debounce_bridge_out")
+      .filter(col("event_id") =!= 9L)
+      .select("event_id", "tus", "n_collapsed", "span_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1000000000L, 3L, 400000000L)))
   }
 
   test("buffered-replay transitions reorder cross-batch late events correctly") {
