@@ -974,7 +974,66 @@ object StatsOps {
       .orderBy("event_type", "lag")
   }
 
+  // ---------------------------------------------------------------- q182
+  private[graft] val ksTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+  private[graft] val ksPairs: Seq[(String, String)] =
+    for { i <- ksTypes.indices; j <- ksTypes.indices if i < j }
+      yield (ksTypes(i), ksTypes(j))
+
+  /** KOLMOGOROV-SMIRNOV two-sample certificates — the distributional
+    * drift test on RAW values (q115's JS divergence needs binning; KS
+    * does not): for every pair of event types, the n-SCALED statistic
+    *
+    *   D' = max_v |n₂·C₁(v) − n₁·C₂(v)|   (≡ n₁·n₂ · sup|F₁ − F₂|)
+    *
+    * over the merged distinct-cents grid, with the value attaining it
+    * (earliest on ties — pinned via max(struct(d, −v))). Like q167/q178,
+    * the float D = D'/(n₁n₂) is left to the reader: the certificate is
+    * integer-exact at any scale, while the division drifts once n₁·n₂
+    * passes 2⁵³.
+    *
+    * Shape: the scan collapses to (type, cents) counts immediately
+    * (map-side combined); the 10 pairs ride ONE generic plan — a 10-row
+    * broadcast pair table joined against the count grid, cumulated by a
+    * window PARTITIONED on the pair — so cost is grid-sized regardless of
+    * row count, and adding pairs never adds passes. */
+  def q182KsCertificates(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val cents = graft.streaming.EventsStream.cents _
+    val counts = t(s, d, "events")
+      .filter(col("event_type").isin(ksTypes: _*))
+      .select(col("event_type").as("t"), cents(col("value")).as("cents"))
+      .groupBy("t", "cents").agg(count(lit(1)).as("cnt"))
+    val tot = counts.groupBy("t").agg(sum("cnt").as("n"))
+    val pairs = s.createDataFrame(ksPairs).toDF("ta", "tb")
+    val merged = counts.join(broadcast(pairs),
+        col("t") === col("ta") || col("t") === col("tb"))
+      .groupBy("ta", "tb", "cents")
+      .agg(sum(when(col("t") === col("ta"), col("cnt")).otherwise(0L)).as("ca"),
+        sum(when(col("t") === col("tb"), col("cnt")).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("ta", "tb").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("c1", sum(col("ca")).over(w))
+      .withColumn("c2", sum(col("cb")).over(w))
+      .join(broadcast(tot.select(col("t").as("ta"), col("n").as("n1"))), "ta")
+      .join(broadcast(tot.select(col("t").as("tb"), col("n").as("n2"))), "tb")
+      .withColumn("dd",
+        abs(col("n2").cast(dec38) * col("c1") - col("n1").cast(dec38) * col("c2")))
+      .groupBy("ta", "tb")
+      .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+        max(struct(col("dd"), (-col("cents")).as("nc"))).as("m"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n1"), col("n2"), col("m.dd").as("d_scaled"),
+        (-col("m.nc")).as("at_cents"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_ks_test" -> (q182KsCertificates _),
     "q178_acf" -> (q178AcfCertificate _),
     "q177_km_hazard" -> (q177KmHazard _),
     "q169_kanon_audit" -> (q169KAnonymity _),
@@ -1003,6 +1062,42 @@ object StatsOps {
     "q52_approx_distinct" -> (q52ApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    // same count grid, pair-partitioned cumulatives and HUGEINT n-scaled
+    // statistic; struct_pack max ≡ Spark max(struct) pins the tie to the
+    // earliest cents value
+    "q182_ks_test" -> {
+      val vals = ksPairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ")
+      s"""WITH c AS (
+         | SELECT event_type AS t,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         | FROM events GROUP BY 1, 2),
+         |tot AS (SELECT t, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY t),
+         |pairs(ta, tb) AS (VALUES $vals),
+         |merged AS (
+         | SELECT p.ta, p.tb, c.cents,
+         |  CAST(sum(CASE WHEN c.t = p.ta THEN c.cnt ELSE 0 END) AS BIGINT) AS ca,
+         |  CAST(sum(CASE WHEN c.t = p.tb THEN c.cnt ELSE 0 END) AS BIGINT) AS cb
+         | FROM pairs p JOIN c ON c.t = p.ta OR c.t = p.tb
+         | GROUP BY 1, 2, 3),
+         |cum AS (
+         | SELECT ta, tb, cents,
+         |  sum(ca) OVER w AS c1, sum(cb) OVER w AS c2
+         | FROM merged
+         | WINDOW w AS (PARTITION BY ta, tb ORDER BY cents
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |dd AS (
+         | SELECT cum.ta, cum.tb, t1.n AS n1, t2.n AS n2, cum.cents,
+         |  abs(CAST(t2.n AS HUGEINT) * c1 - CAST(t1.n AS HUGEINT) * c2) AS d
+         | FROM cum JOIN tot t1 ON cum.ta = t1.t JOIN tot t2 ON cum.tb = t2.t),
+         |mx AS (
+         | SELECT ta, tb, any_value(n1) AS n1, any_value(n2) AS n2,
+         |  max(struct_pack(d := CAST(d AS DECIMAL(38,0)), nc := -cents)) AS m
+         | FROM dd GROUP BY 1, 2)
+         |SELECT ta AS type_a, tb AS type_b, n1, n2,
+         | m.d AS d_scaled, -(m.nc) AS at_cents
+         |FROM mx ORDER BY type_a, type_b""".stripMargin
+    },
     // same zero-filled calendar grid, lag windows and integer certificate
     // arithmetic (HUGEINT products cast to DECIMAL(38,0), the q167 twin)
     "q178_acf" -> {

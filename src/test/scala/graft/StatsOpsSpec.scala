@@ -509,4 +509,34 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(got.values.forall(v =>
       v(7).asInstanceOf[BigInt].signum > 0))
   }
+
+  // ------------------------------------------------------------ q182 ks
+  test("KS certificates match a driver-side recompute over every pair") {
+    val got = StatsOps.q182KsCertificates(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3),
+          BigInt(r.getAs[java.math.BigDecimal]("d_scaled").toBigInteger),
+          r.getLong(5))).toMap
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.keySet === StatsOps.ksPairs.toSet)
+    StatsOps.ksPairs.foreach { case (a, b) =>
+      val sa = ev.filter(_._1 == a).map(_._2).sorted
+      val sb = ev.filter(_._1 == b).map(_._2).sorted
+      val (n1, n2) = (BigInt(sa.length), BigInt(sb.length))
+      val grid = (sa ++ sb).distinct.sorted
+      var best = (BigInt(-1), 0L)
+      grid.foreach { v =>
+        val c1 = BigInt(sa.count(_ <= v))
+        val c2 = BigInt(sb.count(_ <= v))
+        val dd = (n2 * c1 - n1 * c2).abs
+        if (dd > best._1) best = (dd, v)
+      }
+      assert(got((a, b)) === ((sa.length.toLong, sb.length.toLong,
+        best._1, best._2)), s"pair ($a, $b)")
+    }
+  }
 }
