@@ -610,7 +610,58 @@ object GraphOps {
       .orderBy("dist")
   }
 
+  // ---------------------------------------------------------------- q183
+  /** PERSONALIZED PAGERANK from the hub seed set — "importance relative
+    * to THESE nodes", the related-items / neighborhood-relevance ranking
+    * (global q105 answers "important overall"; this answers "important
+    * NEAR the hubs", q175's reachability question upgraded from hop count
+    * to mass). Same exact-integer discipline as q105: ranks on the 1e-12
+    * grid, every update an integer multiply / floor-divide, so the
+    * fixpoint iteration is order-free and engine-portable —
+    *
+    *   r' = [node ∈ seeds]·⌊15·S/(100·k)⌋ + ⌊85·Σ⌊r_u/deg_u⌋/100⌋
+    *
+    * with the teleport mass restricted to the k top-degree seeds (q175's
+    * deterministic seed rule). The rank relation stays SPARSE: it starts
+    * at k rows and only ever covers nodes the mass has reached — on a
+    * 100 TB graph the 3-iteration relation is the seeds' 3-hop
+    * neighborhood, not the node set. Each iteration is one rank⋈adjacency
+    * join + a bare-(node, long) aggregate + a full-outer stitch against
+    * the k-row teleport side; the degree-annotated adjacency checkpoints
+    * once for its three consumers. k reaches the driver as a single
+    * bounded count (like the IVF centroids — documented, O(nSeeds)). */
+  def q183PersonalizedPagerank(s: SparkSession, d: String,
+                               iterations: Int = 3, nSeeds: Int = 8,
+                               scale: Long = 1000000000000L): DataFrame = {
+    val e = cachedCoOrderEdges(s, d)
+    val adj0 = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = adj0.groupBy("u").agg(count(lit(1)).as("deg"))
+    val adj = graft.Transients.track(
+      adj0.join(deg, "u").localCheckpoint())
+    val seeds = deg.orderBy(col("deg").desc, col("u"))
+      .limit(nSeeds).select(col("u").as("node"))
+    val k = seeds.count()
+    val tele = (15L * scale) / (100L * k)
+    val seedT = broadcast(seeds.withColumn("tele", lit(tele)))
+    var r = seeds.withColumn("r", lit(scale / k))
+    for (_ <- 1 to iterations) {
+      val inr = adj.join(r, adj("u") === r("node"))
+        .select(col("v").as("node"), expr("r div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("inr"))
+      r = inr.join(seedT, Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(expr("(85 * inr) div 100"), lit(0L)) +
+            coalesce(col("tele"), lit(0L))).as("r"))
+    }
+    r.orderBy(col("r").desc, col("node")).limit(25)
+      .select(col("node"), col("r").as("ppr_scaled"),
+        (col("r").cast("double") / scale).as("ppr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_personalized_pagerank" ->
+      ((s: SparkSession, d: String) => q183PersonalizedPagerank(s, d)),
     "q175_bfs_hops" -> ((s: SparkSession, d: String) => q175BfsHops(s, d)),
     "q174_hits_scores" -> (q174HitsScores _),
     "q161_item_similarity" -> ((s: SparkSession, d: String) => q161ItemSimilarity(s, d)),
@@ -677,7 +728,33 @@ object GraphOps {
        | WHERE a.v NOT IN ($seen))""".stripMargin
   }.mkString(",\n")
 
+  /** Three unrolled sparse PPR iterations (the q183 twin): contributions
+    * from the previous rank relation, full-outer-stitched against the
+    * seed teleport side. */
+  private val duckPprIters: String = (1 to 3).map { i =>
+    s"""c$i AS (
+       | SELECT a.v AS node, sum(r${i - 1}.r // deg.deg) AS inr
+       | FROM a JOIN deg ON a.u = deg.u JOIN r${i - 1} ON a.u = r${i - 1}.node
+       | GROUP BY a.v),
+       |r$i AS (
+       | SELECT coalesce(c$i.node, s0.node) AS node,
+       |  coalesce((85 * c$i.inr) // 100, 0) + CASE WHEN s0.node IS NULL
+       |    THEN 0 ELSE (15 * 1000000000000) // (100 * kk.k) END AS r
+       | FROM c$i FULL JOIN s0 ON c$i.node = s0.node CROSS JOIN kk)""".stripMargin
+  }.mkString(",\n")
+
   val oracle: Map[String, String] = Map(
+    "q183_personalized_pagerank" ->
+      s"""WITH $duckCappedEdges,
+         |a AS (SELECT u, v FROM capped UNION ALL SELECT v, u FROM capped),
+         |deg AS (SELECT u, count(*) AS deg FROM a GROUP BY u),
+         |s0 AS (SELECT u AS node FROM deg ORDER BY deg DESC, u LIMIT 8),
+         |kk AS (SELECT count(*) AS k FROM s0),
+         |r0 AS (SELECT node, 1000000000000 // k AS r FROM s0 CROSS JOIN kk),
+         |$duckPprIters
+         |SELECT node, CAST(r AS BIGINT) AS ppr_scaled,
+         | CAST(r AS DOUBLE) / 1000000000000 AS ppr
+         |FROM r3 ORDER BY ppr_scaled DESC, node LIMIT 25""".stripMargin,
     "q175_bfs_hops" ->
       s"""WITH $duckCappedEdges,
          |a AS (SELECT u, v FROM capped UNION ALL SELECT v, u FROM capped),

@@ -322,4 +322,37 @@ class GraphOpsSpec extends AnyFunSuite {
     // rings partition the reachable set: totals reconcile with the graph
     assert(got.values.map(_._1).sum === nbrs.size.toLong)
   }
+
+  // ------------------------------------------------------------ q183 ppr
+  test("personalized PageRank matches a driver-side integer recompute") {
+    val got = GraphOps.q183PersonalizedPagerank(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val es = GraphOps.cachedCoOrderEdges(spark, TestSpark.sf)
+      .select("u", "v").as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    es.foreach { case (u, v) => adj(u) ::= v; adj(v) ::= u }
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val seeds = deg.toSeq.sortBy { case (n, dg) => (-dg, n) }
+      .take(8).map(_._1)
+    val scale = 1000000000000L
+    val k = seeds.size
+    val tele = 15L * scale / (100L * k)
+    var r: Map[Long, Long] = seeds.map(_ -> scale / k).toMap
+    (1 to 3).foreach { _ =>
+      val inr = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      r.foreach { case (u, ru) =>
+        val c = ru / deg(u)
+        adj(u).foreach(v => inr(v) += c)
+      }
+      r = (inr.keySet ++ seeds).map { n =>
+        n -> ((85L * inr(n)) / 100L + (if (seeds.contains(n)) tele else 0L))
+      }.toMap
+    }
+    val exp = r.toSeq.sortBy { case (n, rv) => (-rv, n) }.take(25)
+    assert(got.toSeq === exp)
+    // mass sanity: every seed carries at least its teleport share
+    seeds.foreach(sd => assert(r(sd) >= tele))
+  }
 }
