@@ -1032,7 +1032,64 @@ object StatsOps {
       .orderBy("type_a", "type_b")
   }
 
+  // ---------------------------------------------------------------- q184
+  /** SEASONAL PROFILE + OUTLIER-DAY certificates — the hour-of-day
+    * seasonality pass (dashboards' "traffic by hour" heatmap) with a
+    * per-cell anomaly screen: for every (event type, hour-of-day) cell
+    * over the type's zero-filled calendar span, the day whose revenue at
+    * that hour deviates most from the cell's own across-days profile.
+    * The textbook deviation x − x̄ carries the float mean; the emitted
+    * statistic is the D-scaled twin |D·x_d − Σ_d x| (≡ D·|x − x̄|, the
+    * q155 discipline per seasonal cell) with the q155 tie-break (equal
+    * mass → earlier day, via max(struct(dev, −day))). Integer-cents in
+    * DECIMAL(38,0) end to end; no division anywhere.
+    *
+    * Shape: the scan collapses to (type, day, hour) sums immediately;
+    * the zero-filled grid is span-days × 24 per type (calendar-bounded —
+    * a day with no traffic at 3am IS the anomaly signal a present-rows
+    * grid would miss); one window pass attaches the cell totals, one
+    * cell-grained argmax finishes. Nothing after the first aggregate
+    * scales with data. */
+  def q184SeasonalProfile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val cents = graft.streaming.EventsStream.cents _
+    val cells = t(s, d, "events")
+      .select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        expr("((ts div 1000) div 3600000000) % 24").as("how"),
+        cents(col("value")).as("c"))
+      .groupBy("event_type", "day", "how")
+      .agg(sum(col("c")).as("dc"))
+    val grid = cells.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+      .select(col("event_type"), col("day"),
+        explode(expr("sequence(CAST(0 AS BIGINT), CAST(23 AS BIGINT))"))
+          .as("how"))
+    val filled = grid.join(cells, Seq("event_type", "day", "how"), "left")
+      .select(col("event_type"), col("day"), col("how"),
+        coalesce(col("dc"), lit(0L)).as("c"))
+    val w = Window.partitionBy("event_type", "how")
+    filled
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("total", sum(col("c")).over(w))
+      .withColumn("dev",
+        abs(col("n_days").cast(dec38) * col("c").cast(dec38)
+          - col("total").cast(dec38)))
+      .groupBy("event_type", "how")
+      .agg(first(col("n_days")).as("n_days"),
+        first(col("total")).as("total_cents"),
+        max(struct(col("dev"), (-col("day")).as("nd"))).as("m"))
+      .select(col("event_type"), col("how"), col("n_days"),
+        col("total_cents"), col("m.dev").as("dev_scaled"),
+        (-col("m.nd")).as("peak_day"))
+      .orderBy("event_type", "how")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_seasonal_profile" -> (q184SeasonalProfile _),
     "q182_ks_test" -> (q182KsCertificates _),
     "q178_acf" -> (q178AcfCertificate _),
     "q177_km_hazard" -> (q177KmHazard _),
@@ -1062,6 +1119,44 @@ object StatsOps {
     "q52_approx_distinct" -> (q52ApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    // same zero-filled (day × hour) calendar grid, D-scaled deviations in
+    // HUGEINT, earlier-day tie via struct_pack max
+    "q184_seasonal_profile" ->
+      """WITH e AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  (epoch_us(ts) // 3600000000) % 24 AS how,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        | FROM events),
+        |cells AS (
+        | SELECT event_type, day, how, CAST(sum(c) AS BIGINT) AS dc
+        | FROM e GROUP BY 1, 2, 3),
+        |span AS (
+        | SELECT event_type, min(day) AS d0, max(day) AS d1
+        | FROM cells GROUP BY 1),
+        |g1 AS (
+        | SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM span),
+        |grid AS (
+        | SELECT event_type, day, unnest(generate_series(0, 23)) AS how FROM g1),
+        |filled AS (
+        | SELECT g.event_type, g.day, g.how, coalesce(c.dc, 0) AS c
+        | FROM grid g LEFT JOIN cells c
+        |   ON g.event_type = c.event_type AND g.day = c.day AND g.how = c.how),
+        |st AS (
+        | SELECT event_type, how, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(c) AS BIGINT) AS total
+        | FROM filled GROUP BY 1, 2),
+        |dev AS (
+        | SELECT f.event_type, f.how, st.n_days, st.total, f.day,
+        |  abs(CAST(st.n_days AS HUGEINT) * f.c - st.total) AS dv
+        | FROM filled f JOIN st USING (event_type, how)),
+        |mx AS (
+        | SELECT event_type, how, any_value(n_days) AS n_days,
+        |  any_value(total) AS total_cents,
+        |  max(struct_pack(dev := CAST(dv AS DECIMAL(38,0)), nd := -day)) AS m
+        | FROM dev GROUP BY 1, 2)
+        |SELECT event_type, how, n_days, total_cents,
+        | m.dev AS dev_scaled, -(m.nd) AS peak_day
+        |FROM mx ORDER BY event_type, how""".stripMargin,
     // same count grid, pair-partitioned cumulatives and HUGEINT n-scaled
     // statistic; struct_pack max ≡ Spark max(struct) pins the tie to the
     // earliest cents value

@@ -510,6 +510,42 @@ class StatsOpsSpec extends AnyFunSuite {
       v(7).asInstanceOf[BigInt].signum > 0))
   }
 
+  // ------------------------------------------------------------ q184
+  test("seasonal profile matches a driver-side zero-filled-grid recompute") {
+    val got = StatsOps.q184SeasonalProfile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3),
+          BigInt(r.getAs[java.math.BigDecimal]("dev_scaled").toBigInteger),
+          r.getLong(5))).toMap
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000"),
+        expr("((ts div 1000) div 3600000000) % 24"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._1).foreach { case (tpe, rows) =>
+      val (dMin, dMax) = (rows.map(_._2).min, rows.map(_._2).max)
+      val byCell = rows.groupBy(r => (r._2, r._3)).view
+        .mapValues(_.map(_._4).sum).toMap
+      (0L to 23L).foreach { how =>
+        val series = (dMin to dMax).map(d => d -> byCell.getOrElse((d, how), 0L))
+        val nDays = BigInt(series.size)
+        val total = series.map(x => BigInt(x._2)).sum
+        var best = (BigInt(-1), 0L)
+        series.foreach { case (day, c) =>
+          val dv = (nDays * c - total).abs
+          if (dv > best._1) best = (dv, day)
+        }
+        assert(got((tpe, how)) ===
+          ((series.size.toLong, series.map(_._2).sum, best._1, best._2)),
+          s"cell ($tpe, $how)")
+      }
+    }
+    // full grid coverage: 24 cells per type
+    assert(got.size === ev.map(_._1).distinct.size * 24)
+  }
+
   // ------------------------------------------------------------ q182 ks
   test("KS certificates match a driver-side recompute over every pair") {
     val got = StatsOps.q182KsCertificates(spark, sf).collect()
