@@ -238,7 +238,7 @@ object StatsOps {
   }
 
   // ---------------------------------------------------------------- q167
-  private val corrCols = Seq("quantity" -> "l_quantity",
+  private[graft] val corrCols = Seq("quantity" -> "l_quantity",
     "extendedprice" -> "l_extendedprice", "discount" -> "l_discount",
     "tax" -> "l_tax")
   private[graft] val corrPairs: Seq[(String, String)] =
@@ -1032,6 +1032,77 @@ object StatsOps {
       .orderBy("type_a", "type_b")
   }
 
+  // ---------------------------------------------------------------- q185
+  /** SPEARMAN RANK-CORRELATION certificates — q167's monotone twin: the
+    * same six column pairs, correlated on tie-averaged RANKS instead of
+    * values, which is the screen that catches monotone-but-nonlinear
+    * relationships Pearson flattens. Average ranks under ties are
+    * half-integers, so the engine works on DOUBLED ranks
+    *
+    *   r2(v) = 2·|{x < v}| + |{x = v}| + 1   (≡ 2 · avg-rank, integer)
+    *
+    * — the ×2 cancels in ρ, and every accumulator stays on the integer
+    * grid (DECIMAL(38,0), products cast before multiplying: doubled
+    * ranks reach 2n, whose square passes 2⁶³ long before 100 TB).
+    *
+    * Shape: per column the rank function is VALUE-GRID-sized — distinct
+    * quantized values with counts, cumulated by the banded-offset trick
+    * (coarse value bands → a bands-sized offset window + per-band
+    * in-grid windows; no corpus and no full grid ever crosses one
+    * partition — the q145/bandedRank discipline applied to grid
+    * cumsums). Rows re-attach their four ranks by hash joins on the
+    * quantized value, and the six pairs fold in ONE q167-style pass. */
+  def q185SpearmanCertificates(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val base = graft.Transients.track(
+      t(s, d, "lineitem").select(corrCols.map { case (n, c) =>
+        expr(s"CAST(CAST($c AS DECIMAL(18,4)) * 10000 AS BIGINT)").as(n)
+      }: _*).localCheckpoint())
+    def ranked(name: String): DataFrame = {
+      val grid = base.groupBy(col(name)).agg(count(lit(1)).as("cnt"))
+        .withColumn("band", expr(s"$name div 1000000"))
+      val wOff = Window.orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = grid.groupBy("band").agg(sum(col("cnt")).as("bcnt"))
+        .withColumn("boff", coalesce(sum(col("bcnt")).over(wOff), lit(0L)))
+        .select("band", "boff")
+      val wIn = Window.partitionBy("band").orderBy(name)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grid
+        .withColumn("inoff", coalesce(sum(col("cnt")).over(wIn), lit(0L)))
+        .join(broadcast(offs), "band")
+        .select(col(name),
+          (lit(2L) * (col("boff") + col("inoff")) + col("cnt") + lit(1L))
+            .as(s"r_$name"))
+    }
+    val withRanks = corrCols.foldLeft(base) { case (df, (n, _)) =>
+      df.join(ranked(n), n)
+    }
+    val aggs =
+      corrCols.map { case (n, _) =>
+        sum(col(s"r_$n").cast(dec38)).as(s"s_$n") } ++
+        corrCols.map { case (n, _) =>
+          sum(col(s"r_$n").cast(dec38) * col(s"r_$n").cast(dec38))
+            .as(s"ss_$n") } ++
+        corrPairs.map { case (a, b) =>
+          sum(col(s"r_$a").cast(dec38) * col(s"r_$b").cast(dec38))
+            .as(s"sp_${a}_$b") }
+    val row = withRanks.agg(count(lit(1)).as("n"), aggs: _*)
+    val stackExpr = corrPairs.map { case (a, b) =>
+      s"'$a', '$b', s_$a, s_$b, ss_$a, ss_$b, sp_${a}_$b"
+    }.mkString(", ")
+    row.selectExpr("n",
+        s"stack(${corrPairs.size}, $stackExpr) AS (col_x, col_y, sx, sy, sxx, syy, sxy)")
+      .select(col("col_x"), col("col_y"), col("n"),
+        col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"),
+        (col("n").cast(dec38) * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n").cast(dec38) * col("sxx") - col("sx") * col("sx")).as("den_x"),
+        (col("n").cast(dec38) * col("syy") - col("sy") * col("sy")).as("den_y"))
+      .orderBy("col_x", "col_y")
+  }
+
   // ---------------------------------------------------------------- q184
   /** SEASONAL PROFILE + OUTLIER-DAY certificates — the hour-of-day
     * seasonality pass (dashboards' "traffic by hour" heatmap) with a
@@ -1089,6 +1160,7 @@ object StatsOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_spearman" -> (q185SpearmanCertificates _),
     "q184_seasonal_profile" -> (q184SeasonalProfile _),
     "q182_ks_test" -> (q182KsCertificates _),
     "q178_acf" -> (q178AcfCertificate _),
@@ -1119,6 +1191,52 @@ object StatsOps {
     "q52_approx_distinct" -> (q52ApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    // same doubled tie-averaged ranks off per-column value grids (the
+    // oracle's single grid window ≡ the engine's banded cumsum), same
+    // HUGEINT certificate arithmetic as the q167 twin
+    "q185_spearman" -> {
+      val gridCtes = corrCols.map { case (n, _) =>
+        s"""g_$n AS (
+           | SELECT $n, CAST(count(*) AS BIGINT) AS cnt FROM q GROUP BY $n),
+           |r_$n AS (
+           | SELECT $n, 2 * coalesce(sum(cnt) OVER (ORDER BY $n
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |  + cnt + 1 AS rk FROM g_$n)""".stripMargin
+      }.mkString(",\n")
+      val joins = corrCols.map { case (n, _) => s"JOIN r_$n USING ($n)" }
+        .mkString(" ")
+      val rkSel = corrCols.map { case (n, _) => s"r_$n.rk AS rk_$n" }
+        .mkString(", ")
+      val sqlAggs =
+        corrCols.map { case (n, _) =>
+          s"CAST(sum(CAST(rk_$n AS HUGEINT)) AS DECIMAL(38,0)) AS s_$n" } ++
+          corrCols.map { case (n, _) =>
+            s"CAST(sum(CAST(rk_$n AS HUGEINT) * rk_$n) AS DECIMAL(38,0)) AS ss_$n" } ++
+          corrPairs.map { case (a, b) =>
+            s"CAST(sum(CAST(rk_$a AS HUGEINT) * rk_$b) AS DECIMAL(38,0)) AS sp_${a}_$b" }
+      val branches = corrPairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+           | s_$a AS sx, s_$b AS sy, ss_$a AS sxx, ss_$b AS syy,
+           | sp_${a}_$b AS sxy FROM a""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      s"""WITH q AS (
+         | SELECT ${corrCols.map { case (n, c) =>
+        s"CAST(CAST($c AS DECIMAL(18,4)) * 10000 AS BIGINT) AS $n" }.mkString(",\n  ")}
+         | FROM lineitem),
+         |$gridCtes,
+         |j AS (SELECT $rkSel FROM q $joins),
+         |a AS (SELECT count(*) AS n, ${sqlAggs.mkString(",\n  ")} FROM j),
+         |m AS (
+         |$branches)
+         |SELECT col_x, col_y, n, sx, sy, sxx, syy, sxy,
+         | CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+         |   - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DECIMAL(38,0)) AS num,
+         | CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+         |   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DECIMAL(38,0)) AS den_x,
+         | CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+         |   - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DECIMAL(38,0)) AS den_y
+         |FROM m ORDER BY col_x, col_y""".stripMargin
+    },
     // same zero-filled (day × hour) calendar grid, D-scaled deviations in
     // HUGEINT, earlier-day tie via struct_pack max
     "q184_seasonal_profile" ->

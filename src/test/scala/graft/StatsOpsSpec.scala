@@ -510,6 +510,50 @@ class StatsOpsSpec extends AnyFunSuite {
       v(7).asInstanceOf[BigInt].signum > 0))
   }
 
+  // ------------------------------------------------------------ q185
+  test("Spearman certificates match a BigInt recompute on doubled avg ranks") {
+    val got = StatsOps.q185SpearmanCertificates(spark, sf).collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2) +: Seq("sx", "sy", "sxx", "syy", "sxy", "num",
+          "den_x", "den_y")
+          .map(c => BigInt(r.getAs[java.math.BigDecimal](c).toBigInteger)))
+    }.toMap
+    val rows = Tables.load(spark, sf, "lineitem")
+      .select(StatsOps.corrCols.map { case (n, c) =>
+        expr(s"CAST(CAST($c AS DECIMAL(18,4)) * 10000 AS BIGINT)").as(n) }: _*)
+      .collect().map(r => StatsOps.corrCols.indices.map(r.getLong).toVector)
+    // doubled tie-averaged rank per column: r2(v) = 2|{x<v}| + |{x=v}| + 1
+    val rankMaps = StatsOps.corrCols.indices.map { i =>
+      val vals = rows.map(_(i))
+      val cnts = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sortedVals = cnts.keys.toSeq.sorted
+      var before = 0L
+      sortedVals.map { v =>
+        val r2 = 2L * before + cnts(v) + 1L
+        before += cnts(v)
+        v -> BigInt(r2)
+      }.toMap
+    }
+    val n = BigInt(rows.length)
+    StatsOps.corrPairs.foreach { case (a, b) =>
+      val ia = StatsOps.corrCols.indexWhere(_._1 == a)
+      val ib = StatsOps.corrCols.indexWhere(_._1 == b)
+      val ra = rows.map(r => rankMaps(ia)(r(ia)))
+      val rb = rows.map(r => rankMaps(ib)(r(ib)))
+      val sx = ra.sum; val sy = rb.sum
+      val sxx = ra.map(x => x * x).sum
+      val syy = rb.map(x => x * x).sum
+      val sxy = ra.zip(rb).map { case (x, y) => x * y }.sum
+      val exp = Seq(sx, sy, sxx, syy, sxy,
+        n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+      val g = got((a, b))
+      assert(g.head === rows.length.toLong, s"pair ($a, $b) n")
+      assert(g.tail === exp, s"pair ($a, $b)")
+    }
+    // ranks are a permutation-with-ties: den_x must be strictly positive
+    assert(got.values.forall(_(7).asInstanceOf[BigInt].signum > 0))
+  }
+
   // ------------------------------------------------------------ q184
   test("seasonal profile matches a driver-side zero-filled-grid recompute") {
     val got = StatsOps.q184SeasonalProfile(spark, sf).collect()
