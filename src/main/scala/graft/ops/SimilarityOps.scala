@@ -469,6 +469,87 @@ object SimilarityOps {
       .orderBy("dim_idx")
   }
 
+  // ---------------------------------------------------------------- q186
+  /** SPLIT CENTROID-DRIFT AUDIT — did the train/eval split bias the
+    * embedding space? Per label: both splits' vector counts and the
+    * n-scaled centroid distance certificates
+    *
+    *   d_i = |n_e·Σ_train a7_i − n_t·Σ_eval a7_i|  (≡ n_t·n_e·|μ_t − μ_e|)
+    *
+    * summed to an L1 drift mass plus the worst dimension (earliest on
+    * ties) — all exact integers on the a7 grid, no division (the q167
+    * certificate discipline applied to the q77 centroid family). The
+    * split is a salted content-hash of the vec id (the q64/q128
+    * reproducibility discipline): re-runs and re-shards audit the SAME
+    * split.
+    *
+    * Shape: the q179 mergeable-sketch build generalized to keyed sums —
+    * each partition folds its rows into per-(label, split) local sum
+    * arrays inside mapPartitions, so the shuffle carries
+    * #partitions × |labels| × 2 × 64 (key, dim, partial) rows, never a
+    * (vec, dim) explode; everything after is label-grid-sized. */
+  def q186SplitCentroidDrift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val dim = 64
+    val s_ = s
+    import s_.implicits._
+    val qvec = Tables.spread(t(s, d, "embeddings"), "vec_id")
+      .withColumn("a7", expr(a7GridSql))
+      .select(col("label"),
+        when(substring(md5(concat(lit("graft-split:"),
+          col("vec_id").cast("string"))), 1, 1) < "c", "train")
+          .otherwise("eval").as("split"),
+        col("a7"))
+      .as[(Int, String, Seq[Long])]
+    val partials = qvec.mapPartitions { it =>
+      val acc = scala.collection.mutable.Map.empty[(Int, String), (Array[Long], Long)]
+      it.foreach { case (label, split, a7) =>
+        val (sums, _) = acc.get((label, split)) match {
+          case Some((arr, n)) =>
+            acc((label, split)) = (arr, n + 1); (arr, n)
+          case None =>
+            val arr = new Array[Long](dim)
+            acc((label, split)) = (arr, 1L); (arr, 0L)
+        }
+        var i = 0
+        while (i < dim) { sums(i) += a7(i); i += 1 }
+      }
+      acc.iterator.map { case ((label, split), (arr, n)) =>
+        (label, split, arr.toSeq, n)
+      }
+    }
+    val sums = partials.toDF("label", "split", "sums", "n")
+      .select(col("label"), col("split"), col("n"),
+        posexplode(col("sums")).as(Seq("dim", "v")))
+      .groupBy("label", "split", "dim")
+      .agg(sum(col("v")).as("sv"), sum(col("n")).as("nn"))
+    // nn is replicated per dim; take it from dim 0 for the counts
+    val counts = sums.filter(col("dim") === 0)
+      .groupBy("label")
+      .agg(coalesce(sum(when(col("split") === "train", col("nn"))), lit(0L))
+        .as("n_train"),
+        coalesce(sum(when(col("split") === "eval", col("nn"))), lit(0L))
+          .as("n_eval"))
+    val byDim = sums.groupBy("label", "dim")
+      .agg(sum(when(col("split") === "train", col("sv")).otherwise(0L))
+        .as("st"),
+        sum(when(col("split") === "eval", col("sv")).otherwise(0L)).as("se"))
+    byDim.join(broadcast(counts), "label")
+      .withColumn("dd",
+        abs(col("n_eval").cast(dec38) * col("st").cast(dec38)
+          - col("n_train").cast(dec38) * col("se").cast(dec38)))
+      .groupBy("label")
+      .agg(first(col("n_train")).as("n_train"),
+        first(col("n_eval")).as("n_eval"),
+        sum(col("dd")).as("l1_scaled"),
+        max(struct(col("dd"), (-col("dim")).as("nd"))).as("m"))
+      .select(col("label"), col("n_train"), col("n_eval"),
+        col("l1_scaled"), col("m.dd").as("max_dim_scaled"),
+        (-col("m.nd")).cast("long").as("worst_dim"))
+      .orderBy("label")
+  }
+
   // ---------------------------------------------------------------- q128
   /** Deterministic NEGATIVE SAMPLING for contrastive training — for every
     * embedding (the anchor), pick k negatives with a DIFFERENT label,
@@ -517,6 +598,7 @@ object SimilarityOps {
 
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_split_drift" -> (q186SplitCentroidDrift _),
     "q179_pca_power" -> (q179PcaPower _),
     "q128_negative_sampling" -> ((s: SparkSession, d: String) => q128NegativeSampling(s, d)),
     "q77_label_centroids" -> (q77LabelCentroids _),
@@ -556,6 +638,47 @@ object SimilarityOps {
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // int8 quantization audit: same 1e-7 grid, truncating integer
     // divisions, HUGEINT-exact mean division before any cast
+    // same salted content-hash split, a7 grid, n-scaled centroid
+    // certificates (the oracle may explode (vec, dim); the engine must not)
+    "q186_split_drift" ->
+      """WITH ve AS (
+        | SELECT vec_id, label, i,
+        |  CAST(CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(18,7))
+        |    * 10000000 AS BIGINT) AS v7
+        | FROM embeddings, range(1, 65) t(i)),
+        |sp AS (
+        | SELECT vec_id,
+        |  CASE WHEN substr(md5('graft-split:' || CAST(vec_id AS VARCHAR)), 1, 1) < 'c'
+        |   THEN 'train' ELSE 'eval' END AS split
+        | FROM embeddings),
+        |cnt AS (
+        | SELECT label,
+        |  CAST(coalesce(sum(CASE WHEN split = 'train' THEN 1 END), 0) AS BIGINT)
+        |    AS n_train,
+        |  CAST(coalesce(sum(CASE WHEN split = 'eval' THEN 1 END), 0) AS BIGINT)
+        |    AS n_eval
+        | FROM embeddings JOIN sp USING (vec_id) GROUP BY label),
+        |dims AS (
+        | SELECT ve.label, ve.i - 1 AS dim,
+        |  CAST(coalesce(sum(CASE WHEN sp.split = 'train' THEN ve.v7 END), 0)
+        |    AS BIGINT) AS st,
+        |  CAST(coalesce(sum(CASE WHEN sp.split = 'eval' THEN ve.v7 END), 0)
+        |    AS BIGINT) AS se
+        | FROM ve JOIN sp USING (vec_id) GROUP BY 1, 2),
+        |dd AS (
+        | SELECT d.label, d.dim, c.n_train, c.n_eval,
+        |  abs(CAST(c.n_eval AS HUGEINT) * d.st
+        |    - CAST(c.n_train AS HUGEINT) * d.se) AS dd
+        | FROM dims d JOIN cnt c USING (label)),
+        |mx AS (
+        | SELECT label, any_value(n_train) AS n_train,
+        |  any_value(n_eval) AS n_eval,
+        |  CAST(sum(dd) AS DECIMAL(38,0)) AS l1_scaled,
+        |  max(struct_pack(dd := CAST(dd AS DECIMAL(38,0)), nd := -dim)) AS m
+        | FROM dd GROUP BY label)
+        |SELECT label, n_train, n_eval, l1_scaled, m.dd AS max_dim_scaled,
+        | CAST(-(m.nd) AS BIGINT) AS worst_dim
+        |FROM mx ORDER BY label""".stripMargin,
     // same a7 grid, int8 quantize, relational Gram and three unrolled
     // HUGEINT matrix-vector products (the oracle may explode (vec, dim^2);
     // the engine must not)

@@ -738,4 +738,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // the corpus has a genuine principal direction: iterates are not all zero
     assert(w3.exists(_.signum != 0))
   }
+
+  // ------------------------------------------------------------ q186
+  test("split centroid drift matches a driver-side BigInt recompute") {
+    val got = SimilarityOps.q186SplitCentroidDrift(spark, TestSpark.sf)
+      .collect().map { r =>
+        r.getInt(0) -> (r.getLong(1), r.getLong(2),
+          BigInt(r.getAs[java.math.BigDecimal]("l1_scaled").toBigInteger),
+          BigInt(r.getAs[java.math.BigDecimal]("max_dim_scaled").toBigInteger),
+          r.getLong(5))
+      }.toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val vecs = Tables.load(spark, TestSpark.sf, "embeddings")
+      .withColumn("a7", expr(SimilarityOps.a7GridSql))
+      .select("vec_id", "label", "a7")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toVector))
+    val dim = 64
+    vecs.groupBy(_._2).foreach { case (label, rows) =>
+      val (tr, ev) = rows.partition(v =>
+        md5hex(s"graft-split:${v._1}").charAt(0) < 'c')
+      val st = (0 until dim).map(i => tr.map(r => BigInt(r._3(i))).sum)
+      val se = (0 until dim).map(i => ev.map(r => BigInt(r._3(i))).sum)
+      val (nt, ne) = (BigInt(tr.size), BigInt(ev.size))
+      val dds = (0 until dim).map(i => (ne * st(i) - nt * se(i)).abs)
+      var best = (BigInt(-1), 0)
+      dds.zipWithIndex.foreach { case (dv, i) =>
+        if (dv > best._1) best = (dv, i)
+      }
+      assert(got(label) === ((tr.size.toLong, ev.size.toLong, dds.sum,
+        best._1, best._2.toLong)), s"label $label")
+    }
+    assert(got.keySet === vecs.map(_._2).toSet)
+  }
 }
