@@ -47,7 +47,9 @@ object SparkEntry {
         "q164_stream_cascade" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q164StreamCascade(s, d)),
         "q176_stream_debounce" ->
-          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q176StreamDebounce(s, d)))
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q176StreamDebounce(s, d)),
+        "q187_stream_session_window" ->
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q187StreamSessionWindow(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -127,5 +129,8 @@ object SparkEntry {
             |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
         // the stateful burst collapse must land on the batch window form —
         // same oracle as q138 by construction
-        "q176_stream_debounce" -> EtlOps.oracle("q138_debounce"))
+        "q176_stream_debounce" -> EtlOps.oracle("q138_debounce"),
+        // the built-in session_window STREAM must land on the same session
+        // set as the lag formulation — same oracle as q28/q83
+        "q187_stream_session_window" -> Relational.oracle("q28_sessionize"))
 }

@@ -1061,8 +1061,13 @@ object StatsOps {
         expr(s"CAST(CAST($c AS DECIMAL(18,4)) * 10000 AS BIGINT)").as(n)
       }: _*).localCheckpoint())
     def ranked(name: String): DataFrame = {
-      val grid = base.groupBy(col(name)).agg(count(lit(1)).as("cnt"))
-        .withColumn("band", expr(s"$name div 1000000"))
+      // the grid feeds the offsets aggregate AND the in-band window branch
+      // — checkpoint (value-grid-sized) so the base aggregate runs once
+      // per column, not twice (the q147 multi-consumer discipline)
+      val grid = graft.Transients.track(
+        base.groupBy(col(name)).agg(count(lit(1)).as("cnt"))
+          .withColumn("band", expr(s"$name div 1000000"))
+          .localCheckpoint())
       val wOff = Window.orderBy("band")
         .rowsBetween(Window.unboundedPreceding, -1)
       val offs = grid.groupBy("band").agg(sum(col("cnt")).as("bcnt"))

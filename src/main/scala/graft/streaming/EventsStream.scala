@@ -778,6 +778,49 @@ object EventsStream {
       .orderBy("user_id", "event_type", "tus")
   }
 
+  // ---------------- q187: built-in session_window as a stream (q83 twin)
+  /** q187: sessionization through Spark's BUILT-IN `session_window`
+    * aggregation under the STREAMING engine — the third leg of the
+    * sessionize triangle (q60 = custom stateful stream, q83 = built-in
+    * batch, q187 = built-in stream), proving the engine-native session
+    * state machine lands on the same exact oracle as both. Same gap+1µs
+    * span trick as q83 (the built-in's [t, t+g) span vs the lag form's
+    * inclusive ≤-gap chaining); sessions emit in append mode once the
+    * watermark passes session end + gap, so the far-future sentinel
+    * flushes every open session. session_seq re-derives after the drain
+    * (emission order is not session order; per-user starts are disjoint).
+    * State is managed by the built-in session store — merged per key,
+    * evicted with the watermark. */
+  def q187StreamSessionWindow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val gapUs = 30L * 60 * 1000 * 1000
+    val drained = withSentinelDrain(s, d, "q187") { (drain, mk) =>
+      val e = mk().select(col("user_id"), col("value"),
+          timestamp_micros(expr("ts div 1000")).as("ets"))
+        .withWatermark("ets", "30 minutes")
+      val agg = e.groupBy(col("user_id"),
+          session_window(col("ets"), s"${gapUs + 1} microseconds").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start_ts"),
+          col("n_events"), col("sum_value"))
+      val name = "graft_stream_session_window"
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      drain.table(name)
+    }
+    val w = Window.partitionBy("user_id").orderBy(col("session_start_ts"))
+    drained.filter(col("user_id") >= 0)
+      .withColumn("session_seq", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_seq"),
+        col("session_start_ts").cast("timestamp_ntz").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
   // ---------------------------------------- q63: stream-stream interval join
   /** q63: watermarked stream-stream INTERVAL JOIN — clicks joined to the
     * same user's purchases in the preceding hour, both sides unbounded

@@ -275,6 +275,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length === 2) // two sessions: {1,2} and {3}
   }
 
+  test("built-in session_window stream equals the batch session_window twin") {
+    val streamed = EventsStream.q187StreamSessionWindow(spark, TestSpark.sf)
+    val batch = ops.Relational.q83SessionWindow(spark, TestSpark.sf)
+    assert(streamed.collect().map(_.toSeq).toSeq ===
+      batch.collect().map(_.toSeq).toSeq)
+  }
+
   test("streaming debounce merges cross-batch bursts and equals the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventsStream.BounceEvent]
