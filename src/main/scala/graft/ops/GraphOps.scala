@@ -626,10 +626,16 @@ object GraphOps {
     * at k rows and only ever covers nodes the mass has reached — on a
     * 100 TB graph the 3-iteration relation is the seeds' 3-hop
     * neighborhood, not the node set. Each iteration is one rank⋈adjacency
-    * join + a bare-(node, long) aggregate + a full-outer stitch against
-    * the k-row teleport side; the degree-annotated adjacency checkpoints
-    * once for its three consumers. k reaches the driver as a single
-    * bounded count (like the IVF centroids — documented, O(nSeeds)). */
+    * join + ONE bare-(node, long) aggregate — the k teleport rows ride
+    * the SAME aggregate as tagged zero-contribution rows (a union of k
+    * map-side rows), because no join can stitch them cheaply: Spark
+    * cannot broadcast either side of a full-outer join, so a full-outer
+    * stitch would sort-merge the whole rank relation against 8 rows
+    * every round (caught by plan review; the hint is silently dropped
+    * with a HintErrorLogger warning). The degree-annotated adjacency
+    * checkpoints once for its three consumers. k reaches the driver as
+    * a single bounded count (like the IVF centroids — documented,
+    * O(nSeeds)). */
   def q183PersonalizedPagerank(s: SparkSession, d: String,
                                iterations: Int = 3, nSeeds: Int = 8,
                                scale: Long = 1000000000000L): DataFrame = {
@@ -643,16 +649,16 @@ object GraphOps {
       .limit(nSeeds).select(col("u").as("node"))
     val k = seeds.count()
     val tele = (15L * scale) / (100L * k)
-    val seedT = broadcast(seeds.withColumn("tele", lit(tele)))
+    val teleRows = seeds.select(col("node"), lit(0L).as("c"),
+      lit(tele).as("tp"))
     var r = seeds.withColumn("r", lit(scale / k))
     for (_ <- 1 to iterations) {
-      val inr = adj.join(r, adj("u") === r("node"))
-        .select(col("v").as("node"), expr("r div deg").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("inr"))
-      r = inr.join(seedT, Seq("node"), "full_outer")
-        .select(col("node"),
-          (coalesce(expr("(85 * inr) div 100"), lit(0L)) +
-            coalesce(col("tele"), lit(0L))).as("r"))
+      r = adj.join(r, adj("u") === r("node"))
+        .select(col("v").as("node"), expr("r div deg").as("c"),
+          lit(0L).as("tp"))
+        .unionAll(teleRows)
+        .groupBy("node")
+        .agg((expr("(85 * sum(c)) div 100") + max(col("tp"))).as("r"))
     }
     r.orderBy(col("r").desc, col("node")).limit(25)
       .select(col("node"), col("r").as("ppr_scaled"),
