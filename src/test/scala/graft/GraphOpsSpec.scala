@@ -355,4 +355,13 @@ class GraphOpsSpec extends AnyFunSuite {
     // mass sanity: every seed carries at least its teleport share
     seeds.foreach(sd => assert(r(sd) >= tele))
   }
+
+  test("PPR plan carries no full-outer stitch (teleport rides the aggregate)") {
+    // Spark silently drops broadcast hints on full-outer joins, so a
+    // full-outer teleport stitch would sort-merge the whole rank relation
+    // against 8 rows per round — pin the shape that avoids it
+    val plan = GraphOps.q183PersonalizedPagerank(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("FullOuter"), "teleport must not full-outer join")
+  }
 }
