@@ -349,6 +349,50 @@ object TextOps {
     s01.unionAll(s2).unionAll(s3).orderBy("stage")
   }
 
+  // ---------------------------------------------------------------- q188
+  /** WEIGHTED QUANTILES — token-weighted document-length quantiles per
+    * language: "how long is the document the p-th TOKEN lives in?" — the
+    * corpus-composition question (a few huge docs can carry most of the
+    * token mass while the unweighted median doc stays short; the gap
+    * between the two IS the skew finding). Interpolated weighted
+    * quantiles are float-blended; the emitted statistic is the exact
+    * DISCRETE weighted quantile
+    *
+    *   q_p = min{ v : cumW(v) ≥ ⌈p·W/100⌉ }
+    *
+    * — pure integer threshold math (ceiling division via (p·W + 99) div
+    * 100), engine-exact at any scale.
+    *
+    * Shape: the scan collapses to (lang, n_tokens) weight sums
+    * immediately (map-side combined); the cumulative runs over each
+    * language's VALUE GRID (distinct lengths — bounded by the length
+    * domain, not the corpus), and the four thresholds fold in one
+    * conditional-min aggregate over that grid. Nothing after the first
+    * aggregate scales with data. */
+  def q188WeightedQuantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = t(s, d, "documents")
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("v"))
+      .groupBy("lang", "v")
+      .agg(count(lit(1)).as("n_docs"), sum(col("v")).as("w"))
+    val wc = Window.partitionBy("lang").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("lang")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = grid
+      .withColumn("cw", sum(col("w")).over(wc))
+      .withColumn("tw", sum(col("w")).over(wAll))
+    val qs = Seq(25, 50, 75, 90)
+    val aggs = sum(col("n_docs")).as("n_docs") +:
+      first(col("tw")).as("total_tokens") +:
+      qs.map(p => min(when(
+        col("cw") >= expr(s"($p * tw + 99) div 100"), col("v")))
+        .as(s"q$p"))
+    cum.groupBy("lang")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("lang")
+  }
+
   // ---------------------------------------------------------------- q35
   /** Heuristic language ID: count distinct stopword hits per language,
     * pick the first maximum in a fixed language order. Deterministic and
@@ -1399,6 +1443,7 @@ object TextOps {
     "q62_rolling_fingerprint" -> (q62RollingFingerprint _),
     "q64_hash_split" -> (q64HashSplit _),
     "q181_curation_funnel" -> ((s: SparkSession, d: String) => q181CurationFunnel(s, d)),
+    "q188_weighted_quantiles" -> (q188WeightedQuantiles _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
     "q67_bpe_tokens" -> (q67BpeTokens _),
     "q69_pack_sequences" -> ((s: SparkSession, d: String) => q69PackSequences(s, d)),
@@ -1785,6 +1830,28 @@ object TextOps {
         |   / CAST(CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS DOUBLE)
         |   AS holdout_share
         |FROM g ORDER BY fold, lang""".stripMargin,
+    // same (lang, length) weight grid, per-language cumulative, ceiling
+    // thresholds and conditional-min picks — all integer
+    "q188_weighted_quantiles" -> {
+      val qsSel = Seq(25, 50, 75, 90).map { p =>
+        s"min(CASE WHEN cw >= ($p * tw + 99) // 100 THEN v END) AS q$p"
+      }.mkString(",\n ")
+      s"""WITH grid AS (
+         | SELECT lang, CAST(len($duckToks) AS BIGINT) AS v,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CAST(len($duckToks) AS BIGINT)) AS BIGINT) AS w
+         | FROM documents GROUP BY 1, 2),
+         |cum AS (
+         | SELECT lang, v, n_docs,
+         |  CAST(sum(w) OVER (PARTITION BY lang ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+         |  CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS tw
+         | FROM grid)
+         |SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         | any_value(tw) AS total_tokens,
+         | $qsSel
+         |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
+    },
     // same one-pass stage folds, md5-keyed min-struct dedup and
     // hash-derived split; struct_pack min ≡ Spark min(struct) (q80/q150)
     "q181_curation_funnel" ->

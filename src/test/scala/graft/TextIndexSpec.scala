@@ -511,4 +511,28 @@ class TextIndexSpec extends AnyFunSuite {
     assert(got("0_raw")._1 >= got("1_quality")._1)
     assert(got("1_quality")._1 >= got("2_dedup")._1)
   }
+
+  // ------------------------------------------------------------ q188
+  test("weighted quantiles match a driver-side discrete-threshold recompute") {
+    val got = TextOps.q188WeightedQuantiles(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> (1 to 6).map(r.getLong).toVector).toMap
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).trim.toLowerCase.split("\\s+").length.toLong))
+    docs.groupBy(_._1).foreach { case (lang, rows) =>
+      val vals = rows.map(_._2).sorted
+      val total = vals.sum
+      def qp(p: Long): Long = {
+        val t = (p * total + 99) / 100
+        var cum = 0L
+        vals.foreach { v => cum += v; if (cum >= t) return v }
+        vals.last
+      }
+      assert(got(lang) === Vector(rows.length.toLong, total,
+        qp(25), qp(50), qp(75), qp(90)), s"lang $lang")
+      // weighted quantiles are monotone in p
+      assert(qp(25) <= qp(50) && qp(50) <= qp(75) && qp(75) <= qp(90))
+    }
+  }
 }
