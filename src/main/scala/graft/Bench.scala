@@ -15,16 +15,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    single-shot number (their contribution to the total is noise-level);
   *  - queries that materialize a session-scoped cache as a side effect
   *    (q36 fills the near-dup pair cache) evict it before EVERY timed run,
-  *    so the median measures the real pipeline, not two cache hits. The
-  *    cache-consumer queries (q39) intentionally measure the cached path —
-  *    that reuse is the operator's documented semantics. */
+  *    so the median measures the real pipeline, not two cache hits.
+  *    Cache-consumer operators (dropNearDuplicates over pairs, q99 over
+  *    the co-order graph) intentionally measure the cached path — that
+  *    reuse is the operator's documented semantics;
+  *  - the full per-query JSON is also written to BENCH_full.json in the
+  *    working directory: the driver's stdout capture has truncated the
+  *    tail of the single JSON line before (r5 lost everything past ~q58),
+  *    and round-over-round per-query regressions are invisible without
+  *    the complete set. */
 object Bench {
 
   /** Queries that fill a session-scoped cache (the dedup pair cache, the
     * co-order edge graph): evict before each timed run so repeats don't
-    * measure a cache hit. Later consumers (q39 over pairs, q99 over the
-    * graph) intentionally measure the cached path — that reuse is the
-    * documented semantics. Shared with MicroBench. */
+    * measure a cache hit. Later consumers (dropNearDuplicates over pairs,
+    * q99 over the graph) intentionally measure the cached path — that
+    * reuse is the documented semantics. Shared with MicroBench. */
   private[graft] val cacheProducers = Set("q36_minhash_pairs", "q105_pagerank")
 
   private[graft] def evictCaches(spark: SparkSession): Unit = {
@@ -77,7 +83,16 @@ object Bench {
     // read as a faster total
     val total = if (results.exists(!_._3)) -1.0
       else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // durable copy of the complete per-query set (stdout capture has
+    // truncated the tail of this line before — see the scaladoc)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_full.json"), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_full.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

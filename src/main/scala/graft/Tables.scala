@@ -31,11 +31,24 @@ object Tables {
   private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(org.apache.spark.sql.types.LongType) => df
-      case Some(_) => df.withColumn(
-        "ts", org.apache.spark.sql.functions.expr(
-          "unix_micros(cast(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)"))
+      case Some(_) =>
+        requireUtc(df.sparkSession)
+        df.withColumn(
+          "ts", org.apache.spark.sql.functions.expr(
+            "unix_micros(cast(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)"))
       case None => df
     }
+
+  /** The NTZ→epoch conversion above is only exact under a UTC session
+    * timezone; every graft entry point pins it, but a session built
+    * outside Graft.sessionBuilder/TestSpark would otherwise get uniformly
+    * SHIFTED event times with no error. Fail loudly instead. */
+  private[graft] def requireUtc(spark: SparkSession): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"events.ts normalization requires spark.sql.session.timeZone=UTC " +
+        s"(got '$tz') — build sessions via Graft.sessionBuilder")
+  }
 
   /** Hash-repartition `df` on `key` before a COMPUTE-heavy per-row stage.
     *
@@ -57,6 +70,33 @@ object Tables {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     if (df.rdd.getNumPartitions >= n) df
     else df.repartition(n, col(key))
+  }
+
+  /** Final-select export guard: NO DecimalType column may reach a query's
+    * output parquet. The driver's correctness hasher reads Spark parquet
+    * decimals exactly (decimal128 → Decimal) while its DuckDB oracle side
+    * renders them as float64 (scientific notation above ~15 digits, NaN for
+    * NULLs), so a decimal output column can never hash-match even when the
+    * values are bit-exact — round 5 shipped 13 value-exact queries that all
+    * failed on exactly this. The rule: integer certificates (scale == 0)
+    * export as STRING (exact above 2^53 — q167's sxx hits 3.3e26 — matching
+    * `CAST(... AS VARCHAR)` in the oracle, plain digits in both engines);
+    * fractional decimals export as DOUBLE (both engines produce the
+    * correctly-rounded nearest double of the same rational, bit-identical,
+    * matching `CAST(... AS DOUBLE)`). Applied as the LAST projection so all
+    * internal arithmetic, comparisons, and ordering stay on the exact
+    * decimal grid; a narrow projection preserves the sorted output order. */
+  def portable(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    if (!df.schema.exists(_.dataType.isInstanceOf[DecimalType])) df
+    else df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case dt: DecimalType if dt.scale == 0 =>
+          col(f.name).cast("string").as(f.name)
+        case _: DecimalType => col(f.name).cast("double").as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
   }
 
   /** Register every table as a temp view, for the spark.sql query surface. */

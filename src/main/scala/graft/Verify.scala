@@ -17,8 +17,19 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Lint: a DecimalType output column can never pass the driver's
+        // hash gate (Spark parquet decimal128 is hashed exactly; the DuckDB
+        // oracle side renders float64) — fail loudly instead of shipping a
+        // guaranteed mismatch. Cast via Tables.portable at the query site.
+        val decs = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+        }
+        require(decs.isEmpty,
+          s"$name emits DecimalType columns ${decs.mkString(",")} — wrap the final select in Tables.portable")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -484,6 +484,7 @@ object EtlOps {
       .filter(col("change_type").isNotNull)
       .select(col("okey"), col("change_type"), col("old_price"), col("new_price"))
       .orderBy("okey")
+      .transform(Tables.portable)
   }
 
   // ---------------------------------------------------------------- q107
@@ -1861,7 +1862,8 @@ object EtlOps {
         |       WHEN new_price IS NULL THEN 'delete'
         |       WHEN old_price <> new_price THEN 'update' END AS change_type
         | FROM v0 FULL OUTER JOIN v1 ON v0.okey = v1.okey)
-        |SELECT okey, change_type, old_price, new_price FROM d
+        |SELECT okey, change_type, CAST(old_price AS DOUBLE) AS old_price,
+        | CAST(new_price AS DOUBLE) AS new_price FROM d
         |WHERE change_type IS NOT NULL ORDER BY okey""".stripMargin,
     "q107_event_transitions" ->
       """WITH e AS (

@@ -556,6 +556,7 @@ object GraphOps {
     auth1.join(auth2, "item")
       .select(col("item").as("event_type"), col("auth1"), col("auth2"))
       .orderBy("event_type")
+      .transform(Tables.portable)
   }
 
   // ---------------------------------------------------------------- q175
@@ -796,7 +797,8 @@ object GraphOps {
         |  CAST(sum(CAST(e.w AS HUGEINT) * CAST(h1.hub1 AS HUGEINT))
         |    AS DECIMAL(38,0)) AS auth2
         | FROM e JOIN h1 USING (u) GROUP BY item)
-        |SELECT item AS event_type, auth1, auth2
+        |SELECT item AS event_type, CAST(auth1 AS VARCHAR) AS auth1,
+        | CAST(auth2 AS VARCHAR) AS auth2
         |FROM a1 JOIN a2 USING (item) ORDER BY event_type""".stripMargin,
     "q136_degree_histogram" ->
       s"""WITH $duckCappedEdges,
@@ -911,8 +913,8 @@ object GraphOps {
       s"""WITH RECURSIVE sh AS (
          | SELECT doc_id,
          |  list_distinct(list_transform(
-         |    range(0, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 3, 0) + 1),
-         |    i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+')[i+1:i+3], ' ')
+         |    range(0, greatest(len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) - 3, 0) + 1),
+         |    i -> array_to_string(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')[i+1:i+3], ' ')
          |  )) AS grams
          | FROM documents),
          |p AS (
@@ -945,8 +947,8 @@ object GraphOps {
       """WITH RECURSIVE sh AS (
         | SELECT doc_id,
         |  list_distinct(list_transform(
-        |    range(0, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 3, 0) + 1),
-        |    i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i+1:i+3], ' ')
+        |    range(0, greatest(len(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+')) - 3, 0) + 1),
+        |    i -> array_to_string(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+')[i+1:i+3], ' ')
         |  )) AS grams
         | FROM documents),
         |p AS (

@@ -416,7 +416,7 @@ object LayoutOps {
     "q145_shard_balance" ->
       """WITH tk AS (
         | SELECT doc_id,
-        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS BIGINT)
         |    AS n_tokens
         | FROM documents),
         |r AS (

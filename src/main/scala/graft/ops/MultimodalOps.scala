@@ -7,12 +7,17 @@ import graft.Tables
 /** Multimodal-column plumbing: media as opaque `binary` columns + typed
   * metadata, with decode / feature-extract / frame-sample stages.
   *
-  * The container has no image/audio codecs, so the DECODE KERNELS ARE STUBS —
-  * `decodeStub` derives a deterministic fake feature vector from the bytes.
-  * Everything around them is real Spark plumbing and is what matters at
-  * scale: binary columns travel in parquet row groups, the decode stage is a
-  * typed mapPartitions (the Scala analogue of mapInPandas: one executor call
-  * per batch of rows, where a JNI/codec library would be initialized once per
+  * The IMAGE path is REAL: image rows carry a valid 24-bit uncompressed BMP
+  * (the one raster format a bare JVM can encode AND decode byte-exactly —
+  * little-endian headers, bottom-up BGR rows, 4-byte row padding), built
+  * deterministically from the document's metadata, and [[decodeBmp24]] is an
+  * actual format decoder (magic/header validation, stride arithmetic,
+  * per-channel pixel sums). The audio path keeps a declared STUB kernel
+  * (`decodeStub` — no PCM codec in this container). Everything around the
+  * kernels is real Spark plumbing and is what matters at scale: binary
+  * columns travel in parquet row groups, the decode stage is a typed
+  * mapPartitions (the Scala analogue of mapInPandas: one executor call per
+  * batch of rows, where a JNI/codec library would be initialized once per
   * partition), frame sampling is a 1->N flatMap, and nothing ever collects
   * to the driver.
   */
@@ -23,18 +28,118 @@ object MultimodalOps {
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
                            feature: Array[Float])
   case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+  case class ImageStats(doc_id: Long, n_bytes: Int, img_w: Int, img_h: Int,
+                        n_pixels: Long, sum_b: Long, sum_g: Long, sum_r: Long)
 
-  /** Build a media table from `documents`: text bytes stand in for the blob
-    * (binary column + metadata columns), media_type assigned round-robin. */
-  def mediaTable(s: SparkSession, d: String): DataFrame =
+  // ------------------------------------------------------------- BMP codec
+  /** Encode a REAL 24-bit BMP: 14-byte file header + 40-byte BITMAPINFOHEADER
+    * (all little-endian), pixel rows bottom-up in BGR order, each row padded
+    * to a 4-byte boundary. `pixel(x, y)` returns (b, g, r) for the TOP-DOWN
+    * coordinate (x, y) — the encoder handles the bottom-up storage order. */
+  def encodeBmp24(w: Int, h: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0, s"invalid BMP dims ${w}x$h")
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize).putInt(0).putInt(54)           // size, reserved, pixel offset
+      .putInt(40).putInt(w).putInt(h)                       // header size, dims
+      .putShort(1).putShort(24)                             // planes, bpp
+      .putInt(0).putInt(dataSize)                           // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)        // 72 dpi, palette
+    var y = h - 1
+    while (y >= 0) { // bottom-up row order
+      var x = 0
+      while (x < w) {
+        val (b, g, r) = pixel(x, y)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** REAL BMP decoder — validates the magic, file size, plane/bpp fields,
+    * honors the pixel-data offset and the padded row stride, and folds the
+    * raster into per-channel sums. Fails loudly on anything that is not an
+    * uncompressed 24-bit BMP: a corrupt blob must never decode silently. */
+  def decodeBmp24(bytes: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      s"not a BMP (len=${bytes.length})")
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val fileSize = buf.getInt(2)
+    val offset = buf.getInt(10)
+    val hdrSize = buf.getInt(14)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val planes = buf.getShort(26)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    require(hdrSize >= 40 && planes == 1 && bpp == 24 && compression == 0,
+      s"unsupported BMP variant (hdr=$hdrSize planes=$planes bpp=$bpp comp=$compression)")
+    require(w > 0 && h > 0, s"invalid dims ${w}x$h")
+    val stride = w * 3 + (4 - (w * 3) % 4) % 4
+    require(fileSize == bytes.length && offset + stride.toLong * h <= bytes.length,
+      s"truncated BMP (declared $fileSize, actual ${bytes.length})")
+    var sb = 0L; var sg = 0L; var sr = 0L
+    var y = 0
+    while (y < h) {
+      val base = offset + y * stride
+      var x = 0
+      while (x < w) {
+        sb += bytes(base + 3 * x) & 0xFF
+        sg += bytes(base + 3 * x + 1) & 0xFF
+        sr += bytes(base + 3 * x + 2) & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, w.toLong * h, sb, sg, sr)
+  }
+
+  /** The deterministic image each document carries: a small two-tone BMP
+    * whose dims derive from doc_id and tones from n_chars. Channels are
+    * OFFSET from each other (+85/+170 mod 256) so a BGR-vs-RGB misread or a
+    * stride/padding bug shifts a channel sum and fails the oracle. */
+  private[graft] def docImageDims(docId: Long): (Int, Int) =
+    (((docId % 8) * 4 + 4).toInt, ((docId % 4) * 4 + 4).toInt)
+
+  private[graft] def makeDocBmp(docId: Long, nChars: Long): Array[Byte] = {
+    val (w, h) = docImageDims(docId)
+    val g1 = (nChars % 256).toInt
+    val g2 = ((nChars * 7 + 13) % 256).toInt
+    encodeBmp24(w, h, (x, y) => {
+      val v = if ((y * w + x) % 2 == 0) g1 else g2
+      (v, (v + 85) % 256, (v + 170) % 256)
+    })
+  }
+
+  /** Build a media table from `documents`: image rows carry a REAL BMP blob
+    * (see [[makeDocBmp]] — metadata width/height are the actual raster dims);
+    * audio/video rows carry the text bytes as an opaque stand-in blob.
+    * media_type assigned round-robin. */
+  def mediaTable(s: SparkSession, d: String): DataFrame = {
+    val bmpUdf = udf((docId: Long, nChars: Long) => makeDocBmp(docId, nChars))
     Tables.load(s, d, "documents").select(
       col("doc_id"),
       when(pmod(col("doc_id"), lit(3)) === 0, lit("image"))
         .when(pmod(col("doc_id"), lit(3)) === 1, lit("audio"))
         .otherwise(lit("video")).as("media_type"),
-      encode(col("text"), "UTF-8").as("content"),
-      (pmod(col("doc_id"), lit(8)) * 64 + 64).cast("int").as("width"),
-      (pmod(col("doc_id"), lit(4)) * 64 + 64).cast("int").as("height"))
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        bmpUdf(col("doc_id"), col("n_chars")))
+        .otherwise(encode(col("text"), "UTF-8")).as("content"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        (pmod(col("doc_id"), lit(8)) * 4 + 4))
+        .otherwise(pmod(col("doc_id"), lit(8)) * 64 + 64).cast("int").as("width"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        (pmod(col("doc_id"), lit(4)) * 4 + 4))
+        .otherwise(pmod(col("doc_id"), lit(4)) * 64 + 64).cast("int").as("height"))
+  }
 
   /** STUB decode kernel — stands in for an image/audio decoder (libraries not
     * present in this container). Deterministic: folds the bytes into an
@@ -107,12 +212,28 @@ object MultimodalOps {
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------- q44
-  /** Decode + feature stage output (stub kernel → rows-only check). */
+  /** REAL image decode stage: every image row's BMP blob is parsed by the
+    * actual format decoder ([[decodeBmp24]] — header validation, stride
+    * arithmetic, per-channel sums) inside a typed mapPartitions, the shape
+    * under which a production pipeline initializes a codec once per
+    * partition. EXACT oracle: the blob is generated deterministically from
+    * (doc_id, n_chars), so DuckDB recomputes the expected dims, byte size
+    * (54 + padded-stride × h) and channel sums in closed form — if the
+    * decoder misreads dims, padding, channel order, or the pixel offset,
+    * the roundtrip breaks and the hash fails. This upgrades the r5-declared
+    * stub: the decode is now a real parser of a real format; only the audio
+    * PCM kernel remains stubbed (no codec in this container). */
   def q44MultimodalFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    extractFeatures(s, mediaTable(s, d))
-      .select(col("doc_id"), col("media_type"), col("n_bytes"),
-        round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+    mediaTable(s, d).filter(col("media_type") === "image").as[MediaRow]
+      .mapPartitions { rows =>
+        // real pipeline: codec init once per partition, reused per row
+        rows.map { m =>
+          val (w, h, np, sb, sg, sr) = decodeBmp24(m.content)
+          ImageStats(m.doc_id, m.content.length, w, h, np, sb, sg, sr)
+        }
+      }
+      .toDF()
       .orderBy("doc_id")
   }
 
@@ -170,13 +291,46 @@ object MultimodalOps {
         |SELECT fp, n_frames, n_videos, first_video FROM d
         |WHERE n_videos > 1
         |ORDER BY n_videos DESC, n_frames DESC, fp LIMIT 25""".stripMargin,
+    // image rows: BMP byte size = 54-byte headers + (3w padded to 4) * h;
+    // other rows: the raw text bytes
     "q43_multimodal_meta" ->
-      """SELECT doc_id,
+      """WITH m AS (
+        | SELECT doc_id, text,
+        |  CAST(doc_id % 8 * 4 + 4 AS BIGINT) AS bw,
+        |  CAST(doc_id % 4 * 4 + 4 AS BIGINT) AS bh
+        | FROM documents)
+        |SELECT doc_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'
         |      WHEN doc_id % 3 = 1 THEN 'audio'
         |      ELSE 'video' END AS media_type,
-        | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        | CAST(doc_id % 8 * 64 + 64 AS INT) AS width,
-        | CAST(doc_id % 4 * 64 + 64 AS INT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        | CAST(CASE WHEN doc_id % 3 = 0
+        |      THEN 54 + (3 * bw + (4 - (3 * bw) % 4) % 4) * bh
+        |      ELSE octet_length(encode(text)) END AS INT) AS n_bytes,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN bw
+        |      ELSE doc_id % 8 * 64 + 64 END AS INT) AS width,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN bh
+        |      ELSE doc_id % 4 * 64 + 64 END AS INT) AS height
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // the decode roundtrip in closed form: two-tone pixels alternate on the
+    // linear index, so evens = ceil(w*h/2); channel sums follow from the
+    // +85/+170 offsets; byte size from the padded stride
+    "q44_multimodal_features" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CAST(doc_id % 8 * 4 + 4 AS BIGINT) AS w,
+        |  CAST(doc_id % 4 * 4 + 4 AS BIGINT) AS h,
+        |  n_chars % 256 AS g1, (n_chars * 7 + 13) % 256 AS g2
+        | FROM documents WHERE doc_id % 3 = 0),
+        |c AS (
+        | SELECT doc_id, w, h, w * h AS np,
+        |  (w * h + 1) // 2 AS ne, (w * h) // 2 AS nodd, g1, g2
+        | FROM m)
+        |SELECT doc_id,
+        | CAST(54 + (3 * w + (4 - (3 * w) % 4) % 4) * h AS INT) AS n_bytes,
+        | CAST(w AS INT) AS img_w, CAST(h AS INT) AS img_h,
+        | np AS n_pixels,
+        | g1 * ne + g2 * nodd AS sum_b,
+        | ((g1 + 85) % 256) * ne + ((g2 + 85) % 256) * nodd AS sum_g,
+        | ((g1 + 170) % 256) * ne + ((g2 + 170) % 256) * nodd AS sum_r
+        |FROM c ORDER BY doc_id""".stripMargin)
 }

@@ -393,6 +393,7 @@ object SimilarityOps {
         max("err2").as("max_err2"))
       .withColumn("mean_err2", expr("sum_err2 div n_vecs"))
       .orderBy("label")
+      .transform(Tables.portable)
   }
 
   // ---------------------------------------------------------------- q179
@@ -467,6 +468,7 @@ object SimilarityOps {
     w1.join(w2, "i").join(w3, "i")
       .select(col("i").as("dim_idx"), col("w1"), col("w2"), col("w3"))
       .orderBy("dim_idx")
+      .transform(Tables.portable)
   }
 
   // ---------------------------------------------------------------- q186
@@ -548,6 +550,7 @@ object SimilarityOps {
         col("l1_scaled"), col("m.dd").as("max_dim_scaled"),
         (-col("m.nd")).cast("long").as("worst_dim"))
       .orderBy("label")
+      .transform(Tables.portable)
   }
 
   // ---------------------------------------------------------------- q128
@@ -676,7 +679,9 @@ object SimilarityOps {
         |  CAST(sum(dd) AS DECIMAL(38,0)) AS l1_scaled,
         |  max(struct_pack(dd := CAST(dd AS DECIMAL(38,0)), nd := -dim)) AS m
         | FROM dd GROUP BY label)
-        |SELECT label, n_train, n_eval, l1_scaled, m.dd AS max_dim_scaled,
+        |SELECT label, n_train, n_eval,
+        | CAST(l1_scaled AS VARCHAR) AS l1_scaled,
+        | CAST(m.dd AS VARCHAR) AS max_dim_scaled,
         | CAST(-(m.nd) AS BIGINT) AS worst_dim
         |FROM mx ORDER BY label""".stripMargin,
     // same a7 grid, int8 quantize, relational Gram and three unrolled
@@ -708,7 +713,8 @@ object SimilarityOps {
         | SELECT g.gi AS i, CAST(sum(CAST(g.g AS HUGEINT)
         |   * CAST(w2.w2 AS HUGEINT)) AS DECIMAL(38,0)) AS w3
         | FROM g JOIN w2 ON g.gj = w2.i GROUP BY 1)
-        |SELECT w1.i AS dim_idx, w1.w1, w2.w2, w3.w3
+        |SELECT w1.i AS dim_idx, CAST(w1.w1 AS VARCHAR) AS w1,
+        | CAST(w2.w2 AS VARCHAR) AS w2, CAST(w3.w3 AS VARCHAR) AS w3
         |FROM w1 JOIN w2 ON w1.i = w2.i JOIN w3 ON w1.i = w3.i
         |ORDER BY dim_idx""".stripMargin,
     "q146_int8_quantize" ->
@@ -728,7 +734,7 @@ object SimilarityOps {
         |        CAST(sum(e2) AS BIGINT) AS err2
         |       FROM er GROUP BY vec_id)
         |SELECT label, count(*) AS n_vecs,
-        | CAST(sum(err2) AS DECIMAL(38,0)) AS sum_err2,
+        | CAST(CAST(sum(err2) AS HUGEINT) AS VARCHAR) AS sum_err2,
         | max(err2) AS max_err2,
         | CAST(CAST(sum(err2) AS HUGEINT) // count(*) AS BIGINT) AS mean_err2
         |FROM pv GROUP BY label ORDER BY label""".stripMargin,

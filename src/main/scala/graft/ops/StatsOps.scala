@@ -162,7 +162,7 @@ object StatsOps {
   def q141KmvSketch(s: SparkSession, d: String, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = t(s, d, "documents").select(col("lang"),
-      md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("h"))
+      md5(regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ").cast("binary")).as("h"))
     val dh = h.distinct()
     val mink = dh
       .withColumn("rn", row_number().over(Window.partitionBy("lang").orderBy("h")))
@@ -207,7 +207,7 @@ object StatsOps {
     val docs = t(s, d, "documents")
       .select(col("lang"), col("doc_id"), col("n_chars"),
         md5(concat(lit("graft-qsketch-42:"),
-          regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("h"))
+          regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ")).cast("binary")).as("h"))
     // sketch: bottom-k by hash via the native bounded-heap operator
     val sample = graft.plans.TopK.perGroup(docs, Seq("lang"),
       Seq(("h", true), ("doc_id", true)), k = k, rankName = "rk")
@@ -279,14 +279,14 @@ object StatsOps {
     val stackExpr = corrPairs.map { case (a, b) =>
       s"'$a', '$b', s_$a, s_$b, ss_$a, ss_$b, sp_${a}_$b"
     }.mkString(", ")
-    row.selectExpr("n",
+    Tables.portable(row.selectExpr("n",
       s"stack(${corrPairs.size}, $stackExpr) AS (col_x, col_y, sx, sy, sxx, syy, sxy)")
       .select(col("col_x"), col("col_y"), col("n"),
         col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"),
         (col("n").cast(dec38) * col("sxy") - col("sx") * col("sy")).as("num"),
         (col("n").cast(dec38) * col("sxx") - col("sx") * col("sx")).as("den_x"),
         (col("n").cast(dec38) * col("syy") - col("sy") * col("sy")).as("den_y"))
-      .orderBy("col_x", "col_y")
+      .orderBy("col_x", "col_y"))
   }
 
   // ---------------------------------------------------------------- q85
@@ -807,6 +807,7 @@ object StatsOps {
         (col("n").cast(dec38) * col("sxx") - col("sx") * col("sx")).as("den"),
         (col("sy") * col("sxx") - col("sx") * col("sxy")).as("icept_num"))
       .orderBy("grp")
+      .transform(Tables.portable)
   }
 
   // ---------------------------------------------------------------- q172
@@ -853,6 +854,7 @@ object StatsOps {
             - col("n1").cast(dec38) * (col("n1") + lit(1L)).cast(dec38)))
           .as("u2x2"),
         col("tie_term"))
+      .transform(Tables.portable)
   }
 
   // ---------------------------------------------------------------- q177
@@ -972,6 +974,7 @@ object StatsOps {
         (col("n").cast(dec38) * col("sxx") - col("sx") * col("sx")).as("den_x"),
         (col("n").cast(dec38) * col("syy") - col("sy") * col("sy")).as("den_y"))
       .orderBy("event_type", "lag")
+      .transform(Tables.portable)
   }
 
   // ---------------------------------------------------------------- q182
@@ -1030,6 +1033,7 @@ object StatsOps {
         col("n1"), col("n2"), col("m.dd").as("d_scaled"),
         (-col("m.nc")).as("at_cents"))
       .orderBy("type_a", "type_b")
+      .transform(Tables.portable)
   }
 
   // ---------------------------------------------------------------- q185
@@ -1106,6 +1110,7 @@ object StatsOps {
         (col("n").cast(dec38) * col("sxx") - col("sx") * col("sx")).as("den_x"),
         (col("n").cast(dec38) * col("syy") - col("sy") * col("sy")).as("den_y"))
       .orderBy("col_x", "col_y")
+      .transform(Tables.portable)
   }
 
   // ---------------------------------------------------------------- q184
@@ -1162,6 +1167,7 @@ object StatsOps {
         col("total_cents"), col("m.dev").as("dev_scaled"),
         (-col("m.nd")).as("peak_day"))
       .orderBy("event_type", "how")
+      .transform(Tables.portable)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1233,13 +1239,16 @@ object StatsOps {
          |a AS (SELECT count(*) AS n, ${sqlAggs.mkString(",\n  ")} FROM j),
          |m AS (
          |$branches)
-         |SELECT col_x, col_y, n, sx, sy, sxx, syy, sxy,
+         |SELECT col_x, col_y, n,
+         | CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR) AS sy,
+         | CAST(sxx AS VARCHAR) AS sxx, CAST(syy AS VARCHAR) AS syy,
+         | CAST(sxy AS VARCHAR) AS sxy,
          | CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
-         |   - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DECIMAL(38,0)) AS num,
+         |   - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS VARCHAR) AS num,
          | CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
-         |   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DECIMAL(38,0)) AS den_x,
+         |   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS VARCHAR) AS den_x,
          | CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
-         |   - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DECIMAL(38,0)) AS den_y
+         |   - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS VARCHAR) AS den_y
          |FROM m ORDER BY col_x, col_y""".stripMargin
     },
     // same zero-filled (day × hour) calendar grid, D-scaled deviations in
@@ -1278,7 +1287,7 @@ object StatsOps {
         |  max(struct_pack(dev := CAST(dv AS DECIMAL(38,0)), nd := -day)) AS m
         | FROM dev GROUP BY 1, 2)
         |SELECT event_type, how, n_days, total_cents,
-        | m.dev AS dev_scaled, -(m.nd) AS peak_day
+        | CAST(m.dev AS VARCHAR) AS dev_scaled, -(m.nd) AS peak_day
         |FROM mx ORDER BY event_type, how""".stripMargin,
     // same count grid, pair-partitioned cumulatives and HUGEINT n-scaled
     // statistic; struct_pack max ≡ Spark max(struct) pins the tie to the
@@ -1313,7 +1322,7 @@ object StatsOps {
          |  max(struct_pack(d := CAST(d AS DECIMAL(38,0)), nc := -cents)) AS m
          | FROM dd GROUP BY 1, 2)
          |SELECT ta AS type_a, tb AS type_b, n1, n2,
-         | m.d AS d_scaled, -(m.nc) AS at_cents
+         | CAST(m.d AS VARCHAR) AS d_scaled, -(m.nc) AS at_cents
          |FROM mx ORDER BY type_a, type_b""".stripMargin
     },
     // same zero-filled calendar grid, lag windows and integer certificate
@@ -1356,13 +1365,16 @@ object StatsOps {
          | FROM series WINDOW w AS (PARTITION BY event_type ORDER BY day)),
          |m AS (
          |$branches)
-         |SELECT event_type, lag, n, sx, sy, sxx, syy, sxy,
+         |SELECT event_type, lag, n,
+         | CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR) AS sy,
+         | CAST(sxx AS VARCHAR) AS sxx, CAST(syy AS VARCHAR) AS syy,
+         | CAST(sxy AS VARCHAR) AS sxy,
          | CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
-         |   - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DECIMAL(38,0)) AS num,
+         |   - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS VARCHAR) AS num,
          | CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
-         |   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DECIMAL(38,0)) AS den_x,
+         |   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS VARCHAR) AS den_x,
          | CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
-         |   - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DECIMAL(38,0)) AS den_y
+         |   - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS VARCHAR) AS den_y
          |FROM m ORDER BY event_type, lag""".stripMargin
     },
     // same subject construction and integer-hour grid; hazard is the one
@@ -1450,14 +1462,16 @@ object StatsOps {
         |  CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
         |  CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy
         | FROM g GROUP BY grp)
-        |SELECT grp, n, sx, sy, sxx, sxy,
+        |SELECT grp, n,
+        | CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR) AS sy,
+        | CAST(sxx AS VARCHAR) AS sxx, CAST(sxy AS VARCHAR) AS sxy,
         | CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
-        |   - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DECIMAL(38,0))
+        |   - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS VARCHAR)
         |   AS slope_num,
         | CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
-        |   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DECIMAL(38,0)) AS den,
+        |   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS VARCHAR) AS den,
         | CAST(CAST(sy AS HUGEINT) * CAST(sxx AS HUGEINT)
-        |   - CAST(sx AS HUGEINT) * CAST(sxy AS HUGEINT) AS DECIMAL(38,0))
+        |   - CAST(sx AS HUGEINT) * CAST(sxy AS HUGEINT) AS VARCHAR)
         |   AS icept_num
         |FROM a ORDER BY grp""".stripMargin,
     // doubled-rank grid: 2·rank of every occurrence of a distinct value
@@ -1481,11 +1495,11 @@ object StatsOps {
         |  CAST(sum(CAST(a + b AS HUGEINT) * (a + b) * (a + b) - (a + b))
         |    AS DECIMAL(38,0)) AS tie_term
         | FROM tt)
-        |SELECT n1, n2, r1x2,
-        | CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DECIMAL(38,0)) AS u1x2,
+        |SELECT n1, n2, CAST(r1x2 AS VARCHAR) AS r1x2,
+        | CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS VARCHAR) AS u1x2,
         | CAST(2 * CAST(n1 AS HUGEINT) * n2
-        |   - (r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)) AS DECIMAL(38,0)) AS u2x2,
-        | tie_term FROM st""".stripMargin,
+        |   - (r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)) AS VARCHAR) AS u2x2,
+        | CAST(tie_term AS VARCHAR) AS tie_term FROM st""".stripMargin,
     "q157_ab_experiment" ->
       """WITH u AS (
         | SELECT user_id,
@@ -1525,7 +1539,7 @@ object StatsOps {
     // by digit (DuckDB has no hex->int cast); est is HUGEINT-exact //
     "q141_kmv_distinct" ->
       """WITH h AS (
-        | SELECT lang, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+        | SELECT lang, md5(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS h
         | FROM documents),
         |dh AS (SELECT DISTINCT lang, h FROM h),
         |mink AS (
@@ -1556,7 +1570,7 @@ object StatsOps {
       """WITH docs AS (
         | SELECT lang, doc_id, n_chars,
         |  md5('graft-qsketch-42:'
-        |    || regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+        |    || regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS h
         | FROM documents),
         |samp AS (
         | SELECT lang, doc_id, n_chars FROM (
@@ -1611,13 +1625,16 @@ object StatsOps {
          |a AS (SELECT count(*) AS n, ${sqlAggs.mkString(",\n  ")} FROM q),
          |m AS (
          |$branches)
-         |SELECT col_x, col_y, n, sx, sy, sxx, syy, sxy,
+         |SELECT col_x, col_y, n,
+         | CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR) AS sy,
+         | CAST(sxx AS VARCHAR) AS sxx, CAST(syy AS VARCHAR) AS syy,
+         | CAST(sxy AS VARCHAR) AS sxy,
          | CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
-         |   - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DECIMAL(38,0)) AS num,
+         |   - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS VARCHAR) AS num,
          | CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
-         |   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DECIMAL(38,0)) AS den_x,
+         |   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS VARCHAR) AS den_x,
          | CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
-         |   - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DECIMAL(38,0)) AS den_y
+         |   - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS VARCHAR) AS den_y
          |FROM m ORDER BY col_x, col_y""".stripMargin
     },
     "q129_column_entropy" ->
@@ -1672,8 +1689,8 @@ object StatsOps {
     "q115_distribution_drift" ->
       """WITH c AS (
         | SELECT lang,
-        |  count(*) FILTER (substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 1) < 'c') AS a,
-        |  count(*) FILTER (substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 1) >= 'c') AS b
+        |  count(*) FILTER (substr(md5(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), 1, 1) < 'c') AS a,
+        |  count(*) FILTER (substr(md5(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), 1, 1) >= 'c') AS b
         | FROM documents GROUP BY 1),
         |t AS (SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb FROM c),
         |x AS (
@@ -1719,7 +1736,7 @@ object StatsOps {
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q110_heavy_hitters" ->
       """WITH t AS (
-        | SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        | SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS token
         | FROM documents),
         |n AS (SELECT count(*) AS n_tokens FROM t)
         |SELECT token, count(*) AS cnt,
@@ -1797,7 +1814,7 @@ object StatsOps {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q49_explode_tokens" ->
       """SELECT token, count(*) AS n FROM (
-        | SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        | SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS token
         | FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "q50_udaf_stats" ->

@@ -15,7 +15,7 @@ object TextOps {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
   /** Whitespace tokenization of lowercased text. */
-  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+  def tokens(c: Column): Column = split(trim(lower(c)), "[ \\t\\n\\x0B\\f\\r]+")
 
   // ---------------------------------------------------------------- q30
   /** Exact dedup with deterministic survivor selection (min doc_id), the
@@ -45,7 +45,7 @@ object TextOps {
       col("doc_id"),
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_unique"),
-      round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(toks), 4)
+      round(length(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+", "")).cast("double") / size(toks), 4)
         .as("avg_word_len"))
       .orderBy("doc_id")
   }
@@ -89,7 +89,7 @@ object TextOps {
   def q34Fingerprint(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(
       col("doc_id"),
-      md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("fp_md5"),
+      md5(regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ").cast("binary")).as("fp_md5"),
       sha2(col("text").cast("binary"), 256).as("fp_sha256"))
       .orderBy("doc_id")
 
@@ -97,17 +97,21 @@ object TextOps {
   /** Rolling-hash fingerprints, the incremental sibling of q34's digest
     * fingerprints: a Rabin-Karp-style polynomial fold
     * (acc = (acc*31 + hash(tok)) mod p, p = 2^31-1) over per-token
-    * xxhash64 values — order-SENSITIVE and composable over windows/
-    * shingles, which is what streaming fingerprint pipelines extend to —
-    * plus the min token hash as an order-insensitive content sketch (the
-    * k=1 MinHash). The Mersenne-prime modulus keeps every intermediate
-    * below 2^36, so the fold is exact under ANSI arithmetic (Spark 4
-    * default) — no overflow, engine-deterministic. Rows-only: DuckDB has
-    * no xxhash64. The query runs the fused codegen expression
-    * ([[graft.functions.RollingHash]] — one generated loop per row);
-    * [[rollingHash]] below is the composed higher-order-function twin,
-    * kept as the executable definition of the semantics and spec-pinned
-    * bit-identical to the native form. */
+    * hashes — order-SENSITIVE and composable over windows/shingles,
+    * which is what streaming fingerprint pipelines extend to — plus the
+    * min token hash as an order-insensitive content sketch (the k=1
+    * MinHash). The Mersenne-prime modulus keeps every intermediate below
+    * 2^36, so the fold is exact under ANSI arithmetic (Spark 4 default) —
+    * no overflow, engine-deterministic.
+    *
+    * The emitted query keys the fold on 48-bit md5-DERIVED token ints
+    * (the q147 trick) so DuckDB recomputes the identical fold via
+    * list_reduce and the driver hash-checks it exactly. The xxhash64-
+    * keyed family stays available at production speed as the fused
+    * codegen expression [[graft.functions.RollingHash]] (one generated
+    * loop per row); [[rollingHash]] below is its composed higher-order-
+    * function twin, kept as the executable definition of the semantics
+    * and spec-pinned bit-identical to the native form. */
   val rollingModulus: Long = 2147483647L // 2^31 - 1
 
   /** Reference (interpreted) form of the rolling fingerprint — the fused
@@ -117,13 +121,26 @@ object TextOps {
       pmod(acc * lit(31L) + pmod(xxhash64(tk), lit(rollingModulus)),
         lit(rollingModulus)))
 
+  /** 48-bit md5-derived token hash (the q147 trick): both engines derive
+    * the SAME integer from the same hex digest, which is what lets the
+    * rolling fold below keep an exact DuckDB oracle (xxhash64, the
+    * fused expression's key family, has no DuckDB twin). */
+  private[graft] def md5TokenHash(tk: Column): Column =
+    conv(substring(md5(tk.cast("binary")), 1, 12), 16, 10).cast("long")
+
+  /** The md5-keyed Rabin-Karp fold — same pmod chain as [[rollingHash]],
+    * different key family (cross-engine-derivable ints). */
+  private[graft] def md5RollingHash(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, tk) =>
+      pmod(acc * lit(31L) + pmod(md5TokenHash(tk), lit(rollingModulus)),
+        lit(rollingModulus)))
+
   def q62RollingFingerprint(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
     val toks = tokens(col("text"))
     t(s, d, "documents").select(
       col("doc_id"),
-      call_function("graft_rolling_hash", toks).as("fp_rolling"),
-      array_min(transform(toks, tk => xxhash64(tk))).as("fp_min_token"))
+      md5RollingHash(toks).as("fp_rolling"),
+      array_min(transform(toks, tk => md5TokenHash(tk))).as("fp_min_token"))
       .orderBy("doc_id")
   }
 
@@ -142,7 +159,7 @@ object TextOps {
     * audit): first hex digit of the normalized-content md5 — 12/16 'train',
     * 4/16 'eval'. */
   def splitAssign(text: Column): Column = {
-    val digest = md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
+    val digest = md5(regexp_replace(lower(text), "[ \\t\\n\\x0B\\f\\r]+", " ").cast("binary"))
     when(substring(digest, 1, 1) < "c", "train").otherwise("eval")
   }
 
@@ -174,7 +191,7 @@ object TextOps {
     * Selection is map-side (zero shuffle); only the audit rollup shuffles. */
   def contentSampleHash(seed: String): Column =
     substring(md5(concat(lit(seed + ":"),
-      regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")), 1, 2)
+      regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ")).cast("binary")), 1, 2)
 
   /** Per-stratum keep predicate: hash-hex < floor(f*256) in 2-digit hex.
     * Strata absent from `fractions` are KEPT (rebalancing downsamples named
@@ -317,7 +334,7 @@ object TextOps {
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
         qualityScore(col("text"), col("n_chars")).as("q"),
-        md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary"))
+        md5(regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ").cast("binary"))
           .as("nm"))
       .localCheckpoint())
     val s01 = base.agg(
@@ -822,7 +839,7 @@ object TextOps {
     graft.plans.TopK.perGroup(
       t(s, d, "documents")
         .withColumn("h", md5(concat(lit("graft-ksample-42:"),
-          regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")))
+          regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ")).cast("binary")))
         .select("lang", "h", "doc_id", "n_chars"),
       groupCols = Seq("lang"),
       orderBy = Seq(("h", true), ("doc_id", true)),
@@ -1086,7 +1103,7 @@ object TextOps {
         s"(((n_total div $shareDenom) * 65536L div w_total) * w_s) div c_s"))
     val keep = col("thr") >= 65536L ||
       substring(md5(concat(lit("graft-mix-42:"),
-        regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")), 1, 4) <
+        regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ")).cast("binary")), 1, 4) <
         format_string("%04x", col("thr"))
     docs.join(broadcast(withThr.select("source", "c_s", "w_s", "thr")), "source")
       .groupBy("source")
@@ -1237,7 +1254,7 @@ object TextOps {
     * assignment itself is the map-side predicate, reusable as a column.
     * Scale: one scan, |folds × langs| aggregate. Exact oracle. */
   def foldAssign(text: Column): Column = {
-    val h = substring(md5(regexp_replace(lower(text), "\\s+", " ")
+    val h = substring(md5(regexp_replace(lower(text), "[ \\t\\n\\x0B\\f\\r]+", " ")
       .cast("binary")), 1, 1)
     when(h < "4", 0).when(h < "8", 1).when(h < "c", 2).otherwise(3)
   }
@@ -1415,6 +1432,7 @@ object TextOps {
         (col("n").cast(dec38) * col("sum_tokens")).as("gini_den"))
       .withColumn("gini_bp", expr("(gini_num * 10000) div gini_den"))
       .orderBy("lang")
+      .transform(Tables.portable)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1456,7 +1474,7 @@ object TextOps {
     "q78_pii_scrub" -> (q78PiiScrub _),
     "q84_weighted_sample" -> (q84WeightedSample _))
 
-  private def duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+  private def duckToks = "regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')"
 
   /** SQL twin of [[lmPerDocNll]] — the CTE chain shared by the q109 and
     * q127 oracles, ending in `per(doc_id, n_bigrams, s)`. */
@@ -1521,13 +1539,32 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // the identical Rabin-Karp fold over the identical md5-derived 48-bit
+    // token ints: list_reduce with a prepended 0 accumulator ≡ Spark's
+    // aggregate(toks, 0L, ...); every intermediate < 2^36, exact int64
+    "q62_rolling_fingerprint" ->
+      """WITH tk AS (
+        | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t
+        | FROM documents),
+        |h AS (
+        | SELECT doc_id,
+        |  list_transform(t, g -> CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT))
+        |    AS hs
+        | FROM tk)
+        |SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(hs, x -> x % 2147483647)),
+        |   (acc, x) -> (acc * 31 + x) % 2147483647) AS fp_rolling,
+        | list_min(hs) AS fp_min_token
+        |FROM h ORDER BY doc_id""".stripMargin,
     // the oracle's per-lang single-window rank is semantically identical
     // to the engine's grouped banded rank (bit-length monotonicity);
     // HUGEINT certificate math, `//` ≡ `div` (both truncate)
     "q173_gini_tokens" ->
       """WITH tk AS (
         | SELECT lang, doc_id,
-        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS BIGINT)
         |    AS n_tokens
         | FROM documents),
         |r AS (
@@ -1540,12 +1577,13 @@ object TextOps {
         |  CAST(sum(CAST(n_tokens AS HUGEINT)) AS DECIMAL(38,0)) AS sum_tokens,
         |  CAST(sum(CAST(rk AS HUGEINT) * n_tokens) AS DECIMAL(38,0)) AS wsum
         | FROM r GROUP BY lang)
-        |SELECT lang, n, sum_tokens, wsum,
+        |SELECT lang, n, CAST(sum_tokens AS VARCHAR) AS sum_tokens,
+        | CAST(wsum AS VARCHAR) AS wsum,
         | CAST(2 * CAST(wsum AS HUGEINT)
         |   - (CAST(n AS HUGEINT) + 1) * CAST(sum_tokens AS HUGEINT)
-        |   AS DECIMAL(38,0)) AS gini_num,
+        |   AS VARCHAR) AS gini_num,
         | CAST(CAST(n AS HUGEINT) * CAST(sum_tokens AS HUGEINT)
-        |   AS DECIMAL(38,0)) AS gini_den,
+        |   AS VARCHAR) AS gini_den,
         | CAST((2 * CAST(wsum AS HUGEINT)
         |    - (CAST(n AS HUGEINT) + 1) * CAST(sum_tokens AS HUGEINT)) * 10000
         |   // (CAST(n AS HUGEINT) * CAST(sum_tokens AS HUGEINT)) AS BIGINT)
@@ -1679,7 +1717,7 @@ object TextOps {
         |k AS (
         | SELECT d.source, thr.c_s, thr.w_s, thr.thr,
         |  CASE WHEN thr.thr >= 65536 OR substr(md5('graft-mix-42:'
-        |     || regexp_replace(lower(d.text), '\s+', ' ', 'g')), 1, 4)
+        |     || regexp_replace(lower(d.text), '[ \t\n\x0B\f\r]+', ' ', 'g')), 1, 4)
         |     < printf('%04x', thr.thr) THEN 1 END AS kept
         | FROM documents d JOIN thr USING (source))
         |SELECT source, c_s AS n_docs, w_s AS weight,
@@ -1732,7 +1770,7 @@ object TextOps {
     "q96_group_sample" ->
       """WITH h AS (
         | SELECT lang, md5('graft-ksample-42:'
-        |    || regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
+        |    || regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS h,
         |  doc_id, n_chars
         | FROM documents),
         |r AS (SELECT lang, h, doc_id, n_chars,
@@ -1777,7 +1815,7 @@ object TextOps {
       s"""SELECT doc_id,
          | CAST(len($duckToks) AS INT) AS n_tokens,
          | CAST(len(list_distinct($duckToks)) AS INT) AS n_unique,
-         | round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         | round(CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE)
          |   / len($duckToks), 4) AS avg_word_len
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q33_text_quality" ->
@@ -1791,13 +1829,13 @@ object TextOps {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q34_fingerprint" ->
       """SELECT doc_id,
-        | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5,
+        | md5(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp_md5,
         | sha256(text) AS fp_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q102_contamination" ->
       s"""WITH sh AS (
          | SELECT doc_id,
-         |  CASE WHEN substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 1) < 'c'
+         |  CASE WHEN substr(md5(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), 1, 1) < 'c'
          |       THEN 'train' ELSE 'eval' END AS split,
          |  list_distinct(list_transform(
          |    range(0, greatest(len($duckToks) - 3, 0) + 1),
@@ -1820,7 +1858,7 @@ object TextOps {
         |  CASE WHEN h < '4' THEN 0 WHEN h < '8' THEN 1
         |       WHEN h < 'c' THEN 2 ELSE 3 END AS fold
         | FROM (SELECT lang,
-        |   substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 1) AS h
+        |   substr(md5(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), 1, 1) AS h
         |  FROM documents)),
         |g AS (SELECT fold, lang, count(*) AS n_docs FROM s GROUP BY 1, 2)
         |SELECT fold, lang, n_docs,
@@ -1859,7 +1897,7 @@ object TextOps {
          | SELECT doc_id,
          |  CAST(len($duckToks) AS BIGINT) AS n_tokens,
          |  $duckQualityScore AS q,
-         |  md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+         |  md5(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS nm
          | FROM documents),
          |a AS (
          | SELECT CAST(count(*) AS BIGINT) AS n0,
@@ -1885,7 +1923,7 @@ object TextOps {
     "q64_hash_split" ->
       """WITH s AS (
         | SELECT doc_id, lang, text,
-        |  CASE WHEN substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 1) < 'c'
+        |  CASE WHEN substr(md5(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), 1, 1) < 'c'
         |       THEN 'train' ELSE 'eval' END AS split
         | FROM documents)
         |SELECT lang, split, count(*) AS n_docs,
@@ -1942,7 +1980,7 @@ object TextOps {
       }.mkString(" ")
       s"""WITH s AS (
          | SELECT lang,
-         |  substr(md5('graft-sample-42:' || regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 2) AS h
+         |  substr(md5('graft-sample-42:' || regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), 1, 2) AS h
          | FROM documents)
          |SELECT lang, count(*) AS n_total,
          | count(CASE WHEN (CASE lang $cuts ELSE TRUE END) THEN 1 END) AS n_sampled,
@@ -2087,7 +2125,7 @@ object TextOps {
     "q84_weighted_sample" ->
       s"""WITH s AS (
          | SELECT lang, $duckQualityScore AS q,
-         |  substr(md5('graft-wsample-42:' || regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 2) AS h
+         |  substr(md5('graft-wsample-42:' || regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), 1, 2) AS h
          | FROM documents),
          |k AS (
          | SELECT lang, q,

@@ -42,10 +42,14 @@ object EventsStream {
     StructField("props", StringType)))
 
   /** Restores the engine-wide raw-nanos Long `ts` contract over the NTZ
-    * file column (exact: sessions pin UTC — see Tables.normalizeEventTs). */
-  private def nanosView(raw: DataFrame): DataFrame =
+    * file column (exact ONLY under a UTC session timezone — guarded, same
+    * as Tables.normalizeEventTs: a mis-pinned session must fail loudly,
+    * not produce uniformly shifted event times). */
+  private def nanosView(raw: DataFrame): DataFrame = {
+    graft.Tables.requireUtc(raw.sparkSession)
     raw.withColumn("ts",
       expr("unix_micros(cast(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)"))
+  }
 
   /** Stage-dir twin of [[readEventsNanos]]: same schema + nanos contract,
     * no glob (sentinel stages hold exactly one table). */
@@ -55,9 +59,11 @@ object EventsStream {
   /** Converts a raw-nanos Long ts column to the NTZ file type, for staging
     * sentinel rows next to the real table (write-side inverse of
     * [[nanosView]]). */
-  private def ntzTs(df: DataFrame): DataFrame =
+  private def ntzTs(df: DataFrame): DataFrame = {
+    graft.Tables.requireUtc(df.sparkSession) // TIMESTAMP→NTZ cast is tz-sensitive
     df.withColumn("ts",
       expr("cast(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+  }
 
   /** The TIMESTAMP(NANOS) variant of the file schema: under the
     * `nanosAsLong` conf (set by every graft session builder) the column
@@ -270,8 +276,13 @@ object EventsStream {
           if (keep.isEmpty) state.remove()
           else {
             state.update(ExactBuf(keep))
+            // ceiling, not truncation: the emit rule is strict in µs
+            // (lastUs + gapUs < wmUs), so a floor-ms timeout could fire
+            // one watermark-advance EARLY and defer the emission until
+            // the next advance (an open-ended stream would delay the
+            // final interval an extra advance)
             state.setTimeoutTimestamp(
-              math.max(keep.map(_.lastUs / 1000 + gapMs).min,
+              math.max(keep.map(st => (st.lastUs + gapUs + 999) / 1000).min,
                 state.getCurrentWatermarkMs + 1))
           }
           done.map(st => ExactSession(uid, st.startUs, st.n, st.cents)).iterator
@@ -743,8 +754,9 @@ object EventsStream {
           if (keep.isEmpty) state.remove()
           else {
             state.update(BurstBuf(keep))
+            // ceiling-ms timeout — same reasoning as sessionizeExact
             state.setTimeoutTimestamp(
-              math.max(keep.map(_.lastUs / 1000 + gapMs).min,
+              math.max(keep.map(st => (st.lastUs + gapUs + 999) / 1000).min,
                 state.getCurrentWatermarkMs + 1))
           }
           done.map(st =>

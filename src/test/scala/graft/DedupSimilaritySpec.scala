@@ -333,15 +333,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("rolling fingerprint is order-sensitive; min-token sketch is not") {
+    // both key families share the property: xxhash64 (the fused native
+    // path) and md5-derived ints (q62's oracle-checkable emitted form)
     val fps = docs.select(col("doc_id"),
       TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         TextOps.rollingHash(col("toks")).as("fp_rolling"),
-        array_min(transform(col("toks"), tk => xxhash64(tk))).as("fp_min_token"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        array_min(transform(col("toks"), tk => xxhash64(tk))).as("fp_min_token"),
+        TextOps.md5RollingHash(col("toks")).as("fp_md5roll"),
+        array_min(transform(col("toks"), tk => TextOps.md5TokenHash(tk)))
+          .as("fp_md5min"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(fps(1L)._1 === fps(4L)._1) // exact copy: same rolling hash
     assert(fps(1L)._1 !== fps(2L)._1) // word shuffle: different rolling hash
     assert(fps(1L)._2 === fps(2L)._2) // ...but same min-token sketch
+    assert(fps(1L)._3 === fps(4L)._3) // md5 fold: copy-stable
+    assert(fps(1L)._3 !== fps(2L)._3) // md5 fold: order-sensitive
+    assert(fps(1L)._4 === fps(2L)._4) // md5 min sketch: order-insensitive
     // the registered query runs end-to-end on the real table
     val out = TextOps.q62RollingFingerprint(spark, TestSpark.sf)
     assert(out.count() > 0)
@@ -690,7 +699,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }.toSet
     val got = SimilarityOps.q146Int8Quantize(spark, TestSpark.sf)
       .collect().map(r => (r.getInt(0), r.getLong(1),
-        BigDecimal(r.getDecimal(2)), r.getLong(3), r.getLong(4))).toSet
+        BigDecimal(r.getString(2)), r.getLong(3), r.getLong(4))).toSet
     assert(got === want)
   }
 
@@ -709,7 +718,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("PCA power iterates match a BigInt brute force over the quantized vectors") {
     val got = SimilarityOps.q179PcaPower(spark, TestSpark.sf).collect().map { r =>
       r.getLong(0).toInt -> Seq("w1", "w2", "w3")
-        .map(c => BigInt(r.getAs[java.math.BigDecimal](c).toBigInteger))
+        .map(c => BigInt(r.getAs[String](c)))
     }.toMap
     // the engine's own a7→int8 grid (pinned separately by the q146 spec);
     // what this pins is the partition-folded Gram + the iterate chain
@@ -744,8 +753,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val got = SimilarityOps.q186SplitCentroidDrift(spark, TestSpark.sf)
       .collect().map { r =>
         r.getInt(0) -> (r.getLong(1), r.getLong(2),
-          BigInt(r.getAs[java.math.BigDecimal]("l1_scaled").toBigInteger),
-          BigInt(r.getAs[java.math.BigDecimal]("max_dim_scaled").toBigInteger),
+          BigInt(r.getAs[String]("l1_scaled")),
+          BigInt(r.getAs[String]("max_dim_scaled")),
           r.getLong(5))
       }.toMap
     def md5hex(s: String): String =

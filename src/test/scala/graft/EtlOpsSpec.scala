@@ -391,9 +391,11 @@ class EtlOpsSpec extends AnyFunSuite {
           assert(!r.isNullAt(2) && r.isNullAt(3))
         case "update" =>
           assert(k % 7 != 0 && k % 11 != 0)
-          // repriced urgent orders move by exactly +1.00
-          assert(r.getDecimal(3).subtract(r.getDecimal(2))
-            .compareTo(new java.math.BigDecimal("1.00")) == 0)
+          // repriced urgent orders move by exactly +1.00 (the doubles are
+          // exact images of 2-decimal values, so the shortest-repr
+          // BigDecimal round-trip recovers the cents exactly)
+          assert(BigDecimal(r.getDouble(3)) - BigDecimal(r.getDouble(2))
+            === BigDecimal("1.00"))
       }
     }
     // applying the diff to v0 must reconstruct v1 exactly: counts reconcile

@@ -274,8 +274,8 @@ class GraphOpsSpec extends AnyFunSuite {
   test("HITS certificate matches brute-force unnormalized half-steps") {
     val got = GraphOps.q174HitsScores(spark, TestSpark.sf).collect()
       .map(r => r.getAs[String]("event_type") ->
-        (BigInt(r.getAs[java.math.BigDecimal]("auth1").toBigInteger),
-          BigInt(r.getAs[java.math.BigDecimal]("auth2").toBigInteger))).toMap
+        (BigInt(r.getAs[String]("auth1")),
+          BigInt(r.getAs[String]("auth2")))).toMap
     val w = Tables.load(spark, TestSpark.sf, "events")
       .groupBy("user_id", "event_type").count().collect()
       .map(r => (r.getLong(0), r.getString(1)) -> BigInt(r.getLong(2))).toMap

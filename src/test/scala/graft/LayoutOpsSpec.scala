@@ -161,8 +161,8 @@ class LayoutOpsSpec extends AnyFunSuite {
       val ws = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
       val num = 2 * ws - (n + 1) * sx
       assert(r.getAs[Long]("n") === n)
-      assert(BigDecimal(r.getAs[java.math.BigDecimal]("gini_num")) === BigDecimal(num))
-      assert(BigDecimal(r.getAs[java.math.BigDecimal]("gini_den")) === BigDecimal(n * sx))
+      assert(BigDecimal(r.getAs[String]("gini_num")) === BigDecimal(num))
+      assert(BigDecimal(r.getAs[String]("gini_den")) === BigDecimal(n * sx))
       assert(r.getAs[Long]("gini_bp") === num * 10000 / (n * sx))
       assert(r.getAs[Long]("gini_bp") >= 0 && r.getAs[Long]("gini_bp") < 10000)
     }

@@ -30,6 +30,58 @@ class MultimodalSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getAs[Long]("n_videos") >= 2))
   }
 
+  test("BMP codec roundtrip: known pixels, padding strides, corrupt rejection") {
+    // 2x2, distinct channels per pixel — catches BGR/RGB and row-order bugs
+    val px = Map((0, 0) -> (10, 20, 30), (1, 0) -> (40, 50, 60),
+      (0, 1) -> (70, 80, 90), (1, 1) -> (100, 110, 120))
+    val bmp = MultimodalOps.encodeBmp24(2, 2, (x, y) => px((x, y)))
+    assert(bmp.length === 54 + 2 * (6 + 2)) // 3*2=6 row bytes + 2 pad
+    val (w, h, np, sb, sg, sr) = MultimodalOps.decodeBmp24(bmp)
+    assert((w, h, np) === ((2, 2, 4L)))
+    assert(sb === 10 + 40 + 70 + 100)
+    assert(sg === 20 + 50 + 80 + 110)
+    assert(sr === 30 + 60 + 90 + 120)
+    // every stride-padding residue (3w % 4 = 0..3) decodes exactly
+    (1 to 4).foreach { w2 =>
+      val b2 = MultimodalOps.encodeBmp24(w2, 3, (x, y) => (x + 1, y + 1, 7))
+      val (dw, dh, n2, b, g, r) = MultimodalOps.decodeBmp24(b2)
+      assert((dw, dh, n2) === ((w2, 3, w2 * 3L)))
+      assert(b === (1 to w2).sum * 3L) // sum of (x+1) over rows
+      assert(g === (1 + 2 + 3) * w2.toLong)
+      assert(r === 7L * w2 * 3)
+    }
+    // a non-BMP blob must fail loudly, never decode silently
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeBmp24("definitely not a bitmap, much too short padding".getBytes)
+    }
+    // a truncated BMP must fail loudly
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeBmp24(bmp.take(bmp.length - 4))
+    }
+  }
+
+  test("q44 decodes the corpus images: dims match metadata, sums match tones") {
+    val got = MultimodalOps.q44MultimodalFeatures(spark, TestSpark.sf).collect()
+    assert(got.nonEmpty)
+    val meta = MultimodalOps.mediaTable(spark, TestSpark.sf)
+      .filter(col("media_type") === "image")
+      .select("doc_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val nChars = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert((r.getAs[Int]("img_w"), r.getAs[Int]("img_h")) === meta(id))
+      val (w, h) = meta(id)
+      val (g1, g2) = (nChars(id) % 256, (nChars(id) * 7 + 13) % 256)
+      val ne = (w.toLong * h + 1) / 2; val no = w.toLong * h - ne
+      assert(r.getAs[Long]("sum_b") === g1 * ne + g2 * no, s"doc $id")
+      assert(r.getAs[Long]("sum_g") ===
+        ((g1 + 85) % 256) * ne + ((g2 + 85) % 256) * no, s"doc $id")
+    }
+  }
+
   test("decode stub is deterministic and shape-stable") {
     val b = "hello world".getBytes("UTF-8")
     val f1 = MultimodalOps.decodeStub(b)

@@ -356,7 +356,7 @@ class StatsOpsSpec extends AnyFunSuite {
     val raw = Map("quantity" -> "l_quantity", "extendedprice" -> "l_extendedprice",
       "discount" -> "l_discount", "tax" -> "l_tax")
     rows.foreach { r =>
-      def bd(c: String): BigDecimal = BigDecimal(r.getAs[java.math.BigDecimal](c))
+      def bd(c: String): BigDecimal = BigDecimal(r.getAs[String](c))
       val rec = (bd("num") /
         BigDecimal(math.sqrt((bd("den_x") * bd("den_y")).toDouble))).toDouble
       val expect = li.agg(corr(col(raw(r.getAs[String]("col_x"))),
@@ -410,7 +410,7 @@ class StatsOpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getDouble(1),
         r.getDouble(2) - r.getDouble(1) * r.getDouble(3))).toMap
     StatsOps.q171GroupOls(spark, TestSpark.sf).collect().foreach { r =>
-      def bd(c: String): BigDecimal = BigDecimal(r.getAs[java.math.BigDecimal](c))
+      def bd(c: String): BigDecimal = BigDecimal(r.getAs[String](c))
       val (slope, icept) = expect(r.getAs[String]("grp"))
       assert(math.abs((bd("slope_num") / bd("den")).toDouble - slope) < 1e-6)
       assert(math.abs((bd("icept_num") / bd("den")).toDouble - icept) < 1e-4)
@@ -432,10 +432,10 @@ class StatsOpsSpec extends AnyFunSuite {
     val n2 = vals.count(_._1 == "view").toLong
     val r1x2 = vals.filter(_._1 == "click").map(x => twoRank(x._2)).sum
     assert(r.getAs[Long]("n1") === n1 && r.getAs[Long]("n2") === n2)
-    assert(BigDecimal(r.getAs[java.math.BigDecimal]("r1x2")) === BigDecimal(r1x2))
-    assert(BigDecimal(r.getAs[java.math.BigDecimal]("u1x2")) ===
+    assert(BigDecimal(r.getAs[String]("r1x2")) === BigDecimal(r1x2))
+    assert(BigDecimal(r.getAs[String]("u1x2")) ===
       BigDecimal(r1x2 - n1 * (n1 + 1)))
-    assert(BigDecimal(r.getAs[java.math.BigDecimal]("u2x2")) ===
+    assert(BigDecimal(r.getAs[String]("u2x2")) ===
       BigDecimal(2 * n1 * n2 - (r1x2 - n1 * (n1 + 1))))
   }
 
@@ -478,7 +478,7 @@ class StatsOpsSpec extends AnyFunSuite {
     val got = StatsOps.q178AcfCertificate(spark, sf).collect().map { r =>
       (r.getString(0), r.getInt(1)) ->
         (r.getLong(2) +: Seq("sx", "sy", "sxx", "syy", "sxy", "num", "den_x",
-          "den_y").map(c => BigInt(r.getAs[java.math.BigDecimal](c).toBigInteger)))
+          "den_y").map(c => BigInt(r.getAs[String](c))))
     }.toMap
     val daily = Tables.load(spark, sf, "events")
       .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"),
@@ -516,7 +516,7 @@ class StatsOpsSpec extends AnyFunSuite {
       (r.getString(0), r.getString(1)) ->
         (r.getLong(2) +: Seq("sx", "sy", "sxx", "syy", "sxy", "num",
           "den_x", "den_y")
-          .map(c => BigInt(r.getAs[java.math.BigDecimal](c).toBigInteger)))
+          .map(c => BigInt(r.getAs[String](c))))
     }.toMap
     val rows = Tables.load(spark, sf, "lineitem")
       .select(StatsOps.corrCols.map { case (n, c) =>
@@ -559,7 +559,7 @@ class StatsOpsSpec extends AnyFunSuite {
     val got = StatsOps.q184SeasonalProfile(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3),
-          BigInt(r.getAs[java.math.BigDecimal]("dev_scaled").toBigInteger),
+          BigInt(r.getAs[String]("dev_scaled")),
           r.getLong(5))).toMap
     val ev = Tables.load(spark, sf, "events")
       .select(col("event_type"), expr("(ts div 1000) div 86400000000"),
@@ -595,7 +595,7 @@ class StatsOpsSpec extends AnyFunSuite {
     val got = StatsOps.q182KsCertificates(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3),
-          BigInt(r.getAs[java.math.BigDecimal]("d_scaled").toBigInteger),
+          BigInt(r.getAs[String]("d_scaled")),
           r.getLong(5))).toMap
     val ev = Tables.load(spark, sf, "events")
       .select(col("event_type"),

@@ -8,12 +8,41 @@ oracle SQL from oracle_sql.json in DuckDB over the raw testdata tables, sort
 columns by name, compare row-by-row with exact equality (floats too — the
 engine rounds anything FP-order-dependent, so exact match is the bar).
 Queries with no oracle entry get a rows>0 check.
+
+IMPORTANT asymmetry (round-5 lesson): the Spark side is read via pyarrow
+(NOT DuckDB), the oracle side via DuckDB fetchdf — mirroring the driver.
+Reading both sides through DuckDB coerces decimals to float64 symmetrically
+and masks representation differences: 13 queries shipped "0 fail" locally in
+r5 while the driver failed all 13 on DECIMAL output columns. Any DecimalType
+in a Spark output parquet is now an automatic FAIL here (and is also linted
+in Verify.scala) — cast certificates to VARCHAR / money to DOUBLE instead.
 """
 import sys, json, glob
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df):
+    """Canonical per-column string rendering, applied identically to both
+    sides. Floats render via numpy repr (bit-exact compare), decimals via
+    str(Decimal) (exact digits — deliberately NOT coerced to float), dates
+    normalize away a midnight time component."""
+    out = {}
+    for c in df.columns:
+        a = df[c]
+        try:
+            sa = a.astype(str)
+        except Exception:
+            sa = a.map(repr)
+        if sa.str.endswith(" 00:00:00").all():
+            sa = sa.str.replace(" 00:00:00", "", regex=False)
+        # NULL in an object column renders 'None' via pyarrow but 'nan' via
+        # fetchdf; the driver treats them as equal (q157 passes with NULLs)
+        sa = sa.where(sa != "None", "nan")
+        out[c] = sa
+    return out
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -23,10 +52,17 @@ def main(sf_dir, out_dir):
     qdirs = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/q*") if "." not in d.split("/")[-1])
     n_pass = n_fail = 0
     for q in qdirs:
-        files = glob.glob(f"{out_dir}/{q}/*.parquet")
+        files = sorted(glob.glob(f"{out_dir}/{q}/*.parquet"))
         if not files:
             print(f"FAIL {q}: no spark output"); n_fail += 1; continue
-        got = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{q}/*.parquet')").fetchdf()
+        tbl = pq.read_table(files)
+        decimal_cols = [f.name for f in tbl.schema if "decimal" in str(f.type)]
+        if decimal_cols:
+            print(f"FAIL {q}: DECIMAL output columns {decimal_cols} — the driver's "
+                  f"hasher reads these exactly while DuckDB renders float64; cast to "
+                  f"VARCHAR/DOUBLE in the final select (see r5 verdict)")
+            n_fail += 1; continue
+        got = tbl.to_pandas()
         if q not in oracle:
             if len(got) > 0:
                 print(f"pass {q}: rows-only ({len(got)} rows)"); n_pass += 1
@@ -43,18 +79,14 @@ def main(sf_dir, out_dir):
             print(f"FAIL {q}: columns {list(got.columns)} vs {list(exp.columns)}"); n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {q}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
+        ga, ea = canon(got), canon(exp)
         mismatch = None
         for c in got.columns:
-            a, b = got[c], exp[c]
-            try:
-                sa, sb = a.astype(str), b.astype(str)
-            except Exception:
-                sa, sb = a.map(repr), b.map(repr)
-            neq = sa.values != sb.values
+            neq = ga[c].values != ea[c].values
             if neq.any():
                 i = neq.argmax()
-                mismatch = (c, i, a.iloc[i], b.iloc[i],
-                            str(a.dtype), str(b.dtype))
+                mismatch = (c, i, got[c].iloc[i], exp[c].iloc[i],
+                            str(got[c].dtype), str(exp[c].dtype))
                 break
         if mismatch:
             c, i, av, bv, at, bt = mismatch
