@@ -55,10 +55,14 @@ object SimilarityOps {
   /** Brute-force exact cosine top-k for a small query set (vec_id < 10).
     * Ranking happens on the ROUNDED similarity with vec_id tie-break, so the
     * cut is deterministic and oracle-stable. */
-  def q40CosineTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+  def q40CosineTopK(s: SparkSession, d: String, k: Int = 5): DataFrame =
     // spread: the candidate side computes one cosine per (candidate, query)
     // pair in the scan's map stage — single-split without it (Tables.spread)
-    val e = Tables.spread(t(s, d, "embeddings"), "vec_id")
+    bruteTopKOn(Tables.spread(t(s, d, "embeddings"), "vec_id"), k)
+
+  /** The exact brute-force core over ANY (vec_id, embedding) frame — the
+    * recall ground truth the ANN specs compare against. */
+  private[graft] def bruteTopKOn(e: DataFrame, k: Int): DataFrame = {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
@@ -98,11 +102,19 @@ object SimilarityOps {
       when(dot(emb, lit(p)) >= 0, lit(1 << i)).otherwise(lit(0)): Column
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  def q42AnnLsh(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    val dim = 64
-    val planes = hyperplanes(tables = 4, bits = 8, dim = dim)
+  def q42AnnLsh(s: SparkSession, d: String, k: Int = 3): DataFrame =
     // spread: 32 hyperplane dot products per row ride the scan stage
-    val e = Tables.spread(t(s, d, "embeddings"), "vec_id")
+    annLshOn(Tables.spread(t(s, d, "embeddings"), "vec_id"), k = k)
+
+  /** The LSH ANN core over ANY (vec_id, embedding) frame — queries are the
+    * rows with vec_id < 10, same as q40/q56. Factored out so the
+    * adversarial recall spec can aim it at boundary-hugging fixtures
+    * (points ON hyperplanes, where bucket bits flip under ε-perturbation)
+    * with the table/bit budget under test. */
+  private[graft] def annLshOn(e: DataFrame, tables: Int = 4, bits: Int = 8,
+                              k: Int = 3): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(tables = tables, bits = bits, dim = dim)
     val withBuckets = e.select(col("vec_id"),
       posexplode(array(planes.indices.map(ti =>
         lshBucket(col("embedding"), planes(ti))): _*)).as(Seq("tbl", "bucket")))
@@ -199,11 +211,20 @@ object SimilarityOps {
     * ~nlist/nprobe; the join shape (equi-join on list id) is identical at
     * any scale. */
   def q56AnnIvf(s: SparkSession, d: String, nlist: Int = 16, nprobe: Int = 4,
-                k: Int = 3): DataFrame = {
+                k: Int = 3): DataFrame =
+    // spread: centroid assignment scores nlist cosines per row map-side
+    annIvfOn(Tables.spread(t(s, d, "embeddings"), "vec_id"), nlist, nprobe, k)
+
+  /** The IVF ANN core over ANY (vec_id, embedding) frame — factored out so
+    * the adversarial recall spec can aim it at cell-straddling fixtures
+    * (queries equidistant between learned centroids) with the nlist/nprobe
+    * budget under test. nprobe == nlist probes every list and is exactly
+    * brute force — the spec pins that equivalence. */
+  private[graft] def annIvfOn(e: DataFrame, nlist: Int, nprobe: Int,
+                              k: Int): DataFrame = {
+    val s = e.sparkSession
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    // spread: centroid assignment scores nlist cosines per row map-side
-    val e = Tables.spread(t(s, d, "embeddings"), "vec_id")
     val centroids = learnCentroids(e, nlist).toDF("list_id", "c_emb")
     def nearestLists(v: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy(col("c_sim").desc, col("list_id"))
