@@ -81,9 +81,13 @@ object Tables {
     * failed on exactly this. The rule: integer certificates (scale == 0)
     * export as STRING (exact above 2^53 — q167's sxx hits 3.3e26 — matching
     * `CAST(... AS VARCHAR)` in the oracle, plain digits in both engines);
-    * fractional decimals export as DOUBLE (both engines produce the
-    * correctly-rounded nearest double of the same rational, bit-identical,
-    * matching `CAST(... AS DOUBLE)`). Applied as the LAST projection so all
+    * fractional decimals export as DOUBLE matching `CAST(... AS DOUBLE)`.
+    * The double path is engine-identical ONLY while unscaled values stay
+    * within 2^53 (Spark rounds the exact decimal once; DuckDB converts the
+    * int128 then divides — a second rounding that can land 1 ulp away
+    * beyond 2^53). Today's only fractional consumer is q106's money
+    * (cents ≪ 2^53); a wider fractional certificate must pre-divide on its
+    * integer grid or export a string. Applied as the LAST projection so all
     * internal arithmetic, comparisons, and ordering stay on the exact
     * decimal grid; a narrow projection preserves the sorted output order. */
   def portable(df: DataFrame): DataFrame = {

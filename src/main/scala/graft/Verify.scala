@@ -17,6 +17,17 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // Clear the query's PREVIOUS output before attempting this run: a
+      // failure (including the lint below) must leave NO parquet behind, or
+      // the oracle compare validates the stale prior run and reports pass —
+      // exactly the r5 blind-spot shape this gate exists to prevent.
+      def clear(): Unit = {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
+      }
+      clear()
       try {
         val df = fn(spark, sfDir)
         // Lint: a DecimalType output column can never pass the driver's
@@ -32,6 +43,7 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        clear() // a partial write must not linger either
       }
       finally Transients.drop(spark) // per-query checkpoint residue
     }

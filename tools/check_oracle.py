@@ -27,17 +27,27 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def canon(df):
     """Canonical per-column string rendering, applied identically to both
     sides. Floats render via numpy repr (bit-exact compare), decimals via
-    str(Decimal) (exact digits — deliberately NOT coerced to float), dates
-    normalize away a midnight time component."""
+    str(Decimal) (exact digits — deliberately NOT coerced to float).
+    Date-valued columns normalize away a midnight time component — gated on
+    the column's TYPE (datetime64 dtype, or objects of datetime.date), never
+    on string shape: shape-gating strips one side of a genuinely mismatched
+    pair and turns a real failure into a false pass."""
+    import datetime
     out = {}
     for c in df.columns:
         a = df[c]
+        is_datetime = str(a.dtype).startswith("datetime64") or (
+            a.dtype == object
+            and a.map(lambda v: v is None
+                      or isinstance(v, (datetime.date, datetime.datetime))).all()
+            and len(a) > 0)
         try:
             sa = a.astype(str)
         except Exception:
             sa = a.map(repr)
-        if sa.str.endswith(" 00:00:00").all():
+        if is_datetime:
             sa = sa.str.replace(" 00:00:00", "", regex=False)
+            sa = sa.where(sa != "NaT", "nan")
         # NULL in an object column renders 'None' via pyarrow but 'nan' via
         # fetchdf; the driver treats them as equal (q157 passes with NULLs)
         sa = sa.where(sa != "None", "nan")
