@@ -49,7 +49,9 @@ object SparkEntry {
         "q176_stream_debounce" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q176StreamDebounce(s, d)),
         "q187_stream_session_window" ->
-          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q187StreamSessionWindow(s, d)))
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q187StreamSessionWindow(s, d)),
+        "q193_stream_full_outer_join" ->
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q193StreamFullOuterJoin(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -132,5 +134,28 @@ object SparkEntry {
         "q176_stream_debounce" -> EtlOps.oracle("q138_debounce"),
         // the built-in session_window STREAM must land on the same session
         // set as the lag formulation — same oracle as q28/q83
-        "q187_stream_session_window" -> Relational.oracle("q28_sessionize"))
+        "q187_stream_session_window" -> Relational.oracle("q28_sessionize"),
+        // the FULL OUTER stream join = the batch LEFT JOIN aggregate plus
+        // one row per purchase with no click in its mirrored window
+        "q193_stream_full_outer_join" ->
+          """WITH e AS (SELECT event_id, user_id, event_type, value,
+            |  epoch_us(ts) AS tus FROM events),
+            |c AS (SELECT event_id AS click_id, user_id, tus FROM e
+            |  WHERE event_type = 'click'),
+            |p AS (SELECT event_id AS p_id, user_id, tus,
+            |  CAST(value AS DECIMAL(18,2)) AS v FROM e
+            |  WHERE event_type = 'purchase')
+            |SELECT 'click' AS side, c.click_id AS id,
+            | count(p.user_id) AS n_purch_1h,
+            | CAST(sum(p.v) AS DOUBLE) AS sum_value
+            |FROM c LEFT JOIN p ON c.user_id = p.user_id
+            |  AND p.tus >= c.tus - 3600000000 AND p.tus <= c.tus
+            |GROUP BY c.click_id
+            |UNION ALL
+            |SELECT 'orphan_purchase' AS side, p.p_id AS id,
+            | 0 AS n_purch_1h, CAST(p.v AS DOUBLE) AS sum_value
+            |FROM p WHERE NOT EXISTS (SELECT 1 FROM c
+            |  WHERE c.user_id = p.user_id
+            |    AND c.tus >= p.tus AND c.tus <= p.tus + 3600000000)
+            |ORDER BY side, id""".stripMargin)
 }

@@ -666,7 +666,56 @@ object GraphOps {
         (col("r").cast("double") / scale).as("ppr"))
   }
 
+  // ---------------------------------------------------------------- q191
+  /** K-CORE PEEL — the density-decomposition member of the graph family
+    * (triangles count closure, LPA labels communities; the k-core is the
+    * standard "dense backbone" extraction — Matula & Beck's peeling,
+    * bounded here to a fixed round count so the result is a deterministic
+    * certificate rather than an open-ended fixpoint). Each round drops
+    * every node whose CURRENT degree is < k, then re-derives degrees —
+    * the synchronous peel. Output is one certificate row per round
+    * (surviving nodes/edges + min/max/sum node-id identity), which is
+    * what a scheduler needs to size the next stage; convergence is
+    * data-dependent and the certificate rows EXPOSE it (identical
+    * consecutive rows = fixpoint reached), and full coreness is the same
+    * per-round plan looped to fixpoint with the CC operator's checkpoint
+    * cadence.
+    *
+    * Scale: one degree aggregate (node-keyed shuffle) + two semi joins
+    * per round over an edge relation that only SHRINKS; per-round
+    * localCheckpoint cuts the iterative lineage exactly like
+    * connectedComponents/BFS. Nothing here materializes anything larger
+    * than the capped edge memo (≤ n·cap rows by construction). */
+  def q191KcorePeel(s: SparkSession, d: String, k: Int = 32,
+      rounds: Int = 3): DataFrame = {
+    var e = graft.Transients.track(
+      cachedCoOrderEdges(s, d).select("u", "v").localCheckpoint())
+    def cert(round: Int, edges: DataFrame): DataFrame = {
+      val nodes = edges.select(col("u").as("n"))
+        .unionAll(edges.select(col("v").as("n"))).distinct()
+      nodes.agg(count(lit(1)).as("n_nodes"), min("n").as("min_node"),
+          max("n").as("max_node"), sum("n").as("sum_node"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        .select(lit(round).as("round"), col("n_nodes"), col("n_edges"),
+          col("min_node"), col("max_node"), col("sum_node"))
+    }
+    var out = cert(0, e)
+    for (r <- 1 to rounds) {
+      val adj = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val keep = adj.groupBy("u").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select(col("u").as("kn"))
+      e = graft.Transients.track(
+        e.join(keep, col("u") === col("kn"), "left_semi")
+          .join(keep, col("v") === col("kn"), "left_semi")
+          .localCheckpoint())
+      out = out.unionAll(cert(r, e))
+    }
+    out.orderBy("round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_kcore_peel" -> ((s: SparkSession, d: String) => q191KcorePeel(s, d)),
     "q183_personalized_pagerank" ->
       ((s: SparkSession, d: String) => q183PersonalizedPagerank(s, d)),
     "q175_bfs_hops" -> ((s: SparkSession, d: String) => q175BfsHops(s, d)),
@@ -686,20 +735,26 @@ object GraphOps {
   /** Shared oracle fragment: the mutually-capped co-order graph —
     * one definition for the q99 and q105 oracles, mirroring
     * [[coOrderEdges]]. */
-  private val duckCappedEdges: String =
-    """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-      |pw AS (
-      | SELECT a.p AS u, b.p AS v, count(*) AS w
-      | FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
-      |adjw AS (SELECT u, v, w FROM pw UNION ALL SELECT v, u, w FROM pw),
-      |rk AS (
-      | SELECT u, v, w,
-      |  row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS r
-      | FROM adjw),
-      |capped AS (
-      | SELECT x.u, x.v, x.w
-      | FROM rk x JOIN rk y ON x.u = y.v AND x.v = y.u
-      | WHERE x.u < x.v AND x.r <= 64 AND y.r <= 64)""".stripMargin
+  /** `hint` = "" (planner default) or "MATERIALIZED " — q191's unrolled
+    * peel references the capped relation transitively from every round,
+    * where DuckDB's inline-by-default CTE expansion goes exponential;
+    * the explicit hint pins one evaluation (measured 0.1 s vs >2 min). */
+  private def duckCappedEdgesHint(hint: String): String =
+    s"""op AS $hint(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pw AS (
+       | SELECT a.p AS u, b.p AS v, count(*) AS w
+       | FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+       |adjw AS (SELECT u, v, w FROM pw UNION ALL SELECT v, u, w FROM pw),
+       |rk AS $hint(
+       | SELECT u, v, w,
+       |  row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS r
+       | FROM adjw),
+       |capped AS $hint(
+       | SELECT x.u, x.v, x.w
+       | FROM rk x JOIN rk y ON x.u = y.v AND x.v = y.u
+       | WHERE x.u < x.v AND x.r <= 64 AND y.r <= 64)""".stripMargin
+
+  private val duckCappedEdges: String = duckCappedEdgesHint("")
 
   /** Three unrolled integer-PageRank iterations (the q105 twin). */
   private val duckPageRankIters: String = (1 to 3).map { i =>
@@ -750,7 +805,36 @@ object GraphOps {
        | FROM c$i FULL JOIN s0 ON c$i.node = s0.node CROSS JOIN kk)""".stripMargin
   }.mkString(",\n")
 
+  /** Unrolled synchronous peel rounds (the q191 twin): per round, keep =
+    * nodes at degree ≥ k, next edge set = both-endpoints-kept edges. */
+  private def duckPeelRounds(k: Int, rounds: Int): String =
+    (0 until rounds).map { i =>
+      s"""a$i AS (SELECT u, v FROM e$i UNION ALL SELECT v, u FROM e$i),
+         |deg$i AS (SELECT u, count(*) AS dg FROM a$i GROUP BY u),
+         |keep$i AS MATERIALIZED (SELECT u FROM deg$i WHERE dg >= $k),
+         |e${i + 1} AS MATERIALIZED (
+         | SELECT e.u, e.v FROM e$i e
+         | JOIN keep$i x ON e.u = x.u JOIN keep$i y ON e.v = y.u)""".stripMargin
+    }.mkString(",\n")
+
+  private def duckPeelCert(round: Int): String =
+    s"""SELECT $round AS round, count(DISTINCT n) AS n_nodes,
+       | (SELECT count(*) FROM e$round) AS n_edges,
+       | min(n) AS min_node, max(n) AS max_node,
+       | CAST(sum(n) AS BIGINT) AS sum_node
+       |FROM (SELECT u AS n FROM e$round UNION SELECT v FROM e$round)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // MATERIALIZED hints: the peel references each round's edge set from
+    // the next round AND the certificate — DuckDB's inline-by-default
+    // expansion re-evaluates the capped-graph subtree exponentially
+    "q191_kcore_peel" ->
+      s"""WITH ${duckCappedEdgesHint("MATERIALIZED ")},
+         |e0 AS MATERIALIZED (SELECT u, v FROM capped),
+         |${duckPeelRounds(32, 3)}
+         |SELECT * FROM (
+         | ${(0 to 3).map(duckPeelCert).mkString("\n UNION ALL\n ")}
+         |) ORDER BY round""".stripMargin,
     "q183_personalized_pagerank" ->
       s"""WITH $duckCappedEdges,
          |a AS (SELECT u, v FROM capped UNION ALL SELECT v, u FROM capped),

@@ -377,7 +377,115 @@ object LayoutOps {
       .orderBy("key_col", "rank")
   }
 
+  // ---------------------------------------------------------------- q195
+  /** BLOOM SECONDARY INDEX — the point-lookup member of the file-skipping
+    * family: [[fileManifest]]'s min/max ranges prune RANGE predicates on
+    * the clustering key, but a point lookup on a NON-clustered column
+    * (every partkey is spread across every orderkey-clustered file) needs
+    * a membership sketch per storage unit. One Bloom filter per shard
+    * (k=3 bit positions from the q147 derived-from-one-md5 hash family,
+    * m=16384 bits) answers "which shards MIGHT hold key p" — read those,
+    * skip the rest, with false positives costing only wasted reads, never
+    * wrong answers. The audit output per probe: true shard count, bloom
+    * hit count, false positives — including PLANTED ABSENT keys (max+1..
+    * max+8), whose hits are pure FP and measure the index's real skip
+    * rate. Because the bit positions are integer/hex arithmetic both
+    * engines share, the ENTIRE index (not just the lookups) carries an
+    * exact oracle — a native bloom's bytes would be rows-only.
+    *
+    * Scale: the bit table is distinct (shard, pos) — bounded by
+    * shards × m regardless of corpus size — and ORs (set-unions)
+    * map-side like any idempotent accumulator; probes touch a
+    * probes × shards × k grid, never data. The file-level twin (blooms
+    * keyed by input_file_name, reads pruned to bloom-hit files) is
+    * [[bloomFileIndex]]/[[bloomPrunedRead]], spec-proved equal to the
+    * full filter; its per-file layout is split-dependent, which is why
+    * the ORACLE face uses content-defined shards (the q145 discipline:
+    * layout-invariant, re-shard-stable). */
+  private val bloomM = 16384
+
+  def q195BloomIndex(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val pairs = graft.Transients.track(li.select(
+        substring(md5(col("l_orderkey").cast("string").cast("binary")), 1, 2).as("shard"),
+        col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint())
+    val hb = expr("CAST(conv(substr(md5(CAST(CAST(pk AS STRING) AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
+    val bitsJ = pairs.select(col("shard"), hb.as("hb"))
+      .select(col("shard"), explode(sequence(lit(0), lit(2))).as("j"), col("hb"))
+      .select(col("shard"), col("j"),
+        (((col("hb") * (col("j") * 2 + 1) + col("j")) % lit(1L << 48)) % bloomM).as("pos"))
+      .distinct()
+    val present = li.select(col("l_partkey").as("probe_pk")).distinct()
+      .filter(col("probe_pk") % 167 === 0).orderBy("probe_pk").limit(12)
+    val maxPk = li.agg(max("l_partkey")).head.getLong(0)
+    val absent = s.range(1, 9).select((lit(maxPk) + col("id")).as("probe_pk"))
+    val probes = present.unionAll(absent)
+    val shards = pairs.select("shard").distinct()
+    val probeBits = probes
+      .withColumn("hb", expr(
+        "CAST(conv(substr(md5(CAST(CAST(probe_pk AS STRING) AS BINARY)), 1, 12), 16, 10) AS BIGINT)"))
+      .crossJoin(broadcast(shards))
+      .select(col("probe_pk"), col("shard"),
+        explode(sequence(lit(0), lit(2))).as("j"), col("hb"))
+      .select(col("probe_pk"), col("shard"), col("j"),
+        (((col("hb") * (col("j") * 2 + 1) + col("j")) % lit(1L << 48)) % bloomM).as("pos"))
+    val hits = probeBits.join(bitsJ, Seq("shard", "j", "pos"))
+      .groupBy("probe_pk", "shard").agg(count(lit(1)).as("nbits"))
+      .filter(col("nbits") === 3)
+      .groupBy("probe_pk").agg(count(lit(1)).as("n_shards_hit"))
+    val truth = pairs.join(probes, col("pk") === col("probe_pk"))
+      .groupBy("probe_pk").agg(count(lit(1)).as("n_shards_true"))
+    probes
+      .join(hits, Seq("probe_pk"), "left")
+      .join(truth, Seq("probe_pk"), "left")
+      .select(col("probe_pk"),
+        coalesce(col("n_shards_true"), lit(0L)).as("n_shards_true"),
+        coalesce(col("n_shards_hit"), lit(0L)).as("n_shards_hit"))
+      .withColumn("n_false_pos", col("n_shards_hit") - col("n_shards_true"))
+      .orderBy("probe_pk")
+  }
+
+  /** File-level face of q195: one Bloom per PHYSICAL FILE over `keyCol`
+    * (bit positions as in the oracle face), membership as the distinct
+    * (file, pos) set. */
+  def bloomFileIndex(df: DataFrame, keyCol: String): DataFrame =
+    df.withColumn("file", input_file_name())
+      .select(col("file"), expr(
+        s"CAST(conv(substr(md5(CAST(CAST($keyCol AS STRING) AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
+        .as("hb"))
+      .select(col("file"), explode(sequence(lit(0), lit(2))).as("j"), col("hb"))
+      .select(col("file"), col("j"),
+        (((col("hb") * (col("j") * 2 + 1) + col("j")) % lit(1L << 48)) % bloomM).as("pos"))
+      .distinct()
+
+  /** Point-read `dir` for keyCol == key touching only bloom-hit files.
+    * Returns (result, filesRead, filesTotal). No false negatives: the
+    * result is exactly the full filter (spec-proved). */
+  def bloomPrunedRead(s: SparkSession, dir: String, index: DataFrame,
+                      keyCol: String, key: Long): (DataFrame, Long, Long) = {
+    val hb = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(6).map("%02x".format(_)).mkString, 16)
+    }
+    val ps = (0 until 3).map(j => (j, ((hb * (2 * j + 1) + j) % (1L << 48)) % bloomM))
+    val total = index.select("file").distinct().count()
+    val picked = ps.map { case (j, p) =>
+        index.filter(col("j") === j && col("pos") === p).select("file")
+      }.reduce(_.intersect(_)).collect().map(_.getString(0))
+    val res =
+      (if (picked.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          s.read.parquet(dir).schema)
+      else s.read.parquet(picked.toIndexedSeq: _*))
+        .filter(col(keyCol) === key)
+    (res, picked.length.toLong, total)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_bloom_index" -> ((s: SparkSession, d: String) => q195BloomIndex(s, d)),
     "q168_skew_audit" -> ((s: SparkSession, d: String) => q168SkewAudit(s, d)),
     "q88_zorder_layout" -> ((s: SparkSession, d: String) => q88ZorderLayout(s, d)),
     "q92_column_profile" -> (q92ColumnProfile _),
@@ -385,6 +493,46 @@ object LayoutOps {
     "q145_shard_balance" -> ((s: SparkSession, d: String) => q145ShardBalance(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // the whole bloom index re-derived in SQL: same md5-derived bit
+    // positions, same shard discipline — index AND lookups engine-exact
+    "q195_bloom_index" ->
+      """WITH pairs AS MATERIALIZED (
+        | SELECT DISTINCT substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) AS shard,
+        |  l_partkey AS pk FROM lineitem),
+        |hbp AS (SELECT shard, pk,
+        |  CAST(('0x' || substr(md5(CAST(pk AS VARCHAR)), 1, 12)) AS BIGINT) AS hb
+        | FROM pairs),
+        |js AS (SELECT unnest([0, 1, 2]) AS j),
+        |bits AS MATERIALIZED (
+        | SELECT DISTINCT shard, j,
+        |  ((hb*(2*j+1)+j) % 281474976710656) % 16384 AS pos
+        | FROM hbp CROSS JOIN js),
+        |present AS (SELECT DISTINCT pk AS probe_pk FROM pairs
+        | WHERE pk % 167 = 0 ORDER BY probe_pk LIMIT 12),
+        |mx AS (SELECT max(l_partkey) AS m FROM lineitem),
+        |absent AS (SELECT m + i AS probe_pk
+        | FROM mx CROSS JOIN (SELECT unnest(range(1, 9)) AS i)),
+        |probes AS MATERIALIZED (
+        | SELECT probe_pk FROM present UNION ALL SELECT probe_pk FROM absent),
+        |shards AS (SELECT DISTINCT shard FROM pairs),
+        |pb AS (
+        | SELECT p.probe_pk, s.shard, j.j,
+        |  ((CAST(('0x' || substr(md5(CAST(p.probe_pk AS VARCHAR)), 1, 12)) AS BIGINT)
+        |    *(2*j.j+1)+j.j) % 281474976710656) % 16384 AS pos
+        | FROM probes p CROSS JOIN shards s CROSS JOIN js j),
+        |hits AS (
+        | SELECT probe_pk, shard FROM pb JOIN bits USING (shard, j, pos)
+        | GROUP BY probe_pk, shard HAVING count(*) = 3),
+        |h AS (SELECT probe_pk, count(*) AS n_shards_hit FROM hits GROUP BY 1),
+        |tr AS (SELECT probe_pk, count(*) AS n_shards_true
+        | FROM pairs JOIN probes ON pk = probe_pk GROUP BY 1)
+        |SELECT p.probe_pk,
+        | CAST(coalesce(tr.n_shards_true, 0) AS BIGINT) AS n_shards_true,
+        | CAST(coalesce(h.n_shards_hit, 0) AS BIGINT) AS n_shards_hit,
+        | CAST(coalesce(h.n_shards_hit, 0) - coalesce(tr.n_shards_true, 0)
+        |   AS BIGINT) AS n_false_pos
+        |FROM probes p LEFT JOIN h USING (probe_pk) LEFT JOIN tr USING (probe_pk)
+        |ORDER BY probe_pk""".stripMargin,
     // window rank over per-key counts ≡ the engine's bounded-heap top-k;
     // all ratios are integer basis points
     "q168_skew_audit" -> {

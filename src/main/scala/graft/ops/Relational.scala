@@ -600,6 +600,114 @@ object Relational {
       k = 3, rankName = "rn")
       .orderBy("l_orderkey", "rn")
 
+  // ---------------------------------------------------------------- q189
+  /** CORRELATED SUBQUERY SURFACE — the decorrelation member of the SQL
+    * family (q27 covers GROUPING SETS): two correlated scalar subqueries
+    * plus a correlated EXISTS in one statement, the TPC-H Q17 shape
+    * ("small-quantity" lineitems = rows whose quantity is below 1/5 of
+    * their part's average) restated in integer arithmetic so the
+    * threshold compare is exact in both engines (quantities are integral
+    * 1..50: `qty * 5 * cnt < sum_qty` instead of a float `0.2 * avg`).
+    *
+    * Scale: Catalyst does NOT execute correlated subqueries per row — it
+    * decorrelates. RewriteCorrelatedScalarSubquery turns each scalar into
+    * ONE aggregate over lineitem grouped by l_partkey joined back on the
+    * correlation key, and the EXISTS becomes a left-semi join on
+    * o_orderkey; the physical plan is three shuffles over key-pruned
+    * columns, no nested-loop anywhere (plan-asserted in the spec). The
+    * oracle runs the IDENTICAL SQL text on DuckDB (q27's one-template
+    * discipline), so engine parity is by construction. */
+  def q189SqlFor(li: String, pt: String, od: String): String =
+    s"""SELECT p.p_brand,
+       |       count(*) AS n_small,
+       |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       |         AS small_revenue
+       |FROM $li l JOIN $pt p ON l.l_partkey = p.p_partkey
+       |WHERE CAST(l.l_quantity AS BIGINT) * 5 *
+       |        (SELECT count(*) FROM $li l2
+       |         WHERE l2.l_partkey = l.l_partkey)
+       |      < (SELECT CAST(sum(CAST(l3.l_quantity AS BIGINT)) AS BIGINT)
+       |         FROM $li l3 WHERE l3.l_partkey = l.l_partkey)
+       |  AND EXISTS (SELECT 1 FROM $od o
+       |              WHERE o.o_orderkey = l.l_orderkey
+       |                AND o.o_orderstatus <> 'P')
+       |GROUP BY p.p_brand
+       |ORDER BY p.p_brand""".stripMargin
+
+  def q189CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "lineitem").createOrReplaceTempView("graft_q189_lineitem")
+    t(s, d, "part").createOrReplaceTempView("graft_q189_part")
+    t(s, d, "orders").createOrReplaceTempView("graft_q189_orders")
+    s.sql(q189SqlFor("graft_q189_lineitem", "graft_q189_part",
+      "graft_q189_orders"))
+  }
+
+  /** The hand-decorrelated DataFrame-API twin of q189 — what Catalyst's
+    * rewrite should produce. The spec pins SQL ≡ this form row-for-row. */
+  def q189DecorrelatedTwin(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity").cast("long") * 5 * col("cnt") < col("sum_qty"))
+      .join(t(s, d, "orders").filter(col("o_orderstatus") =!= "P")
+        .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        dsum(col("l_extendedprice")).as("small_revenue"))
+      .orderBy("p_brand")
+  }
+
+  // ---------------------------------------------------------------- q194
+  /** RECURSIVE CTE SURFACE — `WITH RECURSIVE` through spark.sql, the
+    * iteration primitive SQL users reach for before they ever see a
+    * DataFrame loop (Spark 4's UnionLoop execution; our GraphOps loops
+    * hand-roll the same shape with localCheckpoint). The walk follows
+    * each customer's order chain in date order, accumulating spend in
+    * DECIMAL(18,2) with an explicit re-CAST per step so the anchor and
+    * recursive arms keep ONE type (decimal addition widens precision,
+    * and a recursive union must not). The fixpoint provably equals the
+    * one-pass per-customer aggregate (chain end = all orders), which is
+    * what the spec pins — so the recursion's correctness is checked
+    * against closed form, and the oracle runs the IDENTICAL SQL text in
+    * DuckDB (q27/q189's one-template discipline).
+    *
+    * Scale: UnionLoop executes level-by-level; level k joins the
+    * previous level's survivors (customers with ≥k orders — a set that
+    * only SHRINKS) against the rn-indexed chain relation on (ck, rn) —
+    * key-only equi-joins, no growing state beyond the accumulated
+    * output. Depth is bounded by max orders per customer (25 at test
+    * SFs, well under spark.sql.cteRecursionLevelLimit's 100). */
+  def q194SqlFor(od: String): String =
+    s"""WITH RECURSIVE ch AS (
+       | SELECT o_custkey AS ck, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+       |  row_number() OVER (PARTITION BY o_custkey
+       |    ORDER BY o_orderdate, o_orderkey) AS rn
+       | FROM $od),
+       |walk AS (
+       | SELECT ck, rn, p AS cum FROM ch WHERE rn = 1
+       | UNION ALL
+       | SELECT c.ck, c.rn, CAST(w.cum + c.p AS DECIMAL(18,2)) AS cum
+       | FROM walk w JOIN ch c ON c.ck = w.ck AND c.rn = w.rn + 1)
+       |SELECT ck AS custkey, CAST(max(rn) AS BIGINT) AS chain_len,
+       | CAST(max(cum) AS DOUBLE) AS total_spend
+       |FROM walk GROUP BY ck ORDER BY custkey""".stripMargin
+
+  def q194RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("graft_q194_orders")
+    s.sql(q194SqlFor("graft_q194_orders"))
+  }
+
+  /** Closed form of the q194 fixpoint: the chain end accumulates every
+    * order, so the walk must land on the per-customer aggregate. */
+  def q194ClosedFormTwin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("chain_len"), dsum(col("o_totalprice")).as("total_spend"))
+      .orderBy("custkey")
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -636,7 +744,9 @@ object Relational {
     "q57_window_range" -> (q57WindowRange _),
     "q94_rank_features" -> (q94RankFeatures _),
     "q58_conditionals" -> (q58Conditionals _),
-    "q59_min_cost_supplier" -> (q59MinCostSupplier _))
+    "q59_min_cost_supplier" -> (q59MinCostSupplier _),
+    "q189_correlated_subquery" -> (q189CorrelatedSubquery _),
+    "q194_recursive_cte" -> (q194RecursiveCte _))
 
   private val topNPerGroupOracle: String =
     """SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS INT) AS rn FROM (
@@ -899,5 +1009,10 @@ object Relational {
         | count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin)
+        |ORDER BY user_id, session_seq""".stripMargin,
+    // the IDENTICAL SQL text both engines run (q27's one-template
+    // discipline) — DuckDB executes the correlated subqueries its own
+    // way; parity is in the integer-exact threshold arithmetic
+    "q189_correlated_subquery" -> q189SqlFor("lineitem", "part", "orders"),
+    "q194_recursive_cte" -> q194SqlFor("orders"))
 }

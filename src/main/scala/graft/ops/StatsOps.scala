@@ -68,6 +68,28 @@ object StatsOps {
       .na.fill(0L)
       .orderBy("o_orderpriority")
 
+  // ---------------------------------------------------------------- q192
+  /** UNPIVOT / MELT — q48's inverse, through Spark's NATIVE
+    * `Dataset.unpivot` (the wide→long reshape every metrics export and
+    * profiler needs; q92's profiler builds its long form by hand with a
+    * union, this is the built-in single-operator route). Unpivot is a
+    * zero-shuffle generator: each input row fans out to one row per value
+    * column in place, so the only shuffle here is the upstream 5-group
+    * aggregate. Value columns must share one type — all three metrics are
+    * exact-in-double (a count, a decimal-summed total cast once, a max),
+    * so the long `val` column stays engine-exact. */
+  def q192Unpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = t(s, d, "orders").groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("sum_price"),
+        max(col("o_totalprice")).as("max_price"))
+    wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("sum_price"), col("max_price")),
+        "metric", "val")
+      .orderBy("o_orderpriority", "metric")
+  }
+
   // ---------------------------------------------------------------- q49
   /** Generator / table function shape: explode tokens, global top-20. */
   def q49ExplodeTokens(s: SparkSession, d: String): DataFrame =
@@ -179,6 +201,56 @@ object StatsOps {
           .otherwise(expr(s"CAST(${(k - 1) * 4294967296L} AS BIGINT) div greatest(u32, CAST(1 AS BIGINT))")))
       .select("lang", "n_docs", "n_distinct", "kth_prefix", "est_distinct")
       .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------- q190
+  /** COUNT-MIN SKETCH — the frequency member of the sketch family (q141
+    * counts distincts, q166 quantiles, q110/q154 heavy hitters): a
+    * depth-4 × width-512 counter grid over the token stream, point
+    * queries read min over the 4 rows. The hash family is the q147
+    * derived-from-one-md5 discipline — hb = first 12 md5 hex digits of
+    * the token (48-bit), row j's bucket = (hb·(2j+1)+j) mod 2^48 mod 512
+    * — entirely integer/hex arithmetic both engines reproduce, so the
+    * sketch (and therefore its estimates) carries an EXACT oracle, where
+    * a native sketch's bytes would be rows-only.
+    *
+    * Scale: the counter build is ONE map-side-combinable aggregate onto
+    * a 2048-key domain (4 rows × 512 buckets) — the shuffle is
+    * domain-sized regardless of corpus size, and counters merge by
+    * addition (fully mergeable across shards/streams). Point queries
+    * join a 30-row key table against the broadcast 2048-row grid. The
+    * exact true counts ride along to EXPOSE the overestimate (CM error
+    * ≤ 2N/w with prob 1−2^-4) — that audit column is the only
+    * vocab-sized aggregate here; at 100 TB you'd drop it and keep the
+    * domain-bounded sketch half. */
+  def q190CountMinSketch(s: SparkSession, d: String,
+      depth: Int = 4, width: Int = 512, topK: Int = 30): DataFrame = {
+    val tk = graft.Transients.track(t(s, d, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("tok"),
+        expr("CAST(conv(substr(md5(CAST(tok AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
+          .as("hb"))
+      .localCheckpoint())
+    val counters = tk
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"), col("hb"))
+      .select(col("j"),
+        (((col("hb") * (col("j") * 2 + 1) + col("j")) % lit(1L << 48)) % width)
+          .as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+    val top = tk.groupBy("tok", "hb").agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("tok")).limit(topK)
+    top
+      .select(col("tok"), col("true_n"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"), col("hb"))
+      .select(col("tok"), col("true_n"), col("j"),
+        (((col("hb") * (col("j") * 2 + 1) + col("j")) % lit(1L << 48)) % width)
+          .as("bucket"))
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy("tok", "true_n").agg(min(col("cnt")).as("est_n"))
+      .select(col("tok"), col("true_n"), col("est_n"),
+        (col("est_n") - col("true_n")).as("over_n"))
+      .orderBy(col("true_n").desc, col("tok"))
   }
 
   // ---------------------------------------------------------------- q166
@@ -1182,6 +1254,7 @@ object StatsOps {
     "q172_rank_test" -> (q172RankTest _),
     "q157_ab_experiment" -> (q157AbExperiment _),
     "q141_kmv_distinct" -> ((s: SparkSession, d: String) => q141KmvSketch(s, d)),
+    "q190_countmin_freq" -> ((s: SparkSession, d: String) => q190CountMinSketch(s, d)),
     "q166_sketch_quantiles" -> ((s: SparkSession, d: String) => q166SketchQuantiles(s, d)),
     "q167_corr_matrix" -> (q167CorrMatrix _),
     "q129_column_entropy" -> (q129ColumnEntropy _),
@@ -1196,6 +1269,7 @@ object StatsOps {
     "q46_moments" -> (q46Moments _),
     "q47_collect_sorted" -> (q47CollectSorted _),
     "q48_pivot" -> (q48Pivot _),
+    "q192_unpivot" -> (q192Unpivot _),
     "q49_explode_tokens" -> (q49ExplodeTokens _),
     "q50_udaf_stats" -> (q50Udaf _),
     "q51_udf_rank" -> (q51Udf _),
@@ -1535,6 +1609,32 @@ object StatsOps {
         |  THEN (rate_a - rate_b) * (rate_a - rate_b) / den
         |    > 3.841458820694124 END AS significant
         |FROM z""".stripMargin,
+    // same derived hash family as the Spark side: hb from one md5, row
+    // buckets by integer arithmetic — the whole sketch is engine-exact
+    "q190_countmin_freq" ->
+      """WITH tk AS (
+        | SELECT tok, CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS hb
+        | FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+        |         '[ \t\n\x0B\f\r]+')) AS tok FROM documents)
+        | WHERE tok <> ''),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |counters AS (
+        | SELECT j, ((hb * (2*j + 1) + j) % 281474976710656) % 512 AS bucket,
+        |  count(*) AS cnt
+        | FROM tk CROSS JOIN js GROUP BY 1, 2),
+        |top AS (
+        | SELECT tok, hb, count(*) AS true_n FROM tk GROUP BY 1, 2
+        | ORDER BY true_n DESC, tok LIMIT 30),
+        |est AS (
+        | SELECT t.tok, t.true_n, min(c.cnt) AS est_n
+        | FROM top t CROSS JOIN js
+        | JOIN counters c ON c.j = js.j
+        |  AND c.bucket = ((t.hb * (2*js.j + 1) + js.j) % 281474976710656) % 512
+        | GROUP BY 1, 2)
+        |SELECT tok, CAST(true_n AS BIGINT) AS true_n,
+        | CAST(est_n AS BIGINT) AS est_n,
+        | CAST(est_n - true_n AS BIGINT) AS over_n
+        |FROM est ORDER BY true_n DESC, tok""".stripMargin,
     // u32 = first 8 hex digits of the k-th smallest hash, expanded digit
     // by digit (DuckDB has no hex->int cast); est is HUGEINT-exact //
     "q141_kmv_distinct" ->
@@ -1812,6 +1912,16 @@ object StatsOps {
         | count(*) FILTER (o_orderstatus = 'O') AS O,
         | count(*) FILTER (o_orderstatus = 'P') AS P
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q192_unpivot" ->
+      """WITH wide AS (
+        | SELECT o_orderpriority,
+        |  CAST(count(*) AS DOUBLE) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  max(o_totalprice) AS max_price
+        | FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, metric, val
+        |FROM wide UNPIVOT (val FOR metric IN (n_orders, sum_price, max_price))
+        |ORDER BY o_orderpriority, metric""".stripMargin,
     "q49_explode_tokens" ->
       """SELECT token, count(*) AS n FROM (
         | SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS token

@@ -705,6 +705,60 @@ object EventsStream {
       .orderBy("click_id")
   }
 
+  // ---------------------- q193: stream-stream FULL OUTER interval join
+  /** q193: the third face of the one interval-join contract (q63 inner,
+    * q158 left outer) — FULL outer, so the purchases with no click in the
+    * following hour surface too, as null-padded rows the moment the
+    * watermark evicts their state. That is the reconciliation shape: the
+    * left side answers "what did each click convert", the orphan side
+    * answers "what revenue has NO attributable click" — an attribution
+    * pipeline needs both, and only the full outer yields the second
+    * without a separate anti-join pass over history.
+    *
+    * Same watermark/sentinel discipline as q158 (watermark on the raw
+    * union BEFORE the type filters; typed far-future sentinels flush both
+    * sides' state). Post-drain, the rows split by which side is null:
+    * click groups aggregate exactly as q158; orphan purchases emit one
+    * row each (side='orphan_purchase', n=0, their own value). The batch
+    * oracle is the LEFT JOIN aggregate UNION ALL a NOT EXISTS over the
+    * mirrored window — exact. State size is identical to q63/q158: the
+    * outer flags change emission timing, never what is retained. */
+  def q193StreamFullOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val drained = withSentinelDrain(s, d, "q193",
+      sentinelTypes = Seq("click", "purchase")) { (drain, mk) =>
+      def side = mk()
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ets", "1 hour")
+      val clicks = side.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ets").as("c_ts"))
+      val purchases = side.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          cents(col("value")).as("p_cents"), col("ets").as("p_ts"))
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"),
+        "fullOuter")
+      val name = "graft_stream_fullouter"
+      drainNow(joined.writeStream.outputMode("append")
+        .format("memory").queryName(name))
+      drain.table(name)
+    }
+    val clickGroups = drained
+      .filter(col("click_id") >= 0) // sentinel clicks are not data
+      .groupBy(col("click_id"))
+      .agg(count(col("p_cents")).as("n_purch_1h"),
+        (sum(col("p_cents")) / 100.0).as("sum_value"))
+      .select(lit("click").as("side"), col("click_id").as("id"),
+        col("n_purch_1h"), col("sum_value"))
+    val orphanPurchases = drained
+      .filter(col("click_id").isNull && col("p_user") >= 0)
+      .select(lit("orphan_purchase").as("side"), col("p_id").as("id"),
+        lit(0L).as("n_purch_1h"), (col("p_cents") / 100.0).as("sum_value"))
+    clickGroups.unionAll(orphanPurchases).orderBy("side", "id")
+  }
+
   // ------------------------- q176: stateful streaming debounce (q138 twin)
   case class BounceEvent(event_id: Long, user_id: Long, event_type: String,
                          tus: Long, ts: java.sql.Timestamp)

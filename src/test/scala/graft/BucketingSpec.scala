@@ -81,4 +81,35 @@ class BucketingSpec extends AnyFunSuite {
       assert(empty.isEmpty)
     } finally manifest.unpersist()
   }
+
+  test("bloom file index: point reads prune files, no false negatives, absent key reads ~0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    // orderkey-clustered files: partkey point lookups CANNOT use min/max
+    Tables.load(spark, TestSpark.sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    val table = spark.read.parquet(dir)
+    val index = LayoutOps.bloomFileIndex(table, "l_partkey").cache()
+    try {
+      // probe three present keys: result must equal the full filter
+      val keys = table.select("l_partkey").distinct().orderBy("l_partkey")
+        .limit(3).collect().map(_.getLong(0))
+      keys.foreach { k =>
+        val (res, picked, total) =
+          LayoutOps.bloomPrunedRead(spark, dir, index, "l_partkey", k)
+        val direct = table.filter(col("l_partkey") === k)
+        assert(res.exceptAll(direct).isEmpty && direct.exceptAll(res).isEmpty,
+          s"key $k: bloom read diverged from the full filter")
+        assert(picked >= 1L && picked <= total)
+      }
+      // an absent key must touch (almost) nothing — fp-rate-bounded
+      val maxK = table.agg(max("l_partkey")).head.getLong(0)
+      val (resA, pickedA, totalA) =
+        LayoutOps.bloomPrunedRead(spark, dir, index, "l_partkey", maxK + 12345)
+      assert(resA.isEmpty)
+      assert(pickedA < totalA, "absent key pruned nothing — bloom saturated")
+    } finally index.unpersist()
+  }
 }

@@ -364,4 +364,31 @@ class GraphOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("FullOuter"), "teleport must not full-outer join")
   }
+
+  test("k-core peel certificates match a driver-side synchronous peel") {
+    val k = 32
+    val raw = GraphOps.cachedCoOrderEdges(spark, TestSpark.sf)
+      .select("u", "v").as[(Long, Long)].collect().toSeq
+    def certOf(round: Int, es: Seq[(Long, Long)]) = {
+      val ns = (es.map(_._1) ++ es.map(_._2)).distinct
+      (round, ns.size.toLong, es.size.toLong, ns.min, ns.max, ns.sum)
+    }
+    var es = raw
+    val expect = scala.collection.mutable.ArrayBuffer(certOf(0, es))
+    for (r <- 1 to 3) {
+      val deg = (es.map(_._1) ++ es.map(_._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      es = es.filter { case (u, v) => keep(u) && keep(v) }
+      expect += certOf(r, es)
+    }
+    val got = GraphOps.q191KcorePeel(spark, TestSpark.sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expect.toSeq)
+    // the peel is monotone: nodes and edges never grow round-over-round
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, "peel must shrink monotonically")
+    }
+  }
 }

@@ -123,4 +123,25 @@ class RelationalSpec extends AnyFunSuite {
     val s2 = ops.TextOps.q96GroupSample(spark, TestSpark.sf).collect()
     assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
   }
+
+  test("q189 correlated subqueries decorrelate: SQL ≡ hand-decorrelated twin, no nested loop") {
+    val sql = ops.Relational.q189CorrelatedSubquery(spark, TestSpark.sf)
+    val twin = ops.Relational.q189DecorrelatedTwin(spark, TestSpark.sf)
+    assert(sql.collect().map(_.toSeq).toSeq === twin.collect().map(_.toSeq).toSeq)
+    // Catalyst must rewrite the correlated scalars + EXISTS into joins —
+    // a nested-loop or cartesian anywhere means decorrelation failed
+    val plan = sql.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the EXISTS must surface as a semi join, the scalars as aggregates
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("q194 recursive CTE walk lands on the closed-form per-customer aggregate") {
+    val rec = ops.Relational.q194RecursiveCte(spark, TestSpark.sf)
+    val twin = ops.Relational.q194ClosedFormTwin(spark, TestSpark.sf)
+    assert(rec.collect().map(_.toSeq).toSeq === twin.collect().map(_.toSeq).toSeq)
+    // the plan really is the recursive loop operator, not an expansion
+    val plan = rec.queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"), plan)
+  }
 }

@@ -619,4 +619,52 @@ class StatsOpsSpec extends AnyFunSuite {
         best._1, best._2)), s"pair ($a, $b)")
     }
   }
+
+  test("q190 count-min: never underestimates; grid and estimates match a driver brute force") {
+    val out = StatsOps.q190CountMinSketch(spark, sf).collect()
+    assert(out.length === 30)
+    assert(out.forall(_.getAs[Long]("over_n") >= 0L), "CM must overestimate only")
+    // driver brute force from raw tokens: same md5-derived family
+    val toks = Tables.load(spark, sf, "documents")
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "").as[String].collect()
+    def hb(t: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dig.take(6).map("%02x".format(_)).mkString, 16)
+    }
+    val counters = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      .withDefaultValue(0L)
+    toks.foreach { t =>
+      val h = hb(t)
+      for (j <- 0 until 4)
+        counters((j, ((h * (2 * j + 1) + j) % (1L << 48)) % 512)) += 1L
+    }
+    val trueN = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val top = trueN.toSeq.sortBy { case (t, n) => (-n, t) }.take(30)
+    val expect = top.map { case (t, n) =>
+      val h = hb(t)
+      val est = (0 until 4)
+        .map(j => counters((j, ((h * (2 * j + 1) + j) % (1L << 48)) % 512))).min
+      (t, n, est, est - n)
+    }
+    val got = out.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect)
+  }
+
+  test("q192 unpivot: 3 rows per group, values equal the wide aggregate") {
+    val long = StatsOps.q192Unpivot(spark, sf).collect()
+    val wide = Tables.load(spark, sf, "orders").groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .collect()
+      .map(r => r.getString(0) -> Map(
+        "n_orders" -> r.getDouble(1), "sum_price" -> r.getDouble(2),
+        "max_price" -> r.getDouble(3))).toMap
+    assert(long.length === wide.size * 3)
+    long.foreach { r =>
+      assert(r.getDouble(2) === wide(r.getString(0))(r.getString(1)))
+    }
+  }
 }

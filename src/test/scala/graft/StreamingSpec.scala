@@ -238,6 +238,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("stream-stream FULL OUTER join flushes both unmatched sides and equals the batch twin") {
+    import org.apache.spark.sql.types.DecimalType
+    val streamed = EventsStream.q193StreamFullOuterJoin(spark, TestSpark.sf).collect()
+    val e = Tables.load(spark, TestSpark.sf, "events")
+      .withColumn("tus", expr("ts div 1000"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("tus").as("ct"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("pu"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+        col("tus").as("pt"))
+    val clickSide = c.join(p, col("cu") === col("pu") &&
+        col("pt") >= col("ct") - 3600000000L && col("pt") <= col("ct"), "left")
+      .groupBy("click_id")
+      .agg(count(col("cents")).as("n"), (sum("cents") / 100.0).as("sv"))
+      .select(lit("click").as("side"), col("click_id").as("id"), col("n"), col("sv"))
+    val orphanSide = p.join(c, col("cu") === col("pu") &&
+        col("ct") >= col("pt") && col("ct") <= col("pt") + 3600000000L, "left_anti")
+      .select(lit("orphan_purchase").as("side"), col("p_id").as("id"),
+        lit(0L).as("n"), (col("cents") / 100.0).as("sv"))
+    val batch = clickSide.unionAll(orphanSide).orderBy("side", "id").collect()
+    // both outer faces are really exercised at this SF
+    assert(streamed.exists(r => r.getString(0) == "click" && r.getLong(2) == 0L),
+      "no unmatched click emitted")
+    assert(streamed.exists(_.getString(0) == "orphan_purchase"),
+      "no orphan purchase emitted")
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("streaming dedup collapses double delivery to the batch aggregate") {
     val streamed = graft.streaming.EventsStream.q71StreamDedup(spark, TestSpark.sf)
       .collect().map(_.toSeq)
