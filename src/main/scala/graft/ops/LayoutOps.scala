@@ -94,6 +94,78 @@ object LayoutOps {
       .orderBy("zbin")
   }
 
+  // ---------------------------------------------------------------- q196
+  /** HILBERT-CURVE layout key — q88's z-order sibling with strictly
+    * better locality: consecutive Hilbert positions are ALWAYS grid
+    * neighbors (Manhattan distance 1, spec-proved exhaustively at order
+    * 5), where the z-curve jumps across the domain at quadrant seams, so
+    * equal-width Hilbert bins give tighter per-file footer ranges on both
+    * dimensions. The classic iterative xy2d transform (Hilbert 1891;
+    * the bit-twiddling form popularized by Warren's Hacker's Delight) is
+    * 10 unrolled rotate/flip steps of pure integer CASE arithmetic; each
+    * step's (x, y, d) expressions come from ONE generator
+    * ([[hilbertStepExprs]]) printed both as selectExpr strings for the
+    * engine and CTE text for the DuckDB oracle — the q88 never-drift
+    * discipline. Each step is its own projection so Catalyst keeps the
+    * expression tree linear (a single nested expression would blow up
+    * exponentially through the conditional swaps).
+    *
+    * Scale: identical to q88 — the walk is map-side codegen'd integer
+    * ops, the only shuffle is the 64-group bin aggregate, and the real
+    * rewrite is repartitionByRange on the SAME key. */
+  private[graft] val hilbertSteps: Seq[Int] =
+    Seq(512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+
+  /** One xy2d step at scale `s`, as SQL text over columns x, y, d —
+    * simultaneous assignment: all three read the CURRENT x/y/d. */
+  private[graft] def hilbertStepExprs(s: Int): (String, String, String) = {
+    val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+    // d quadrant weight: (3*rx) XOR ry, spelled arithmetically so no
+    // engine-specific xor operator is needed
+    val quad = s"(CASE $rx * 2 + $ry WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 2 END)"
+    val xf = s"(CASE WHEN $ry = 0 AND $rx = 1 THEN ${s - 1} - x ELSE x END)"
+    val yf = s"(CASE WHEN $ry = 0 AND $rx = 1 THEN ${s - 1} - y ELSE y END)"
+    (s"(CASE WHEN $ry = 0 THEN $yf ELSE $xf END)",
+      s"(CASE WHEN $ry = 0 THEN $xf ELSE $yf END)",
+      s"(d + CAST(${s.toLong * s} AS BIGINT) * $quad)")
+  }
+
+  /** Fold the unrolled walk over a frame with BIGINT x, y columns in
+    * [0, 2^bits); adds Hilbert position d, preserving `keep` columns. */
+  private[graft] def hilbertWalk(df: DataFrame, keep: Seq[String],
+      steps: Seq[Int]): DataFrame =
+    steps.foldLeft(df.selectExpr((keep ++ Seq("x", "y", "CAST(0 AS BIGINT) AS d")): _*)) {
+      (acc, s) =>
+        val (xe, ye, de) = hilbertStepExprs(s)
+        acc.selectExpr((keep ++ Seq(s"$xe AS x", s"$ye AS y", s"$de AS d")): _*)
+    }
+
+  def q196HilbertLayout(s: SparkSession, d: String, bins: Int = 64): DataFrame = {
+    val width = (1L << 20) / bins
+    val base = t(s, d, "part")
+      .select(col("p_size"),
+        (floor(col("p_retailprice") * 10).cast("long") - 9000).as("price_i"))
+      .withColumn("x", (col("p_size") * 20).cast("long"))
+      .withColumn("y", col("price_i"))
+    hilbertWalk(base, Seq("p_size", "price_i"), hilbertSteps)
+      .groupBy((col("d") / width).cast("long").as("hbin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("p_size").as("min_size"), max("p_size").as("max_size"),
+        min("price_i").as("min_price"), max("price_i").as("max_price"))
+      .orderBy("hbin")
+  }
+
+  /** The identical walk as DuckDB CTE text (for the q196 oracle). */
+  private def duckHilbertWalk: String = {
+    val head = "h0 AS (SELECT p_size, price_i, x, y, CAST(0 AS BIGINT) AS d FROM base)"
+    val steps = hilbertSteps.zipWithIndex.map { case (sc, i) =>
+      val (xe, ye, de) = hilbertStepExprs(sc)
+      s"h${i + 1} AS (SELECT p_size, price_i, $xe AS x, $ye AS y, $de AS d FROM h$i)"
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   // ---------------------------------------------------------------- q92
   /** COLUMN PROFILER — the per-column stats pass (null count, exact
     * distinct count, min/max) over `orders`, shaped as ONE unpivot + ONE
@@ -486,6 +558,7 @@ object LayoutOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q195_bloom_index" -> ((s: SparkSession, d: String) => q195BloomIndex(s, d)),
+    "q196_hilbert_layout" -> ((s: SparkSession, d: String) => q196HilbertLayout(s, d)),
     "q168_skew_audit" -> ((s: SparkSession, d: String) => q168SkewAudit(s, d)),
     "q88_zorder_layout" -> ((s: SparkSession, d: String) => q88ZorderLayout(s, d)),
     "q92_column_profile" -> (q92ColumnProfile _),
@@ -533,6 +606,21 @@ object LayoutOps {
         |   AS BIGINT) AS n_false_pos
         |FROM probes p LEFT JOIN h USING (probe_pk) LEFT JOIN tr USING (probe_pk)
         |ORDER BY probe_pk""".stripMargin,
+    // the identical unrolled walk, generated from the same step table —
+    // the two engines can never drift (q88's discipline)
+    "q196_hilbert_layout" ->
+      s"""WITH base AS (
+         | SELECT p_size,
+         |  CAST(floor(p_retailprice * 10) AS BIGINT) - 9000 AS price_i,
+         |  CAST(p_size * 20 AS BIGINT) AS x,
+         |  CAST(floor(p_retailprice * 10) AS BIGINT) - 9000 AS y
+         | FROM part),
+         |$duckHilbertWalk
+         |SELECT CAST(d // ${(1L << 20) / 64} AS BIGINT) AS hbin,
+         | count(*) AS n_rows,
+         | min(p_size) AS min_size, max(p_size) AS max_size,
+         | min(price_i) AS min_price, max(price_i) AS max_price
+         |FROM h${hilbertSteps.length} GROUP BY 1 ORDER BY 1""".stripMargin,
     // window rank over per-key counts ≡ the engine's bounded-heap top-k;
     // all ratios are integer basis points
     "q168_skew_audit" -> {

@@ -782,4 +782,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
     assert(got.keySet === vecs.map(_._2).toSet)
   }
+
+  test("sorted-neighborhood pairs equal a single-window replay and respect the n·w bound") {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val sf = TestSpark.sf
+    val got = DedupOps.q197SortedNeighborhood(spark, sf).collect().map(_.toSeq)
+    // replay with ONE plain global window (the spelling bandedRank must equal)
+    val keyed = Tables.load(spark, sf, "documents").select(col("doc_id"),
+      regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ").as("norm"),
+      DedupOps.shingles(col("text")).as("toks"))
+      .withColumn("rn", row_number().over(Window.orderBy("norm", "doc_id")).cast("long"))
+    val probes = keyed
+      .select(col("doc_id").as("doc_a"), col("toks").as("sh_a"), col("rn"),
+        explode(sequence(lit(1), lit(4))).as("dist"))
+      .select(col("doc_a"), col("sh_a"), col("dist"), (col("rn") + col("dist")).as("rn2"))
+    val expect = probes
+      .join(keyed.select(col("doc_id").as("doc_b"), col("toks").as("sh_b"),
+        col("rn").as("rn2")), "rn2")
+      .select(col("doc_a"), col("doc_b"), col("dist"),
+        round(call_function("graft_jaccard_sorted", col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq === expect.toSeq)
+    // the candidate basis is exactly bounded: n·w pairs before verification
+    val n = keyed.count()
+    assert(got.length <= n * 4)
+  }
 }

@@ -10,6 +10,57 @@ import graft.ops.LayoutOps
 class LayoutOpsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
+  test("hilbert order-5 curve: exhaustive bijection and unit-step adjacency") {
+    import spark.implicits._
+    val n = 32
+    val grid = (0 until n).flatMap(x => (0 until n).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y").selectExpr("x AS ox", "y AS oy", "x", "y")
+    val walked = LayoutOps.hilbertWalk(grid, Seq("ox", "oy"),
+      Seq(16, 8, 4, 2, 1))
+      .select("ox", "oy", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bijection onto [0, 1024)
+    assert(walked.map(_._3).distinct.length === n * n)
+    assert(walked.map(_._3).min === 0L && walked.map(_._3).max === (n * n - 1L))
+    // THE Hilbert property: consecutive positions are grid neighbors —
+    // this is what the z-curve lacks (its quadrant seams jump)
+    walked.sortBy(_._3).sliding(2).foreach { case Array(a, b) =>
+      assert(math.abs(a._1 - b._1) + math.abs(a._2 - b._2) === 1L,
+        s"non-adjacent step at d=${a._3}: ($a) -> ($b)")
+    }
+  }
+
+  test("hilbert order-10 walk matches a driver-side xy2d reference on part rows") {
+    def xy2d(order: Int, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = order / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val base = Tables.load(spark, TestSpark.sf, "part")
+      .select(col("p_partkey"),
+        (col("p_size") * 20).cast("long").as("x"),
+        (floor(col("p_retailprice") * 10).cast("long") - 9000).as("y"))
+      .selectExpr("p_partkey", "x AS xin", "y AS yin", "x", "y")
+    val walked = LayoutOps.hilbertWalk(base, Seq("p_partkey", "xin", "yin"),
+      LayoutOps.hilbertSteps)
+      .select("xin", "yin", "d").collect()
+    assert(walked.nonEmpty)
+    walked.foreach { r =>
+      assert(r.getLong(2) === xy2d(1024, r.getLong(0), r.getLong(1)),
+        s"mismatch at (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("z-order bins are tight on BOTH dimensions (the file-skipping claim)") {
     val bins = LayoutOps.q88ZorderLayout(spark, TestSpark.sf).collect()
     assert(bins.length > 1)
