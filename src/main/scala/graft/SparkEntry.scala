@@ -51,7 +51,9 @@ object SparkEntry {
         "q187_stream_session_window" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q187StreamSessionWindow(s, d)),
         "q193_stream_full_outer_join" ->
-          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q193StreamFullOuterJoin(s, d)))
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q193StreamFullOuterJoin(s, d)),
+        "q199_stream_countmin" ->
+          ((s: SparkSession, d: String) => graft.streaming.DocsStream.q199StreamCountMin(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -157,5 +159,12 @@ object SparkEntry {
             |FROM p WHERE NOT EXISTS (SELECT 1 FROM c
             |  WHERE c.user_id = p.user_id
             |    AND c.tus >= p.tus AND c.tus <= p.tus + 3600000000)
-            |ORDER BY side, id""".stripMargin)
+            |ORDER BY side, id""".stripMargin,
+        // additive counters merge across micro-batches exactly as across
+        // partitions — the stream twin shares q190's counter-grid fragment
+        "q199_stream_countmin" ->
+          s"""WITH ${StatsOps.duckCmCounters}
+             |SELECT j, CAST(bucket AS BIGINT) AS bucket,
+             | CAST(cnt AS BIGINT) AS cnt
+             |FROM counters ORDER BY j, bucket""".stripMargin)
 }

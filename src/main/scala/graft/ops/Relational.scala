@@ -708,6 +708,38 @@ object Relational {
       .agg(count(lit(1)).as("chain_len"), dsum(col("o_totalprice")).as("total_spend"))
       .orderBy("custkey")
 
+  // ---------------------------------------------------------------- q198
+  /** LATERAL JOIN SURFACE — the correlated table-subquery member of the
+    * SQL family (q189 covers scalar/EXISTS correlation, q194 recursion):
+    * for each region, the top-2 nations by customer count via a LATERAL
+    * subquery carrying its own aggregate, ORDER BY and LIMIT — the
+    * "top-N per outer row" idiom every reporting layer writes. Catalyst
+    * decorrelates the lateral into a window-ranked join (no per-row
+    * re-execution); the deterministic (count, name) tiebreak keeps the
+    * LIMIT exact, and the oracle runs the IDENTICAL SQL text in DuckDB.
+    *
+    * Scale: the outer side is catalog-sized here, but the decorrelated
+    * plan is the same rank-filter shape as q22/q54 — per-group top-N
+    * without re-running the inner query per outer row. */
+  def q198SqlFor(rg: String, nt: String, ct: String): String =
+    s"""SELECT r.r_name, t.n_name, t.n_cust
+       |FROM $rg r, LATERAL (
+       |  SELECT n.n_name, count(c.c_custkey) AS n_cust
+       |  FROM $nt n LEFT JOIN $ct c ON c.c_nationkey = n.n_nationkey
+       |  WHERE n.n_regionkey = r.r_regionkey
+       |  GROUP BY n.n_name
+       |  ORDER BY n_cust DESC, n.n_name
+       |  LIMIT 2) t
+       |ORDER BY r.r_name, t.n_cust DESC, t.n_name""".stripMargin
+
+  def q198LateralJoin(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "region").createOrReplaceTempView("graft_q198_region")
+    t(s, d, "nation").createOrReplaceTempView("graft_q198_nation")
+    t(s, d, "customer").createOrReplaceTempView("graft_q198_customer")
+    s.sql(q198SqlFor("graft_q198_region", "graft_q198_nation",
+      "graft_q198_customer"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -746,7 +778,8 @@ object Relational {
     "q58_conditionals" -> (q58Conditionals _),
     "q59_min_cost_supplier" -> (q59MinCostSupplier _),
     "q189_correlated_subquery" -> (q189CorrelatedSubquery _),
-    "q194_recursive_cte" -> (q194RecursiveCte _))
+    "q194_recursive_cte" -> (q194RecursiveCte _),
+    "q198_lateral_join" -> (q198LateralJoin _))
 
   private val topNPerGroupOracle: String =
     """SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS INT) AS rn FROM (
@@ -1014,5 +1047,6 @@ object Relational {
     // discipline) — DuckDB executes the correlated subqueries its own
     // way; parity is in the integer-exact threshold arithmetic
     "q189_correlated_subquery" -> q189SqlFor("lineitem", "part", "orders"),
-    "q194_recursive_cte" -> q194SqlFor("orders"))
+    "q194_recursive_cte" -> q194SqlFor("orders"),
+    "q198_lateral_join" -> q198SqlFor("region", "nation", "customer"))
 }

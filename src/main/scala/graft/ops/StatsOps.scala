@@ -253,6 +253,20 @@ object StatsOps {
       .orderBy(col("true_n").desc, col("tok"))
   }
 
+  /** Shared oracle fragment: the count-min counter grid (q190's build,
+    * also the q199 stream twin's entire output). */
+  private[graft] val duckCmCounters: String =
+    """tk AS (
+      | SELECT tok, CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS hb
+      | FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+      |         '[ \t\n\x0B\f\r]+')) AS tok FROM documents)
+      | WHERE tok <> ''),
+      |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+      |counters AS (
+      | SELECT j, ((hb * (2*j + 1) + j) % 281474976710656) % 512 AS bucket,
+      |  count(*) AS cnt
+      | FROM tk CROSS JOIN js GROUP BY 1, 2)""".stripMargin
+
   // ---------------------------------------------------------------- q166
   /** MERGEABLE QUANTILE SKETCH — the quantile member of the q141/q147
     * sketch family: a bottom-k-by-content-hash sample per group is a
@@ -1612,16 +1626,7 @@ object StatsOps {
     // same derived hash family as the Spark side: hb from one md5, row
     // buckets by integer arithmetic — the whole sketch is engine-exact
     "q190_countmin_freq" ->
-      """WITH tk AS (
-        | SELECT tok, CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS hb
-        | FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
-        |         '[ \t\n\x0B\f\r]+')) AS tok FROM documents)
-        | WHERE tok <> ''),
-        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
-        |counters AS (
-        | SELECT j, ((hb * (2*j + 1) + j) % 281474976710656) % 512 AS bucket,
-        |  count(*) AS cnt
-        | FROM tk CROSS JOIN js GROUP BY 1, 2),
+      s"""WITH $duckCmCounters,
         |top AS (
         | SELECT tok, hb, count(*) AS true_n FROM tk GROUP BY 1, 2
         | ORDER BY true_n DESC, tok LIMIT 30),

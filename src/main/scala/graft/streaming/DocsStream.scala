@@ -124,4 +124,39 @@ object DocsStream {
           catch { case _: Throwable => () })
     }
   }
+
+  // --------------------------------------------- q199: streaming count-min
+  /** q199: q190's COUNT-MIN counter grid maintained as a STREAM — the
+    * simplest possible streaming sketch, and deliberately so: because
+    * count-min counters are ADDITIVE over a fixed 4×512 key domain, the
+    * stream needs no custom state machine at all, just a streaming
+    * groupBy over (row, bucket) in complete mode. State is 2048 counters
+    * FOREVER, regardless of corpus size — contrast q154, whose
+    * Misra-Gries fold needs flatMapGroupsWithState precisely because its
+    * per-key content is a bounded-size SET, not a grid cell. Counters
+    * merge by addition across batches exactly as they merge across
+    * partitions in the batch build, so the drained grid must be
+    * bit-identical to q190's — the stream shares the batch counter
+    * oracle ([[StatsOps.duckCmCounters]]). */
+  def q199StreamCountMin(s: SparkSession, d: String,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    val name = "graft_stream_countmin"
+    EventsStream.withDrainSession(s) { drain =>
+      val counters = drain.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(expr(
+          "CAST(conv(substr(md5(CAST(tok AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
+          .as("hb"))
+        .select(explode(sequence(lit(0), lit(depth - 1))).as("j"), col("hb"))
+        .select(col("j"),
+          (((col("hb") * (col("j") * 2 + 1) + col("j")) % lit(1L << 48)) % width)
+            .as("bucket"))
+        .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+      EventsStream.drainNow(counters.writeStream.outputMode("complete")
+        .format("memory").queryName(name))
+      drain.table(name)
+    }.orderBy("j", "bucket")
+  }
 }

@@ -136,6 +136,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("q198 lateral join equals the window-ranked top-2-per-region twin") {
+    import org.apache.spark.sql.expressions.Window
+    val got = ops.Relational.q198LateralJoin(spark, TestSpark.sf).collect().map(_.toSeq)
+    val perNation = Tables.load(spark, TestSpark.sf, "nation")
+      .join(Tables.load(spark, TestSpark.sf, "customer"),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy("n_regionkey", "n_name")
+      .agg(count(col("c_custkey")).as("n_cust"))
+    val w = Window.partitionBy("n_regionkey")
+      .orderBy(col("n_cust").desc, col("n_name"))
+    val twin = perNation.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .join(Tables.load(spark, TestSpark.sf, "region"),
+        col("r_regionkey") === col("n_regionkey"))
+      .select(col("r_name"), col("n_name"), col("n_cust"))
+      .orderBy(col("r_name"), col("n_cust").desc, col("n_name"))
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq === twin.toSeq)
+  }
+
   test("q194 recursive CTE walk lands on the closed-form per-customer aggregate") {
     val rec = ops.Relational.q194RecursiveCte(spark, TestSpark.sf)
     val twin = ops.Relational.q194ClosedFormTwin(spark, TestSpark.sf)

@@ -267,6 +267,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("streaming count-min counter grid is bit-identical to the batch build") {
+    val stream = graft.streaming.DocsStream.q199StreamCountMin(spark, TestSpark.sf)
+      .collect().map(_.toSeq)
+    val batch = Tables.load(spark, TestSpark.sf, "documents")
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(expr(
+        "CAST(conv(substr(md5(CAST(tok AS BINARY)), 1, 12), 16, 10) AS BIGINT)").as("hb"))
+      .select(explode(sequence(lit(0), lit(3))).as("j"), col("hb"))
+      .select(col("j"),
+        (((col("hb") * (col("j") * 2 + 1) + col("j")) % lit(1L << 48)) % 512).as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("j", "bucket").collect().map(_.toSeq)
+    assert(stream.nonEmpty && stream.toSeq === batch.toSeq)
+  }
+
   test("streaming dedup collapses double delivery to the batch aggregate") {
     val streamed = graft.streaming.EventsStream.q71StreamDedup(spark, TestSpark.sf)
       .collect().map(_.toSeq)
