@@ -12,8 +12,13 @@ import graft.Tables
   * little-endian headers, bottom-up BGR rows, 4-byte row padding), built
   * deterministically from the document's metadata, and [[decodeBmp24]] is an
   * actual format decoder (magic/header validation, stride arithmetic,
-  * per-channel pixel sums). The audio path keeps a declared STUB kernel
-  * (`decodeStub` — no PCM codec in this container). Everything around the
+  * per-channel pixel sums). The AUDIO path is REAL too: audio rows carry a
+  * valid RIFF/WAVE 16-bit PCM file and [[decodeWavPcm16]] is an actual
+  * chunk-walking parser (unknown chunks skipped, PCM fields validated,
+  * interleaved int16 fold) — no declared stubs remain in the decode
+  * kernels; `decodeStub`/`resizeStub` survive only as the generic
+  * byte-space stand-ins for codecs this container lacks (JPEG, H.264),
+  * exercising the plumbing shape. Everything around the
   * kernels is real Spark plumbing and is what matters at scale: binary
   * columns travel in parquet row groups, the decode stage is a typed
   * mapPartitions (the Scala analogue of mapInPandas: one executor call per
@@ -102,6 +107,106 @@ object MultimodalOps {
     (w, h, w.toLong * h, sb, sg, sr)
   }
 
+  // ------------------------------------------------------------- WAV codec
+  /** Encode a REAL 16-bit PCM WAV: RIFF container ("RIFF" size "WAVE"),
+    * canonical 16-byte "fmt " chunk (PCM tag 1), "data" chunk with
+    * little-endian interleaved int16 frames. `sample(ch, i)` returns the
+    * i-th sample of channel ch in [-32768, 32767]. */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, nSamples: Int,
+      sample: (Int, Int) => Int): Array[Byte] = {
+    require(channels > 0 && nSamples > 0, s"invalid WAV shape $channels ch x $nSamples")
+    val dataSize = 2 * channels * nSamples
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      var ch = 0
+      while (ch < channels) { buf.putShort(sample(ch, i).toShort); ch += 1 }
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** REAL WAV decoder — validates the RIFF/WAVE magic and the PCM format
+    * fields, then WALKS THE CHUNK LIST generically (skipping unknown
+    * chunks, honoring the odd-size pad byte RIFF mandates) to find fmt
+    * and data — so a file with an extra LIST/INFO chunk still decodes,
+    * and anything that is not 16-bit PCM fails loudly. Returns
+    * (sampleRate, channels, nSamples, sum of channel 0, sum over all
+    * channels) — integer-exact fold of the raster, the audio analogue of
+    * [[decodeBmp24]]'s channel sums. */
+  def decodeWavPcm16(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    require(bytes.length >= 44 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE",
+      s"not a RIFF/WAVE file (len=${bytes.length})")
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val riffSize = buf.getInt(4)
+    require(riffSize + 8 == bytes.length,
+      s"truncated RIFF (declared ${riffSize + 8}, actual ${bytes.length})")
+    var pos = 12
+    var sampleRate = -1; var channels = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val size = buf.getInt(pos + 4)
+      require(size >= 0 && pos + 8 + size <= bytes.length,
+        s"chunk '$id' overruns the file (size=$size at $pos)")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too small ($size)")
+          val tag = buf.getShort(pos + 8)
+          channels = buf.getShort(pos + 10)
+          sampleRate = buf.getInt(pos + 12)
+          val bits = buf.getShort(pos + 22)
+          require(tag == 1 && bits == 16,
+            s"unsupported WAV variant (tag=$tag bits=$bits)")
+        case "data" => dataOff = pos + 8; dataLen = size
+        case _ => () // unknown chunk: skip (LIST, INFO, fact, ...)
+      }
+      pos += 8 + size + (size % 2) // RIFF pads odd chunks to even
+    }
+    require(channels > 0 && sampleRate > 0, "missing fmt chunk")
+    require(dataOff >= 0, "missing data chunk")
+    require(dataLen % (2 * channels) == 0,
+      s"data size $dataLen not a whole number of $channels-channel frames")
+    val nSamples = dataLen / (2 * channels)
+    var sum0 = 0L; var sumAll = 0L
+    var i = 0
+    while (i < nSamples) {
+      var ch = 0
+      while (ch < channels) {
+        val v = buf.getShort(dataOff + 2 * (i * channels + ch)).toLong
+        if (ch == 0) sum0 += v
+        sumAll += v
+        ch += 1
+      }
+      i += 1
+    }
+    (sampleRate, channels, nSamples.toLong, sum0, sumAll)
+  }
+
+  /** The deterministic audio each document carries: 16 kHz PCM16, mono or
+    * stereo by doc_id parity, samples from an integer recurrence over
+    * (doc_id, channel, index, n_chars) — closed-form recomputable in SQL,
+    * so a decoder bug in chunk walking, interleave order, or sign
+    * extension breaks the oracle. */
+  private[graft] def docWavShape(docId: Long): (Int, Int) =
+    (((docId % 8) * 64 + 64).toInt, (docId % 2 + 1).toInt) // (nSamples, channels)
+
+  private[graft] def makeDocWav(docId: Long, nChars: Long): Array[Byte] = {
+    val (ns, nch) = docWavShape(docId)
+    encodeWavPcm16(16000, nch, ns, (ch, i) =>
+      (((docId * 31 + ch * 17 + i.toLong * 7 + nChars) % 65536) - 32768).toInt)
+  }
+
   /** The deterministic image each document carries: a small two-tone BMP
     * whose dims derive from doc_id and tones from n_chars. Channels are
     * OFFSET from each other (+85/+170 mod 256) so a BGR-vs-RGB misread or a
@@ -120,11 +225,13 @@ object MultimodalOps {
   }
 
   /** Build a media table from `documents`: image rows carry a REAL BMP blob
-    * (see [[makeDocBmp]] — metadata width/height are the actual raster dims);
-    * audio/video rows carry the text bytes as an opaque stand-in blob.
-    * media_type assigned round-robin. */
+    * (see [[makeDocBmp]] — metadata width/height are the actual raster
+    * dims); audio rows carry a REAL PCM16 WAV (see [[makeDocWav]] —
+    * width = sample count, height = channel count); video rows carry the
+    * text bytes as an opaque stand-in blob. media_type round-robin. */
   def mediaTable(s: SparkSession, d: String): DataFrame = {
     val bmpUdf = udf((docId: Long, nChars: Long) => makeDocBmp(docId, nChars))
+    val wavUdf = udf((docId: Long, nChars: Long) => makeDocWav(docId, nChars))
     Tables.load(s, d, "documents").select(
       col("doc_id"),
       when(pmod(col("doc_id"), lit(3)) === 0, lit("image"))
@@ -132,12 +239,15 @@ object MultimodalOps {
         .otherwise(lit("video")).as("media_type"),
       when(pmod(col("doc_id"), lit(3)) === 0,
         bmpUdf(col("doc_id"), col("n_chars")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          wavUdf(col("doc_id"), col("n_chars")))
         .otherwise(encode(col("text"), "UTF-8")).as("content"),
       when(pmod(col("doc_id"), lit(3)) === 0,
         (pmod(col("doc_id"), lit(8)) * 4 + 4))
         .otherwise(pmod(col("doc_id"), lit(8)) * 64 + 64).cast("int").as("width"),
       when(pmod(col("doc_id"), lit(3)) === 0,
         (pmod(col("doc_id"), lit(4)) * 4 + 4))
+        .when(pmod(col("doc_id"), lit(3)) === 1, pmod(col("doc_id"), lit(2)) + 1)
         .otherwise(pmod(col("doc_id"), lit(4)) * 64 + 64).cast("int").as("height"))
   }
 
@@ -220,9 +330,8 @@ object MultimodalOps {
     * (doc_id, n_chars), so DuckDB recomputes the expected dims, byte size
     * (54 + padded-stride × h) and channel sums in closed form — if the
     * decoder misreads dims, padding, channel order, or the pixel offset,
-    * the roundtrip breaks and the hash fails. This upgrades the r5-declared
-    * stub: the decode is now a real parser of a real format; only the audio
-    * PCM kernel remains stubbed (no codec in this container). */
+    * the roundtrip breaks and the hash fails. The audio analogue (q200,
+    * [[decodeWavPcm16]]) closes the family's last declared stub. */
   def q44MultimodalFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaTable(s, d).filter(col("media_type") === "image").as[MediaRow]
@@ -231,6 +340,33 @@ object MultimodalOps {
         rows.map { m =>
           val (w, h, np, sb, sg, sr) = decodeBmp24(m.content)
           ImageStats(m.doc_id, m.content.length, w, h, np, sb, sg, sr)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q200
+  case class AudioStats(doc_id: Long, n_bytes: Int, sample_rate: Int,
+                        n_channels: Int, n_samples: Long, sum_ch0: Long,
+                        sum_all: Long)
+
+  /** REAL audio decode stage — the q44 contract for the audio rows, which
+    * closes the multimodal family's LAST declared stub: every audio row's
+    * WAV blob goes through the actual RIFF parser ([[decodeWavPcm16]] —
+    * chunk walk, PCM validation, interleaved int16 fold) in the same
+    * typed-mapPartitions shape as the image decoder. EXACT oracle: the
+    * samples are an integer recurrence over (doc_id, channel, index,
+    * n_chars), so DuckDB regenerates every sample with unnest(range(...))
+    * and re-sums — a decoder bug in chunk offsets, channel interleave,
+    * sign extension, or frame count breaks the hash. */
+  def q200AudioPcm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).filter(col("media_type") === "audio").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val (sr, nch, ns, s0, sa) = decodeWavPcm16(m.content)
+          AudioStats(m.doc_id, m.content.length, sr, nch, ns, s0, sa)
         }
       }
       .toDF()
@@ -269,6 +405,7 @@ object MultimodalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_multimodal_meta" -> (q43MultimodalMeta _),
     "q44_multimodal_features" -> (q44MultimodalFeatures _),
+    "q200_audio_pcm" -> (q200AudioPcm _),
     "q153_frame_dedup" -> ((s: SparkSession, d: String) => q153FrameDedup(s, d)))
 
   val oracle: Map[String, String] = Map(
@@ -292,12 +429,15 @@ object MultimodalOps {
         |WHERE n_videos > 1
         |ORDER BY n_videos DESC, n_frames DESC, fp LIMIT 25""".stripMargin,
     // image rows: BMP byte size = 54-byte headers + (3w padded to 4) * h;
-    // other rows: the raw text bytes
+    // audio rows: WAV byte size = 44-byte headers + 2 * channels * samples;
+    // video rows: the raw text bytes
     "q43_multimodal_meta" ->
       """WITH m AS (
         | SELECT doc_id, text,
         |  CAST(doc_id % 8 * 4 + 4 AS BIGINT) AS bw,
-        |  CAST(doc_id % 4 * 4 + 4 AS BIGINT) AS bh
+        |  CAST(doc_id % 4 * 4 + 4 AS BIGINT) AS bh,
+        |  CAST(doc_id % 8 * 64 + 64 AS BIGINT) AS ns,
+        |  CAST(doc_id % 2 + 1 AS BIGINT) AS nch
         | FROM documents)
         |SELECT doc_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -305,12 +445,35 @@ object MultimodalOps {
         |      ELSE 'video' END AS media_type,
         | CAST(CASE WHEN doc_id % 3 = 0
         |      THEN 54 + (3 * bw + (4 - (3 * bw) % 4) % 4) * bh
+        |      WHEN doc_id % 3 = 1 THEN 44 + 2 * nch * ns
         |      ELSE octet_length(encode(text)) END AS INT) AS n_bytes,
         | CAST(CASE WHEN doc_id % 3 = 0 THEN bw
         |      ELSE doc_id % 8 * 64 + 64 END AS INT) AS width,
         | CAST(CASE WHEN doc_id % 3 = 0 THEN bh
+        |      WHEN doc_id % 3 = 1 THEN nch
         |      ELSE doc_id % 4 * 64 + 64 END AS INT) AS height
         |FROM m ORDER BY doc_id""".stripMargin,
+    // the audio roundtrip: regenerate every sample from the integer
+    // recurrence and re-sum — interleave/sign/offset bugs break the hash
+    "q200_audio_pcm" ->
+      """WITH a AS (
+        | SELECT doc_id, n_chars,
+        |  CAST(doc_id % 8 * 64 + 64 AS BIGINT) AS ns,
+        |  CAST(doc_id % 2 + 1 AS BIGINT) AS nch
+        | FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        | SELECT a.doc_id, a.ns, a.nch,
+        |  ((a.doc_id * 31 + c.ch * 17 + u.i * 7 + a.n_chars) % 65536) - 32768 AS v,
+        |  c.ch
+        | FROM a, LATERAL unnest(range(a.ns)) u(i), LATERAL unnest(range(a.nch)) c(ch))
+        |SELECT doc_id,
+        | CAST(44 + 2 * nch * ns AS INT) AS n_bytes,
+        | 16000 AS sample_rate,
+        | CAST(nch AS INT) AS n_channels,
+        | CAST(ns AS BIGINT) AS n_samples,
+        | CAST(sum(v) FILTER (ch = 0) AS BIGINT) AS sum_ch0,
+        | CAST(sum(v) AS BIGINT) AS sum_all
+        |FROM s GROUP BY doc_id, nch, ns ORDER BY doc_id""".stripMargin,
     // the decode roundtrip in closed form: two-tone pixels alternate on the
     // linear index, so evens = ceil(w*h/2); channel sums follow from the
     // +85/+170 offsets; byte size from the padded stride

@@ -60,6 +60,59 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV codec roundtrip: known samples, chunk-skip robustness, corrupt rejection") {
+    // stereo, asymmetric channels — catches interleave-order bugs
+    val wav = MultimodalOps.encodeWavPcm16(8000, 2, 3,
+      (ch, i) => if (ch == 0) (i + 1) * 10 else -(i + 1))
+    assert(wav.length === 44 + 2 * 2 * 3)
+    val (sr, nch, ns, s0, sa) = MultimodalOps.decodeWavPcm16(wav)
+    assert((sr, nch, ns) === ((8000, 2, 3L)))
+    assert(s0 === 10L + 20 + 30)
+    assert(sa === 60L - 1 - 2 - 3)
+    // negative samples must sign-extend, not zero-extend
+    val neg = MultimodalOps.encodeWavPcm16(16000, 1, 4, (_, _) => -32768)
+    assert(MultimodalOps.decodeWavPcm16(neg)._5 === -32768L * 4)
+    // a REAL parser walks chunks: an unknown chunk before data must be
+    // skipped (including RIFF's odd-size pad byte), not break the decode
+    def withExtraChunk(bytes: Array[Byte], size: Int): Array[Byte] = {
+      val chunk = java.nio.ByteBuffer.allocate(8 + size + size % 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      chunk.put("LIST".getBytes("US-ASCII")).putInt(size)
+      val out = java.nio.ByteBuffer.allocate(bytes.length + chunk.capacity())
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(bytes, 0, 12).put(chunk.array()).put(bytes, 12, bytes.length - 12)
+      // fix the RIFF size for the inserted bytes
+      out.putInt(4, bytes.length - 8 + chunk.capacity())
+      out.array()
+    }
+    Seq(6, 7).foreach { sz => // even AND odd chunk sizes
+      val (sr2, nch2, ns2, s02, sa2) =
+        MultimodalOps.decodeWavPcm16(withExtraChunk(wav, sz))
+      assert((sr2, nch2, ns2, s02, sa2) === ((8000, 2, 3L, 60L, 54L)))
+    }
+    // non-WAV and truncated blobs must fail loudly
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeWavPcm16("RIFFxxxxNOPE definitely not audio data".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeWavPcm16(wav.take(wav.length - 2))
+    }
+  }
+
+  test("q200 decodes the corpus audio: shapes match metadata, sums match the recurrence") {
+    val rows = MultimodalOps.q200AudioPcm(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val docId = r.getLong(0)
+      val (ns, nch) = MultimodalOps.docWavShape(docId)
+      assert(r.getInt(1) === 44 + 2 * nch * ns)
+      assert(r.getInt(2) === 16000)
+      assert(r.getInt(3) === nch)
+      assert(r.getLong(4) === ns.toLong)
+      assert(docId % 3 === 1)
+    }
+  }
+
   test("q44 decodes the corpus images: dims match metadata, sums match tones") {
     val got = MultimodalOps.q44MultimodalFeatures(spark, TestSpark.sf).collect()
     assert(got.nonEmpty)
