@@ -483,26 +483,27 @@ object LayoutOps {
         col("l_partkey").as("pk"))
       .distinct()
       .localCheckpoint())
-    val hb = expr("CAST(conv(substr(md5(CAST(CAST(pk AS STRING) AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
-    val bitsJ = pairs.select(col("shard"), hb.as("hb"))
+    val bitsJ = pairs
+      .select(col("shard"), HashFamily.hb48(col("pk").cast("string")).as("hb"))
       .select(col("shard"), explode(sequence(lit(0), lit(2))).as("j"), col("hb"))
       .select(col("shard"), col("j"),
-        (((col("hb") * (col("j") * 2 + 1) + col("j")) % lit(1L << 48)) % bloomM).as("pos"))
+        HashFamily.bucket(col("hb"), col("j"), bloomM).as("pos"))
       .distinct()
-    val present = li.select(col("l_partkey").as("probe_pk")).distinct()
+    // probes derive from the checkpointed pairs frame — re-scanning
+    // lineitem here would be two redundant full-table reads at scale
+    val present = pairs.select(col("pk").as("probe_pk")).distinct()
       .filter(col("probe_pk") % 167 === 0).orderBy("probe_pk").limit(12)
-    val maxPk = li.agg(max("l_partkey")).head.getLong(0)
+    val maxPk = pairs.agg(max("pk")).head.getLong(0)
     val absent = s.range(1, 9).select((lit(maxPk) + col("id")).as("probe_pk"))
     val probes = present.unionAll(absent)
     val shards = pairs.select("shard").distinct()
     val probeBits = probes
-      .withColumn("hb", expr(
-        "CAST(conv(substr(md5(CAST(CAST(probe_pk AS STRING) AS BINARY)), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("hb", HashFamily.hb48(col("probe_pk").cast("string")))
       .crossJoin(broadcast(shards))
       .select(col("probe_pk"), col("shard"),
         explode(sequence(lit(0), lit(2))).as("j"), col("hb"))
       .select(col("probe_pk"), col("shard"), col("j"),
-        (((col("hb") * (col("j") * 2 + 1) + col("j")) % lit(1L << 48)) % bloomM).as("pos"))
+        HashFamily.bucket(col("hb"), col("j"), bloomM).as("pos"))
     val hits = probeBits.join(bitsJ, Seq("shard", "j", "pos"))
       .groupBy("probe_pk", "shard").agg(count(lit(1)).as("nbits"))
       .filter(col("nbits") === 3)
@@ -524,12 +525,10 @@ object LayoutOps {
     * (file, pos) set. */
   def bloomFileIndex(df: DataFrame, keyCol: String): DataFrame =
     df.withColumn("file", input_file_name())
-      .select(col("file"), expr(
-        s"CAST(conv(substr(md5(CAST(CAST($keyCol AS STRING) AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
-        .as("hb"))
+      .select(col("file"), HashFamily.hb48(col(keyCol).cast("string")).as("hb"))
       .select(col("file"), explode(sequence(lit(0), lit(2))).as("j"), col("hb"))
       .select(col("file"), col("j"),
-        (((col("hb") * (col("j") * 2 + 1) + col("j")) % lit(1L << 48)) % bloomM).as("pos"))
+        HashFamily.bucket(col("hb"), col("j"), bloomM).as("pos"))
       .distinct()
 
   /** Point-read `dir` for keyCol == key touching only bloom-hit files.
@@ -537,12 +536,8 @@ object LayoutOps {
     * result is exactly the full filter (spec-proved). */
   def bloomPrunedRead(s: SparkSession, dir: String, index: DataFrame,
                       keyCol: String, key: Long): (DataFrame, Long, Long) = {
-    val hb = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(key.toString.getBytes("UTF-8"))
-      java.lang.Long.parseLong(md.take(6).map("%02x".format(_)).mkString, 16)
-    }
-    val ps = (0 until 3).map(j => (j, ((hb * (2 * j + 1) + j) % (1L << 48)) % bloomM))
+    val hb = HashFamily.hb48Jvm(key.toString)
+    val ps = (0 until 3).map(j => (j, HashFamily.bucketJvm(hb, j, bloomM)))
     val total = index.select("file").distinct().count()
     val picked = ps.map { case (j, p) =>
         index.filter(col("j") === j && col("pos") === p).select("file")

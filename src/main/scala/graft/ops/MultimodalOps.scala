@@ -157,7 +157,9 @@ object MultimodalOps {
     while (pos + 8 <= bytes.length) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val size = buf.getInt(pos + 4)
-      require(size >= 0 && pos + 8 + size <= bytes.length,
+      // bound check in Long: a crafted size near Int.MaxValue would wrap
+      // `pos + 8 + size` negative and slip past an Int comparison
+      require(size >= 0 && pos + 8L + size <= bytes.length,
         s"chunk '$id' overruns the file (size=$size at $pos)")
       id match {
         case "fmt " =>

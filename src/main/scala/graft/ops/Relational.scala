@@ -606,8 +606,12 @@ object Relational {
     * plus a correlated EXISTS in one statement, the TPC-H Q17 shape
     * ("small-quantity" lineitems = rows whose quantity is below 1/5 of
     * their part's average) restated in integer arithmetic so the
-    * threshold compare is exact in both engines (quantities are integral
-    * 1..50: `qty * 5 * cnt < sum_qty` instead of a float `0.2 * avg`).
+    * threshold compare is exact in both engines: `floor(qty) * 5 * cnt <
+    * sum_qty` instead of a float `0.2 * avg`. floor-then-CAST, not a bare
+    * CAST — Spark truncates double→BIGINT while DuckDB rounds half-even,
+    * so a bare CAST would silently diverge on any non-integral quantity;
+    * floor() pins one semantics in both engines (quantities are integral
+    * 1..50 today, but the template must not depend on that).
     *
     * Scale: Catalyst does NOT execute correlated subqueries per row — it
     * decorrelates. RewriteCorrelatedScalarSubquery turns each scalar into
@@ -623,10 +627,10 @@ object Relational {
        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
        |         AS small_revenue
        |FROM $li l JOIN $pt p ON l.l_partkey = p.p_partkey
-       |WHERE CAST(l.l_quantity AS BIGINT) * 5 *
+       |WHERE CAST(floor(l.l_quantity) AS BIGINT) * 5 *
        |        (SELECT count(*) FROM $li l2
        |         WHERE l2.l_partkey = l.l_partkey)
-       |      < (SELECT CAST(sum(CAST(l3.l_quantity AS BIGINT)) AS BIGINT)
+       |      < (SELECT CAST(sum(CAST(floor(l3.l_quantity) AS BIGINT)) AS BIGINT)
        |         FROM $li l3 WHERE l3.l_partkey = l.l_partkey)
        |  AND EXISTS (SELECT 1 FROM $od o
        |              WHERE o.o_orderkey = l.l_orderkey
@@ -648,9 +652,9 @@ object Relational {
     val li = t(s, d, "lineitem")
     val perPart = li.groupBy(col("l_partkey").as("pk"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("l_quantity").cast("long")).as("sum_qty"))
+        sum(floor(col("l_quantity")).cast("long")).as("sum_qty"))
     li.join(perPart, col("l_partkey") === col("pk"))
-      .filter(col("l_quantity").cast("long") * 5 * col("cnt") < col("sum_qty"))
+      .filter(floor(col("l_quantity")).cast("long") * 5 * col("cnt") < col("sum_qty"))
       .join(t(s, d, "orders").filter(col("o_orderstatus") =!= "P")
         .select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_semi")

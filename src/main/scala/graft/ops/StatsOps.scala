@@ -228,15 +228,12 @@ object StatsOps {
     val tk = graft.Transients.track(t(s, d, "documents")
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
-      .select(col("tok"),
-        expr("CAST(conv(substr(md5(CAST(tok AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
-          .as("hb"))
+      .select(col("tok"), HashFamily.hb48(col("tok")).as("hb"))
       .localCheckpoint())
     val counters = tk
       .select(explode(sequence(lit(0), lit(depth - 1))).as("j"), col("hb"))
       .select(col("j"),
-        (((col("hb") * (col("j") * 2 + 1) + col("j")) % lit(1L << 48)) % width)
-          .as("bucket"))
+        HashFamily.bucket(col("hb"), col("j"), width).as("bucket"))
       .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
     val top = tk.groupBy("tok", "hb").agg(count(lit(1)).as("true_n"))
       .orderBy(col("true_n").desc, col("tok")).limit(topK)
@@ -244,8 +241,7 @@ object StatsOps {
       .select(col("tok"), col("true_n"),
         explode(sequence(lit(0), lit(depth - 1))).as("j"), col("hb"))
       .select(col("tok"), col("true_n"), col("j"),
-        (((col("hb") * (col("j") * 2 + 1) + col("j")) % lit(1L << 48)) % width)
-          .as("bucket"))
+        HashFamily.bucket(col("hb"), col("j"), width).as("bucket"))
       .join(broadcast(counters), Seq("j", "bucket"))
       .groupBy("tok", "true_n").agg(min(col("cnt")).as("est_n"))
       .select(col("tok"), col("true_n"), col("est_n"),

@@ -146,13 +146,10 @@ object DocsStream {
         .option("pathGlobFilter", "documents.parquet").parquet(d)
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
         .filter(col("tok") =!= "")
-        .select(expr(
-          "CAST(conv(substr(md5(CAST(tok AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
-          .as("hb"))
+        .select(graft.ops.HashFamily.hb48(col("tok")).as("hb"))
         .select(explode(sequence(lit(0), lit(depth - 1))).as("j"), col("hb"))
         .select(col("j"),
-          (((col("hb") * (col("j") * 2 + 1) + col("j")) % lit(1L << 48)) % width)
-            .as("bucket"))
+          graft.ops.HashFamily.bucket(col("hb"), col("j"), width).as("bucket"))
         .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
       EventsStream.drainNow(counters.writeStream.outputMode("complete")
         .format("memory").queryName(name))

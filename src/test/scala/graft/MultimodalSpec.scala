@@ -97,6 +97,15 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       MultimodalOps.decodeWavPcm16(wav.take(wav.length - 2))
     }
+    // a crafted chunk size near Int.MaxValue must hit the designed
+    // overrun require, not wrap negative past an Int bound check
+    val crafted = wav.clone()
+    val cb = java.nio.ByteBuffer.wrap(crafted).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    cb.putInt(16, 0x7FFFFFF0) // fmt chunk size
+    val ex = intercept[IllegalArgumentException] {
+      MultimodalOps.decodeWavPcm16(crafted)
+    }
+    assert(ex.getMessage.contains("overruns"), ex.getMessage)
   }
 
   test("q200 decodes the corpus audio: shapes match metadata, sums match the recurrence") {
