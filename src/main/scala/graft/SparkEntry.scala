@@ -53,7 +53,9 @@ object SparkEntry {
         "q193_stream_full_outer_join" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q193StreamFullOuterJoin(s, d)),
         "q199_stream_countmin" ->
-          ((s: SparkSession, d: String) => graft.streaming.DocsStream.q199StreamCountMin(s, d)))
+          ((s: SparkSession, d: String) => graft.streaming.DocsStream.q199StreamCountMin(s, d)),
+        "q202_stream_cusum" ->
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q202StreamCusum(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -166,5 +168,8 @@ object SparkEntry {
           s"""WITH ${StatsOps.duckCmCounters}
              |SELECT j, CAST(bucket AS BIGINT) AS bucket,
              | CAST(cnt AS BIGINT) AS cnt
-             |FROM counters ORDER BY j, bucket""".stripMargin)
+             |FROM counters ORDER BY j, bucket""".stripMargin,
+        // the stateful stream evaluates q155's n-scaled argmax exactly —
+        // same oracle as the batch window form by construction
+        "q202_stream_cusum" -> EtlOps.oracle("q155_cusum_changepoint"))
 }

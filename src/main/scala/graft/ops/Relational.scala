@@ -389,6 +389,40 @@ object Relational {
         max("k").as("max_k"))
       .orderBy("event_type")
 
+  // ---------------------------------------------------------------- q201
+  /** VARIANT / semi-structured surface — q24's get_json_object covers
+    * string-path JSON; this is Spark 4's binary-encoded VARIANT type:
+    * build a NESTED document per event (object + array nesting, the
+    * shape real ingestion sees), `parse_json` it into a variant column,
+    * then typed `variant_get` path extraction and an aggregate over the
+    * extracted fields. Construction uses only engine-identical
+    * renderings (strings verbatim, integers via exact decimal cents —
+    * never a raw double→string, whose formatting differs per engine), so
+    * the DuckDB oracle re-parses the SAME text with its JSON functions
+    * and the whole path is exact.
+    *
+    * Scale: parse-once-extract-many is the variant's point — one binary
+    * parse per row, then O(1) typed path reads, all codegen'd
+    * map-side; the aggregate is the only shuffle. */
+  def q201VariantJson(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+        col("props"))
+      .withColumn("jtxt", concat(
+        lit("{\"meta\":{\"t\":\""), col("event_type"), lit("\",\"k\":"),
+        coalesce(get_json_object(col("props"), "$.k"), lit("null")),
+        lit("},\"cents\":"), col("cents").cast("string"), lit("}")))
+      .withColumn("v", parse_json(col("jtxt")))
+      .select(
+        expr("variant_get(v, '$.meta.t', 'string')").as("t"),
+        expr("variant_get(v, '$.meta.k', 'int')").as("k"),
+        expr("variant_get(v, '$.cents', 'bigint')").as("vcents"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        (sum("vcents") / 100.0).as("sum_value"))
+      .orderBy("t")
+
   // ---------------------------------------------------------------- q25
   /** Backward as-of join: each click annotated with the user's most recent
     * purchase at-or-before it. See AsofJoin for the single-sort plan. */
@@ -783,7 +817,8 @@ object Relational {
     "q59_min_cost_supplier" -> (q59MinCostSupplier _),
     "q189_correlated_subquery" -> (q189CorrelatedSubquery _),
     "q194_recursive_cte" -> (q194RecursiveCte _),
-    "q198_lateral_join" -> (q198LateralJoin _))
+    "q198_lateral_join" -> (q198LateralJoin _),
+    "q201_variant_json" -> (q201VariantJson _))
 
   private val topNPerGroupOracle: String =
     """SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS INT) AS rn FROM (
@@ -1052,5 +1087,24 @@ object Relational {
     // way; parity is in the integer-exact threshold arithmetic
     "q189_correlated_subquery" -> q189SqlFor("lineitem", "part", "orders"),
     "q194_recursive_cte" -> q194SqlFor("orders"),
-    "q198_lateral_join" -> q198SqlFor("region", "nation", "customer"))
+    "q198_lateral_join" -> q198SqlFor("region", "nation", "customer"),
+    // the oracle re-parses the IDENTICAL constructed text with DuckDB's
+    // JSON functions — construction uses only engine-identical renderings
+    "q201_variant_json" ->
+      """WITH j AS (
+        | SELECT event_type,
+        |  '{"meta":{"t":"' || event_type || '","k":' ||
+        |   coalesce(CAST(json_extract(props, '$.k') AS VARCHAR), 'null') ||
+        |   '},"cents":' ||
+        |   CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)
+        |   || '}' AS jtxt
+        | FROM events),
+        |x AS (
+        | SELECT json_extract_string(jtxt, '$.meta.t') AS t,
+        |  CAST(json_extract(jtxt, '$.meta.k') AS INTEGER) AS k,
+        |  CAST(json_extract(jtxt, '$.cents') AS BIGINT) AS vcents
+        | FROM j)
+        |SELECT t, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        | CAST(sum(vcents) AS BIGINT) / 100.0 AS sum_value
+        |FROM x GROUP BY t ORDER BY t""".stripMargin)
 }

@@ -759,6 +759,94 @@ object EventsStream {
     clickGroups.unionAll(orphanPurchases).orderBy("side", "id")
   }
 
+  // --------------------------------------------- q202: streaming CUSUM
+  case class CuRow(event_type: String, day: Long, c: Long, sentinel: Boolean)
+  case class CuState(days: Map[Long, Long])
+  case class CuOut(event_type: String, n_days: Long, total_value: Double,
+                   change_day: Long, cusum_abs: Long, shift_value: Double)
+
+  /** q202: q155's CUSUM change-point screen as a STATEFUL STREAM — the
+    * monitoring face of the detector (a pipeline wants "did this series
+    * shift" continuously, not at end of quarter). Per event type, state
+    * is the (day → exact daily cents) map — CALENDAR-bounded, not
+    * data-bounded: a year of state is 365 longs per key no matter how
+    * many events fold into each day, which is what makes an offline
+    * full-series statistic streamable at all. Events fold incrementally;
+    * on the q154-style sentinel flush the group evaluates the n-scaled
+    * argmax |n·prefix − k·total| EXACTLY as q155's window form (BigInt
+    * products, strict-> keeps the earlier day on ties, the same two IEEE
+    * reporting divisions in the same order) — so the stream shares
+    * q155's exact DuckDB oracle verbatim. */
+  def q202StreamCusum(s: SparkSession, d: String): DataFrame = {
+    val stagePath = java.nio.file.Files.createTempDirectory("graft_q202")
+    val stageDir = stagePath.toString
+    val name = "graft_stream_cusum"
+    try {
+      val types = graft.Tables.load(s, d, "events")
+        .select("event_type").distinct().collect().map(_.getString(0)).toSeq
+      withDrainSession(s) { drain =>
+        import drain.implicits._
+        val ev = readEventsNanos(drain, d)
+          .select(col("event_type"),
+            expr("(ts div 1000) div 86400000000").as("day"),
+            cents(col("value")).as("c"),
+            lit(false).as("sentinel"))
+        val sentinels = drain.readStream
+          .schema(org.apache.spark.sql.Encoders.product[CuRow].schema)
+          .parquet(stageDir)
+        val out = ev.unionByName(sentinels).as[CuRow]
+          .groupByKey(_.event_type)
+          .flatMapGroupsWithState[CuState, CuOut](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (tpe: String, rows: Iterator[CuRow], state: GroupState[CuState]) =>
+              val days = scala.collection.mutable.HashMap.empty[Long, Long]
+                .withDefaultValue(0L)
+              state.getOption.foreach(_.days.foreach { case (k, v) => days(k) = v })
+              var flush = false
+              rows.foreach { r =>
+                if (r.sentinel) flush = true else days(r.day) += r.c
+              }
+              if (flush) {
+                state.remove()
+                if (days.isEmpty) Iterator.empty
+                else {
+                  val srt = days.toSeq.sortBy(_._1)
+                  val n = srt.size
+                  val tot = srt.map(_._2).sum
+                  var pre = 0L
+                  var bestCu = BigInt(-1); var bestDay = 0L
+                  srt.zipWithIndex.foreach { case ((day, dc), i) =>
+                    pre += dc
+                    val cu = (BigInt(pre) * n - BigInt(tot) * (i + 1)).abs
+                    if (cu > bestCu) { bestCu = cu; bestDay = day }
+                  }
+                  Iterator.single(CuOut(tpe, n.toLong, tot / 100.0, bestDay,
+                    bestCu.toLong, bestCu.toDouble / n / 100.0))
+                }
+              } else {
+                state.update(CuState(days.toMap)); Iterator.empty
+              }
+          }
+        val q = out.toDF().writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try {
+          q.processAllAvailable() // every event batch folds daily sums
+          // stage the per-type sentinels as a strictly LATER batch
+          types.map(t => CuRow(t, 0L, 0L, sentinel = true))
+            .toDF().write.mode("overwrite").parquet(stageDir)
+          q.processAllAvailable() // flush batch: every group emits
+        } finally q.stop()
+        drain.table(name).orderBy("event_type")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: Throwable => () })
+    }
+  }
+
   // ------------------------- q176: stateful streaming debounce (q138 twin)
   case class BounceEvent(event_id: Long, user_id: Long, event_type: String,
                          tus: Long, ts: java.sql.Timestamp)

@@ -156,6 +156,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSeq === twin.toSeq)
   }
 
+  test("q201 variant roundtrip: typed path extraction equals direct column math") {
+    import org.apache.spark.sql.types.DecimalType
+    val got = ops.Relational.q201VariantJson(spark, TestSpark.sf).collect().map(_.toSeq)
+    val direct = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("event_type").as("t"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        (sum("cents") / 100.0).as("sum_value"))
+      .orderBy("t").collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq === direct.toSeq)
+  }
+
   test("q194 recursive CTE walk lands on the closed-form per-customer aggregate") {
     val rec = ops.Relational.q194RecursiveCte(spark, TestSpark.sf)
     val twin = ops.Relational.q194ClosedFormTwin(spark, TestSpark.sf)

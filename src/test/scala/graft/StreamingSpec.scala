@@ -267,6 +267,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("streaming CUSUM equals the batch window form (state folds, sentinel flushes)") {
+    // batch 1 folds the daily sums into state; the staged sentinel arrives
+    // as batch 2 and flushes — so cross-batch state persistence is on the
+    // path even though the events table is a single file
+    val stream = EventsStream.q202StreamCusum(spark, TestSpark.sf).collect().map(_.toSeq)
+    val batch = graft.ops.EtlOps.q155CusumChangepoint(spark, TestSpark.sf)
+      .collect().map(_.toSeq)
+    assert(stream.nonEmpty && stream.toSeq === batch.toSeq)
+  }
+
   test("streaming count-min counter grid is bit-identical to the batch build") {
     val stream = graft.streaming.DocsStream.q199StreamCountMin(spark, TestSpark.sf)
       .collect().map(_.toSeq)
