@@ -423,6 +423,33 @@ object Relational {
         (sum("vcents") / 100.0).as("sum_value"))
       .orderBy("t")
 
+  // ---------------------------------------------------------------- q203
+  /** XML parse surface — `from_xml` (native in Spark 4), q201's variant
+    * discipline applied to the other semi-structured format: build an XML
+    * document per order from engine-identical renderings (integer keys,
+    * exact decimal cents — never raw doubles), parse it back through a
+    * typed schema, aggregate the EXTRACTED fields. DuckDB has no XML
+    * functions, so the oracle computes the same aggregate from the base
+    * columns directly — the construction is lossless by design, which
+    * makes "parse roundtrip = identity" exactly the property under test:
+    * any from_xml type-coercion or escaping bug diverges the aggregate.
+    *
+    * Scale: construct-and-parse is map-side codegen'd; the aggregate is
+    * the only shuffle. */
+  def q203XmlRoundtrip(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_orderstatus").as("st"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+        col("o_orderkey").cast("string").as("key"))
+      .withColumn("xml", concat(
+        lit("<o><k>"), col("key"), lit("</k><p>"), col("cents").cast("string"),
+        lit("</p><s>"), col("st"), lit("</s></o>")))
+      .select(expr("from_xml(xml, 'k BIGINT, p BIGINT, s STRING')").as("r"))
+      .groupBy(col("r.s").as("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("r.k")).as("sum_key"),
+        (sum(col("r.p")) / 100.0).as("sum_price"))
+      .orderBy("o_orderstatus")
+
   // ---------------------------------------------------------------- q25
   /** Backward as-of join: each click annotated with the user's most recent
     * purchase at-or-before it. See AsofJoin for the single-sort plan. */
@@ -818,7 +845,8 @@ object Relational {
     "q189_correlated_subquery" -> (q189CorrelatedSubquery _),
     "q194_recursive_cte" -> (q194RecursiveCte _),
     "q198_lateral_join" -> (q198LateralJoin _),
-    "q201_variant_json" -> (q201VariantJson _))
+    "q201_variant_json" -> (q201VariantJson _),
+    "q203_xml_roundtrip" -> (q203XmlRoundtrip _))
 
   private val topNPerGroupOracle: String =
     """SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS INT) AS rn FROM (
@@ -1106,5 +1134,14 @@ object Relational {
         | FROM j)
         |SELECT t, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         | CAST(sum(vcents) AS BIGINT) / 100.0 AS sum_value
-        |FROM x GROUP BY t ORDER BY t""".stripMargin)
+        |FROM x GROUP BY t ORDER BY t""".stripMargin,
+    // DuckDB has no XML functions: the construction is lossless, so the
+    // oracle aggregates the base columns — roundtrip-is-identity is the
+    // property under test on the Spark side
+    "q203_xml_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |   AS BIGINT) / 100.0 AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -170,6 +170,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSeq === direct.toSeq)
   }
 
+  test("q203 xml roundtrip is the identity at row level") {
+    import org.apache.spark.sql.types.DecimalType
+    val parsed = Tables.load(spark, TestSpark.sf, "orders")
+      .select(col("o_orderstatus").as("st"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+        col("o_orderkey").as("key"))
+      .withColumn("xml", concat(
+        lit("<o><k>"), col("key").cast("string"), lit("</k><p>"),
+        col("cents").cast("string"), lit("</p><s>"), col("st"), lit("</s></o>")))
+      .withColumn("r", expr("from_xml(xml, 'k BIGINT, p BIGINT, s STRING')"))
+    val bad = parsed.filter(col("r.k") =!= col("key") ||
+      col("r.p") =!= col("cents") || col("r.s") =!= col("st") ||
+      col("r.k").isNull || col("r.p").isNull || col("r.s").isNull)
+    assert(bad.count() === 0)
+  }
+
   test("q194 recursive CTE walk lands on the closed-form per-customer aggregate") {
     val rec = ops.Relational.q194RecursiveCte(spark, TestSpark.sf)
     val twin = ops.Relational.q194ClosedFormTwin(spark, TestSpark.sf)
