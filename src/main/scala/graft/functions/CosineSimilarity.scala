@@ -169,6 +169,11 @@ object GraftFunctions {
     MaxRunLength(exprs(0))
   }
 
+  private[graft] def jaroWinklerBuilder(exprs: Seq[Expression]): Expression = {
+    requireArity("graft_jaro_winkler", exprs, 2)
+    JaroWinkler(exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
@@ -186,5 +191,7 @@ object GraftFunctions {
       "graft_simhash64", simhashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_max_run", maxRunBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler", jaroWinklerBuilder, "built-in")
   }
 }

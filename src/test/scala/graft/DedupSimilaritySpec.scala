@@ -783,6 +783,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.keySet === vecs.map(_._2).toSet)
   }
 
+  test("jaro-winkler expression: textbook values, boost threshold, symmetry, codegen") {
+    import graft.functions.JaroWinklerAlgo
+    // textbook cases (Winkler's standard parameterization)
+    assert(math.abs(JaroWinklerAlgo.score("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(JaroWinklerAlgo.score("dixon", "dicksonx") - 0.8133333333333332) < 1e-15)
+    // below the 0.7 boost threshold the shared prefix earns NO bonus
+    assert(math.abs(JaroWinklerAlgo.score("abcdxxxx", "abcdyyyy") - 2.0 / 3) < 1e-15)
+    assert(JaroWinklerAlgo.score("same", "same") === 1.0)
+    assert(JaroWinklerAlgo.score("", "x") === 0.0)
+    // the registered expression runs through codegen and matches the algo
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(("martha", "marhta"), ("dixon", "dicksonx"),
+      ("abcdxxxx", "abcdyyyy"), ("small ring", "small rig"))
+      .toDF("a", "b")
+      .selectExpr("a", "b", "graft_jaro_winkler(a, b) AS jw",
+        "graft_jaro_winkler(b, a) AS jw_rev")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) === JaroWinklerAlgo.score(r.getString(0), r.getString(1)))
+      assert(r.getDouble(2) === r.getDouble(3), "JW must be symmetric")
+    }
+  }
+
   test("sorted-neighborhood pairs equal a single-window replay and respect the n·w bound") {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
