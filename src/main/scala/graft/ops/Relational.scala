@@ -746,24 +746,41 @@ object Relational {
     * key-only equi-joins, no growing state beyond the accumulated
     * output. Depth is bounded by max orders per customer (25 at test
     * SFs, well under spark.sql.cteRecursionLevelLimit's 100). */
-  def q194SqlFor(od: String): String =
-    s"""WITH RECURSIVE ch AS (
-       | SELECT o_custkey AS ck, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+  /** The rn-indexed chain relation (shared text fragment). */
+  def q194ChainSql(od: String): String =
+    s"""SELECT o_custkey AS ck, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
        |  row_number() OVER (PARTITION BY o_custkey
        |    ORDER BY o_orderdate, o_orderkey) AS rn
-       | FROM $od),
-       |walk AS (
-       | SELECT ck, rn, p AS cum FROM ch WHERE rn = 1
+       | FROM $od""".stripMargin
+
+  /** The recursive walk over a chain relation (shared text fragment). */
+  def q194WalkSqlFor(ch: String): String =
+    s"""WITH RECURSIVE walk AS (
+       | SELECT ck, rn, p AS cum FROM $ch WHERE rn = 1
        | UNION ALL
        | SELECT c.ck, c.rn, CAST(w.cum + c.p AS DECIMAL(18,2)) AS cum
-       | FROM walk w JOIN ch c ON c.ck = w.ck AND c.rn = w.rn + 1)
+       | FROM walk w JOIN $ch c ON c.ck = w.ck AND c.rn = w.rn + 1)
        |SELECT ck AS custkey, CAST(max(rn) AS BIGINT) AS chain_len,
        | CAST(max(cum) AS DOUBLE) AS total_spend
        |FROM walk GROUP BY ck ORDER BY custkey""".stripMargin
 
+  /** One-statement form (the oracle face), composed from the SAME two
+    * fragments the engine runs, so the texts can never drift. */
+  def q194SqlFor(od: String): String =
+    q194WalkSqlFor("ch").replaceFirst("WITH RECURSIVE ",
+      s"WITH RECURSIVE ch AS (\n${q194ChainSql(od)}),\n")
+
   def q194RecursiveCte(s: SparkSession, d: String): DataFrame = {
     t(s, d, "orders").createOrReplaceTempView("graft_q194_orders")
-    s.sql(q194SqlFor("graft_q194_orders"))
+    // materialize the windowed chain ONCE: a CTE referenced inside the
+    // recursion is re-planned per UnionLoop level — 25 levels re-ran the
+    // row_number window over orders 25 times (measured 9.2 s → see
+    // ROUNDLOG; the checkpoint turns each level into a key-only join
+    // against a materialized relation)
+    val ch = graft.Transients.track(
+      s.sql(q194ChainSql("graft_q194_orders")).localCheckpoint())
+    ch.createOrReplaceTempView("graft_q194_ch")
+    s.sql(q194WalkSqlFor("graft_q194_ch"))
   }
 
   /** Closed form of the q194 fixpoint: the chain end accumulates every
