@@ -347,6 +347,39 @@ object GraphOps {
     rank
   }
 
+  /** WEIGHTED integer-grid PageRank over a canonical undirected edge list
+    * (columns `u` < `v`, weight `w` > 0): the [[pageRankScaled]] sibling
+    * where a neighbor's vote is proportional to the edge weight —
+    * r'_v = ⌊0.15·S/n⌋ + ⌊85·Σ_u ⌊r_u·p_uv/10⁶⌋/100⌋ with per-edge
+    * transition probabilities pre-quantized to ppm: p_uv =
+    * ⌊10⁶·w_uv/W_u⌋. The ppm grid is the overflow guard that makes this
+    * safe at ANY corpus scale: r_u ≤ 10¹² and p ≤ 10⁶, so r·p ≤ 10¹⁸ <
+    * 2⁶³ no matter how large the raw weights grow (a direct r·w/W form
+    * would overflow once W_u passes ~9·10⁶). Like the unweighted core:
+    * probabilities attach to the adjacency ONCE at checkpoint time, each
+    * iteration is one join + one integer aggregate, all order-free. */
+  def pageRankWeightedScaled(edges: DataFrame, iterations: Int,
+                             scale: Long = 1000000000000L): DataFrame = {
+    val adj = edges.select(col("u"), col("v"), col("w"))
+      .union(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val wt = adj.groupBy("u").agg(sum("w").as("wtot"))
+    val adjp = graft.Transients.track(adj.join(wt, "u")
+      .select(col("u"), col("v"), expr("(1000000 * w) div wtot").as("p"))
+      .localCheckpoint())
+    val n = adjp.select(col("u")).distinct().count()
+    val base = (scale * 15L / 100L) / n
+    var rank = adjp.select(col("u").as("node")).distinct()
+      .select(col("node"), lit(scale / n).as("r"))
+    for (_ <- 1 to iterations) {
+      rank = adjp
+        .join(rank.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node"), expr("(r * p) div 1000000").as("c"))
+        .groupBy("node")
+        .agg((lit(base) + expr("(sum(c) * 85L) div 100L")).as("r"))
+    }
+    rank
+  }
+
   def q105PageRank(s: SparkSession, d: String,
                    iterations: Int = 3): DataFrame =
     pageRankScaled(cachedCoOrderEdges(s, d), iterations)
@@ -757,7 +790,20 @@ object GraphOps {
   private val duckCappedEdges: String = duckCappedEdgesHint("")
 
   /** Three unrolled integer-PageRank iterations (the q105 twin). */
-  private val duckPageRankIters: String = (1 to 3).map { i =>
+  /** Unrolled WEIGHTED PageRank iterations (the [[pageRankWeightedScaled]]
+    * twin) — expects CTEs `a(u, v, p)` (ppm transition probs), `nodes(u)`,
+    * `nn(n)`, `r0(node, r)`; ends in `r3`. Shared by the q206 oracle. */
+  private[ops] val duckPageRankWeightedIters: String = (1 to 3).map { i =>
+    s"""c$i AS (
+       | SELECT a.v AS node, sum((r${i - 1}.r * a.p) // 1000000) AS inr
+       | FROM a JOIN r${i - 1} ON a.u = r${i - 1}.node GROUP BY a.v),
+       |r$i AS (
+       | SELECT nodes.u AS node,
+       |  150000000000 // n + (coalesce(c$i.inr, 0) * 85) // 100 AS r
+       | FROM nodes CROSS JOIN nn LEFT JOIN c$i ON nodes.u = c$i.node)""".stripMargin
+  }.mkString(",\n")
+
+  private[ops] val duckPageRankIters: String = (1 to 3).map { i =>
     s"""c$i AS (
        | SELECT a.v AS node, sum(r${i - 1}.r // deg.deg) AS inr
        | FROM a JOIN deg ON a.u = deg.u JOIN r${i - 1} ON a.u = r${i - 1}.node

@@ -69,11 +69,11 @@ object MultimodalOps {
     buf.array()
   }
 
-  /** REAL BMP decoder — validates the magic, file size, plane/bpp fields,
-    * honors the pixel-data offset and the padded row stride, and folds the
-    * raster into per-channel sums. Fails loudly on anything that is not an
-    * uncompressed 24-bit BMP: a corrupt blob must never decode silently. */
-  def decodeBmp24(bytes: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+  /** Shared BMP header parse + validation: returns (w, h, pixel-data
+    * offset, padded row stride). Both [[decodeBmp24]] and [[dhashBmp24]]
+    * read the raster through this one geometry, so a header bug cannot
+    * diverge between the stats and the perceptual-hash kernels. */
+  private def bmpGeometry(bytes: Array[Byte]): (Int, Int, Int, Int) = {
     require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
       s"not a BMP (len=${bytes.length})")
     val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -91,6 +91,15 @@ object MultimodalOps {
     val stride = w * 3 + (4 - (w * 3) % 4) % 4
     require(fileSize == bytes.length && offset + stride.toLong * h <= bytes.length,
       s"truncated BMP (declared $fileSize, actual ${bytes.length})")
+    (w, h, offset, stride)
+  }
+
+  /** REAL BMP decoder — validates the magic, file size, plane/bpp fields,
+    * honors the pixel-data offset and the padded row stride, and folds the
+    * raster into per-channel sums. Fails loudly on anything that is not an
+    * uncompressed 24-bit BMP: a corrupt blob must never decode silently. */
+  def decodeBmp24(bytes: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    val (w, h, offset, stride) = bmpGeometry(bytes)
     var sb = 0L; var sg = 0L; var sr = 0L
     var y = 0
     while (y < h) {
@@ -105,6 +114,37 @@ object MultimodalOps {
       y += 1
     }
     (w, h, w.toLong * h, sb, sg, sr)
+  }
+
+  /** Perceptual DIFFERENCE HASH (dHash) of a 24-bit BMP — the standard
+    * image near-dup fingerprint (resize to a 9×8 brightness grid, emit one
+    * bit per horizontal neighbor comparison): bit k = j·8+i is set iff
+    * gray(sample(i+1, j)) > gray(sample(i, j)), nearest-neighbor sampling
+    * sx(i) = ⌊i·w/9⌋, sy(j) = ⌊j·h/8⌋ over TOP-DOWN coordinates, gray =
+    * ⌊(b+g+r)/3⌋. Returned as (hi32, lo32) of the 64-bit hash — integer
+    * arithmetic end to end, so the whole hash is engine-recomputable in
+    * closed form for the deterministic test rasters. */
+  def dhashBmp24(bytes: Array[Byte]): (Int, Int) = {
+    val (w, h, offset, stride) = bmpGeometry(bytes)
+    def gray(x: Int, y: Int): Int = {
+      val base = offset + (h - 1 - y) * stride + 3 * x
+      ((bytes(base) & 0xFF) + (bytes(base + 1) & 0xFF) + (bytes(base + 2) & 0xFF)) / 3
+    }
+    var hi = 0; var lo = 0
+    var j = 0
+    while (j < 8) {
+      val y = j * h / 8
+      var i = 0
+      while (i < 8) {
+        if (gray((i + 1) * w / 9, y) > gray(i * w / 9, y)) {
+          val k = j * 8 + i
+          if (k < 32) lo |= 1 << k else hi |= 1 << (k - 32)
+        }
+        i += 1
+      }
+      j += 1
+    }
+    (hi, lo)
   }
 
   // ------------------------------------------------------------- WAV codec
@@ -375,6 +415,43 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q205
+  case class DhashRow(doc_id: Long, dhash_hex: String)
+
+  /** IMAGE NEAR-DUP via PERCEPTUAL HASH — the image-corpus member of the
+    * dedup family (q30 exact text / q153 frame fingerprints / q61
+    * embedding): every image row's BMP raster goes through the REAL
+    * [[dhashBmp24]] kernel (decode → 9×8 brightness grid → 64 neighbor
+    * bits) in the same typed-mapPartitions shape as q44, then images
+    * cluster by exact dHash equality — the zero-Hamming-distance tier of
+    * perceptual dedup, which is what production image pipelines shuffle
+    * FIRST (64-bit keys, never pixels; a Hamming-band tier would bucket
+    * on hash bytes exactly like q37's SimHash chunks, same plan shape).
+    *
+    * EXACT oracle: the raster is deterministic from (doc_id, n_chars)
+    * (two-tone parity pattern), so DuckDB recomputes every sampled
+    * gray comparison closed-form — a bug in sampling arithmetic, row
+    * order, channel weights, or bit packing breaks the hash. Scale: the
+    * decode+hash is map-side; the cluster window partitions on the hash
+    * key (well-spread by construction); output is one row per image. */
+  def q205ImageDhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hashed = mediaTable(s, d).filter(col("media_type") === "image").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val (hi, lo) = dhashBmp24(m.content)
+          DhashRow(m.doc_id, f"$hi%08x$lo%08x")
+        }
+      }
+      .toDF()
+    val w = Window.partitionBy("dhash_hex")
+    hashed
+      .withColumn("cluster_first", min("doc_id").over(w))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------------
   // ---------------------------------------------------------------- q153
   /** CROSS-VIDEO FRAME DEDUP — the video-corpus analogue of q30's exact
@@ -405,12 +482,48 @@ object MultimodalOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_image_dhash" -> (q205ImageDhash _),
     "q43_multimodal_meta" -> (q43MultimodalMeta _),
     "q44_multimodal_features" -> (q44MultimodalFeatures _),
     "q200_audio_pcm" -> (q200AudioPcm _),
     "q153_frame_dedup" -> ((s: SparkSession, d: String) => q153FrameDedup(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // the dHash roundtrip in closed form: the two-tone raster's gray at a
+    // sampled (x, y) depends only on the parity of y·w + x, so each of the
+    // 64 neighbor comparisons is integer CASE arithmetic; bit packing and
+    // the %08x%08x rendering are re-derived exactly
+    "q205_image_dhash" ->
+      """WITH img AS (
+        | SELECT doc_id,
+        |  CAST(doc_id % 8 * 4 + 4 AS BIGINT) AS w,
+        |  CAST(doc_id % 4 * 4 + 4 AS BIGINT) AS h,
+        |  (n_chars % 256 + (n_chars % 256 + 85) % 256
+        |    + (n_chars % 256 + 170) % 256) // 3 AS ge,
+        |  ((n_chars * 7 + 13) % 256 + ((n_chars * 7 + 13) % 256 + 85) % 256
+        |    + ((n_chars * 7 + 13) % 256 + 170) % 256) // 3 AS go
+        | FROM documents WHERE doc_id % 3 = 0),
+        |bits AS (
+        | SELECT doc_id, CAST(j.j * 8 + i.i AS BIGINT) AS k,
+        |  CASE WHEN
+        |    (CASE WHEN ((j.j * h // 8) * w + ((i.i + 1) * w // 9)) % 2 = 0
+        |          THEN ge ELSE go END)
+        |    > (CASE WHEN ((j.j * h // 8) * w + (i.i * w // 9)) % 2 = 0
+        |          THEN ge ELSE go END)
+        |   THEN 1 ELSE 0 END AS b
+        | FROM img, LATERAL unnest(range(8)) j(j), LATERAL unnest(range(8)) i(i)),
+        |hx AS (
+        | SELECT doc_id,
+        |  sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS hi,
+        |  sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS lo
+        | FROM bits GROUP BY doc_id),
+        |hh AS (SELECT doc_id,
+        |  printf('%08x%08x', CAST(hi AS BIGINT), CAST(lo AS BIGINT)) AS dhash_hex
+        | FROM hx)
+        |SELECT doc_id, dhash_hex,
+        | min(doc_id) OVER (PARTITION BY dhash_hex) AS cluster_first,
+        | CAST(count(*) OVER (PARTITION BY dhash_hex) AS BIGINT) AS cluster_size
+        |FROM hh ORDER BY doc_id""".stripMargin,
     // frame slicing reproduced byte-for-byte via VARCHAR substring
     // (pure-ASCII corpus: octet_length == length, spec-asserted)
     "q153_frame_dedup" ->

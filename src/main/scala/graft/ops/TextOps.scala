@@ -1435,7 +1435,116 @@ object TextOps {
       .transform(Tables.portable)
   }
 
+  // ---------------------------------------------------------------- q206
+  /** TEXTRANK KEYWORDS — graph-based keyword extraction (Mihalcea & Tarau
+    * 2004): tokens become nodes, co-occurrence within a ±2-position window
+    * becomes undirected edges, and PageRank centrality ranks the terms.
+    * Where q72's TF-IDF scores terms by counting, TextRank scores them by
+    * STRUCTURE — a term is a keyword when it co-occurs with other central
+    * terms — which is why it survives on corpora too small for IDF to
+    * separate anything.
+    *
+    * Scale discipline: the graph is built over the TOP-V VOCABULARY only
+    * (TakeOrdered top-100 by corpus frequency, (cnt desc, term) tiebreak,
+    * broadcast back), so the node count is a constant and the window
+    * self-join cannot quadratic-blow on long documents. Position adjacency
+    * is an EQUI-join — each occurrence joins (doc_id, pos+δ) for δ∈{1,2}
+    * against (doc_id, pos) — never a per-document cross product; edges
+    * aggregate to at most V²/2 (u, v, count) rows map-side. Ranks then run
+    * through the exact WEIGHTED integer-grid PageRank core
+    * ([[GraphOps.pageRankWeightedScaled]], ppm transition probs, 10⁻¹²
+    * rank units, 3 synchronous iterations — weights matter here because a
+    * Zipf corpus makes the top-V co-occurrence graph near-complete, where
+    * unweighted PageRank degenerates to uniform): the oracle reuses the
+    * SAME unrolled-iteration SQL fragment
+    * ([[GraphOps.duckPageRankWeightedIters]]) — the two cannot drift. The
+    * vocab-id window is over the 100-row TakeOrdered result — bounded,
+    * documented, not a data-scale sort. */
+  def q206TextrankKeywords(s: SparkSession, d: String, vocabN: Int = 100,
+                           iters: Int = 3, topK: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vocabN)
+      .withColumn("tid",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+    val tv = toks.join(broadcast(vocab.select("term", "tid")), "term")
+      .select(col("doc_id"), col("pos"), col("tid"))
+    val right = tv.select(col("doc_id").as("r_doc"), col("pos").as("rpos"),
+      col("tid").as("rtid"))
+    val co = Seq(1, 2).map { dlt =>
+      tv.withColumn("jpos", col("pos") + dlt)
+        .join(right, col("doc_id") === col("r_doc") && col("jpos") === col("rpos"))
+        .select(col("tid").as("x"), col("rtid").as("y"))
+    }.reduce(_ unionAll _)
+    val edges = co.filter(col("x") =!= col("y"))
+      .groupBy(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .agg(count(lit(1)).as("w"))
+    GraphOps.pageRankWeightedScaled(edges, iters)
+      .join(broadcast(vocab), col("node") === col("tid"))
+      .select(col("term"), col("node").as("tid"), col("cnt").as("term_freq"),
+        col("r").as("rank_scaled"),
+        (col("r").cast("double") / 1000000000000L).as("rank"))
+      .orderBy(col("rank_scaled").desc, col("term"))
+      .limit(topK)
+  }
+
+  // ---------------------------------------------------------------- q209
+  /** ENCODING / CHARACTER-CLASS INTEGRITY AUDIT — the corpus-intake gate
+    * that catches mojibake and binary contamination BEFORE tokenization:
+    * per language, how many documents are pure ASCII, how many carry
+    * C0/DEL control characters (the classic double-decode and binary-spill
+    * symptoms), how many carry U+FFFD replacement characters (a decoder
+    * already gave up upstream), how many extra UTF-8 continuation bytes
+    * the corpus carries, and the digit/upper/punctuation density in basis
+    * points (integer `div` — exact) that feeds quality scoring.
+    *
+    * Scale: pure map-side column expressions (codegen'd regex counts) into
+    * one |langs|-row groupBy — the per-row regex cost is the only cost at
+    * 100 TB, identical in shape to q33/q35. Character classes are spelled
+    * as explicit ASCII ranges shared verbatim with the oracle (the q181
+    * lesson: never rely on an engine's own \s / \p class definitions). */
+  def q209UnicodeAudit(s: SparkSession, d: String): DataFrame =
+    unicodeAuditOn(t(s, d, "documents"))
+
+  /** The audit core over ANY (lang, text) frame -- factored out so the spec
+    * can feed planted mojibake/control/non-ASCII fixtures. */
+  private[graft] def unicodeAuditOn(docs: DataFrame): DataFrame = {
+    val txt = col("text")
+    val nC = length(txt).cast("long")
+    val isAscii = txt.rlike("^[\\x00-\\x7F]*$")
+    val hasCtrl = txt.rlike("[\\x00-\\x08\\x0E-\\x1F\\x7F]")
+    val hasRepl = txt.contains("\uFFFD")
+    def nOf(cls: String) = (length(txt) - length(regexp_replace(txt, cls, ""))).cast("long")
+    docs
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nC).as("n_chars"),
+        sum(when(isAscii, 1L).otherwise(0L)).as("n_ascii_docs"),
+        sum(when(hasCtrl, 1L).otherwise(0L)).as("n_ctrl_docs"),
+        sum(when(hasRepl, 1L).otherwise(0L)).as("n_repl_docs"),
+        sum((octet_length(encode(txt, "UTF-8")) - length(txt)).cast("long"))
+          .as("extra_utf8_bytes"),
+        sum(nOf("[0-9]")).as("n_digit"),
+        sum(nOf("[A-Z]")).as("n_upper"),
+        sum(nOf("[!-/:-@\\[-`{-~]")).as("n_punct"),
+        sum(nOf("[aeiou]")).as("n_vowel"),
+        sum(nOf("[ ]")).as("n_space"))
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("n_ascii_docs"),
+        col("n_ctrl_docs"), col("n_repl_docs"), col("extra_utf8_bytes"),
+        expr("(10000 * n_digit) div n_chars").as("digit_bp"),
+        expr("(10000 * n_upper) div n_chars").as("upper_bp"),
+        expr("(10000 * n_punct) div n_chars").as("punct_bp"),
+        expr("(10000 * n_vowel) div n_chars").as("vowel_bp"),
+        expr("(10000 * n_space) div n_chars").as("space_bp"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_textrank_keywords" -> ((s: SparkSession, d: String) => q206TextrankKeywords(s, d)),
+    "q209_unicode_audit" -> (q209UnicodeAudit _),
     "q173_gini_tokens" -> (q173GiniTokens _),
     "q163_bpe_encode" -> ((s: SparkSession, d: String) => q163BpeEncode(s, d)),
     "q159_bpe_trainer" -> ((s: SparkSession, d: String) => q159BpeTrainer(s, d)),
@@ -1539,6 +1648,70 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // TextRank: same top-100 vocab cut, same ±2-window equi-adjacency, and
+    // LITERALLY the same unrolled weighted integer-grid PageRank fragment
+    // (GraphOps.duckPageRankWeightedIters) as the engine core — shared
+    // text, cannot drift
+    "q206_textrank_keywords" ->
+      s"""WITH toksr AS MATERIALIZED (
+         | SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[u.i] AS term
+         | FROM (SELECT doc_id, $duckToks AS t FROM documents) d,
+         | LATERAL unnest(range(1, len(t) + 1)) u(i)),
+         |v0 AS (SELECT term, count(*) AS cnt FROM toksr GROUP BY 1
+         | ORDER BY cnt DESC, term LIMIT 100),
+         |vocab AS MATERIALIZED (
+         | SELECT term, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS tid
+         | FROM v0),
+         |tv AS MATERIALIZED (
+         | SELECT t.doc_id, t.pos, v.tid FROM toksr t JOIN vocab v USING (term)),
+         |pr AS (
+         | SELECT l.tid AS x, r.tid AS y FROM tv l JOIN tv r
+         |  ON l.doc_id = r.doc_id AND (r.pos = l.pos + 1 OR r.pos = l.pos + 2)),
+         |capped AS MATERIALIZED (
+         | SELECT least(x, y) AS u, greatest(x, y) AS v,
+         |  CAST(count(*) AS BIGINT) AS w
+         | FROM pr WHERE x <> y GROUP BY 1, 2),
+         |adj AS MATERIALIZED (
+         | SELECT u, v, w FROM capped UNION ALL SELECT v, u, w FROM capped),
+         |wt AS (SELECT u, CAST(sum(w) AS BIGINT) AS wtot FROM adj GROUP BY u),
+         |a AS MATERIALIZED (
+         | SELECT adj.u, adj.v, (1000000 * adj.w) // wt.wtot AS p
+         | FROM adj JOIN wt ON adj.u = wt.u),
+         |nodes AS MATERIALIZED (SELECT u FROM wt),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT u AS node, 1000000000000 // n AS r FROM nodes CROSS JOIN nn),
+         |${GraphOps.duckPageRankWeightedIters}
+         |SELECT v.term, r3.node AS tid, v.cnt AS term_freq,
+         | CAST(r3.r AS BIGINT) AS rank_scaled,
+         | CAST(r3.r AS DOUBLE) / 1000000000000 AS rank
+         |FROM r3 JOIN vocab v ON v.tid = r3.node
+         |ORDER BY rank_scaled DESC, term LIMIT 25""".stripMargin,
+    // explicit ASCII ranges on both sides (never an engine's own \s or
+    // \p class); DuckDB regexp_replace needs the 'g' flag, full-string
+    // ascii check via regexp_full_match vs Spark's anchored rlike
+    "q209_unicode_audit" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        | CAST(sum(CASE WHEN regexp_full_match(text, '[\x00-\x7f]*')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_ascii_docs,
+        | CAST(sum(CASE WHEN regexp_matches(text, '[\x00-\x08\x0e-\x1f\x7f]')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_docs,
+        | CAST(sum(CASE WHEN strpos(text, chr(65533)) > 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_repl_docs,
+        | CAST(sum(octet_length(encode(text)) - length(text)) AS BIGINT)
+        |   AS extra_utf8_bytes,
+        | CAST((10000 * sum(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))))
+        |   // sum(length(text)) AS BIGINT) AS digit_bp,
+        | CAST((10000 * sum(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))))
+        |   // sum(length(text)) AS BIGINT) AS upper_bp,
+        | CAST((10000 * sum(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))))
+        |   // sum(length(text)) AS BIGINT) AS punct_bp,
+        | CAST((10000 * sum(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))))
+        |   // sum(length(text)) AS BIGINT) AS vowel_bp,
+        | CAST((10000 * sum(length(text) - length(regexp_replace(text, '[ ]', '', 'g'))))
+        |   // sum(length(text)) AS BIGINT) AS space_bp
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // the identical Rabin-Karp fold over the identical md5-derived 48-bit
     // token ints: list_reduce with a prepended 0 accumulator ≡ Spark's
     // aggregate(toks, 0L, ...); every intermediate < 2^36, exact int64

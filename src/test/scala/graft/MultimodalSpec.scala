@@ -177,6 +177,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(badOthers.count() === 0)
   }
 
+  test("dHash kernel: extremes, bit numbering, tone-wrap invariance, rejection") {
+    def hex(hl: (Int, Int)): String = f"${hl._1}%08x${hl._2}%08x"
+    // 9x8 identity sampling grid: sx(i) = i, sy(j) = j
+    // left-to-right gradient -> every neighbor comparison increases -> all 1s
+    val grad = MultimodalOps.encodeBmp24(9, 8, (x, _) => (x * 20, x * 20, x * 20))
+    assert(hex(MultimodalOps.dhashBmp24(grad)) === "ffffffffffffffff")
+    // flat raster -> no comparison strictly increases -> all 0s
+    val flat = MultimodalOps.encodeBmp24(9, 8, (_, _) => (7, 7, 7))
+    assert(hex(MultimodalOps.dhashBmp24(flat)) === "0000000000000000")
+    // gradient confined to TOP-DOWN row 0 pins bit numbering (k = j*8+i)
+    // AND the bottom-up storage order: bits 0..7 only -> ...000000ff
+    val row0 = MultimodalOps.encodeBmp24(9, 8,
+      (x, y) => if (y == 0) (x * 20, x * 20, x * 20) else (0, 0, 0))
+    assert(hex(MultimodalOps.dhashBmp24(row0)) === "00000000000000ff")
+    // tones wrap mod 256: n_chars and n_chars + 256 build identical rasters
+    val a = MultimodalOps.makeDocBmp(12L, 100L)
+    val b = MultimodalOps.makeDocBmp(12L, 356L)
+    assert(hex(MultimodalOps.dhashBmp24(a)) === hex(MultimodalOps.dhashBmp24(b)))
+    // shares the BMP validation path: corrupt blobs fail loudly
+    intercept[IllegalArgumentException] {
+      MultimodalOps.dhashBmp24("nowhere near a bitmap but padded long enough".getBytes)
+    }
+  }
+
+  test("q205: one row per image; clusters consistent and hash-keyed") {
+    val got = MultimodalOps.q205ImageDhash(spark, TestSpark.sf)
+    val nImages = MultimodalOps.mediaTable(spark, TestSpark.sf)
+      .filter(col("media_type") === "image").count()
+    assert(got.count() === nImages)
+    // cluster_first is the min doc_id of the hash group, size ties out
+    val bad = got.groupBy("dhash_hex")
+      .agg(min("doc_id").as("exp_first"), count(lit(1)).as("exp_size"),
+        first("cluster_first").as("got_first"), first("cluster_size").as("got_size"),
+        countDistinct("cluster_first").as("n_first"), countDistinct("cluster_size").as("n_size"))
+      .filter(col("exp_first") =!= col("got_first") || col("exp_size") =!= col("got_size") ||
+        col("n_first") =!= 1 || col("n_size") =!= 1)
+    assert(bad.count() === 0)
+    // every hash is 16 lowercase hex chars
+    assert(got.filter(!col("dhash_hex").rlike("^[0-9a-f]{16}$")).count() === 0)
+  }
+
   test("frame sampling: only video rows, ceil(len/stride) frames each") {
     val media = MultimodalOps.mediaTable(spark, TestSpark.sf)
     val frames = MultimodalOps.sampleFrames(spark, media, stride = 64)

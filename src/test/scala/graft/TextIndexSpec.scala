@@ -535,4 +535,58 @@ class TextIndexSpec extends AnyFunSuite {
       assert(qp(25) <= qp(50) && qp(50) <= qp(75) && qp(75) <= qp(90))
     }
   }
+
+  test("textrank: top-25 are vocab members with exact frequencies, mass sane") {
+    val got = TextOps.q206TextrankKeywords(spark, TestSpark.sf).collect()
+    assert(got.length === 25)
+    // ordered by (rank_scaled desc, term)
+    val rs = got.map(r => (r.getAs[Long]("rank_scaled"), r.getAs[String]("term")))
+    assert(rs.sameElements(rs.sortBy { case (r, t) => (-r, t) }))
+    // term_freq ties out against a direct token recount; tids in 1..100
+    val freq = Tables.load(spark, TestSpark.sf, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      assert(freq(r.getAs[String]("term")) === r.getAs[Long]("term_freq"))
+      val tid = r.getAs[Long]("tid")
+      assert(tid >= 1L && tid <= 100L)
+      // rank is the double rendering of the integer-grid value
+      assert(r.getAs[Double]("rank") === r.getAs[Long]("rank_scaled").toDouble / 1e12)
+    }
+    // weighted PageRank must separate a Zipf vocabulary, not stay uniform
+    assert(got.map(_.getAs[Long]("rank_scaled")).distinct.length > 10)
+  }
+
+  test("unicode audit: planted mojibake fixtures count exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      ("aa", "The 3 cats!"),            // upper 1, digit 1, punct 1, space 2, vowel 1 ('a')
+      ("aa", "x\u0001y"),               // control char doc
+      ("bb", "caf\u00e9"),              // non-ascii: 1 extra UTF-8 byte
+      ("bb", "ok \uFFFDbroken\uFFFD")   // replacement chars
+    ).toDF("lang", "text")
+    val out = TextOps.unicodeAuditOn(docs).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val aa = out("aa")
+    assert(aa.getAs[Long]("n_docs") === 2L)
+    assert(aa.getAs[Long]("n_chars") === 14L)
+    assert(aa.getAs[Long]("n_ascii_docs") === 2L) //  IS ascii (and control)
+    assert(aa.getAs[Long]("n_ctrl_docs") === 1L)
+    assert(aa.getAs[Long]("n_repl_docs") === 0L)
+    assert(aa.getAs[Long]("extra_utf8_bytes") === 0L)
+    assert(aa.getAs[Long]("digit_bp") === 10000L * 1 / 14)
+    assert(aa.getAs[Long]("upper_bp") === 10000L * 1 / 14)
+    assert(aa.getAs[Long]("punct_bp") === 10000L * 1 / 14)
+    val bb = out("bb")
+    assert(bb.getAs[Long]("n_ascii_docs") === 0L) // é and U+FFFD both non-ASCII
+    assert(bb.getAs[Long]("n_repl_docs") === 1L)
+    assert(bb.getAs[Long]("extra_utf8_bytes") === 1L + 2L * 2L) // é=+1, 2×FFFD=+2 each
+    // the real corpus: clean ASCII, nonzero vowel/space densities
+    val corpus = TextOps.q209UnicodeAudit(spark, TestSpark.sf).collect()
+    corpus.foreach { r =>
+      assert(r.getAs[Long]("n_ascii_docs") === r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("vowel_bp") > 0L && r.getAs[Long]("space_bp") > 0L)
+    }
+  }
 }
