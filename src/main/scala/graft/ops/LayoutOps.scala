@@ -520,6 +520,100 @@ object LayoutOps {
       .orderBy("probe_pk")
   }
 
+  // ---------------------------------------------------------------- q207
+  /** ZONE-MAP (min/max) SKIPPING INDEX — the RANGE-predicate member of the
+    * file-skipping family, and the exact mechanism behind Iceberg/Delta/
+    * parquet-footer data skipping: per storage unit, min/max of the probe
+    * column answer "can this unit hold rows in [lo, hi]?" — scan the
+    * overlapping units, skip the rest, false positives cost wasted reads
+    * and false negatives are impossible (min/max bound every row by
+    * definition). Shards are content-defined calendar months of
+    * l_shipdate (the q145/q195 discipline: layout-invariant, re-shard-
+    * stable — a real lakehouse clusters its files by ingest date, which
+    * is exactly this shape), so the WHOLE index carries an exact oracle.
+    * Probes: the four quarters of the data span (wide, low skip) plus a
+    * 7-day needle (deep skip — the case zone maps exist for). The output
+    * certifies the no-false-negative contract in-row: n_shards_matched
+    * (shards actually holding matching rows) can never exceed
+    * n_shards_hit (shards the zone map scans), and n_rows/sum_qty are
+    * aggregated ONLY over zone-map-hit shards yet equal the full-scan
+    * answer by the bound argument.
+    *
+    * Scale: the zone-map table is one row per shard — bounded by the
+    * calendar, not the data — built in one map-side-combined groupBy and
+    * checkpointed; probes × shards is a broadcast grid; the one data
+    * re-scan aggregates against broadcast probe bounds. The file-level
+    * twin ([[zonemapFileIndex]]/[[zonemapPrunedRead]], spec-proved ≡ the
+    * full filter) is the same index keyed by physical file. */
+  def q207ZonemapIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, d, "lineitem").select(
+      (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+        .cast("long").as("shard"),
+      datediff(col("l_shipdate").cast("date"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"),
+      col("l_quantity").cast("long").as("qty"))
+    val zm = graft.Transients.track(li.groupBy("shard")
+      .agg(min("day").as("zmin"), max("day").as("zmax"),
+        count(lit(1)).as("n_rows_shard"))
+      .localCheckpoint())
+    val b = zm.agg(min("zmin"), max("zmax")).head
+    val (mind, maxd) = (b.getLong(0), b.getLong(1))
+    val span = maxd - mind + 1
+    val wd = span / 4
+    val probeRows = (0L until 4L).map { i =>
+      (i, mind + i * wd, if (i == 3) maxd else mind + (i + 1) * wd - 1)
+    } :+ ((4L, mind + span / 2, mind + span / 2 + 6))
+    val probes = probeRows.toDF("probe_id", "lo", "hi")
+    val nShards = zm.count()
+    val zHits = zm.crossJoin(broadcast(probes))
+      .filter(!(col("zmax") < col("lo") || col("zmin") > col("hi")))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_shards_hit"),
+        sum("n_rows_shard").as("n_rows_scanned"))
+    val matched = li.crossJoin(broadcast(probes))
+      .filter(col("day") >= col("lo") && col("day") <= col("hi"))
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+        countDistinct("shard").as("n_shards_matched"))
+    probes
+      .join(zHits, Seq("probe_id"), "left")
+      .join(matched, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("lo"), col("hi"),
+        lit(nShards).as("n_shards_total"),
+        coalesce(col("n_shards_hit"), lit(0L)).as("n_shards_hit"),
+        coalesce(col("n_shards_matched"), lit(0L)).as("n_shards_matched"),
+        coalesce(col("n_rows_scanned"), lit(0L)).as("n_rows_scanned"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("sum_qty"), lit(0L)).as("sum_qty"))
+      .withColumn("skip_bp",
+        expr("(10000 * (n_shards_total - n_shards_hit)) div n_shards_total"))
+      .orderBy("probe_id")
+  }
+
+  /** File-level face of q207: one (min, max) zone per PHYSICAL FILE over
+    * `keyCol` — what a parquet footer / lakehouse manifest stores. */
+  def zonemapFileIndex(df: DataFrame, keyCol: String): DataFrame =
+    df.withColumn("file", input_file_name())
+      .groupBy("file")
+      .agg(min(col(keyCol)).as("zmin"), max(col(keyCol)).as("zmax"))
+
+  /** Range-read `dir` for keyCol in [lo, hi] touching only zone-overlap
+    * files. Returns (result, filesRead, filesTotal). No false negatives:
+    * the result is exactly the full filter (spec-proved). */
+  def zonemapPrunedRead(s: SparkSession, dir: String, index: DataFrame,
+                        keyCol: String, lo: Long, hi: Long): (DataFrame, Long, Long) = {
+    val total = index.count()
+    val picked = index.filter(!(col("zmax") < lo || col("zmin") > hi))
+      .select("file").collect().map(_.getString(0))
+    val res =
+      (if (picked.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          s.read.parquet(dir).schema)
+      else s.read.parquet(picked.toIndexedSeq: _*))
+        .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+    (res, picked.length.toLong, total)
+  }
+
   /** File-level face of q195: one Bloom per PHYSICAL FILE over `keyCol`
     * (bit positions as in the oracle face), membership as the distinct
     * (file, pos) set. */
@@ -552,6 +646,7 @@ object LayoutOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_zonemap_index" -> (q207ZonemapIndex _),
     "q195_bloom_index" -> ((s: SparkSession, d: String) => q195BloomIndex(s, d)),
     "q196_hilbert_layout" -> ((s: SparkSession, d: String) => q196HilbertLayout(s, d)),
     "q168_skew_audit" -> ((s: SparkSession, d: String) => q168SkewAudit(s, d)),
@@ -561,6 +656,50 @@ object LayoutOps {
     "q145_shard_balance" -> ((s: SparkSession, d: String) => q145ShardBalance(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // the whole zone-map index re-derived in SQL: same month shards, same
+    // probe grid from the data span, same overlap predicate
+    "q207_zonemap_index" ->
+      """WITH li AS (
+        | SELECT (year(l_shipdate) * 12 + month(l_shipdate) - 1) AS shard,
+        |  date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day,
+        |  CAST(l_quantity AS BIGINT) AS qty
+        | FROM lineitem),
+        |zm AS MATERIALIZED (
+        | SELECT shard, min(day) AS zmin, max(day) AS zmax,
+        |  count(*) AS n_rows_shard
+        | FROM li GROUP BY 1),
+        |b AS (SELECT min(zmin) AS mind, max(zmax) AS maxd,
+        |  max(zmax) - min(zmin) + 1 AS span FROM zm),
+        |probes AS MATERIALIZED (
+        | SELECT CAST(u.i AS BIGINT) AS probe_id,
+        |  CASE WHEN u.i < 4 THEN mind + u.i * (span // 4)
+        |       ELSE mind + span // 2 END AS lo,
+        |  CASE WHEN u.i = 3 THEN maxd
+        |       WHEN u.i < 4 THEN mind + (u.i + 1) * (span // 4) - 1
+        |       ELSE mind + span // 2 + 6 END AS hi
+        | FROM b, LATERAL unnest(range(5)) u(i)),
+        |zh AS (
+        | SELECT probe_id, count(*) AS n_shards_hit,
+        |  sum(n_rows_shard) AS n_rows_scanned
+        | FROM probes p JOIN zm z ON NOT (z.zmax < p.lo OR z.zmin > p.hi)
+        | GROUP BY 1),
+        |m AS (
+        | SELECT probe_id, count(*) AS n_rows, sum(qty) AS sum_qty,
+        |  count(DISTINCT shard) AS n_shards_matched
+        | FROM probes p JOIN li ON li.day BETWEEN p.lo AND p.hi GROUP BY 1),
+        |tt AS (SELECT count(*) AS n_shards_total FROM zm)
+        |SELECT p.probe_id, p.lo, p.hi,
+        | CAST(tt.n_shards_total AS BIGINT) AS n_shards_total,
+        | CAST(coalesce(zh.n_shards_hit, 0) AS BIGINT) AS n_shards_hit,
+        | CAST(coalesce(m.n_shards_matched, 0) AS BIGINT) AS n_shards_matched,
+        | CAST(coalesce(zh.n_rows_scanned, 0) AS BIGINT) AS n_rows_scanned,
+        | CAST(coalesce(m.n_rows, 0) AS BIGINT) AS n_rows,
+        | CAST(coalesce(m.sum_qty, 0) AS BIGINT) AS sum_qty,
+        | CAST((10000 * (tt.n_shards_total - coalesce(zh.n_shards_hit, 0)))
+        |   // tt.n_shards_total AS BIGINT) AS skip_bp
+        |FROM probes p CROSS JOIN tt
+        |LEFT JOIN zh USING (probe_id) LEFT JOIN m USING (probe_id)
+        |ORDER BY probe_id""".stripMargin,
     // the whole bloom index re-derived in SQL: same md5-derived bit
     // positions, same shard discipline — index AND lookups engine-exact
     "q195_bloom_index" ->

@@ -621,7 +621,138 @@ object SimilarityOps {
   }
 
   // ------------------------------------------------------------------------
+  // ---------------------------------------------------------------- q208
+  case class MmrCand(c_id: Long, rel6: Long)
+  case class MmrPair(a_id: Long, b_id: Long, s6: Long)
+  case class MmrQuery(q_id: Long, cands: Seq[MmrCand], pairs: Seq[MmrPair])
+  case class MmrPick(q_id: Long, step: Int, c_id: Long, score: Long)
+
+  /** Micro-unit cosine similarity: round to 6 dp, pin to DECIMAL(18,6)
+    * (the q90 cross-engine rounding convention), scale to integer 10⁻⁶
+    * units — every downstream comparison is integer-exact. */
+  private def sim6(a: Column, b: Column): Column =
+    (round(cosine(a, b), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      * 1000000).cast("long")
+
+  /** MMR (MAXIMAL MARGINAL RELEVANCE) DIVERSIFIED RE-RANK — the retrieval
+    * post-processor that fixes "top-k returns 8 copies of the same
+    * document": after a relevance top-m, greedily select k items by
+    * score(c) = λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) (Carbonell &
+    * Goldstein 1998), trading relevance against redundancy with the
+    * already-selected set S. λ = 0.7, in integer arithmetic: similarities
+    * are 10⁻⁶-unit longs ([[sim6]]) and the score is 7·rel6 − 3·maxsim6 —
+    * every argmax an exact integer comparison with (score desc, c_id)
+    * tie-break, so the whole greedy chain carries an exact oracle (8
+    * unrolled selection steps in SQL, generated from the same (λ, k, m)
+    * constants the engine runs).
+    *
+    * Scale shape: the expensive parts — relevance top-m over the full
+    * corpus and the m² candidate-pair similarities — are distributed
+    * (window top-m, bounded pair join keyed on q_id); the greedy loop
+    * itself runs per-query inside one typed flatMap over a COLLECTED-PER-
+    * GROUP candidate list bounded by m = 20 rows — the q154-candidates
+    * discipline: never the corpus, always the bounded head. */
+  def q208MmrRerank(s: SparkSession, d: String, m: Int = 20,
+                    k: Int = 8): DataFrame = {
+    import s.implicits._
+    val e = Tables.spread(t(s, d, "embeddings"), "vec_id")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("rel6").desc, col("c_id"))
+    val cand = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("rel6", sim6(col("q_emb"), col("c_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= m)
+      .select("q_id", "c_id", "rel6", "c_emb")
+    val cc = cand.select(col("q_id"), col("c_id").as("a_id"), col("c_emb").as("a_emb"))
+      .join(cand.select(col("q_id"), col("c_id").as("b_id"), col("c_emb").as("b_emb")), "q_id")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        sim6(col("a_emb"), col("b_emb")).as("s6"))
+    val perQ = cand.groupBy("q_id")
+      .agg(collect_list(struct(col("c_id"), col("rel6"))).as("cands"))
+      .join(cc.groupBy("q_id")
+        .agg(collect_list(struct(col("a_id"), col("b_id"), col("s6"))).as("pairs")),
+        "q_id")
+    perQ.as[MmrQuery].flatMap { qr =>
+      val sim = qr.pairs.map(p => ((p.a_id, p.b_id), p.s6)).toMap
+      var selected = List.empty[Long]
+      (1 to k).map { step =>
+        val (score, cid) = qr.cands
+          .filterNot(cd => selected.contains(cd.c_id))
+          .map { cd =>
+            val ms = if (selected.isEmpty) 0L
+              else selected.map(sid => sim((cd.c_id, sid))).max
+            (7L * cd.rel6 - 3L * ms, cd.c_id)
+          }
+          .maxBy { case (sc, id) => (sc, -id) }
+        selected ::= cid
+        MmrPick(qr.q_id, step, cid, score)
+      }
+    }.toDF()
+      .orderBy("q_id", "step")
+  }
+
+  /** The q208 oracle: 8 unrolled greedy steps generated from the same
+    * (λ=7/10, k, m) constants as the engine — shared shape, cannot drift. */
+  private[graft] def mmrOracleSql(m: Int = 20, k: Int = 8): String = {
+    val cos = (x: String, y: String) =>
+      s"""CAST(CAST(round(
+         |   list_sum(list_transform(range(1, 65), i -> $x.emb[i] * $y.emb[i]))
+         |   / (sqrt(list_sum(list_transform($x.emb, v -> v * v)))
+         |      * sqrt(list_sum(list_transform($y.emb, v -> v * v)))), 6)
+         |  AS DECIMAL(18,6)) * 1000000 AS BIGINT)""".stripMargin
+    val steps = (2 to k).map { i =>
+      s"""s$i AS (
+         | SELECT q_id, c_id, score FROM (
+         |  SELECT g.q_id, g.c_id, 7 * g.rel6 - 3 * g.ms AS score,
+         |   row_number() OVER (PARTITION BY g.q_id
+         |     ORDER BY 7 * g.rel6 - 3 * g.ms DESC, g.c_id) AS rk
+         |  FROM (
+         |   SELECT c.q_id, c.c_id, c.rel6, max(p.s6) AS ms
+         |   FROM cand c
+         |   JOIN psim p ON p.q_id = c.q_id AND p.a_id = c.c_id
+         |   JOIN sel${i - 1} s ON s.q_id = p.q_id AND s.c_id = p.b_id
+         |   WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+         |     WHERE x.q_id = c.q_id AND x.c_id = c.c_id)
+         |   GROUP BY c.q_id, c.c_id, c.rel6) g) WHERE rk = 1),
+         |sel$i AS MATERIALIZED (
+         | SELECT q_id, c_id FROM sel${i - 1}
+         | UNION ALL SELECT q_id, c_id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT q_id, $i AS step, c_id, score FROM s$i").mkString("\n UNION ALL ")
+    s"""WITH e AS (
+       | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       | FROM embeddings),
+       |p0 AS (
+       | SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${cos("q", "c")} AS rel6
+       | FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |cand AS MATERIALIZED (
+       | SELECT q_id, c_id, rel6 FROM (
+       |  SELECT q_id, c_id, rel6,
+       |   row_number() OVER (PARTITION BY q_id ORDER BY rel6 DESC, c_id) AS rk
+       |  FROM p0) WHERE rk <= $m),
+       |ca AS (SELECT c.q_id, c.c_id, e.emb FROM cand c JOIN e ON e.vec_id = c.c_id),
+       |psim AS MATERIALIZED (
+       | SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id, ${cos("a", "b")} AS s6
+       | FROM ca a JOIN ca b ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+       |s1 AS (
+       | SELECT q_id, c_id, 7 * rel6 AS score FROM (
+       |  SELECT q_id, c_id, rel6,
+       |   row_number() OVER (PARTITION BY q_id ORDER BY rel6 DESC, c_id) AS rk
+       |  FROM cand) WHERE rk = 1),
+       |sel1 AS MATERIALIZED (SELECT q_id, c_id FROM s1),
+       |$steps
+       |SELECT q_id, CAST(step AS INT) AS step, c_id, CAST(score AS BIGINT) AS score
+       |FROM ($out)
+       |ORDER BY q_id, step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_mmr_rerank" -> ((s: SparkSession, d: String) => q208MmrRerank(s, d)),
     "q186_split_drift" -> (q186SplitCentroidDrift _),
     "q179_pca_power" -> (q179PcaPower _),
     "q128_negative_sampling" -> ((s: SparkSession, d: String) => q128NegativeSampling(s, d)),
@@ -638,6 +769,7 @@ object SimilarityOps {
   /** q42's hyperplanes live in the Spark plan only → rows-only check.
     * q40/q41/q53/q77 recompute the same double math in DuckDB. */
   val oracle: Map[String, String] = Map(
+    "q208_mmr_rerank" -> mmrOracleSql(),
     // integer-grid L2: quantize, truncating-divide centroids, BIGINT
     // squared sums — `//` and Spark's `div` both truncate toward zero
     "q143_nearest_centroid" ->

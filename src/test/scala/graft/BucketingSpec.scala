@@ -112,4 +112,59 @@ class BucketingSpec extends AnyFunSuite {
       assert(pickedA < totalA, "absent key pruned nothing — bloom saturated")
     } finally index.unpersist()
   }
+
+  test("zonemap file index: range reads prune files, no false negatives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zonemap").toString
+    // orderkey-clustered files: orderkey RANGE probes are the zone-map case
+    Tables.load(spark, TestSpark.sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    val table = spark.read.parquet(dir)
+    val index = LayoutOps.zonemapFileIndex(table, "l_orderkey").cache()
+    try {
+      val (minK, maxK) = {
+        val r = table.agg(min("l_orderkey"), max("l_orderkey")).head
+        (r.getLong(0), r.getLong(1))
+      }
+      // a narrow band: result == full filter AND files actually skipped
+      val (lo, hi) = (minK + (maxK - minK) / 2, minK + (maxK - minK) / 2 + (maxK - minK) / 16)
+      val (res, picked, total) =
+        LayoutOps.zonemapPrunedRead(spark, dir, index, "l_orderkey", lo, hi)
+      val direct = table.filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+      assert(res.exceptAll(direct).isEmpty && direct.exceptAll(res).isEmpty,
+        "zonemap read diverged from the full filter")
+      assert(picked < total, "narrow band pruned nothing — zones not tight")
+      assert(res.count() === direct.count())
+      // the full span must read everything and still equal the filter
+      val (resF, pickedF, totalF) =
+        LayoutOps.zonemapPrunedRead(spark, dir, index, "l_orderkey", minK, maxK)
+      assert(pickedF === totalF)
+      assert(resF.count() === table.count())
+      // a band beyond max touches zero files
+      val (resA, pickedA, _) =
+        LayoutOps.zonemapPrunedRead(spark, dir, index, "l_orderkey", maxK + 10, maxK + 20)
+      assert(resA.isEmpty && pickedA === 0L)
+    } finally index.unpersist()
+  }
+
+  test("q207: zone map certifies no false negatives; needle probe skips shards") {
+    val got = graft.ops.LayoutOps.q207ZonemapIndex(spark, TestSpark.sf).collect()
+    assert(got.length === 5)
+    got.foreach { r =>
+      // scanned superset of matched; scanned row mass covers matched rows
+      assert(r.getAs[Long]("n_shards_matched") <= r.getAs[Long]("n_shards_hit"))
+      assert(r.getAs[Long]("n_rows") <= r.getAs[Long]("n_rows_scanned"))
+      assert(r.getAs[Long]("skip_bp") >= 0L && r.getAs[Long]("skip_bp") <= 10000L)
+    }
+    // the 7-day needle probe (probe_id 4) must skip most month shards
+    val needle = got.find(_.getAs[Long]("probe_id") == 4L).get
+    assert(needle.getAs[Long]("n_shards_hit") <= 2L)
+    assert(needle.getAs[Long]("skip_bp") > 9000L)
+    // quarters tile the span: their matched rows sum to the whole table
+    val quarterRows = got.filter(_.getAs[Long]("probe_id") < 4L)
+      .map(_.getAs[Long]("n_rows")).sum
+    assert(quarterRows === Tables.load(spark, TestSpark.sf, "lineitem").count())
+  }
 }

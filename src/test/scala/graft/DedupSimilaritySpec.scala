@@ -833,4 +833,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val n = keyed.count()
     assert(got.length <= n * 4)
   }
+
+  test("MMR rerank: picks equal an independent greedy replay over top-20") {
+    val picks = SimilarityOps.q208MmrRerank(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("step"),
+        r.getAs[Long]("c_id"), r.getAs[Long]("score")))
+    val byQ = picks.groupBy(_._1)
+    assert(byQ.keySet === (0L until 10L).toSet)
+    // independently recompute rel6 / pairwise sim6 from raw embeddings
+    val e = Tables.load(spark, TestSpark.sf, "embeddings")
+    val sim6 = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
+        (round(SimilarityOps.cosine(col("a.embedding"), col("b.embedding")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+          .cast("long").as("s6"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    byQ.foreach { case (q, ps) =>
+      val ordered = ps.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq === (1 to 8))
+      assert(ordered.map(_._3).distinct.length === 8, "duplicate picks")
+      // full independent greedy replay: top-20 candidate cut by
+      // (rel desc, id), then 8 argmax steps of 7·rel6 − 3·maxsim6 with
+      // (score desc, id asc) tie-break — must reproduce picks AND scores
+      val allRel = sim6.collect { case ((x, y), s) if x == q && y != q => (y, s) }.toSeq
+      val cands = allRel.sortBy { case (id, s) => (-s, id) }.take(20)
+      assert(ordered.head._3 === cands.head._1, "step 1 is the relevance argmax")
+      var sel = List.empty[Long]
+      val replay = (1 to 8).map { step =>
+        val (score, cid) = cands
+          .filterNot { case (id, _) => sel.contains(id) }
+          .map { case (id, rel) =>
+            val ms = if (sel.isEmpty) 0L else sel.map(s => sim6((id, s))).max
+            (7L * rel - 3L * ms, id)
+          }
+          .maxBy { case (sc, id) => (sc, -id) }
+        sel ::= cid
+        (q, step, cid, score)
+      }
+      assert(ordered.toSeq === replay, s"q=$q greedy replay diverged")
+    }
+  }
 }
