@@ -235,6 +235,213 @@ object MultimodalOps {
     (sampleRate, channels, nSamples.toLong, sum0, sumAll)
   }
 
+  // ------------------------------------------------------------- PNG codec
+  /** Minimal REAL PNG encoder — 8-bit RGB (color type 2), no interlace:
+    * PNG signature, IHDR/IDAT/IEND chunks with real CRC32s, scanlines
+    * pre-compressed through a hand-written zlib stream of STORED deflate
+    * blocks (bit-exact deterministic output, no codec-version dependence;
+    * the decoder's Inflater accepts any conformant zlib, so real deflate
+    * round-trips too — spec-proved). Each row y is filtered with type
+    * y % 5, so every standard scanline filter (None/Sub/Up/Average/Paeth)
+    * appears in every image taller than 4 rows and a decoder that fakes
+    * the unfilter math cannot pass. */
+  def encodePngRgb(w: Int, h: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0, s"invalid PNG dims ${w}x$h")
+    val bpp = 3
+    val stride = w * bpp
+    // raw filtered scanline stream: [filter byte, filtered bytes...] per row
+    val raw = new Array[Byte](h * (1 + stride))
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      var i = 0
+      while (i < w) {
+        val (r, g, b) = pixel(i, y)
+        cur(i * 3) = r & 0xFF; cur(i * 3 + 1) = g & 0xFF; cur(i * 3 + 2) = b & 0xFF
+        i += 1
+      }
+      val ft = y % 5
+      val base = y * (1 + stride)
+      raw(base) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val left = if (x >= bpp) cur(x - bpp) else 0
+        val up = if (y > 0) prev(x) else 0
+        val ul = if (y > 0 && x >= bpp) prev(x - bpp) else 0
+        val f = ft match {
+          case 0 => cur(x)
+          case 1 => cur(x) - left
+          case 2 => cur(x) - up
+          case 3 => cur(x) - (left + up) / 2
+          case 4 => cur(x) - paethPredictor(left, up, ul)
+        }
+        raw(base + 1 + x) = (f & 0xFF).toByte
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    // zlib stream: 0x78 0x01 header, stored (btype 00) blocks, adler32
+    val zlib = new java.io.ByteArrayOutputStream()
+    zlib.write(0x78); zlib.write(0x01)
+    var off = 0
+    while (off < raw.length) {
+      val n = math.min(65535, raw.length - off)
+      val last = off + n >= raw.length
+      zlib.write(if (last) 1 else 0)
+      zlib.write(n & 0xFF); zlib.write((n >> 8) & 0xFF)
+      zlib.write(~n & 0xFF); zlib.write((~n >> 8) & 0xFF)
+      zlib.write(raw, off, n)
+      off += n
+    }
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    val a = adler.getValue
+    zlib.write(((a >> 24) & 0xFF).toInt); zlib.write(((a >> 16) & 0xFF).toInt)
+    zlib.write(((a >> 8) & 0xFF).toInt); zlib.write((a & 0xFF).toInt)
+    // chunk assembly with real CRC32 over type+data
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write((len >> 24) & 0xFF); out.write((len >> 16) & 0xFF)
+      out.write((len >> 8) & 0xFF); out.write(len & 0xFF)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      val c = crc.getValue
+      out.write(((c >> 24) & 0xFF).toInt); out.write(((c >> 16) & 0xFF).toInt)
+      out.write(((c >> 8) & 0xFF).toInt); out.write((c & 0xFF).toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression, filter, interlace
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zlib.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** The Paeth predictor of the PNG spec (RFC 2083 §6.6). */
+  private def paethPredictor(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** REAL PNG decoder — validates the 8-byte signature, walks the chunk
+    * list verifying EVERY chunk's CRC32, reads IHDR (8-bit RGB non-
+    * interlaced only, loud failure otherwise), concatenates IDAT data,
+    * inflates the zlib stream through java.util.zip.Inflater (accepts any
+    * conformant deflate, not just the encoder's stored blocks), then
+    * UNFILTERS every scanline per its filter byte — the five standard
+    * filters reconstructed per the spec — and folds the raster into
+    * per-channel sums. The image analogue of [[decodeWavPcm16]]'s chunk
+    * walk, with real entropy-coded payload on top. */
+  def decodePngRgb(bytes: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    require(bytes.length >= 8 + 12 + 13 &&
+      (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'.toByte &&
+      bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte,
+      s"not a PNG (len=${bytes.length})")
+    val buf = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+    var pos = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (pos + 12 <= bytes.length && !sawEnd) {
+      val len = buf.getInt(pos)
+      require(len >= 0 && pos + 12L + len <= bytes.length,
+        s"chunk overruns the file (len=$len at $pos)")
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue == (buf.getInt(pos + 8 + len).toLong & 0xFFFFFFFFL),
+        s"CRC mismatch in chunk '$typ'")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR length $len")
+          w = buf.getInt(pos + 8); h = buf.getInt(pos + 12)
+          val depth = bytes(pos + 16) & 0xFF
+          val color = bytes(pos + 17) & 0xFF
+          val interlace = bytes(pos + 20) & 0xFF
+          require(depth == 8 && color == 2 && interlace == 0,
+            s"unsupported PNG variant (depth=$depth color=$color interlace=$interlace)")
+          require(w > 0 && h > 0, s"invalid dims ${w}x$h")
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunk: skip (tEXt, pHYs, ...)
+      }
+      pos += 12 + len
+    }
+    require(w > 0 && sawEnd, "missing IHDR or IEND")
+    val stride = w * 3
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      require(n > 0 || !inf.needsInput, "truncated IDAT stream")
+      got += n
+    }
+    inf.end()
+    require(got == raw.length, s"inflated $got of ${raw.length} raster bytes")
+    // unfilter scanlines in place (recon bytes overwrite filtered bytes)
+    val bpp = 3
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + stride)
+      val ft = raw(base) & 0xFF
+      require(ft <= 4, s"unknown filter type $ft on row $y")
+      var x = 0
+      while (x < stride) {
+        val cur = raw(base + 1 + x) & 0xFF
+        val left = if (x >= bpp) raw(base + 1 + x - bpp) & 0xFF else 0
+        val up = if (y > 0) raw(base - stride + x) & 0xFF else 0
+        val ul = if (y > 0 && x >= bpp) raw(base - stride + x - bpp) & 0xFF else 0
+        val recon = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => cur + paethPredictor(left, up, ul)
+        }
+        raw(base + 1 + x) = (recon & 0xFF).toByte
+        (x % 3: @unchecked) match {
+          case 0 => sr += recon & 0xFF
+          case 1 => sg += recon & 0xFF
+          case 2 => sb += recon & 0xFF
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, w.toLong * h, sr, sg, sb)
+  }
+
+  /** The deterministic PNG still each `video` document carries in q210:
+    * dims and a three-phase gradient raster from (doc_id, n_chars) —
+    * value v(x, y) = (n_chars + 7x + 11y + doc_id) mod 256 with the
+    * channel offsets of [[makeDocBmp]], fully regenerable in SQL. The
+    * gradient varies along BOTH axes so the Sub/Up/Average/Paeth filters
+    * all see nonzero deltas. */
+  private[graft] def docPngDims(docId: Long): (Int, Int) =
+    (((docId % 6) * 5 + 5).toInt, ((docId % 5) * 4 + 4).toInt)
+
+  private[graft] def makeDocPng(docId: Long, nChars: Long): Array[Byte] = {
+    val (w, h) = docPngDims(docId)
+    encodePngRgb(w, h, (x, y) => {
+      val v = ((nChars + 7L * x + 11L * y + docId) % 256).toInt
+      (v, (v + 85) % 256, (v + 170) % 256)
+    })
+  }
+
   /** The deterministic audio each document carries: 16 kHz PCM16, mono or
     * stereo by doc_id parity, samples from an integer recurrence over
     * (doc_id, channel, index, n_chars) — closed-form recomputable in SQL,
@@ -415,6 +622,39 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q210
+  case class PngStats(doc_id: Long, n_bytes: Int, img_w: Int, img_h: Int,
+                      n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL PNG decode stage — the third real codec of the multimodal
+    * family (BMP q44, WAV q200): every `video` document's deterministic
+    * PNG still ([[makeDocPng]]) goes through the actual format decoder
+    * ([[decodePngRgb]] — signature, per-chunk CRC32 verification, IHDR
+    * validation, zlib INFLATE of the IDAT stream, and the five standard
+    * scanline unfilters) in the same typed-mapPartitions shape as q44.
+    * Unlike BMP/WAV this payload is entropy-coded: a decoder that skips
+    * the inflate or fakes the Sub/Up/Average/Paeth reconstruction cannot
+    * produce the sums. EXACT oracle: dims, byte size (stored-block zlib
+    * makes the container size closed-form: 68 + h·(1+3w)) and channel
+    * sums are regenerated in SQL from the (doc_id, n_chars) gradient. */
+  def q210PngDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pngUdf = udf((docId: Long, nChars: Long) => makeDocPng(docId, nChars))
+    Tables.load(s, d, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id"), pngUdf(col("doc_id"), col("n_chars")).as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real pipeline: codec init once per partition, reused per row
+        rows.map { case (docId, content) =>
+          val (w, h, np, sr, sg, sb) = decodePngRgb(content)
+          PngStats(docId, content.length, w, h, np, sr, sg, sb)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q205
   case class DhashRow(doc_id: Long, dhash_hex: String)
 
@@ -482,6 +722,7 @@ object MultimodalOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_png_decode" -> (q210PngDecode _),
     "q205_image_dhash" -> (q205ImageDhash _),
     "q43_multimodal_meta" -> (q43MultimodalMeta _),
     "q44_multimodal_features" -> (q44MultimodalFeatures _),
@@ -489,6 +730,32 @@ object MultimodalOps {
     "q153_frame_dedup" -> ((s: SparkSession, d: String) => q153FrameDedup(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // the PNG roundtrip: every gradient pixel regenerated and re-summed;
+    // byte size from the stored-block zlib container arithmetic
+    "q210_png_decode" ->
+      """WITH p AS (
+        | SELECT doc_id, n_chars,
+        |  CAST(doc_id % 6 * 5 + 5 AS BIGINT) AS w,
+        |  CAST(doc_id % 5 * 4 + 4 AS BIGINT) AS h
+        | FROM documents WHERE doc_id % 3 = 2),
+        |px AS (
+        | SELECT doc_id, w, h,
+        |  (n_chars + 7 * x.x + 11 * y.y + doc_id) % 256 AS v
+        | FROM p, LATERAL unnest(range(w)) x(x), LATERAL unnest(range(h)) y(y)),
+        |s AS (
+        | SELECT doc_id, w, h,
+        |  sum(v) AS sum_r,
+        |  sum((v + 85) % 256) AS sum_g,
+        |  sum((v + 170) % 256) AS sum_b
+        | FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        | CAST(68 + h * (1 + 3 * w) AS INT) AS n_bytes,
+        | CAST(w AS INT) AS img_w, CAST(h AS INT) AS img_h,
+        | w * h AS n_pixels,
+        | CAST(sum_r AS BIGINT) AS sum_r,
+        | CAST(sum_g AS BIGINT) AS sum_g,
+        | CAST(sum_b AS BIGINT) AS sum_b
+        |FROM s ORDER BY doc_id""".stripMargin,
     // the dHash roundtrip in closed form: the two-tone raster's gray at a
     // sampled (x, y) depends only on the parity of y·w + x, so each of the
     // 64 neighbor comparisons is integer CASE arithmetic; bit packing and

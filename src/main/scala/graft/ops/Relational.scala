@@ -289,6 +289,34 @@ object Relational {
     a.except(b).orderBy("custkey")
   }
 
+  // ---------------------------------------------------------------- q211
+  /** BAG-SEMANTICS SET OPS — INTERSECT ALL / EXCEPT ALL, the multiplicity-
+    * preserving variants q17/q18's DISTINCT forms do not cover: for a key
+    * appearing m times on the left and n on the right, INTERSECT ALL
+    * keeps min(m, n) copies and EXCEPT ALL keeps max(m − n, 0) — the SQL
+    * standard's multiset algebra, which is what dedup-accounting queries
+    * ("how many line items survive subtracting the flagged multiset?")
+    * actually need. Output: per-key surviving multiplicities of both ops
+    * over two overlapping lineitem projections.
+    *
+    * Scale: Catalyst plans both as a single hash aggregate per side
+    * (count per key) + a replicate generate — one shuffle on the key, no
+    * join; the grouped output here folds the replication straight back
+    * into counts, so the exchange carries bare (key, count) pairs. */
+  def q211SetOpsAll(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "lineitem").filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey").as("okey"))
+    val b = t(s, d, "lineitem").filter(col("l_discount") >= 0.08)
+      .select(col("l_orderkey").as("okey"))
+    val ia = a.intersectAll(b).groupBy("okey")
+      .agg(count(lit(1)).as("m"))
+      .select(lit("intersect_all").as("op"), col("okey"), col("m"))
+    val ea = a.exceptAll(b).groupBy("okey")
+      .agg(count(lit(1)).as("m"))
+      .select(lit("except_all").as("op"), col("okey"), col("m"))
+    ia.unionAll(ea).orderBy("op", "okey")
+  }
+
   // ---------------------------------------------------------------- q19-q22 windows
   /** rank() per user by value; one shuffle on user_id, sort within. */
   def q19WindowRank(s: SparkSession, d: String): DataFrame = {
@@ -840,6 +868,7 @@ object Relational {
     "q14_join_anti" -> (q14JoinAnti _),
     "q15_topk" -> (q15TopK _),
     "q16_set_union" -> (q16SetUnion _),
+    "q211_set_ops_all" -> (q211SetOpsAll _),
     "q17_set_intersect" -> (q17SetIntersect _),
     "q18_set_except" -> (q18SetExcept _),
     "q19_window_rank" -> (q19WindowRank _),
@@ -998,6 +1027,17 @@ object Relational {
         |INTERSECT
         |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
         |ORDER BY custkey""".stripMargin,
+    "q211_set_ops_all" ->
+      """WITH a AS (SELECT l_orderkey AS okey FROM lineitem WHERE l_quantity >= 45),
+        |b AS (SELECT l_orderkey AS okey FROM lineitem WHERE l_discount >= 0.08),
+        |ia AS (SELECT okey FROM a INTERSECT ALL SELECT okey FROM b),
+        |ea AS (SELECT okey FROM a EXCEPT ALL SELECT okey FROM b)
+        |SELECT 'intersect_all' AS op, okey, CAST(count(*) AS BIGINT) AS m
+        |FROM ia GROUP BY okey
+        |UNION ALL
+        |SELECT 'except_all' AS op, okey, CAST(count(*) AS BIGINT) AS m
+        |FROM ea GROUP BY okey
+        |ORDER BY op, okey""".stripMargin,
     "q18_set_except" ->
       """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 8000
         |EXCEPT

@@ -823,6 +823,41 @@ object StatsOps {
       .orderBy("k")
   }
 
+  // ---------------------------------------------------------------- q212
+  /** L-DIVERSITY AUDIT — the release gate k-anonymity (q169) is famously
+    * NOT sufficient for: a class can hold k≫1 rows yet expose its members
+    * completely when every row shares the same sensitive value (the
+    * homogeneity attack). Per quasi-identifier class (segment, nation —
+    * one coarser than q169's grid, so classes are bigger and the failure
+    * mode is diversity, not size), the audit counts DISTINCT sensitive
+    * values (the account-balance band) and reports, for each l in
+    * {2, 3, 5}: classes below l, their row mass, and the risk share in
+    * basis points — integer `div`, exact.
+    *
+    * Scale: one (class, sensitive) distinct-aggregate — two map-side-
+    * combined shuffles of bare keys — then a |classes|·|l| grid; nothing
+    * downstream scales with rows. */
+  def q212LDiversity(s: SparkSession, d: String): DataFrame = {
+    val cls = t(s, d, "customer")
+      .select(col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("int").as("nation"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 100000")
+          .as("sensitive"))
+      .groupBy("segment", "nation")
+      .agg(count(lit(1)).as("cls"), countDistinct("sensitive").as("ldiv"))
+    cls
+      .select(col("cls"), col("ldiv"), explode(expr("array(2L, 3L, 5L)")).as("l"))
+      .groupBy("l")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("ldiv") < col("l"), 1L).otherwise(0L)).as("classes_below"),
+        sum(col("cls")).as("n_rows"),
+        sum(when(col("ldiv") < col("l"), col("cls")).otherwise(0L)).as("rows_at_risk"))
+      .select(col("l"), col("n_classes"), col("classes_below"), col("n_rows"),
+        col("rows_at_risk"),
+        expr("rows_at_risk * 10000 div n_rows").as("risk_bp"))
+      .orderBy("l")
+  }
+
   // ---------------------------------------------------------------- q170
   /** BENFORD FIRST-DIGIT audit — the classic fabricated-data / ingest-
     * corruption screen: the first significant digit of a naturally-spread
@@ -1259,6 +1294,7 @@ object StatsOps {
     "q178_acf" -> (q178AcfCertificate _),
     "q177_km_hazard" -> (q177KmHazard _),
     "q169_kanon_audit" -> (q169KAnonymity _),
+    "q212_l_diversity" -> (q212LDiversity _),
     "q170_benford_audit" -> (q170BenfordAudit _),
     "q171_group_ols" -> (q171GroupOls _),
     "q172_rank_test" -> (q172RankTest _),
@@ -1495,6 +1531,26 @@ object StatsOps {
         |FROM risk ORDER BY t_hours""".stripMargin,
     // same truncating integral division (`//` ≡ Spark `div`, both toward
     // zero, verified incl. negatives) on the same cents grid
+    // same QI grid discipline as q169, one level coarser; diversity is a
+    // distinct-count, risk shares integer basis points
+    "q212_l_diversity" ->
+      """WITH qi AS (
+        | SELECT c_mktsegment AS segment, c_nationkey AS nation,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000
+        |    AS sensitive
+        | FROM customer),
+        |cls AS (SELECT segment, nation, count(*) AS cls,
+        |         count(DISTINCT sensitive) AS ldiv
+        |        FROM qi GROUP BY 1, 2),
+        |ls AS (SELECT CAST(unnest([2, 3, 5]) AS BIGINT) AS l)
+        |SELECT l,
+        | CAST(count(*) AS BIGINT) AS n_classes,
+        | CAST(sum(CASE WHEN ldiv < l THEN 1 ELSE 0 END) AS BIGINT) AS classes_below,
+        | CAST(sum(cls) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN ldiv < l THEN cls ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        | CAST(CAST(sum(CASE WHEN ldiv < l THEN cls ELSE 0 END) AS BIGINT) * 10000
+        |   // CAST(sum(cls) AS BIGINT) AS BIGINT) AS risk_bp
+        |FROM cls CROSS JOIN ls GROUP BY l ORDER BY l""".stripMargin,
     "q169_kanon_audit" ->
       """WITH qi AS (
         | SELECT c_mktsegment AS segment, c_nationkey AS nation,

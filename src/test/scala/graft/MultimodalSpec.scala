@@ -177,6 +177,98 @@ class MultimodalSpec extends AnyFunSuite {
     assert(badOthers.count() === 0)
   }
 
+  test("PNG codec: filtered roundtrip, real-deflate decode, CRC/corruption rejection") {
+    // helper: PNG chunk with a real CRC32, as the decoder demands
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val len = data.length
+      out.write((len >> 24) & 0xFF); out.write((len >> 16) & 0xFF)
+      out.write((len >> 8) & 0xFF); out.write(len & 0xFF)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4); out.write(data, 0, len)
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      val c = crc.getValue
+      out.write(((c >> 24) & 0xFF).toInt); out.write(((c >> 16) & 0xFF).toInt)
+      out.write(((c >> 8) & 0xFF).toInt); out.write((c & 0xFF).toInt)
+      out.toByteArray
+    }
+    // 7x6: six rows exercise ALL five filter types (y % 5 = 0..4, 0);
+    // distinct channels + both-axis gradient stress Sub/Up/Average/Paeth
+    def px(x: Int, y: Int) = (x * 13 + y * 29, (x * 7 + y * 3 + 128) % 256, 255 - x * 11 - y * 5)
+    val png = MultimodalOps.encodePngRgb(7, 6, px)
+    val want = {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until 6; x <- 0 until 7) {
+        val (r, g, b) = px(x, y); sr += r & 0xFF; sg += g & 0xFF; sb += b & 0xFF
+      }
+      (7, 6, 42L, sr, sg, sb)
+    }
+    assert(MultimodalOps.decodePngRgb(png) === want)
+    // container size arithmetic: 68 + h*(1+3w) for a single stored block
+    assert(png.length === 68 + 6 * (1 + 3 * 7))
+    // the SAME pixel tuples through the BMP codec give the SAME per-
+    // position sums: encodeBmp24's callback is (b, g, r), so its blue
+    // sum is the PNG's red sum and vice versa
+    val bmp = MultimodalOps.decodeBmp24(MultimodalOps.encodeBmp24(7, 6, px))
+    assert((bmp._4, bmp._5, bmp._6) === ((want._4, want._5, want._6)))
+    // REAL deflate (not stored blocks) must decode identically: inflate
+    // the raster, re-deflate with java.util.zip, rebuild the container
+    val ihdrData = java.util.Arrays.copyOfRange(png, 16, 29)
+    val idatLen = java.nio.ByteBuffer.wrap(png, 33, 4).getInt
+    val zlibData = java.util.Arrays.copyOfRange(png, 41, 41 + idatLen)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(zlibData)
+    val raw = new Array[Byte](6 * (1 + 21))
+    assert(inf.inflate(raw) === raw.length); inf.end()
+    val deflated = {
+      val d = new java.util.zip.Deflater(9)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val sig = java.util.Arrays.copyOfRange(png, 0, 8)
+    val rebuilt = sig ++ chunk("IHDR", ihdrData) ++
+      chunk("tEXt", "comment".getBytes("US-ASCII")) ++ // ancillary: skipped
+      chunk("IDAT", deflated) ++ chunk("IEND", Array.emptyByteArray)
+    assert(MultimodalOps.decodePngRgb(rebuilt) === want)
+    // corruption: a flipped IDAT byte fails the CRC check loudly
+    val corrupt = png.clone(); corrupt(45) = (corrupt(45) ^ 0x40).toByte
+    intercept[IllegalArgumentException] { MultimodalOps.decodePngRgb(corrupt) }
+    // truncation and non-PNG blobs fail loudly
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodePngRgb(png.take(png.length - 6))
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodePngRgb("not a portable network graphic at all".getBytes)
+    }
+  }
+
+  test("q210 decodes the corpus PNGs: dims, sizes, and gradient sums tie out") {
+    val got = MultimodalOps.q210PngDecode(spark, TestSpark.sf).collect()
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .filter(col("doc_id") % 3 === 2)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.length === docs.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = MultimodalOps.docPngDims(id)
+      assert((r.getAs[Int]("img_w"), r.getAs[Int]("img_h")) === ((w, h)))
+      assert(r.getAs[Int]("n_bytes") === 68 + h * (1 + 3 * w))
+      // spot-recompute one doc's sums from the gradient definition
+      if (id == got.head.getAs[Long]("doc_id")) {
+        var sr = 0L; var sg = 0L; var sb = 0L
+        for (x <- 0 until w; y <- 0 until h) {
+          val v = ((docs(id) + 7L * x + 11L * y + id) % 256).toInt
+          sr += v; sg += (v + 85) % 256; sb += (v + 170) % 256
+        }
+        assert((r.getAs[Long]("sum_r"), r.getAs[Long]("sum_g"),
+          r.getAs[Long]("sum_b")) === ((sr, sg, sb)))
+      }
+    }
+  }
+
   test("dHash kernel: extremes, bit numbering, tone-wrap invariance, rejection") {
     def hex(hl: (Int, Int)): String = f"${hl._1}%08x${hl._2}%08x"
     // 9x8 identity sampling grid: sx(i) = i, sy(j) = j

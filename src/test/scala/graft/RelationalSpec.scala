@@ -186,6 +186,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("bag set ops: multiplicities equal min(m,n) and max(m-n,0) of side counts") {
+    val li = Tables.load(spark, TestSpark.sf, "lineitem")
+    val ma = li.filter(col("l_quantity") >= 45).groupBy(col("l_orderkey").as("okey"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mb = li.filter(col("l_discount") >= 0.08).groupBy(col("l_orderkey").as("okey"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (
+      ma.keysIterator.flatMap { k =>
+        val m = math.min(ma(k), mb.getOrElse(k, 0L))
+        if (m > 0) Some(("intersect_all", k, m)) else None
+      } ++ ma.keysIterator.flatMap { k =>
+        val m = ma(k) - mb.getOrElse(k, 0L)
+        if (m > 0) Some(("except_all", k, m)) else None
+      }).toSet
+    val got = ops.Relational.q211SetOpsAll(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    // the data exercises both branches non-trivially
+    assert(want.exists(_._1 == "intersect_all") && want.exists(_._1 == "except_all"))
+  }
+
   test("q194 recursive CTE walk lands on the closed-form per-customer aggregate") {
     val rec = ops.Relational.q194RecursiveCte(spark, TestSpark.sf)
     val twin = ops.Relational.q194ClosedFormTwin(spark, TestSpark.sf)

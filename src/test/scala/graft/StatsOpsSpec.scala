@@ -385,6 +385,30 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(below === below.sorted)
   }
 
+  test("l-diversity: equals a driver recompute over distinct sensitive bands") {
+    val rows = StatsOps.q212LDiversity(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getAs[Long]("l")).toSeq === Seq(2L, 3L, 5L))
+    // direct recompute: per (segment, nation) class, distinct bal bands
+    val classes = Tables.load(spark, TestSpark.sf, "customer")
+      .select(col("c_mktsegment").as("s"), col("c_nationkey").cast("int").as("n"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 100000").as("b"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+      .groupBy(_._1).toSeq.map { case (_, g) =>
+        (g.length.toLong, g.map(_._2).distinct.length.toLong)
+      }
+    rows.foreach { r =>
+      val l = r.getAs[Long]("l")
+      assert(r.getAs[Long]("n_classes") === classes.length.toLong)
+      assert(r.getAs[Long]("classes_below") === classes.count(_._2 < l).toLong)
+      assert(r.getAs[Long]("rows_at_risk") ===
+        classes.filter(_._2 < l).map(_._1).sum)
+      assert(r.getAs[Long]("n_rows") === classes.map(_._1).sum)
+    }
+    // risk monotone in l
+    val atRisk = rows.map(_.getAs[Long]("rows_at_risk")).toSeq
+    assert(atRisk === atRisk.sorted)
+  }
+
   // ------------------------------------------------------------ q170
   test("benford: digits partition the orders, expected shares sum to 10^4") {
     val rows = StatsOps.q170BenfordAudit(spark, TestSpark.sf).collect()
