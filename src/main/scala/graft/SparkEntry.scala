@@ -55,7 +55,9 @@ object SparkEntry {
         "q199_stream_countmin" ->
           ((s: SparkSession, d: String) => graft.streaming.DocsStream.q199StreamCountMin(s, d)),
         "q202_stream_cusum" ->
-          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q202StreamCusum(s, d)))
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q202StreamCusum(s, d)),
+        "q214_stream_asof_enrich" ->
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q214StreamAsofEnrich(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -171,5 +173,29 @@ object SparkEntry {
              |FROM counters ORDER BY j, bucket""".stripMargin,
         // the stateful stream evaluates q155's n-scaled argmax exactly —
         // same oracle as the batch window form by construction
-        "q202_stream_cusum" -> EtlOps.oracle("q155_cusum_changepoint"))
+        "q202_stream_cusum" -> EtlOps.oracle("q155_cusum_changepoint"),
+        // the stream-static as-of enrichment must equal the batch
+        // interval join over the same daily version intervals
+        "q214_stream_asof_enrich" ->
+          """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+            |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            | FROM events),
+            |fd AS (SELECT user_id, tus // 86400000000 AS day,
+            |  min(struct_pack(tus := tus, event_id := event_id, c := c)) AS f
+            | FROM ev GROUP BY 1, 2),
+            |vers AS (SELECT user_id, day, f.tus AS eff_from, f.c AS state_c,
+            |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+            |    AS BIGINT) AS version,
+            |  coalesce(lead(f.tus) OVER (PARTITION BY user_id ORDER BY day),
+            |    9223372036854775807) AS eff_to
+            | FROM fd),
+            |j AS (SELECT e.user_id, v.version, v.state_c, e.c
+            | FROM ev e JOIN vers v ON e.user_id = v.user_id
+            |  AND e.tus >= v.eff_from AND e.tus < v.eff_to)
+            |SELECT user_id, version,
+            | CAST(max(state_c) AS DOUBLE) / 100.0 AS state_value,
+            | CAST(count(*) AS BIGINT) AS n_events,
+            | CAST(sum(c) AS DOUBLE) / 100.0 AS sum_value
+            |FROM j GROUP BY user_id, version
+            |ORDER BY user_id, version""".stripMargin)
 }

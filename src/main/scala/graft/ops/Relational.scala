@@ -317,6 +317,50 @@ object Relational {
     ia.unionAll(ea).orderBy("op", "okey")
   }
 
+  // ---------------------------------------------------------------- q213
+  /** NOT IN vs NOT EXISTS UNDER NULLS — the three-valued-logic corner
+    * every SQL engine must get right and most users get wrong once: a
+    * NULL in the subquery makes `k NOT IN (...)` UNKNOWN for EVERY
+    * candidate row (zero rows survive), while NOT EXISTS keeps its
+    * two-valued semantics; filtering the subquery's NULLs restores rows
+    * but still drops NULL-keyed outer rows (NULL NOT IN anything is
+    * UNKNOWN); and the null-safe anti form (IS NOT DISTINCT FROM) is the
+    * only variant that treats NULL as a matchable value. One summary row
+    * certifies all four counts side by side over deterministically
+    * planted NULLs (NULLIF on both sides). ONE SQL template serves the
+    * engine (temp views) and the DuckDB oracle verbatim — parity by
+    * construction, the q189/q27 discipline.
+    *
+    * Scale: Catalyst plans the NOT IN as a null-aware anti join and the
+    * NOT EXISTS as a plain left-anti — both single-shuffle hash joins;
+    * the counts are scalar subqueries over one scan each. */
+  def q213SqlFor(ordersT: String, customerT: String): String =
+    s"""WITH a AS (SELECT o_orderkey, NULLIF(o_custkey % 30, 7) AS k
+       |           FROM $ordersT),
+       |b AS (SELECT NULLIF(c_nationkey, 3) AS nk FROM $customerT)
+       |SELECT
+       | CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+       | CAST((SELECT count(*) FROM a WHERE k IS NULL) AS BIGINT) AS n_a_null,
+       | CAST((SELECT count(*) FROM b WHERE nk IS NULL) AS BIGINT) AS n_b_null,
+       | CAST((SELECT count(*) FROM a
+       |       WHERE k NOT IN (SELECT nk FROM b)) AS BIGINT) AS n_not_in,
+       | CAST((SELECT count(*) FROM a
+       |       WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.nk = a.k)) AS BIGINT)
+       |   AS n_not_exists,
+       | CAST((SELECT count(*) FROM a
+       |       WHERE k NOT IN (SELECT nk FROM b WHERE nk IS NOT NULL)) AS BIGINT)
+       |   AS n_not_in_filtered,
+       | CAST((SELECT count(*) FROM a
+       |       WHERE NOT EXISTS (SELECT 1 FROM b
+       |                         WHERE b.nk IS NOT DISTINCT FROM a.k)) AS BIGINT)
+       |   AS n_null_safe_anti""".stripMargin
+
+  def q213NotInNulls(s: SparkSession, d: String): DataFrame = {
+    Tables.load(s, d, "orders").createOrReplaceTempView("graft_q213_orders")
+    Tables.load(s, d, "customer").createOrReplaceTempView("graft_q213_customer")
+    s.sql(q213SqlFor("graft_q213_orders", "graft_q213_customer"))
+  }
+
   // ---------------------------------------------------------------- q19-q22 windows
   /** rank() per user by value; one shuffle on user_id, sort within. */
   def q19WindowRank(s: SparkSession, d: String): DataFrame = {
@@ -869,6 +913,7 @@ object Relational {
     "q15_topk" -> (q15TopK _),
     "q16_set_union" -> (q16SetUnion _),
     "q211_set_ops_all" -> (q211SetOpsAll _),
+    "q213_not_in_nulls" -> (q213NotInNulls _),
     "q17_set_intersect" -> (q17SetIntersect _),
     "q18_set_except" -> (q18SetExcept _),
     "q19_window_rank" -> (q19WindowRank _),
@@ -1027,6 +1072,8 @@ object Relational {
         |INTERSECT
         |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
         |ORDER BY custkey""".stripMargin,
+    // literally the same template text the engine runs over temp views
+    "q213_not_in_nulls" -> q213SqlFor("orders", "customer"),
     "q211_set_ops_all" ->
       """WITH a AS (SELECT l_orderkey AS okey FROM lineitem WHERE l_quantity >= 45),
         |b AS (SELECT l_orderkey AS okey FROM lineitem WHERE l_discount >= 0.08),

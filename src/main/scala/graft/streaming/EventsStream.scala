@@ -1086,6 +1086,65 @@ object EventsStream {
     drained.orderBy("segment", "event_type")
   }
 
+  // ---------------------------------------------------------------- q214
+  /** STREAM-STATIC AS-OF ENRICHMENT — the streaming face of the
+    * point-in-time join (q124/q25): each streamed event attaches the
+    * dimension version that was CURRENT AT ITS EVENT TIME, not the
+    * latest one — the lookup every feature-serving and CDC-enrichment
+    * pipeline needs to avoid training-serving skew. The versioned
+    * dimension (per user, one state version per active day; state = the
+    * day's first value in cents, min-(tus, event_id) argmax) is prepared
+    * BATCH-side as half-open validity intervals [eff_from, eff_to) via a
+    * lead window, so the stream join needs no post-aggregation argmax:
+    * each event matches EXACTLY ONE version row, keeping the join
+    * stateless (stream-static joins re-broadcast nothing per batch and
+    * hold no watermark state — this is the 100 TB-friendly shape, unlike
+    * a stream-stream range join whose state grows with the window).
+    * Enriched events roll up per (user, version) in complete mode; the
+    * drained table must land on the batch interval-join answer —
+    * micro-batch boundaries must be invisible.
+    *
+    * Exactness: µs integer event times, cents integer values, one
+    * double division at the end — the standard streaming-oracle grid. */
+  def q214StreamAsofEnrich(s: SparkSession, d: String): DataFrame = {
+    val drained = withDrainSession(s) { drain =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.Tables.load(drain, d, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_id"), cents(col("value")).as("c"))
+      val byUser = Window.partitionBy("v_user").orderBy("day")
+      val vers = ev
+        .withColumn("day", expr("tus div 86400000000"))
+        .groupBy(col("user_id").as("v_user"), col("day"))
+        .agg(min(struct(col("tus"), col("event_id"), col("c"))).as("f"))
+        .select(col("v_user"), col("day"),
+          col("f.tus").as("eff_from"), col("f.c").as("state_c"))
+        .withColumn("version", row_number().over(byUser).cast("long"))
+        .withColumn("eff_to",
+          coalesce(lead(col("eff_from"), 1).over(byUser), lit(Long.MaxValue)))
+      val dim = broadcast(
+        vers.select("v_user", "version", "state_c", "eff_from", "eff_to"))
+      val stream = readEventsNanos(drain, d)
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          cents(col("value")).as("c"))
+      val agg = stream
+        .join(dim, col("user_id") === col("v_user") &&
+          col("tus") >= col("eff_from") && col("tus") < col("eff_to"))
+        .groupBy("user_id", "version")
+        .agg(max(col("state_c")).as("state_c"),
+          count(lit(1)).as("n_events"),
+          (sum(col("c")) / 100.0).as("sum_value"))
+      val name = "graft_stream_asof"
+      drainNow(agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name))
+      drain.table(name)
+    }
+    drained.select(col("user_id"), col("version"),
+        (col("state_c").cast("double") / 100.0).as("state_value"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "version")
+  }
+
   // ---------------------- q164: chained stateful aggregations (cascade)
   /** q164: TWO windowed aggregations chained inside ONE streaming query —
     * the hourly rollup re-aggregated into 6-hour blocks without leaving

@@ -207,6 +207,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(want.exists(_._1 == "intersect_all") && want.exists(_._1 == "except_all"))
   }
 
+  test("NOT IN null semantics: the four anti-join variants relate as 3VL dictates") {
+    val r = ops.Relational.q213NotInNulls(spark, TestSpark.sf).collect().head
+    def g(c: String) = r.getAs[Long](c)
+    // NULLs really are planted on both sides
+    assert(g("n_a_null") > 0L && g("n_b_null") > 0L)
+    // a NULL in the subquery annihilates NOT IN entirely
+    assert(g("n_not_in") === 0L)
+    // NOT EXISTS keeps two-valued semantics and keeps NULL-keyed outers
+    assert(g("n_not_exists") > 0L && g("n_not_exists") > g("n_a_null"))
+    // filtering subquery NULLs restores rows minus the NULL-keyed outers
+    assert(g("n_not_in_filtered") === g("n_not_exists") - g("n_a_null"))
+    // the null-safe anti matches NULL against NULL, same count here
+    assert(g("n_null_safe_anti") === g("n_not_exists") - g("n_a_null"))
+  }
+
   test("q194 recursive CTE walk lands on the closed-form per-customer aggregate") {
     val rec = ops.Relational.q194RecursiveCte(spark, TestSpark.sf)
     val twin = ops.Relational.q194ClosedFormTwin(spark, TestSpark.sf)

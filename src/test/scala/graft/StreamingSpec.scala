@@ -371,4 +371,32 @@ class StreamingSpec extends AnyFunSuite {
     val batch = graft.ops.EtlOps.q138Debounce(spark, TestSpark.sf).collect()
     assert(stream.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
+
+  test("stream-static as-of enrichment equals a batch interval-join recompute") {
+    import org.apache.spark.sql.functions._
+    val got = EventsStream.q214StreamAsofEnrich(spark, TestSpark.sf)
+    // independent batch recompute of the same daily-version enrichment
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"),
+        EventsStream.cents(col("value")).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val versions = rows.groupBy(_._2 / 86400000000L).toSeq
+        .map { case (day, g) => (day, g.minBy(r => (r._2, r._3))) }
+        .sortBy(_._1).zipWithIndex
+        .map { case ((_, first), i) => (i + 1L, first._2, first._4) }
+      val bounds = versions.map(_._2) :+ Long.MaxValue
+      versions.map { case (ver, from, stateC) =>
+        val to = bounds(ver.toInt)
+        val in = rows.filter(r => r._2 >= from && r._2 < to)
+        (u, ver, stateC.toDouble / 100.0, in.length.toLong,
+          in.map(_._4).sum.toDouble / 100.0)
+      }
+    }.filter(_._4 > 0).sortBy(t => (t._1, t._2))
+    val gotRows = got.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(gotRows === want)
+    // every event lands in exactly one version: counts conserve
+    assert(gotRows.map(_._4).sum === ev.length.toLong)
+  }
 }
