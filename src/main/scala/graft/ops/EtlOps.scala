@@ -800,6 +800,94 @@ object EtlOps {
       .orderBy("campaign")
   }
 
+  // ---------------------------------------------------------------- q215
+  /** MULTI-TOUCH LINEAR ATTRIBUTION — the fairness upgrade over q120's
+    * last-touch: every campaign click in the hour before a purchase
+    * shares the credit equally. The split is EXACT by construction:
+    * credit lives in integer micro-units (10⁶ per purchase), each of the
+    * n touches gets ⌊10⁶/n⌋ and the REMAINDER (10⁶ mod n) goes to the
+    * most recent touch — so Σcredit ≡ 10⁶ per purchase identically, no
+    * float leakage, and the invariant is spec-pinned. Untouched
+    * purchases keep their full 10⁶ under campaign −1 (organic).
+    * Attributed revenue accumulates as cents×credit in DECIMAL(38,0)
+    * (the q115 widening rule: micro-cents overflow a long at corpus
+    * scale) and exports portably.
+    *
+    * Scale: the touch join is an equi-join on user_id with a window
+    * band filter — per-user click×purchase pairs, bounded by per-user
+    * activity (the same shape as q63's interval join); the per-purchase
+    * count/rank windows partition on purchase id (well-spread); the
+    * final rollup is |campaigns|-sized. */
+  def q215MultitouchAttribution(s: SparkSession, d: String,
+                                windowUs: Long = 3600L * 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val ev = t(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts div 1000").as("ctus"),
+        col("event_id").as("cid"),
+        get_json_object(col("props"), "$.k").cast("int").as("campaign"))
+      .filter(col("campaign").isNotNull)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("ptus"),
+        col("event_id").as("pid"),
+        graft.streaming.EventsStream.cents(col("value")).as("cents"))
+    val touched = purchases.join(clicks, Seq("user_id"))
+      .filter(col("ctus") <= col("ptus") && col("ctus") > col("ptus") - windowUs)
+    val touchedPids = touched.select("pid").distinct()
+    val organic = purchases.join(touchedPids, Seq("pid"), "left_anti")
+      .select(col("pid"), col("cents"), lit(-1).as("campaign"),
+        lit(1000000L).as("credit"))
+    val wCnt = Window.partitionBy("pid")
+    val wRk = Window.partitionBy("pid").orderBy(col("ctus").desc, col("cid"))
+    val split = touched
+      .withColumn("n", count(lit(1)).over(wCnt))
+      .withColumn("rk", row_number().over(wRk))
+      .select(col("pid"), col("cents"), col("campaign"),
+        (expr("1000000L div n") +
+          when(col("rk") === 1, expr("1000000L % n")).otherwise(0L)).as("credit"))
+    Tables.portable(split.unionByName(organic)
+      .groupBy("campaign")
+      .agg(countDistinct("pid").as("n_purchases"),
+        sum("credit").as("credit_micro"),
+        sum(col("cents").cast(dec38) * col("credit")).as("rev_micro_cents"))
+      .orderBy("campaign"))
+  }
+
+  // ---------------------------------------------------------------- q216
+  /** SEQUENTIAL ASSOCIATION RULES — "users who do A tend to do B LATER":
+    * the order-aware sibling of q132's basket lift and q107's adjacent
+    * transitions. Support of A→B counts users with SOME occurrence of A
+    * before SOME occurrence of B, which needs only each user's per-type
+    * (min_ts, max_ts) — A→B holds iff min_ts(A) < max_ts(B) — so the
+    * whole mining pass is LINEAR: one (user, type) aggregate, a per-user
+    * self-join over ≤|types| rows, one pair rollup. Confidence is
+    * support(A→B) / support(A) in integer basis points. Classic
+    * PrefixSpan-style episode mining collapses to exactly this for
+    * length-2 patterns — and length-2 rules are what drive "next action"
+    * dashboards.
+    *
+    * Exact end to end: timestamps µs longs, supports counts, confidence
+    * integer div. */
+  def q216SeqRules(s: SparkSession, d: String): DataFrame = {
+    val spans = t(s, d, "events")
+      .groupBy(col("user_id"), col("event_type").as("et"))
+      .agg(min(expr("ts div 1000")).as("lo"), max(expr("ts div 1000")).as("hi"))
+    val a = spans.select(col("user_id"), col("et").as("ante"), col("lo"))
+    val b = spans.select(col("user_id"), col("et").as("cons"), col("hi"))
+    val pairs = a.join(b, Seq("user_id"))
+      .filter(col("ante") =!= col("cons") && col("lo") < col("hi"))
+      .groupBy("ante", "cons")
+      .agg(countDistinct("user_id").as("support"))
+    val antSup = spans.groupBy(col("et").as("ante"))
+      .agg(countDistinct("user_id").as("ante_support"))
+    pairs.join(antSup, "ante")
+      .select(col("ante"), col("cons"), col("support"), col("ante_support"),
+        expr("(10000 * support) div ante_support").as("confidence_bp"))
+      .orderBy(col("support").desc, col("ante"), col("cons"))
+  }
+
   // ---------------------------------------------------------------- q122
   /** COHORT LTV TRIANGLE — cumulative revenue per acquisition cohort by
     * week-since-acquisition: the lifetime-value view that q82's retention
@@ -1331,6 +1419,8 @@ object EtlOps {
     "q123_linear_gapfill" -> (q123LinearGapfill _),
     "q122_cohort_ltv" -> (q122CohortLtv _),
     "q120_last_touch" -> ((s: SparkSession, d: String) => q120LastTouch(s, d)),
+    "q215_multitouch_attribution" -> ((s: SparkSession, d: String) => q215MultitouchAttribution(s, d)),
+    "q216_seq_rules" -> (q216SeqRules _),
     "q117_ivm_agg" -> ((s: SparkSession, d: String) => q117IvmAgg(s, d)),
     "q165_ivm_join" -> ((s: SparkSession, d: String) => q165IvmJoin(s, d)),
     "q119_wow_movers" -> ((s: SparkSession, d: String) => q119WowMovers(s, d)),
@@ -1409,6 +1499,56 @@ object EtlOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // same micro-unit split: floor share per touch, remainder to the most
+    // recent touch, organic purchases keep the full 10^6 under -1
+    "q215_multitouch_attribution" ->
+      """WITH c AS (
+        | SELECT user_id, epoch_us(ts) AS ctus, event_id AS cid,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS campaign
+        | FROM events WHERE event_type = 'click'
+        |   AND json_extract_string(props, '$.k') IS NOT NULL),
+        |p AS (
+        | SELECT user_id, epoch_us(ts) AS ptus, event_id AS pid,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events WHERE event_type = 'purchase'),
+        |touched AS (
+        | SELECT p.pid, p.cents, c.campaign, c.ctus, c.cid
+        | FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.ctus <= p.ptus AND c.ctus > p.ptus - 3600000000),
+        |split AS (
+        | SELECT pid, cents, campaign,
+        |  1000000 // n + CASE WHEN rk = 1 THEN 1000000 % n ELSE 0 END AS credit
+        | FROM (SELECT pid, cents, campaign,
+        |        count(*) OVER (PARTITION BY pid) AS n,
+        |        row_number() OVER (PARTITION BY pid ORDER BY ctus DESC, cid) AS rk
+        |       FROM touched)),
+        |organic AS (
+        | SELECT pid, cents, -1 AS campaign, 1000000 AS credit FROM p
+        | WHERE NOT EXISTS (SELECT 1 FROM touched t WHERE t.pid = p.pid)),
+        |allc AS (SELECT * FROM split UNION ALL SELECT * FROM organic)
+        |SELECT campaign, CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+        | CAST(sum(credit) AS BIGINT) AS credit_micro,
+        | CAST(sum(cents * credit) AS VARCHAR) AS rev_micro_cents
+        |FROM allc GROUP BY campaign ORDER BY campaign""".stripMargin,
+    // A-before-B from per-(user, type) time spans only — linear mining
+    "q216_seq_rules" ->
+      """WITH spans AS (
+        | SELECT user_id, event_type AS et,
+        |  min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        | FROM events GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT a.et AS ante, b.et AS cons,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS support
+        | FROM spans a JOIN spans b ON a.user_id = b.user_id
+        |  AND a.et <> b.et AND a.lo < b.hi
+        | GROUP BY 1, 2),
+        |ant AS (SELECT et AS ante, CAST(count(DISTINCT user_id) AS BIGINT)
+        |          AS ante_support
+        |        FROM spans GROUP BY 1)
+        |SELECT p.ante, p.cons, p.support, a.ante_support,
+        | (10000 * p.support) // a.ante_support AS confidence_bp
+        |FROM pairs p JOIN ant a USING (ante)
+        |ORDER BY support DESC, ante, cons""".stripMargin,
     // same per-candidate grouped distinct + rollup, one UNION ALL branch
     // per candidate FD
     "q180_fd_audit" -> {

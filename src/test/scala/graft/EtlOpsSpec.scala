@@ -1023,4 +1023,49 @@ class EtlOpsSpec extends AnyFunSuite {
       g.values.map(_._1).max, g.values.forall(_._1 <= 1))
     assert(got("documents.source->lang") === exp)
   }
+
+  test("multi-touch attribution conserves credit and revenue mass exactly") {
+    val rows = EtlOps.q215MultitouchAttribution(spark, TestSpark.sf).collect()
+    val purchases = Tables.load(spark, TestSpark.sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(graft.streaming.EventsStream.cents(col("value")).as("c"))
+      .collect().map(_.getLong(0))
+    // Σ credit ≡ 10^6 per purchase — the integer-split invariant
+    assert(rows.map(_.getAs[Long]("credit_micro")).sum ===
+      1000000L * purchases.length)
+    // Σ attributed revenue ≡ 10^6 × Σ purchase cents
+    val totalRev = rows.map(r => BigInt(r.getAs[String]("rev_micro_cents"))).sum
+    assert(totalRev === BigInt(1000000L) * purchases.map(BigInt(_)).sum)
+    // organic bucket present, campaigns disjoint and sorted
+    assert(rows.head.getAs[Int]("campaign") === -1)
+    val camps = rows.map(_.getAs[Int]("campaign")).toSeq
+    assert(camps === camps.sorted && camps.distinct.length === camps.length)
+  }
+
+  test("sequential rules equal a per-user ordered-occurrence brute force") {
+    val rows = EtlOps.q216SeqRules(spark, TestSpark.sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("support"), r.getAs[Long]("ante_support"),
+          r.getAs[Long]("confidence_bp")))).toMap
+    // brute force: per user, A->B iff some A-occurrence precedes some B
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val types = ev.map(_._2).distinct
+    val anteSup = types.map(t => t -> byUser.count(_._2.exists(_._2 == t)).toLong).toMap
+    for (a <- types; b <- types if a != b) {
+      val sup = byUser.count { case (_, rs) =>
+        val as = rs.filter(_._2 == a).map(_._3)
+        val bs = rs.filter(_._2 == b).map(_._3)
+        as.nonEmpty && bs.nonEmpty && as.min < bs.max
+      }.toLong
+      if (sup > 0) {
+        val (gs, ga, gc) = rows((a, b))
+        assert((gs, ga) === ((sup, anteSup(a))), s"$a->$b")
+        assert(gc === 10000L * sup / anteSup(a))
+        assert(gc <= 10000L)
+      } else assert(!rows.contains((a, b)))
+    }
+  }
 }
