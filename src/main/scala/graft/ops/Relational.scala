@@ -317,6 +317,29 @@ object Relational {
     ia.unionAll(ea).orderBy("op", "okey")
   }
 
+  // ---------------------------------------------------------------- q218
+  /** GROUPING FLAGS — the part of the ROLLUP/CUBE surface q08/q09 leave
+    * implicit: GROUPING() tells a subtotal row apart from a data row
+    * whose key genuinely IS NULL — without it, rollup output is
+    * ambiguous the moment a grouping column is nullable. The composed
+    * gid (2·g(flag) + g(status)) labels each aggregation level
+    * explicitly; keys coalesce to 'ALL' so ordering never touches
+    * engine-divergent NULL placement (Spark sorts NULLS FIRST, DuckDB
+    * NULLS LAST). Composing from single-column GROUPING() calls rather
+    * than each engine's native grouping_id() sidesteps their different
+    * bit conventions — parity by construction. */
+  def q218GroupingFlags(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy("gid", "rflag", "lstatus")
+
   // ---------------------------------------------------------------- q213
   /** NOT IN vs NOT EXISTS UNDER NULLS — the three-valued-logic corner
     * every SQL engine must get right and most users get wrong once: a
@@ -914,6 +937,7 @@ object Relational {
     "q16_set_union" -> (q16SetUnion _),
     "q211_set_ops_all" -> (q211SetOpsAll _),
     "q213_not_in_nulls" -> (q213NotInNulls _),
+    "q218_grouping_flags" -> (q218GroupingFlags _),
     "q17_set_intersect" -> (q17SetIntersect _),
     "q18_set_except" -> (q18SetExcept _),
     "q19_window_rank" -> (q19WindowRank _),
@@ -1074,6 +1098,15 @@ object Relational {
         |ORDER BY custkey""".stripMargin,
     // literally the same template text the engine runs over temp views
     "q213_not_in_nulls" -> q213SqlFor("orders", "customer"),
+    "q218_grouping_flags" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        | coalesce(l_linestatus, 'ALL') AS lstatus,
+        | CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+        |   AS gid,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, rflag, lstatus""".stripMargin,
     "q211_set_ops_all" ->
       """WITH a AS (SELECT l_orderkey AS okey FROM lineitem WHERE l_quantity >= 45),
         |b AS (SELECT l_orderkey AS okey FROM lineitem WHERE l_discount >= 0.08),

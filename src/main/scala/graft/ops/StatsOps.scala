@@ -823,6 +823,50 @@ object StatsOps {
       .orderBy("k")
   }
 
+  // ---------------------------------------------------------------- q217
+  /** ROLLING-WINDOW REGRESSION — the trend detector over irregular event
+    * times: for every event, the OLS slope certificate of value-vs-time
+    * over the trailing hour of its type, computed as RANGE-framed window
+    * sufficient statistics (n, Σt, Σv, Σtv, Σt²) — the time-series
+    * member of the q167/q171 certificate family, and the engine's RANGE
+    * BETWEEN <interval> PRECEDING frame surface (q57 ranks over a RANGE
+    * frame; this AGGREGATES over one). Peers at the same second are
+    * frame-included on both engines by RANGE semantics, so ties cost no
+    * determinism. Times rebase to seconds from the corpus minimum (t² of
+    * raw epoch-µs overflows int64; rebased-seconds keep every per-term
+    * product < 2⁶³ at this corpus span), values are cents; window sums
+    * are exact longs here and would widen to DECIMAL(38,0) at 100 TB
+    * spans (the q115 rule); the num/den certificate multiplies in
+    * DECIMAL(38,0) and exports portably.
+    *
+    * Scale: one shuffle on event_type + an in-partition range frame —
+    * no self-join (the naive formulation is an O(rows·window) interval
+    * join); the frame scan is linear per partition. */
+  def q217RollingOls(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("event_type"), expr("ts div 1000").as("tus"),
+        graft.streaming.EventsStream.cents(col("value")).as("v"))
+    val minTus = ev.agg(min("tus")).head.getLong(0)
+    val based = ev.withColumn("trel", expr(s"(tus - ${minTus}L) div 1000000"))
+    val w = Window.partitionBy("event_type").orderBy("trel")
+      .rangeBetween(-3600L, 0L)
+    Tables.portable(based
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("trel")).over(w))
+      .withColumn("sy", sum(col("v")).over(w))
+      .withColumn("sxy", sum(col("trel") * col("v")).over(w))
+      .withColumn("sxx", sum(col("trel") * col("trel")).over(w))
+      .select(col("event_id"), col("event_type"), col("trel"), col("n_win"),
+        (col("n_win").cast(dec38) * col("sxy").cast(dec38)
+          - col("sx").cast(dec38) * col("sy").cast(dec38)).as("slope_num"),
+        (col("n_win").cast(dec38) * col("sxx").cast(dec38)
+          - col("sx").cast(dec38) * col("sx").cast(dec38)).as("slope_den"))
+      .orderBy("event_type", "trel", "event_id"))
+  }
+
   // ---------------------------------------------------------------- q212
   /** L-DIVERSITY AUDIT — the release gate k-anonymity (q169) is famously
     * NOT sufficient for: a class can hold k≫1 rows yet expose its members
@@ -1295,6 +1339,7 @@ object StatsOps {
     "q177_km_hazard" -> (q177KmHazard _),
     "q169_kanon_audit" -> (q169KAnonymity _),
     "q212_l_diversity" -> (q212LDiversity _),
+    "q217_rolling_ols" -> (q217RollingOls _),
     "q170_benford_audit" -> (q170BenfordAudit _),
     "q171_group_ols" -> (q171GroupOls _),
     "q172_rank_test" -> (q172RankTest _),
@@ -1531,6 +1576,28 @@ object StatsOps {
         |FROM risk ORDER BY t_hours""".stripMargin,
     // same truncating integral division (`//` ≡ Spark `div`, both toward
     // zero, verified incl. negatives) on the same cents grid
+    // same rebased-seconds grid, same RANGE frame; the window sums run in
+    // HUGEINT on the oracle side — certificate digits match the DECIMAL(38,0)
+    "q217_rolling_ols" ->
+      """WITH ev AS (
+        | SELECT event_id, event_type,
+        |  (epoch_us(ts) - (SELECT min(epoch_us(ts)) FROM events)) // 1000000
+        |    AS trel,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        | FROM events),
+        |win AS (
+        | SELECT event_id, event_type, trel,
+        |  count(*) OVER w AS n_win,
+        |  sum(trel) OVER w AS sx, sum(v) OVER w AS sy,
+        |  sum(trel * v) OVER w AS sxy, sum(trel * trel) OVER w AS sxx
+        | FROM ev
+        | WINDOW w AS (PARTITION BY event_type ORDER BY trel
+        |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, trel,
+        | CAST(n_win AS BIGINT) AS n_win,
+        | CAST(n_win * sxy - sx * sy AS VARCHAR) AS slope_num,
+        | CAST(n_win * sxx - sx * sx AS VARCHAR) AS slope_den
+        |FROM win ORDER BY event_type, trel, event_id""".stripMargin,
     // same QI grid discipline as q169, one level coarser; diversity is a
     // distinct-count, risk shares integer basis points
     "q212_l_diversity" ->

@@ -207,6 +207,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(want.exists(_._1 == "intersect_all") && want.exists(_._1 == "except_all"))
   }
 
+  test("grouping flags label rollup levels; masses tie out across levels") {
+    val rows = ops.Relational.q218GroupingFlags(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val grand = rows.filter(_._3 == 3L)
+    assert(grand.length === 1 && grand.head._1 === "ALL" && grand.head._2 === "ALL")
+    val detail = rows.filter(_._3 == 0L)
+    val subtotals = rows.filter(_._3 == 1L)
+    assert(rows.forall(r => r._3 != 2L)) // rollup never drops only the first key
+    // per-rflag subtotal equals the sum of its detail rows; grand ties all
+    subtotals.foreach { case (rf, ls, _, n) =>
+      assert(ls === "ALL")
+      assert(n === detail.filter(_._1 == rf).map(_._4).sum, rf)
+    }
+    assert(grand.head._4 === detail.map(_._4).sum)
+    // no real key collides with the ALL sentinel
+    assert(detail.forall(r => r._1 != "ALL" && r._2 != "ALL"))
+  }
+
   test("NOT IN null semantics: the four anti-join variants relate as 3VL dictates") {
     val r = ops.Relational.q213NotInNulls(spark, TestSpark.sf).collect().head
     def g(c: String) = r.getAs[Long](c)

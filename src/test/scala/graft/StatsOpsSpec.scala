@@ -385,6 +385,35 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(below === below.sorted)
   }
 
+  test("rolling OLS certificates equal a brute trailing-window recompute") {
+    val got = StatsOps.q217RollingOls(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3),
+        BigInt(r.getString(4)), BigInt(r.getString(5))))).toMap
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("event_id"), col("event_type"), expr("ts div 1000").as("tus"),
+        graft.streaming.EventsStream.cents(col("value")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val minTus = ev.map(_._3).min
+    val based = ev.map { case (id, et, tus, v) => (id, et, (tus - minTus) / 1000000L, v) }
+    assert(got.size === based.length)
+    // brute force the RANGE frame (peers at the same second included)
+    based.groupBy(_._2).foreach { case (et, rows) =>
+      rows.take(40).foreach { case (id, _, trel, _) =>
+        val win = rows.filter(r => r._3 >= trel - 3600 && r._3 <= trel)
+        val n = BigInt(win.length)
+        val sx = win.map(r => BigInt(r._3)).sum
+        val sy = win.map(r => BigInt(r._4)).sum
+        val sxy = win.map(r => BigInt(r._3) * BigInt(r._4)).sum
+        val sxx = win.map(r => BigInt(r._3) * BigInt(r._3)).sum
+        val (gEt, gTrel, gN, gNum, gDen) = got(id)
+        assert((gEt, gTrel) === ((et, trel)))
+        assert(gN === win.length.toLong, s"event $id")
+        assert(gNum === n * sxy - sx * sy, s"event $id num")
+        assert(gDen === n * sxx - sx * sx, s"event $id den")
+      }
+    }
+  }
+
   test("l-diversity: equals a driver recompute over distinct sensitive bands") {
     val rows = StatsOps.q212LDiversity(spark, TestSpark.sf).collect()
     assert(rows.map(_.getAs[Long]("l")).toSeq === Seq(2L, 3L, 5L))
