@@ -671,6 +671,43 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------- q220
+  /** WINDOW BUILT-INS completion — the ranking/navigation functions the
+    * q19–q22/q57 family doesn't exercise: ntile (equi-count bucketing),
+    * percent_rank / cume_dist (relative standing), nth_value over an
+    * unbounded frame (frame navigation), and lag(... IGNORE NULLS) (the
+    * "most recent qualifying prior row" idiom — here each order's
+    * previous BIG order from the same customer, the classic marketing
+    * recency feature).
+    *
+    * Determinism: every window orders by a UNIQUE key pair, so rank-based
+    * values are exact integers-over-integers (one division per row,
+    * identical in both engines) and ntile/nth_value pick identical rows.
+    * Scale: two window partitionings (status, customer) — each a single
+    * hash exchange + in-partition sort, no self-joins; IGNORE NULLS is a
+    * running last-non-null, linear per partition. */
+  def q220WindowExtras(s: SparkSession, d: String): DataFrame = {
+    val wRank = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFull = wRank
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCust = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(wRank).as("price_quartile"),
+        percent_rank().over(wRank).as("pr"),
+        cume_dist().over(wRank).as("cd"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_cheapest_key"),
+        first(col("o_orderkey")).over(wFull).as("cheapest_key"),
+        lag(when(col("o_totalprice") > 250000.0, col("o_orderkey")),
+          1, null, ignoreNulls = true).over(wCust).as("prev_big_key"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
   // ---------------------------------------------------------------- q58
   /** Conditional scalar surface: CASE tiers, nullif/coalesce, least/greatest. */
   def q58Conditionals(s: SparkSession, d: String): DataFrame =
@@ -954,6 +991,7 @@ object Relational {
     "q83_session_window" -> (q83SessionWindow _),
     "q54_topk_group_native" -> (q54TopKPerGroupNative _),
     "q57_window_range" -> (q57WindowRange _),
+    "q220_window_extras" -> (q220WindowExtras _),
     "q94_rank_features" -> (q94RankFeatures _),
     "q58_conditionals" -> (q58Conditionals _),
     "q59_min_cost_supplier" -> (q59MinCostSupplier _),
@@ -1154,6 +1192,28 @@ object Relational {
         |WINDOW w AS (PARTITION BY user_id ORDER BY tus
         |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // unique ORDER BY keys make every rank/navigation pick identical rows
+    // in both engines; IGNORE NULLS spelled natively on each side
+    "q220_window_extras" ->
+      """WITH o AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate
+        | FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_orderkey, o_orderstatus,
+        | CAST(ntile(4) OVER wr AS INT) AS price_quartile,
+        | percent_rank() OVER wr AS pr,
+        | cume_dist() OVER wr AS cd,
+        | nth_value(o_orderkey, 2) OVER wf AS second_cheapest_key,
+        | first_value(o_orderkey) OVER wf AS cheapest_key,
+        | lag(CASE WHEN o_totalprice > 250000.0 THEN o_orderkey END
+        |     IGNORE NULLS) OVER wc AS prev_big_key
+        |FROM o
+        |WINDOW
+        | wr AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+        | wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        | wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
     "q58_conditionals" ->
       """SELECT c_custkey,
         | CASE WHEN c_acctbal < 0 THEN 'overdrawn'

@@ -1331,6 +1331,119 @@ object StatsOps {
       .transform(Tables.portable)
   }
 
+  // ---------------------------------------------------------------- q219
+  /** ONE-WAY ANOVA F — does mean event value differ across event types?
+    * The k-sample completion of the q157/q172 hypothesis-test family
+    * (q157 tests two proportions, q172 two distributions; this tests k
+    * means at once). Per-group sufficient statistics (n, Σc, Σc²) are
+    * exact integers on the cents grid (longs here; they widen to
+    * DECIMAL(38,0) at 100 TB spans — the q115 rule), so the only
+    * floating-point work is the final scalar F assembly on ONE row.
+    *
+    * Cross-engine exactness of that assembly: the between-groups term
+    * Σ s_g²/n_g is a sum of per-group doubles, and FP addition order is
+    * the one thing engines never agree on — so the k per-group terms are
+    * folded in PINNED event_type order (Spark `aggregate` over a sorted
+    * struct array ≡ DuckDB list_reduce over `list(... ORDER BY ...)` with
+    * a prepended 0.0): both engines execute the identical IEEE op
+    * sequence on identical integer inputs, making F bit-deterministic
+    * before the 6-dp courtesy rounding.
+    *
+    * Shape: one map-side-combined aggregate to k rows, one driver-free
+    * collect_list over those k rows, scalar math. Nothing after the
+    * first aggregate scales with data. */
+  def q219AnovaF(s: SparkSession, d: String): DataFrame = {
+    val g = t(s, d, "events")
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+    g.agg(sort_array(collect_list(struct(
+        col("event_type"), col("n"), col("s"), col("ss")))).as("gs"))
+      .select(
+        size(col("gs")).cast("long").as("k_groups"),
+        aggregate(col("gs"), lit(0L), (a, x) => a + x.getField("n"))
+          .as("n_total"),
+        aggregate(col("gs"), lit(0L), (a, x) => a + x.getField("s"))
+          .as("s_total"),
+        aggregate(col("gs"), lit(0L), (a, x) => a + x.getField("ss"))
+          .as("ss_total"),
+        aggregate(col("gs"), lit(0.0d), (a, x) =>
+          a + x.getField("s").cast("double") * x.getField("s").cast("double")
+            / x.getField("n").cast("double")).as("ssb_part"))
+      .withColumn("gm2",
+        col("s_total").cast("double") * col("s_total").cast("double")
+          / col("n_total").cast("double"))
+      .withColumn("ssb", col("ssb_part") - col("gm2"))
+      .withColumn("ssw", col("ss_total").cast("double") - col("ssb_part"))
+      .select(col("k_groups"), col("n_total"), col("s_total"), col("ss_total"),
+        round(col("ssb"), 4).as("ssb_r4"),
+        round(col("ssw"), 4).as("ssw_r4"),
+        round((col("ssb") / (col("k_groups") - lit(1L)).cast("double"))
+          / (col("ssw") / (col("n_total") - col("k_groups")).cast("double")), 6)
+          .as("f_r6"),
+        round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta2_r6"))
+  }
+
+  // ---------------------------------------------------------------- q221
+  /** T-CLOSENESS audit — the third leg of the privacy triad (q169
+    * k-anonymity: classes big enough; q212 l-diversity: sensitive values
+    * varied enough; this: sensitive DISTRIBUTION within each class close
+    * enough to the global one that class membership leaks nothing). For
+    * the ORDERED sensitive attribute (the q212 balance band), t-closeness
+    * distance is the Earth-Mover's Distance — for ordered 1-D histograms
+    * exactly the mean absolute difference of the two CDFs.
+    *
+    * Exactness: both CDFs are rational with known denominators (class
+    * size n_c, population N), so every prefix diff scales to the integer
+    * |N·cumc_j − n_c·cumg_j| and EMD lands in integer basis points via
+    * one integral division — zero floats anywhere (the products are
+    * longs here and widen to DECIMAL(38,0) when n_c·N approaches 2⁶³ —
+    * the q115 rule). Absent bands must still contribute prefix terms, so
+    * classes expand onto the full band grid before the cumsum.
+    *
+    * Shape: two aggregates (class×band cells, global bands), a
+    * broadcast of the BAND-DOMAIN-sized global CDF (11 bands — value-
+    * range-bounded, not data-bounded; the one unpartitioned window runs
+    * over that same bounded domain), a per-class cumsum window, and a
+    * class-grained rollup. Nothing scales past the cell aggregate. */
+  def q221TCloseness(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, d, "customer")
+      .select(col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("int").as("nation"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 100000")
+          .as("band"))
+    val cells = base.groupBy("segment", "nation", "band")
+      .agg(count(lit(1)).as("cnt"))
+    val cls = cells.groupBy("segment", "nation").agg(sum("cnt").as("n_c"))
+    val glob = base.groupBy("band").agg(count(lit(1)).as("g_cnt"))
+    val globCum = glob
+      .withColumn("cumg", sum("g_cnt").over(
+        Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_total", sum("g_cnt").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("band", "cumg", "n_total")
+    val wc = Window.partitionBy("segment", "nation").orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cls.crossJoin(broadcast(globCum))
+      .join(cells, Seq("segment", "nation", "band"), "left")
+      .select(col("segment"), col("nation"), col("band"), col("n_c"),
+        col("cumg"), col("n_total"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .withColumn("cumc", sum("cnt").over(wc))
+      .withColumn("diffj",
+        abs(col("n_total") * col("cumc") - col("n_c") * col("cumg")))
+      .groupBy("segment", "nation")
+      .agg(first("n_c").as("n_rows"), first("n_total").as("n_total"),
+        count(lit(1)).as("n_bands"), sum("diffj").as("emd_scaled"))
+      .select(col("segment"), col("nation"), col("n_rows"), col("emd_scaled"),
+        expr("emd_scaled * 10000 div (n_rows * n_total * (n_bands - 1))")
+          .as("emd_bp"))
+      .withColumn("t15_breach", col("emd_bp") > 1500L)
+      .orderBy("segment", "nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_spearman" -> (q185SpearmanCertificates _),
     "q184_seasonal_profile" -> (q184SeasonalProfile _),
@@ -1339,6 +1452,8 @@ object StatsOps {
     "q177_km_hazard" -> (q177KmHazard _),
     "q169_kanon_audit" -> (q169KAnonymity _),
     "q212_l_diversity" -> (q212LDiversity _),
+    "q219_anova" -> (q219AnovaF _),
+    "q221_t_closeness" -> (q221TCloseness _),
     "q217_rolling_ols" -> (q217RollingOls _),
     "q170_benford_audit" -> (q170BenfordAudit _),
     "q171_group_ols" -> (q171GroupOls _),
@@ -1635,6 +1750,87 @@ object StatsOps {
         | CAST(CAST(sum(CASE WHEN cls < k THEN cls ELSE 0 END) AS BIGINT) * 10000
         |   // CAST(sum(cls) AS BIGINT) AS BIGINT) AS risk_bp
         |FROM cls CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
+    // same exact integer sufficient statistics; the one FP reduction is
+    // order-pinned via list_reduce over list(... ORDER BY event_type) —
+    // the Spark side folds the identical sorted array, so both engines
+    // run the same IEEE op sequence on the same integers
+    "q219_anova" ->
+      """WITH ev AS (
+        | SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        | FROM events),
+        |g AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+        | FROM ev GROUP BY event_type),
+        |one AS (
+        | SELECT CAST(count(*) AS BIGINT) AS k_groups,
+        |  CAST(sum(n) AS BIGINT) AS n_total,
+        |  CAST(sum(s) AS BIGINT) AS s_total,
+        |  CAST(sum(ss) AS BIGINT) AS ss_total,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |         ORDER BY event_type)),
+        |    (a, b) -> a + b) AS ssb_part
+        | FROM g),
+        |fin AS (
+        | SELECT k_groups, n_total, s_total, ss_total, ssb_part,
+        |  ssb_part - CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)
+        |    / CAST(n_total AS DOUBLE) AS ssb,
+        |  CAST(ss_total AS DOUBLE) - ssb_part AS ssw
+        | FROM one)
+        |SELECT k_groups, n_total, s_total, ss_total,
+        | round(ssb, 4) AS ssb_r4,
+        | round(ssw, 4) AS ssw_r4,
+        | round((ssb / CAST(k_groups - 1 AS DOUBLE))
+        |   / (ssw / CAST(n_total - k_groups AS DOUBLE)), 6) AS f_r6,
+        | round(ssb / (ssb + ssw), 6) AS eta2_r6
+        |FROM fin""".stripMargin,
+    // same QI grid as q169/q212; both CDFs stay rational with integer
+    // numerators, so every prefix term and the final basis-point EMD are
+    // integral in both engines
+    "q221_t_closeness" ->
+      """WITH qi AS (
+        | SELECT c_mktsegment AS segment, c_nationkey AS nation,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000
+        |    AS band
+        | FROM customer),
+        |cells AS (SELECT segment, nation, band,
+        |           CAST(count(*) AS BIGINT) AS cnt
+        |          FROM qi GROUP BY 1, 2, 3),
+        |cls AS (SELECT segment, nation, CAST(sum(cnt) AS BIGINT) AS n_c
+        |        FROM cells GROUP BY 1, 2),
+        |gb AS (SELECT band, CAST(count(*) AS BIGINT) AS g_cnt
+        |        FROM qi GROUP BY 1),
+        |globcum AS (
+        | SELECT band,
+        |  CAST(sum(g_cnt) OVER (ORDER BY band
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumg,
+        |  CAST(sum(g_cnt) OVER () AS BIGINT) AS pop_n
+        | FROM gb),
+        |grid AS (
+        | SELECT c.segment, c.nation, g.band, c.n_c, g.cumg, g.pop_n,
+        |  coalesce(ce.cnt, 0) AS cnt
+        | FROM cls c CROSS JOIN globcum g
+        | LEFT JOIN cells ce ON ce.segment = c.segment
+        |   AND ce.nation = c.nation AND ce.band = g.band),
+        |cum AS (
+        | SELECT segment, nation, band, n_c, cumg, pop_n,
+        |  CAST(sum(cnt) OVER (PARTITION BY segment, nation ORDER BY band
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumc
+        | FROM grid),
+        |per AS (
+        | SELECT segment, nation, min(n_c) AS n_rows, min(pop_n) AS pop_n,
+        |  CAST(count(*) AS BIGINT) AS n_bands,
+        |  CAST(sum(abs(pop_n * cumc - n_c * cumg)) AS BIGINT) AS emd_scaled
+        | FROM cum GROUP BY 1, 2)
+        |SELECT segment, nation, n_rows, emd_scaled,
+        | emd_scaled * 10000 // (n_rows * pop_n * (n_bands - 1)) AS emd_bp,
+        | (emd_scaled * 10000 // (n_rows * pop_n * (n_bands - 1))) > 1500
+        |   AS t15_breach
+        |FROM per ORDER BY segment, nation""".stripMargin,
     // identical pinned CASE constants; leading digit read off the cents
     // string in both engines
     "q170_benford_audit" ->

@@ -248,4 +248,46 @@ class RelationalSpec extends AnyFunSuite {
     val plan = rec.queryExecution.executedPlan.toString
     assert(plan.contains("UnionLoop"), plan)
   }
+
+  test("q220 window extras: ntile balance, rank bounds, ignore-nulls recency") {
+    val rows = Relational.q220WindowExtras(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // ntile(4) bucket sizes within a status differ by at most one
+    rows.groupBy(_.getString(1)).foreach { case (_, g) =>
+      val sizes = g.groupBy(_.getInt(2)).values.map(_.size)
+      assert(g.map(_.getInt(2)).forall(q => q >= 1 && q <= 4))
+      if (g.size >= 4) assert(sizes.max - sizes.min <= 1)
+      // percent_rank spans [0,1], cume_dist lands in (0,1], both monotone
+      // in the unique (price, key) order
+      val ord = g.sortBy(r => (r.getAs[Double]("pr"), r.getLong(0)))
+      assert(ord.head.getAs[Double]("pr") === 0.0)
+      assert(math.abs(ord.last.getAs[Double]("cd") - 1.0) < 1e-15)
+      assert(ord.map(_.getAs[Double]("cd")).sliding(2).forall {
+        case Array(a, b) => a <= b; case _ => true
+      })
+      // nth_value over the full frame is constant across the partition
+      assert(g.map(_.getAs[Long]("cheapest_key")).distinct.length === 1)
+      if (g.size >= 2)
+        assert(g.map(_.getAs[Long]("second_cheapest_key")).distinct.length === 1)
+    }
+    // IGNORE NULLS recency: recompute per customer from the raw table
+    val raw = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .collect()
+      .map(r => (r.getLong(1), (r.get(3), r.getLong(0)), r.getLong(0),
+        r.getDouble(2)))
+    val expected = raw.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val ord = g.sortBy(x => (x._2._1.toString, x._2._2))
+      var lastBig: Option[Long] = None
+      ord.map { x =>
+        val out = x._3 -> lastBig
+        if (x._4 > 250000.0) lastBig = Some(x._3)
+        out
+      }
+    }
+    val got = rows.map(r => r.getLong(0) ->
+      Option(r.getAs[java.lang.Long]("prev_big_key")).map(_.longValue())).toMap
+    expected.foreach { case (k, v) => assert(got(k) === v, s"order $k") }
+  }
 }

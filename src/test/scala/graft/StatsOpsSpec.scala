@@ -720,4 +720,63 @@ class StatsOpsSpec extends AnyFunSuite {
       assert(r.getDouble(2) === wide(r.getString(0))(r.getString(1)))
     }
   }
+
+  // ------------------------------------------------------------ q219
+  test("q219 anova: F matches a direct local recompute, partition identity holds") {
+    val r = StatsOps.q219AnovaF(spark, sf).collect().head
+    val cents = Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val groups = cents.groupBy(_._1)
+    assert(r.getAs[Long]("k_groups") === groups.size.toLong)
+    assert(r.getAs[Long]("n_total") === cents.length.toLong)
+    // direct recompute in BigDecimal-free double (same formula)
+    val k = groups.size
+    val n = cents.length
+    val sTot = cents.map(_._2).sum
+    val ssTot = cents.map(x => x._2 * x._2).sum
+    val ssbPart = groups.toSeq.sortBy(_._1).map { case (_, g) =>
+      val s = g.map(_._2).sum.toDouble
+      s * s / g.length.toDouble
+    }.foldLeft(0.0)(_ + _)
+    val ssb = ssbPart - sTot.toDouble * sTot.toDouble / n.toDouble
+    val ssw = ssTot.toDouble - ssbPart
+    val f = (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble)
+    assert(math.abs(r.getAs[Double]("f_r6") - f) < 1e-5)
+    // SSB + SSW == SST (the ANOVA partition identity) up to FP slack
+    val sst = ssTot.toDouble - sTot.toDouble * sTot.toDouble / n.toDouble
+    assert(math.abs((ssb + ssw) / sst - 1.0) < 1e-9)
+    assert(r.getAs[Double]("eta2_r6") >= 0.0 && r.getAs[Double]("eta2_r6") <= 1.0)
+  }
+
+  // ------------------------------------------------------------ q221
+  test("q221 t-closeness: EMD in [0,1] basis points, matches a local recompute") {
+    val rows = StatsOps.q221TCloseness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bp = r.getAs[Long]("emd_bp")
+      assert(bp >= 0L && bp <= 10000L)
+      assert(r.getAs[Boolean]("t15_breach") === (bp > 1500L))
+    }
+    // local recompute of one class' EMD over the shared band domain
+    val base = Tables.load(spark, sf, "customer")
+      .select(col("c_mktsegment").as("s"), col("c_nationkey").cast("int").as("n"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 100000").as("b"))
+      .collect().map(x => ((x.getString(0), x.getInt(1)), x.getLong(2)))
+    val bands = base.map(_._2).distinct.sorted
+    val nTot = base.length.toLong
+    val globCum = bands.map(b => b -> base.count(_._2 <= b).toLong).toMap
+    val target = rows.head
+    val cls = base.filter(x =>
+      x._1 == ((target.getString(0), target.getInt(1))))
+    val nC = cls.length.toLong
+    val emdScaled = bands.map { b =>
+      math.abs(nTot * cls.count(_._2 <= b).toLong - nC * globCum(b))
+    }.sum
+    assert(target.getAs[Long]("n_rows") === nC)
+    assert(target.getAs[Long]("emd_scaled") === emdScaled)
+    assert(target.getAs[Long]("emd_bp") ===
+      emdScaled * 10000L / (nC * nTot * (bands.length - 1).toLong))
+  }
 }
