@@ -747,7 +747,54 @@ object GraphOps {
     out.orderBy("round")
   }
 
+  // ---------------------------------------------------------------- q223
+  /** ADAMIC-ADAR LINK PREDICTION — score the NON-edges of the co-order
+    * graph by Σ_z 1/ln(deg z) over common neighbors z: the classic
+    * "products frequently bought alongside the same intermediaries but
+    * never yet together" recommender signal (common-neighbor count rides
+    * along as the unweighted baseline). Completes the graph family's
+    * missing-link face — everything else (triangles, PageRank, k-core,
+    * communities) describes edges that exist.
+    *
+    * Exactness: the per-neighbor weight 1/ln(deg) is one libm call on a
+    * small-integer argument (deg ≤ 2·cap), snapped to the 1e-7 decimal
+    * grid; per-pair scores then SUM IN DECIMAL — order-free and exact —
+    * so the ranking never depends on FP accumulation order (the q90
+    * round-then-sum discipline). z with deg < 2 cannot be a common
+    * neighbor, so 1/ln(1) never evaluates.
+    *
+    * Scale: wedges enumerate per-z neighbor pairs — bounded n·C(cap,2)
+    * by the mutual-cap basis, the same bound that keeps q99's triangle
+    * join alive; the weight join is node-keyed, the non-edge filter is a
+    * pair-keyed LEFT ANTI, and the final top-N is TakeOrderedAndProject
+    * (no global sort materializes). */
+  def q223AdamicAdar(s: SparkSession, d: String, topN: Int = 25): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = cachedCoOrderEdges(s, d)
+    val adj = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+    val invln = deg.filter(col("deg") >= 2)
+      .select(col("u").as("z"),
+        round(lit(1.0).cast("double") / log(col("deg").cast("double")), 7)
+          .cast(DecimalType(18, 7)).as("ilz"))
+    val nbr = adj.select(col("u").as("z"), col("v").as("n"))
+    val wedges = nbr.as("a").join(nbr.as("b"),
+        col("a.z") === col("b.z") && col("a.n") < col("b.n"))
+      .select(col("a.z").as("z"), col("a.n").as("x"), col("b.n").as("y"))
+    wedges.join(invln, "z")
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("common_n"), sum(col("ilz")).as("aa_d"))
+      .join(e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"),
+        "left_anti")
+      .orderBy(col("aa_d").desc, col("x"), col("y"))
+      .limit(topN)
+      .select(col("x"), col("y"), col("common_n"),
+        col("aa_d").cast("double").as("aa_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_adamic_adar" -> ((s: SparkSession, d: String) => q223AdamicAdar(s, d)),
     "q191_kcore_peel" -> ((s: SparkSession, d: String) => q191KcorePeel(s, d)),
     "q183_personalized_pagerank" ->
       ((s: SparkSession, d: String) => q183PersonalizedPagerank(s, d)),
@@ -992,6 +1039,30 @@ object GraphOps {
          |    / CAST(dg.deg * (dg.deg - 1) AS DOUBLE) END AS clustering
          |FROM dg LEFT JOIN tn USING (node)
          |ORDER BY node""".stripMargin,
+    // 1/ln(deg) snapped to the 1e-7 decimal grid in both engines, summed
+    // in DECIMAL (order-free); non-edges via NOT EXISTS against capped
+    "q223_adamic_adar" ->
+      s"""WITH $duckCappedEdges,
+         |a AS (SELECT u, v FROM capped UNION ALL SELECT v, u FROM capped),
+         |dg AS (SELECT u AS z, CAST(count(*) AS BIGINT) AS deg
+         |       FROM a GROUP BY 1),
+         |il AS (
+         | SELECT z, CAST(round(CAST(1 AS DOUBLE) / ln(CAST(deg AS DOUBLE)),
+         |   7) AS DECIMAL(18,7)) AS ilz
+         | FROM dg WHERE deg >= 2),
+         |wd AS (
+         | SELECT a1.u AS z, a1.v AS x, a2.v AS y
+         | FROM a a1 JOIN a a2 ON a1.u = a2.u AND a1.v < a2.v),
+         |sc AS (
+         | SELECT x, y, CAST(count(*) AS BIGINT) AS common_n,
+         |  sum(il.ilz) AS aa
+         | FROM wd JOIN il USING (z) GROUP BY 1, 2),
+         |ne AS (
+         | SELECT * FROM sc
+         | WHERE NOT EXISTS (SELECT 1 FROM capped e
+         |   WHERE e.u = sc.x AND e.v = sc.y))
+         |SELECT x, y, common_n, CAST(aa AS DOUBLE) AS aa_score
+         |FROM ne ORDER BY aa DESC, x, y LIMIT 25""".stripMargin,
     "q99_triangle_cooccur" ->
       s"""WITH $duckCappedEdges
          |SELECT e1.u AS a, e1.v AS b, e2.v AS c,

@@ -76,6 +76,54 @@ object SimilarityOps {
       .orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------------- q222
+  /** MATRYOSHKA TRUNCATION audit — how much retrieval quality survives
+    * when the 64-dim embedding is cut to its first m dims (the
+    * matryoshka-representation trick: serve cheap prefix vectors, keep
+    * the full vector for re-ranking)? For each query and each prefix
+    * length m ∈ {8,16,32,64}, rank the corpus by prefix-cosine and report
+    * the overlap of the prefix top-k with the FULL-dim top-k — overlap@k
+    * is the metric that decides whether a 4× cheaper index is safe to
+    * ship. m = 64 rides along as the built-in sanity row (overlap k/k).
+    *
+    * Determinism: same rounded-sim + id tie-break as q40, applied per
+    * (query, m) — both engines rank identical values. Scale: one
+    * broadcast of the query set, one candidate scan computing all four
+    * prefix sims per pair in a single codegen'd projection (the slice
+    * re-reads the same in-register array — no extra scan per m), then a
+    * bounded per-(query, m) top-k; the overlap join touches only
+    * |Q|·#m·k ranked rows. */
+  def q222Matryoshka(s: SparkSession, d: String,
+                     dims: Seq[Int] = Seq(8, 16, 32, 64),
+                     k: Int = 10): DataFrame = {
+    val e = Tables.spread(t(s, d, "embeddings"), "vec_id")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val simDims = array(dims.map(m => struct(lit(m).as("m"),
+      round(cosine(slice(col("q_emb"), 1, m), slice(col("c_emb"), 1, m)), 6)
+        .as("sim"))): _*)
+    val ranked = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), explode(simDims).as("ds"))
+      .select(col("q_id"), col("c_id"), col("ds.m").as("m"),
+        col("ds.sim").as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id", "m").orderBy(col("sim").desc, col("c_id"))))
+      .filter(col("rk") <= k)
+    val full = ranked.filter(col("m") === dims.max)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    // LEFT join, not semi: a (query, m) whose prefix top-k shares NOTHING
+    // with the full-dim top-k must still emit its overlap-0 row — that is
+    // the failure signal this audit exists to surface
+    ranked.join(full, Seq("q_id", "c_id"), "left")
+      .groupBy("q_id", "m")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("overlap"))
+      .select(col("q_id"), col("m"), col("overlap"),
+        expr(s"overlap * 10000 div $k").as("recall_bp"))
+      .orderBy("q_id", "m")
+  }
+
   // ---------------------------------------------------------------- q41
   /** Vector norms + a projected component — the sanity layer for the
     * embedding math (exact oracle in double precision). */
@@ -760,6 +808,7 @@ object SimilarityOps {
     "q143_nearest_centroid" -> (q143NearestCentroid _),
     "q146_int8_quantize" -> (q146Int8Quantize _),
     "q40_cosine_topk" -> ((s: SparkSession, d: String) => q40CosineTopK(s, d)),
+    "q222_matryoshka" -> ((s: SparkSession, d: String) => q222Matryoshka(s, d)),
     "q41_embedding_norms" -> (q41EmbeddingNorms _),
     "q42_ann_lsh" -> ((s: SparkSession, d: String) => q42AnnLsh(s, d)),
     "q53_cosine_topk_native" -> ((s: SparkSession, d: String) => q53CosineTopKNative(s, d)),
@@ -955,6 +1004,38 @@ object SimilarityOps {
         | FROM p)
         |SELECT q_id, c_id, sim, rk FROM r WHERE rk <= 5
         |ORDER BY q_id, rk""".stripMargin,
+    // same rounded-sim + id tie-break ranking as q40, per prefix length;
+    // overlap via EXISTS against the full-dim top-k
+    "q222_matryoshka" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |   AS emb
+        | FROM embeddings),
+        |ms AS (SELECT unnest([8, 16, 32, 64]) AS m),
+        |p AS (
+        | SELECT q.vec_id AS q_id, c.vec_id AS c_id, ms.m AS m,
+        |  round(
+        |   list_sum(list_transform(range(1, ms.m + 1),
+        |     i -> q.emb[i] * c.emb[i]))
+        |   / (sqrt(list_sum(list_transform(range(1, ms.m + 1),
+        |        i -> q.emb[i] * q.emb[i])))
+        |      * sqrt(list_sum(list_transform(range(1, ms.m + 1),
+        |          i -> c.emb[i] * c.emb[i])))), 6) AS sim
+        | FROM e q CROSS JOIN ms
+        | JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |r AS (
+        | SELECT q_id, c_id, m, sim,
+        |  row_number() OVER (PARTITION BY q_id, m
+        |    ORDER BY sim DESC, c_id) AS rk
+        | FROM p),
+        |tk AS (SELECT q_id, c_id, m FROM r WHERE rk <= 10),
+        |f AS (SELECT q_id, c_id, 1 AS hit FROM tk WHERE m = 64)
+        |SELECT t.q_id, CAST(t.m AS INT) AS m,
+        | CAST(sum(coalesce(f.hit, 0)) AS BIGINT) AS overlap,
+        | CAST(sum(coalesce(f.hit, 0)) AS BIGINT) * 10000 // 10 AS recall_bp
+        |FROM tk t
+        |LEFT JOIN f ON f.q_id = t.q_id AND f.c_id = t.c_id
+        |GROUP BY t.q_id, t.m ORDER BY t.q_id, t.m""".stripMargin,
     "q41_embedding_norms" ->
       """SELECT vec_id, label,
         | round(sqrt(list_sum(list_transform(embedding,

@@ -823,6 +823,45 @@ object TextOps {
         col("c_ab"), col("pmi_d").cast("double").as("pmi"))
   }
 
+  // ---------------------------------------------------------------- q224
+  /** SKIP-GRAM CO-OCCURRENCE — the positional counting pass that feeds
+    * word2vec/GloVe-style embedding training: for every ordered vocab
+    * pair within a ±3-token window, the co-occurrence count and the
+    * distance-decayed weight Σ 1/d. The weight stays EXACT by scaling to
+    * the integer grid 6/d (6, 3, 2 for d = 1, 2, 3 — LCM-scaled harmonic
+    * weights, zero floats). Complements q90 (document-level PMI — blind
+    * to position) and q101 (adjacent bigrams — blind to d > 1).
+    *
+    * Shape: the window join is NOT a band self-join — each vocab token
+    * explodes into `maxDist` (doc_id, pos+d) probes and equi-joins the
+    * position table, so Catalyst plans a pure hash join keyed on
+    * (doc_id, rpos) with fan-out bounded by maxDist, never an
+    * O(len·window) nested-loop band probe. Vocab filtering broadcasts
+    * the top-30 list before the explode, so probes carry only vocab
+    * tokens. */
+  def q224SkipgramCooc(s: SparkSession, d: String, vocabN: Int = 30,
+                       maxDist: Int = 3, topPairs: Int = 50): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term")).limit(vocabN)
+    val tv = toks.join(broadcast(vocab.select("term")), Seq("term"))
+      .select(col("doc_id"), col("pos"), col("term"))
+    val probes = tv
+      .withColumn("dist", explode(array((1 to maxDist).map(lit): _*)))
+      .select(col("doc_id"), (col("pos") + col("dist")).as("rpos"),
+        col("term").as("left_term"), col("dist"))
+    probes
+      .join(tv.select(col("doc_id"), col("pos").as("rpos"),
+        col("term").as("right_term")), Seq("doc_id", "rpos"))
+      .groupBy("left_term", "right_term")
+      .agg(count(lit(1)).as("n_cooc"),
+        sum(expr("6 div dist")).as("w6"))
+      .orderBy(col("w6").desc, col("left_term"), col("right_term"))
+      .limit(topPairs)
+  }
+
   // ---------------------------------------------------------------- q96
   /** Deterministic K-PER-GROUP sampling — the fixed-size sibling of the
     * rate-based q65/q84 samplers: exactly min(k, |group|) documents per
@@ -1543,6 +1582,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_skipgram_cooc" -> ((s: SparkSession, d: String) => q224SkipgramCooc(s, d)),
     "q206_textrank_keywords" -> ((s: SparkSession, d: String) => q206TextrankKeywords(s, d)),
     "q209_unicode_audit" -> (q209UnicodeAudit _),
     "q173_gini_tokens" -> (q173GiniTokens _),
@@ -1922,6 +1962,30 @@ object TextOps {
          |SELECT lang, token, n, rk,
          | CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
          |FROM r ORDER BY lang, rk""".stripMargin,
+    // positions assigned before the vocab filter in both engines; the
+    // distance weight 6/d stays on the integer grid (6, 3, 2)
+    "q224_skipgram_cooc" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |pos AS (
+         | SELECT doc_id, unnest(t) AS term,
+         |  unnest(range(1, len(t) + 1)) AS pos
+         | FROM toks),
+         |pf AS (SELECT * FROM pos WHERE term <> ''),
+         |vocab AS (SELECT term FROM pf GROUP BY term
+         |          ORDER BY count(*) DESC, term LIMIT 30),
+         |tv AS (SELECT p.doc_id, p.pos, p.term
+         |       FROM pf p JOIN vocab v USING (term)),
+         |ds AS (SELECT unnest([1, 2, 3]) AS dist),
+         |pr AS (
+         | SELECT a.left_term, b.term AS right_term, a.dist
+         | FROM (SELECT doc_id, pos + dist AS rpos, term AS left_term, dist
+         |       FROM tv CROSS JOIN ds) a
+         | JOIN tv b ON a.doc_id = b.doc_id AND a.rpos = b.pos)
+         |SELECT left_term, right_term,
+         | CAST(count(*) AS BIGINT) AS n_cooc,
+         | CAST(sum(6 // dist) AS BIGINT) AS w6
+         |FROM pr GROUP BY 1, 2
+         |ORDER BY w6 DESC, left_term, right_term LIMIT 50""".stripMargin,
     "q101_bigram_lm" ->
       s"""WITH toks AS (SELECT $duckToks AS t FROM documents),
          |bg AS (

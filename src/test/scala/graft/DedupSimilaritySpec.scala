@@ -874,4 +874,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(ordered.toSeq === replay, s"q=$q greedy replay diverged")
     }
   }
+
+  test("q222 matryoshka: full-dim rows are perfect, every (query, m) cell present") {
+    val rows = SimilarityOps.q222Matryoshka(spark, TestSpark.sf).collect()
+    val k = 10
+    // one row per (query, m) — zero-overlap cells must NOT vanish
+    val qs = rows.map(_.getLong(0)).distinct
+    assert(rows.length === qs.length * 4)
+    rows.foreach { r =>
+      val (m, ov, bp) = (r.getInt(1), r.getAs[Long]("overlap"),
+        r.getAs[Long]("recall_bp"))
+      assert(ov >= 0L && ov <= k.toLong)
+      assert(bp === ov * 10000L / k)
+      if (m == 64) assert(ov === k.toLong, s"full-dim overlap must be $k")
+    }
+    // truncation can only be audited against itself: prefix ranking at
+    // m=32 should agree with the full list more than m=8 ON AVERAGE
+    val byM = rows.groupBy(_.getInt(1)).view
+      .mapValues(_.map(_.getAs[Long]("overlap")).sum).toMap
+    assert(byM(32) >= byM(8), s"m=32 total overlap ${byM(32)} < m=8 ${byM(8)}")
+  }
 }

@@ -391,4 +391,32 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(b._2 <= a._2 && b._3 <= a._3, "peel must shrink monotonically")
     }
   }
+
+  test("q223 adamic-adar: scores only non-edges, top pair matches a local recompute") {
+    val rows = GraphOps.q223AdamicAdar(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val edges = GraphOps.cachedCoOrderEdges(spark, TestSpark.sf)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every scored pair is a NON-edge of the capped graph
+    rows.foreach { r =>
+      assert(!edges.contains((r.getLong(0), r.getLong(1))),
+        s"pair ${r.getLong(0)},${r.getLong(1)} is an existing edge")
+      assert(r.getAs[Long]("common_n") >= 1L)
+      assert(r.getAs[Double]("aa_score") > 0.0)
+    }
+    // scores are ranked descending
+    val scores = rows.map(_.getAs[Double]("aa_score")).toSeq
+    assert(scores === scores.sorted.reverse)
+    // local recompute of the top pair's score from the adjacency
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).toSet }
+    val (x, y) = (rows.head.getLong(0), rows.head.getLong(1))
+    val common = adj(x).intersect(adj(y))
+    assert(rows.head.getAs[Long]("common_n") === common.size.toLong)
+    val expected = common.toSeq.map { z =>
+      BigDecimal(1.0 / math.log(adj(z).size.toDouble))
+        .setScale(7, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(math.abs(rows.head.getAs[Double]("aa_score") - expected) < 1e-9)
+  }
 }

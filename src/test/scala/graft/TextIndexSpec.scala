@@ -589,4 +589,30 @@ class TextIndexSpec extends AnyFunSuite {
       assert(r.getAs[Long]("vowel_bp") > 0L && r.getAs[Long]("space_bp") > 0L)
     }
   }
+
+  test("q224 skipgram: weights on the 6/d grid, top pair matches a local recompute") {
+    val rows = TextOps.q224SkipgramCooc(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      val (n, w) = (r.getAs[Long]("n_cooc"), r.getAs[Long]("w6"))
+      // each co-occurrence contributes 2..6 weight units (d = 3..1)
+      assert(w >= 2 * n && w <= 6 * n, s"w6 $w out of [2n, 6n] for n $n")
+    }
+    // local recompute for the top pair over the raw tokenization
+    val (lt, rt) = (rows.head.getString(0), rows.head.getString(1))
+    val toks = Tables.load(spark, TestSpark.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .map(_.getString(0).trim.toLowerCase
+        .split("[ \\t\\n\\x0B\\f\\r]+").filter(_.nonEmpty))
+    var (n, w) = (0L, 0L)
+    toks.foreach { ts =>
+      ts.indices.foreach { i =>
+        if (ts(i) == lt) (1 to 3).foreach { dd =>
+          if (i + dd < ts.length && ts(i + dd) == rt) { n += 1; w += 6 / dd }
+        }
+      }
+    }
+    assert(rows.head.getAs[Long]("n_cooc") === n)
+    assert(rows.head.getAs[Long]("w6") === w)
+  }
 }
