@@ -57,7 +57,9 @@ object SparkEntry {
         "q202_stream_cusum" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q202StreamCusum(s, d)),
         "q214_stream_asof_enrich" ->
-          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q214StreamAsofEnrich(s, d)))
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q214StreamAsofEnrich(s, d)),
+        "q225_stream_kmv" ->
+          ((s: SparkSession, d: String) => graft.streaming.DocsStream.q225StreamKmv(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -197,5 +199,41 @@ object SparkEntry {
             | CAST(count(*) AS BIGINT) AS n_events,
             | CAST(sum(c) AS DOUBLE) / 100.0 AS sum_value
             |FROM j GROUP BY user_id, version
-            |ORDER BY user_id, version""".stripMargin)
+            |ORDER BY user_id, version""".stripMargin,
+        // the min-k set folds across micro-batches exactly as across
+        // partitions (union + re-take-k), so the streamed sketch must
+        // land on q141's batch sketch; m replaces n_distinct (bounded
+        // state cannot count distincts — but m < k implies m IS the
+        // distinct count, which is also when the estimator reports it)
+        "q225_stream_kmv" ->
+          """WITH h AS (
+            | SELECT lang,
+            |  md5(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))
+            |    AS h
+            | FROM documents),
+            |dh AS (SELECT DISTINCT lang, h FROM h),
+            |mink AS (
+            | SELECT lang, h,
+            |  row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+            | FROM dh),
+            |sk AS (SELECT lang, CAST(count(*) AS BIGINT) AS m, max(h) AS kth
+            |  FROM mink WHERE rn <= 64 GROUP BY lang),
+            |stats AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            |  FROM h GROUP BY lang),
+            |j AS (
+            | SELECT s.lang, s.n_docs, k.m, substr(k.kth, 1, 8) AS kth_prefix,
+            |  (strpos('0123456789abcdef', substr(k.kth, 1, 1)) - 1) * 268435456
+            |  + (strpos('0123456789abcdef', substr(k.kth, 2, 1)) - 1) * 16777216
+            |  + (strpos('0123456789abcdef', substr(k.kth, 3, 1)) - 1) * 1048576
+            |  + (strpos('0123456789abcdef', substr(k.kth, 4, 1)) - 1) * 65536
+            |  + (strpos('0123456789abcdef', substr(k.kth, 5, 1)) - 1) * 4096
+            |  + (strpos('0123456789abcdef', substr(k.kth, 6, 1)) - 1) * 256
+            |  + (strpos('0123456789abcdef', substr(k.kth, 7, 1)) - 1) * 16
+            |  + (strpos('0123456789abcdef', substr(k.kth, 8, 1)) - 1) AS u32
+            | FROM stats s JOIN sk k USING (lang))
+            |SELECT lang, n_docs, m, kth_prefix,
+            | CAST(CASE WHEN m < 64 THEN m
+            |      ELSE 270582939648 // greatest(u32, 1) END AS BIGINT)
+            |   AS est_distinct
+            |FROM j ORDER BY lang""".stripMargin)
 }

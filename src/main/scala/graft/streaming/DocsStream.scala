@@ -156,4 +156,119 @@ object DocsStream {
       drain.table(name)
     }.orderBy("j", "bucket")
   }
+
+  case class KmvRow(lang: String, h: String, sentinel: Boolean)
+  case class KmvSketch(lang: String, n_docs: Long, m: Long, kth: String)
+
+  /** Per-language KMV accumulator on the Spark 4 `transformWithState`
+    * API (typed state variables on the RocksDB store — the arbitrary-
+    * state surface that supersedes flatMapGroupsWithState): one
+    * ValueState counter + one ValueState holding the ≤k smallest
+    * DISTINCT content hashes (fixed-width lowercase hex, so the joined
+    * string round-trips through a TreeSet in numeric order). A min-k set
+    * merges by union + re-take-k, so folding per micro-batch lands on
+    * the same set as the one-shot batch build — the q141 mergeability
+    * argument, replayed over time instead of over partitions. */
+  private class KmvProcessor(k: Int) extends org.apache.spark.sql.streaming
+      .StatefulProcessor[String, KmvRow, KmvSketch] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var nDocs: ValueState[Long] = _
+    @transient private var minK: ValueState[String] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nDocs = getHandle.getValueState[Long]("nDocs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      minK = getHandle.getValueState[String]("minK",
+        org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+    }
+    override def handleInputRows(lang: String, rows: Iterator[KmvRow],
+        tv: TimerValues): Iterator[KmvSketch] = {
+      var n = if (nDocs.exists()) nDocs.get() else 0L
+      val set = scala.collection.mutable.TreeSet.empty[String]
+      if (minK.exists() && minK.get().nonEmpty) set ++= minK.get().split(",")
+      var flush = false
+      rows.foreach { r =>
+        if (r.sentinel) flush = true
+        else {
+          n += 1
+          set += r.h
+          while (set.size > k) set -= set.last
+        }
+      }
+      if (flush) {
+        nDocs.clear(); minK.clear()
+        Iterator.single(KmvSketch(lang, n, set.size.toLong, set.last))
+      } else {
+        nDocs.update(n); minK.update(set.mkString(","))
+        Iterator.empty
+      }
+    }
+  }
+
+  // ------------------------------------------------ q225: streaming KMV
+  /** q225: q141's KMV DISTINCT-COUNT sketch maintained as a STREAM on
+    * the `transformWithState` API — the bounded-state alternative to
+    * q71-style exact streaming dedup when only the CARDINALITY is
+    * needed: state is (counter + ≤k hashes) per language FOREVER,
+    * regardless of corpus size. Same two-phase sentinel drain as q154
+    * (all data batches fold, then one staged sentinel row per language
+    * arrives strictly later and makes each group emit + clear). The
+    * estimator tail runs in batch with q141's exact expressions, so the
+    * stream twin keeps an exact DuckDB oracle — m < k means the sketch
+    * holds EVERY distinct hash and reports exactly; otherwise the
+    * (k−1)·2³²/u32 estimate is integer math both engines reproduce. */
+  def q225StreamKmv(s: SparkSession, d: String, k: Int = 64): DataFrame = {
+    val stagePath = java.nio.file.Files.createTempDirectory("graft_q225")
+    val name = "graft_stream_kmv"
+    try {
+      val sk = EventsStream.withDrainSession(s) { drain =>
+        import drain.implicits._
+        drain.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val rows = drain.readStream.schema(docsSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .select(col("lang"),
+            md5(regexp_replace(lower(col("text")),
+              "[ \\t\\n\\x0B\\f\\r]+", " ").cast("binary")).as("h"),
+            lit(false).as("sentinel")).as[KmvRow]
+        val sentinels = drain.readStream
+          .schema(org.apache.spark.sql.Encoders.product[KmvRow].schema)
+          .parquet(stagePath.toString).as[KmvRow]
+        val out = rows.union(sentinels)
+          .groupByKey(_.lang)
+          .transformWithState(new KmvProcessor(k),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        val q = out.toDF().writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try {
+          q.processAllAvailable() // every document batch folds into state
+          val langs = graft.Tables.load(s, d, "documents")
+            .select("lang").distinct().collect().map(_.getString(0))
+          // append, not overwrite: overwrite deletes the staged dir for a
+          // moment and the file-source poller logs a spurious
+          // FileNotFoundException when its listing races the delete
+          langs.toSeq.map(l => KmvRow(l, null, sentinel = true)).toDF()
+            .write.mode("append").parquet(stagePath.toString)
+          q.processAllAvailable() // flush batch: every group emits + clears
+        } finally q.stop()
+        drain.table(name)
+      }
+      // estimator tail in batch — q141's expressions verbatim
+      sk.select(col("lang"), col("n_docs"), col("m"),
+          substring(col("kth"), 1, 8).as("kth_prefix"),
+          conv(substring(col("kth"), 1, 8), 16, 10).cast("long").as("u32"))
+        .withColumn("est_distinct",
+          when(col("m") < k, col("m"))
+            .otherwise(expr(s"CAST(${(k - 1) * 4294967296L} AS BIGINT)" +
+              " div greatest(u32, CAST(1 AS BIGINT))")))
+        .select("lang", "n_docs", "m", "kth_prefix", "est_distinct")
+        .orderBy("lang")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: Throwable => () })
+    }
+  }
 }

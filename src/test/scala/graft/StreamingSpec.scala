@@ -399,4 +399,21 @@ class StreamingSpec extends AnyFunSuite {
     // every event lands in exactly one version: counts conserve
     assert(gotRows.map(_._4).sum === ev.length.toLong)
   }
+
+  test("q225 streamed KMV sketch lands on the batch q141 sketch") {
+    val stream = graft.streaming.DocsStream.q225StreamKmv(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    val batch = graft.ops.StatsOps.q141KmvSketch(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    assert(stream.nonEmpty)
+    // shared columns agree row-for-row: (lang, n_docs, kth_prefix, est)
+    assert(stream.map(t => (t._1, t._2, t._4, t._5)).toSeq ===
+      batch.map(t => (t._1, t._2, t._4, t._5)).toSeq)
+    // the stream's m is the sketch fill: min(k, n_distinct)
+    stream.zip(batch).foreach { case (sRow, bRow) =>
+      assert(sRow._3 === math.min(64L, bRow._3))
+    }
+  }
 }
