@@ -122,6 +122,109 @@ object Relational {
         ntz(date_trunc("month", ntz(col("o_orderdate")))).as("month_start"))
       .orderBy("o_orderkey")
 
+  // ---------------------------------------------------------------- q226
+  /** CALENDAR ARITHMETIC — the date-math surface q04's field extraction
+    * leaves untouched: month boundaries (last_day / add_months), ISO
+    * week numbering, Monday-based weekday, month-offset arithmetic
+    * against a fixed anchor, and a BUSINESS-DAYS-IN-MONTH count built
+    * from a date `sequence` + weekday filter (the generator form — the
+    * array is month-bounded, ≤31 elements, so the explode-free
+    * `filter`+`size` stays a scalar projection). Everything is integer
+    * or date-valued — no timezone or DST surface anywhere (dates are
+    * calendar points, the engine-wide UTC pin covers the rest), so the
+    * whole projection is exact in both engines. Weekday convention is
+    * pinned to Monday=0 (Spark `weekday` ≡ DuckDB `isodow − 1`) — the
+    * cross-engine Sunday-vs-Monday trap spelled out once. */
+  def q226CalendarMath(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .filter(pmod(col("o_orderkey"), lit(17)) === 0)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+      .select(
+        col("o_orderkey"),
+        col("od"),
+        last_day(col("od")).as("last_dom"),
+        dayofmonth(last_day(col("od"))).as("days_in_month"),
+        weekday(col("od")).as("wd_mon0"),
+        weekofyear(col("od")).as("iso_week"),
+        add_months(trunc(col("od"), "month"), 1).as("next_month_start"),
+        ((year(col("od")) - lit(1995)) * lit(12) + month(col("od")) - lit(1))
+          .as("months_since_anchor"),
+        size(filter(
+          sequence(trunc(col("od"), "month"), last_day(col("od")),
+            expr("interval 1 day")),
+          x => weekday(x) < 5)).as("biz_days_in_month"))
+      .orderBy("o_orderkey")
+
+  // ---------------------------------------------------------------- q227
+  /** MAP-TYPE surface — the collection type no other query exercises:
+    * per user, a `map<string,long>` of event-type counts built with
+    * map_from_entries over a SORTED entry array (map key order is
+    * construction order, so sorting first makes every downstream
+    * rendering deterministic), then the map-function family over it:
+    * size, map_keys, element_at point lookup, map_filter predicate
+    * subsetting, transform_values rescaling, and aggregate over
+    * map_values. The oracle reproduces the same values relationally —
+    * the MAP is engine-side representation, the CONTRACT is the values.
+    * Shape: one groupBy(user, type) + one groupBy(user) with a bounded
+    * entry array (|event types| entries) — map-side combinable, nothing
+    * scales past the first aggregate. */
+  def q227MapKv(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .filter(pmod(col("user_id"), lit(11)) === 0)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("event_type"), col("n"))))).as("m"))
+      .select(
+        col("user_id"),
+        size(col("m")).as("n_types"),
+        concat_ws(",", map_keys(col("m"))).as("types_csv"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+        size(map_filter(col("m"), (_, v) => v >= 3L)).as("n_heavy_types"),
+        aggregate(map_values(transform_values(col("m"), (_, v) => v * 2L)),
+          lit(0L), (acc, x) => acc + x).as("double_total"))
+      .orderBy("user_id")
+
+  // ---------------------------------------------------------------- q228
+  /** ARRAY SET-ALGEBRA surface — array_intersect / array_except /
+    * array_union / array_position / flatten over per-user behavior sets:
+    * the event types a user shows on EVEN days vs ODD days (a
+    * deterministic, calendar-free split), compared as sets. Ordering
+    * discipline: Spark's array set ops preserve LEFT-operand order, which
+    * is construction-dependent — every emitted array goes through
+    * array_sort (and the inputs are sorted collect_sets), so renderings
+    * are engine-portable. The oracle rebuilds the same sets relationally
+    * (sorted string_agg over distinct pairs) — semantics, not engine
+    * list-function parity. One (user, parity, type)-grained distinct +
+    * one user-grained fold; arrays are bounded by |event types|. */
+  def q228ArrayAlgebra(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .filter(pmod(col("user_id"), lit(13)) === 0)
+      .select(col("user_id"), col("event_type"),
+        pmod(expr("(ts div 1000) div 86400000000"), lit(2)).as("par"))
+      .distinct()
+    e.groupBy("user_id")
+      .agg(
+        sort_array(collect_set(when(col("par") === 0, col("event_type"))))
+          .as("a"),
+        sort_array(collect_set(when(col("par") === 1, col("event_type"))))
+          .as("b"))
+      .select(
+        col("user_id"),
+        concat_ws(",", col("a")).as("even_csv"),
+        concat_ws(",", col("b")).as("odd_csv"),
+        concat_ws(",", array_sort(array_intersect(col("a"), col("b"))))
+          .as("both_csv"),
+        concat_ws(",", array_sort(array_except(col("b"), col("a"))))
+          .as("odd_only_csv"),
+        size(array_sort(array_union(col("a"), col("b")))).as("n_union"),
+        array_position(array_sort(array_union(col("a"), col("b"))), "click")
+          .cast("long").as("click_pos"),
+        arrays_overlap(col("a"), col("b")).as("overlaps"))
+      .orderBy("user_id")
+  }
+
   // ---------------------------------------------------------------- q05
   /** Math scalar functions. Transcendentals (sqrt/ln/pow) are rounded —
     * libm last-ulp differences across engines. */
@@ -960,6 +1063,9 @@ object Relational {
     "q02_filter_project" -> (q02FilterProject _),
     "q03_scalar_string" -> (q03ScalarString _),
     "q04_scalar_date" -> (q04ScalarDate _),
+    "q226_calendar_math" -> (q226CalendarMath _),
+    "q227_map_kv" -> (q227MapKv _),
+    "q228_array_algebra" -> (q228ArrayAlgebra _),
     "q05_scalar_math" -> (q05ScalarMath _),
     "q06_agg_basic" -> (q06AggBasic _),
     "q07_agg_distinct" -> (q07AggDistinct _),
@@ -1045,6 +1151,85 @@ object Relational {
         | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
         |FROM orders WHERE o_orderkey % 7 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    // weekday pinned Monday=0 (Spark weekday ≡ DuckDB isodow − 1); the
+    // business-day count filters the same month-bounded date sequence
+    "q226_calendar_math" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderdate AS DATE) AS od,
+        | last_day(CAST(o_orderdate AS DATE)) AS last_dom,
+        | CAST(day(last_day(CAST(o_orderdate AS DATE))) AS INT)
+        |   AS days_in_month,
+        | CAST(isodow(o_orderdate) - 1 AS INT) AS wd_mon0,
+        | CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        | CAST(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH AS DATE)
+        |   AS next_month_start,
+        | CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+        |   AS INT) AS months_since_anchor,
+        | CAST(len(list_filter(
+        |   generate_series(CAST(date_trunc('month', o_orderdate) AS DATE),
+        |     last_day(CAST(o_orderdate AS DATE)), INTERVAL 1 DAY),
+        |   x -> isodow(x) <= 5)) AS INT) AS biz_days_in_month
+        |FROM orders WHERE o_orderkey % 17 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    // the map is engine-side representation; the oracle reproduces the
+    // VALUES relationally (sorted keys ⇒ sorted string_agg)
+    "q227_map_kv" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        | FROM events WHERE user_id % 11 = 0 GROUP BY 1, 2)
+        |SELECT user_id,
+        | CAST(count(*) AS INT) AS n_types,
+        | string_agg(event_type, ',' ORDER BY event_type) AS types_csv,
+        | CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN n END), 0)
+        |   AS BIGINT) AS clicks,
+        | CAST(sum(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS INT)
+        |   AS n_heavy_types,
+        | CAST(sum(n) * 2 AS BIGINT) AS double_total
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // set algebra rebuilt relationally: INTERSECT/EXCEPT/UNION over the
+    // distinct (user, parity, type) basis, positions via a sorted rank
+    "q228_array_algebra" ->
+      """WITH e AS (
+        | SELECT DISTINCT user_id, event_type,
+        |  (epoch_us(ts) // 86400000000) % 2 AS par
+        | FROM events WHERE user_id % 13 = 0),
+        |a AS (SELECT user_id, event_type FROM e WHERE par = 0),
+        |b AS (SELECT user_id, event_type FROM e WHERE par = 1),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |acsv AS (SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS even_csv
+        | FROM a GROUP BY 1),
+        |bcsv AS (SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS odd_csv
+        | FROM b GROUP BY 1),
+        |bt AS (SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS both_csv
+        | FROM (SELECT * FROM a INTERSECT SELECT * FROM b) GROUP BY 1),
+        |oo AS (SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS odd_only_csv
+        | FROM (SELECT * FROM b EXCEPT SELECT * FROM a) GROUP BY 1),
+        |un AS (SELECT user_id, event_type FROM a
+        |       UNION SELECT user_id, event_type FROM b),
+        |ua AS (
+        | SELECT user_id, CAST(count(*) AS INT) AS n_union,
+        |  min(CASE WHEN event_type = 'click' THEN rnk END) AS click_pos
+        | FROM (SELECT user_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY event_type) AS rnk
+        |       FROM un) GROUP BY 1)
+        |SELECT u.user_id,
+        | coalesce(acsv.even_csv, '') AS even_csv,
+        | coalesce(bcsv.odd_csv, '') AS odd_csv,
+        | coalesce(bt.both_csv, '') AS both_csv,
+        | coalesce(oo.odd_only_csv, '') AS odd_only_csv,
+        | ua.n_union,
+        | CAST(ua.click_pos AS BIGINT) AS click_pos,
+        | (bt.both_csv IS NOT NULL) AS overlaps
+        |FROM u
+        |LEFT JOIN acsv USING (user_id) LEFT JOIN bcsv USING (user_id)
+        |LEFT JOIN bt USING (user_id) LEFT JOIN oo USING (user_id)
+        |JOIN ua USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q05_scalar_math" ->
       """SELECT l_orderkey, l_linenumber,
         | round(sqrt(l_extendedprice), 6) AS sqrt_price,

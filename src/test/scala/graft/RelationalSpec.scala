@@ -290,4 +290,59 @@ class RelationalSpec extends AnyFunSuite {
       Option(r.getAs[java.lang.Long]("prev_big_key")).map(_.longValue())).toMap
     expected.foreach { case (k, v) => assert(got(k) === v, s"order $k") }
   }
+
+  test("q226 calendar math agrees with java.time on every row") {
+    val rows = Relational.q226CalendarMath(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val od = r.getDate(1).toLocalDate
+      val last = od.withDayOfMonth(od.lengthOfMonth)
+      assert(r.getDate(2).toLocalDate === last)
+      assert(r.getInt(3) === od.lengthOfMonth)
+      assert(r.getInt(4) === od.getDayOfWeek.getValue - 1)
+      assert(r.getInt(5) ===
+        od.get(java.time.temporal.WeekFields.ISO.weekOfWeekBasedYear))
+      assert(r.getDate(6).toLocalDate === od.withDayOfMonth(1).plusMonths(1))
+      assert(r.getInt(7) === (od.getYear - 1995) * 12 + od.getMonthValue - 1)
+      val biz = (1 to od.lengthOfMonth).count { dd =>
+        od.withDayOfMonth(dd).getDayOfWeek.getValue <= 5
+      }
+      assert(r.getInt(8) === biz)
+    }
+  }
+
+  test("q227 map surface values match the relational recompute") {
+    val rows = Relational.q227MapKv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.load(spark, sf, "events")
+      .filter(pmod(col("user_id"), lit(11)) === 0)
+      .groupBy("user_id", "event_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = raw.groupBy(_._1)
+    rows.foreach { r =>
+      val g = byUser(r.getLong(0))
+      assert(r.getInt(1) === g.length)
+      assert(r.getString(2) === g.map(_._2).sorted.mkString(","))
+      assert(r.getLong(3) === g.find(_._2 == "click").map(_._3).getOrElse(0L))
+      assert(r.getInt(4) === g.count(_._3 >= 3L))
+      assert(r.getLong(5) === 2L * g.map(_._3).sum)
+    }
+  }
+
+  test("q228 array algebra is consistent set algebra per user") {
+    val rows = Relational.q228ArrayAlgebra(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      def set(i: Int) = r.getString(i).split(",").filter(_.nonEmpty).toSet
+      val (a, b, both, oddOnly) = (set(1), set(2), set(3), set(4))
+      assert(both === a.intersect(b))
+      assert(oddOnly === b.diff(a))
+      assert(r.getInt(5) === a.union(b).size)
+      val union = a.union(b).toSeq.sorted
+      val pos = union.indexOf("click")
+      if (pos >= 0) assert(r.getLong(6) === pos + 1L)
+      else assert(r.isNullAt(6))
+      assert(r.getBoolean(7) === both.nonEmpty)
+    }
+  }
 }
