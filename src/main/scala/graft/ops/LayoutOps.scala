@@ -645,7 +645,69 @@ object LayoutOps {
     (res, picked.length.toLong, total)
   }
 
+  // ---------------------------------------------------------------- q229
+  /** CLUSTERING-EFFECTIVENESS AUDIT — the measurement that decides which
+    * layout (q88 z-order / q196 Hilbert / single-column sort) a table
+    * should ship with: under each candidate row order, deal rank-ordered
+    * rows into fixed-size shards (row groups) and report DISTINCT VALUES
+    * PER SHARD for each audit column. That statistic IS scan cost at
+    * 100 TB: a shard whose dictionary holds one shipmode serves a
+    * shipmode predicate with one zone-map probe; a shard holding all
+    * seven is never skippable. The four layouts make the tradeoff
+    * visible — natural order clusters nothing, each single-column sort
+    * perfects its own column while destroying the other, and the
+    * bit-interleaved order (z-order on dictionary codes) lands both
+    * columns near their optimum at once.
+    *
+    * Scale: every global rank runs through [[bandedRank]] (band = the
+    * layout's monotone major key; NO single-partition data window), the
+    * per-shard aggregate is a plain groupBy, and the audit output is 4
+    * rows. Dictionary codes come from domain-bounded distinct ranks
+    * (|values| ≤ 7), broadcast back. Exactness: ranks, shard ids, and
+    * distinct counts are all integers; the per-shard averages export in
+    * integer basis points. */
+  def q229LayoutAudit(s: SparkSession, d: String,
+                      shardSize: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"))
+    def codes(c: String, as: String) = li.select(col(c)).distinct()
+      .withColumn(as,
+        (row_number().over(Window.orderBy(col(c))) - 1).cast("long"))
+    val coded = li
+      .join(broadcast(codes("l_returnflag", "sm")), Seq("l_returnflag"))
+      .join(broadcast(codes("l_linestatus", "rf")), Seq("l_linestatus"))
+      .withColumn("z",
+        expr("""pmod(sm, 2) + 2 * pmod(rf, 2) + 4 * pmod(sm div 2, 2)
+               | + 8 * pmod(rf div 2, 2) + 16 * pmod(sm div 4, 2)""".stripMargin))
+    val layouts: Seq[(String, Column, Seq[Column])] = Seq(
+      ("1_natural", expr("length(bin(l_orderkey)) - 1"),
+        Seq(col("l_orderkey"), col("l_linenumber"))),
+      ("2_returnflag_major", col("sm"),
+        Seq(col("rf"), col("l_orderkey"), col("l_linenumber"))),
+      ("3_linestatus_major", col("rf"),
+        Seq(col("sm"), col("l_orderkey"), col("l_linenumber"))),
+      ("4_interleaved", col("z"),
+        Seq(col("l_orderkey"), col("l_linenumber"))))
+    layouts.map { case (name, band, ord) =>
+      bandedRank(coded, band, ord, "rnk")
+        .withColumn("shard", expr(s"(rnk - 1) div $shardSize"))
+        .groupBy("shard")
+        .agg(countDistinct(col("l_returnflag")).as("d_sm"),
+          countDistinct(col("l_linestatus")).as("d_rf"))
+        .agg(count(lit(1)).as("n_shards"),
+          sum("d_sm").as("s_sm"), sum("d_rf").as("s_rf"),
+          max("d_sm").as("max_d_sm"), max("d_rf").as("max_d_rf"))
+        .select(lit(name).as("layout"), col("n_shards"),
+          expr("s_sm * 10000 div n_shards").as("avg_d_returnflag_bp"),
+          expr("s_rf * 10000 div n_shards").as("avg_d_linestatus_bp"),
+          col("max_d_sm"), col("max_d_rf"))
+    }.reduce(_.unionByName(_)).orderBy("layout")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_layout_audit" -> ((s: SparkSession, d: String) => q229LayoutAudit(s, d)),
     "q207_zonemap_index" -> (q207ZonemapIndex _),
     "q195_bloom_index" -> ((s: SparkSession, d: String) => q195BloomIndex(s, d)),
     "q196_hilbert_layout" -> ((s: SparkSession, d: String) => q196HilbertLayout(s, d)),
@@ -655,7 +717,54 @@ object LayoutOps {
     "q97_table_checksum" -> (q97TableChecksum _),
     "q145_shard_balance" -> ((s: SparkSession, d: String) => q145ShardBalance(s, d)))
 
+  /** One audit block per layout — the block text is GENERATED so the four
+    * oracle rankings can never drift from each other (q196's generator
+    * discipline); the Spark side's banded global order equals each ORDER
+    * BY because every band key is the layout's monotone major key. */
+  private def layoutAuditBlock(name: String, orderBy: String): String =
+    s"""SELECT '$name' AS layout,
+       | CAST(count(*) AS BIGINT) AS n_shards,
+       | CAST(sum(d_sm) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT)
+       |   AS avg_d_returnflag_bp,
+       | CAST(sum(d_rf) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT)
+       |   AS avg_d_linestatus_bp,
+       | CAST(max(d_sm) AS BIGINT) AS max_d_sm,
+       | CAST(max(d_rf) AS BIGINT) AS max_d_rf
+       |FROM (
+       | SELECT (rnk - 1) // 4096 AS shard,
+       |  count(DISTINCT l_returnflag) AS d_sm,
+       |  count(DISTINCT l_linestatus) AS d_rf
+       | FROM (SELECT c.*, row_number() OVER (ORDER BY $orderBy) AS rnk
+       |       FROM c)
+       | GROUP BY 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q229_layout_audit" ->
+      s"""WITH li AS (
+         | SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+         | FROM lineitem),
+         |smc AS (
+         | SELECT l_returnflag,
+         |  CAST(row_number() OVER (ORDER BY l_returnflag) - 1 AS BIGINT) AS sm
+         | FROM (SELECT DISTINCT l_returnflag FROM li)),
+         |rfc AS (
+         | SELECT l_linestatus,
+         |  CAST(row_number() OVER (ORDER BY l_linestatus) - 1 AS BIGINT) AS rf
+         | FROM (SELECT DISTINCT l_linestatus FROM li)),
+         |c AS (
+         | SELECT li.l_orderkey, li.l_linenumber, li.l_returnflag,
+         |  li.l_linestatus, smc.sm, rfc.rf,
+         |  sm % 2 + 2 * (rf % 2) + 4 * ((sm // 2) % 2)
+         |   + 8 * ((rf // 2) % 2) + 16 * ((sm // 4) % 2) AS z
+         | FROM li JOIN smc USING (l_returnflag) JOIN rfc USING (l_linestatus))
+         |${layoutAuditBlock("1_natural", "l_orderkey, l_linenumber")}
+         |UNION ALL
+         |${layoutAuditBlock("2_returnflag_major", "sm, rf, l_orderkey, l_linenumber")}
+         |UNION ALL
+         |${layoutAuditBlock("3_linestatus_major", "rf, sm, l_orderkey, l_linenumber")}
+         |UNION ALL
+         |${layoutAuditBlock("4_interleaved", "z, l_orderkey, l_linenumber")}
+         |ORDER BY layout""".stripMargin,
     // the whole zone-map index re-derived in SQL: same month shards, same
     // probe grid from the data span, same overlap predicate
     "q207_zonemap_index" ->

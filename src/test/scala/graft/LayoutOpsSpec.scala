@@ -218,4 +218,27 @@ class LayoutOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("gini_bp") >= 0 && r.getAs[Long]("gini_bp") < 10000)
     }
   }
+
+  test("q229 layout audit: clustering a column never worsens its per-shard distincts") {
+    val rows = ops.LayoutOps.q229LayoutAudit(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size === 4)
+    // same table, same shard size => same shard count everywhere
+    assert(rows.values.map(_.getLong(1)).toSet.size === 1)
+    val (nat, rfm, lsm, il) = (rows("1_natural"), rows("2_returnflag_major"),
+      rows("3_linestatus_major"), rows("4_interleaved"))
+    def rf(r: org.apache.spark.sql.Row) = r.getLong(2)
+    def ls(r: org.apache.spark.sql.Row) = r.getLong(3)
+    // sorting by a column clusters it: its avg distinct-per-shard drops
+    // to (near) one value per shard, and never exceeds natural order's
+    assert(rf(rfm) <= rf(nat) && rf(rfm) <= 2 * 10000)
+    assert(ls(lsm) <= ls(nat) && ls(lsm) <= 2 * 10000)
+    // the interleave is the compromise: no worse than natural on BOTH
+    assert(rf(il) <= rf(nat) && ls(il) <= ls(nat))
+    // max distincts bounded by the dictionary sizes
+    rows.values.foreach { r =>
+      assert(r.getLong(4) >= 1L && r.getLong(4) <= 3L)
+      assert(r.getLong(5) >= 1L && r.getLong(5) <= 3L)
+    }
+  }
 }
