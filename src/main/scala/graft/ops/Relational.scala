@@ -122,6 +122,63 @@ object Relational {
         ntz(date_trunc("month", ntz(col("o_orderdate")))).as("month_start"))
       .orderBy("o_orderkey")
 
+  // ---------------------------------------------------------------- q230
+  /** STRING TOOLKIT — the manipulation surface q03's basics leave out:
+    * field splitting (split_part), character-class mapping (translate),
+    * regex extraction (regexp_extract_all, joined deterministically) and
+    * counting (regexp_count), edit distance (levenshtein — the built-in
+    * complement to the native Jaro-Winkler expression of q204), padding
+    * and repetition. Every function is a per-row scalar with an exact
+    * cross-engine twin (regexes kept to the RE2-subset discipline);
+    * zero shuffles beyond the final ORDER BY. */
+  def q230StringToolkit(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .filter(pmod(col("p_partkey"), lit(13)) === 0)
+      .select(
+        col("p_partkey"),
+        col("p_name"),
+        expr("split_part(p_name, ' ', 2)").as("second_word"),
+        translate(col("p_name"), "aeiou", "_____").as("devoweled"),
+        concat_ws("|", expr("regexp_extract_all(p_name, '[a-z]+', 0)"))
+          .as("words_csv"),
+        expr("regexp_count(p_name, '[aeiou]')").cast("int").as("n_vowels"),
+        levenshtein(col("p_name"), lit("standard polished brass"))
+          .as("edit_dist"),
+        lpad(col("p_partkey").cast("string"), 10, "0").as("padded_key"),
+        reverse(expr("repeat(split_part(p_name, ' ', 1), 2)"))
+          .as("doubled_rev"))
+      .orderBy("p_partkey")
+
+  // ---------------------------------------------------------------- q231
+  /** GAPS AND ISLANDS — maximal runs of CONSECUTIVE ACTIVE DAYS per user
+    * (the streak metric behind engagement dashboards), via the classic
+    * day − dense_rank(day) constant-per-island trick: consecutive days
+    * advance both terms in lockstep, so the difference identifies the
+    * island with zero self-joins. Complements q28's time-gap sessionize
+    * (event-grained, gap threshold) with the calendar-grained dual.
+    * Per-user windows over DISTINCT active days (≤ span days each);
+    * integer day numbers from the raw-nanos contract — no calendar
+    * surface. The longest island resolves by max(struct) argmax with an
+    * earliest-start tie-break, all exact. */
+  def q231GapsIslands(s: SparkSession, d: String): DataFrame = {
+    val days = t(s, d, "events")
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("isl", col("day") - dense_rank().over(w))
+      .groupBy("user_id", "isl")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+      .groupBy("user_id")
+      .agg(sum("len").as("n_active_days"),
+        count(lit(1)).as("n_islands"),
+        max(struct(col("len"), (-col("start_day")).as("ns"))).as("m"))
+      .select(col("user_id"), col("n_active_days"), col("n_islands"),
+        col("m.len").as("longest_streak"),
+        (-col("m.ns")).as("longest_start_day"))
+      .orderBy("user_id")
+  }
+
   // ---------------------------------------------------------------- q226
   /** CALENDAR ARITHMETIC — the date-math surface q04's field extraction
     * leaves untouched: month boundaries (last_day / add_months), ISO
@@ -1066,6 +1123,8 @@ object Relational {
     "q226_calendar_math" -> (q226CalendarMath _),
     "q227_map_kv" -> (q227MapKv _),
     "q228_array_algebra" -> (q228ArrayAlgebra _),
+    "q230_string_toolkit" -> (q230StringToolkit _),
+    "q231_gaps_islands" -> (q231GapsIslands _),
     "q05_scalar_math" -> (q05ScalarMath _),
     "q06_agg_basic" -> (q06AggBasic _),
     "q07_agg_distinct" -> (q07AggDistinct _),
@@ -1151,6 +1210,43 @@ object Relational {
         | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
         |FROM orders WHERE o_orderkey % 7 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    // per-row scalar twins; regexes in the shared RE2 subset
+    "q230_string_toolkit" ->
+      """SELECT p_partkey, p_name,
+        | split_part(p_name, ' ', 2) AS second_word,
+        | translate(p_name, 'aeiou', '_____') AS devoweled,
+        | array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|')
+        |   AS words_csv,
+        | CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+        | CAST(levenshtein(p_name, 'standard polished brass') AS INT)
+        |   AS edit_dist,
+        | lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+        | reverse(repeat(split_part(p_name, ' ', 1), 2)) AS doubled_rev
+        |FROM part WHERE p_partkey % 13 = 0
+        |ORDER BY p_partkey""".stripMargin,
+    // day − dense_rank(day) is constant exactly on consecutive-day runs;
+    // argmax by (len, earliest start) via the min-struct trick
+    "q231_gaps_islands" ->
+      """WITH days AS (
+        | SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        | FROM events),
+        |isl AS (
+        | SELECT user_id, day,
+        |  day - dense_rank() OVER (PARTITION BY user_id ORDER BY day)
+        |    AS isl
+        | FROM days),
+        |runs AS (
+        | SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len,
+        |  min(day) AS start_day
+        | FROM isl GROUP BY 1, 2),
+        |agg AS (
+        | SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  max(struct_pack(len := len, ns := -start_day)) AS m
+        | FROM runs GROUP BY 1)
+        |SELECT user_id, n_active_days, n_islands,
+        | m.len AS longest_streak, -(m.ns) AS longest_start_day
+        |FROM agg ORDER BY user_id""".stripMargin,
     // weekday pinned Monday=0 (Spark weekday ≡ DuckDB isodow − 1); the
     // business-day count filters the same month-bounded date sequence
     "q226_calendar_math" ->

@@ -345,4 +345,44 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getBoolean(7) === both.nonEmpty)
     }
   }
+
+  test("q230 string toolkit agrees with JVM string ops") {
+    val rows = Relational.q230StringToolkit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val name = r.getString(1)
+      val words = name.split(" ")
+      assert(r.getString(2) === (if (words.length >= 2) words(1) else ""))
+      assert(r.getString(3) === name.map(c =>
+        if ("aeiou".contains(c)) '_' else c))
+      assert(r.getString(4) ===
+        "[a-z]+".r.findAllIn(name).mkString("|"))
+      assert(r.getInt(5) === name.count("aeiou".contains(_)))
+      assert(r.getString(7) === f"${r.getLong(0)}%010d".takeRight(10))
+      assert(r.getString(8) === (words(0) + words(0)).reverse)
+    }
+  }
+
+  test("q231 gaps-islands: streaks partition the active days") {
+    val rows = Relational.q231GapsIslands(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.load(spark, sf, "events")
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet.toSeq.sorted).toMap
+    rows.foreach { r =>
+      val ds = raw(r.getLong(0))
+      // islands by direct scan
+      val islands = ds.foldLeft(List.empty[List[Long]]) {
+        case (acc @ (h :: t), d) if h.nonEmpty && d == h.head + 1 =>
+          (d :: h) :: t
+        case (acc, d) => List(d) :: acc
+      }.map(_.reverse).reverse
+      assert(r.getLong(1) === ds.length.toLong)
+      assert(r.getLong(2) === islands.length.toLong)
+      val best = islands.maxBy(i => (i.length, -i.head))
+      assert(r.getLong(3) === best.length.toLong)
+      assert(r.getLong(4) === best.head)
+    }
+  }
 }
