@@ -122,6 +122,50 @@ object Relational {
         ntz(date_trunc("month", ntz(col("o_orderdate")))).as("month_start"))
       .orderBy("o_orderkey")
 
+  // ---------------------------------------------------------------- q232
+  /** TYPED COGROUP reconciliation — the order-header vs line-detail
+    * consistency audit (does o_totalprice equal the sum of its lines'
+    * charges?) run through `Dataset.cogroup`, the typed API's per-key
+    * custom-merge operator that no other query exercises: both sides
+    * co-partition on the key in ONE exchange each and the lambda sees
+    * (key, header rows, line rows) together — the typed analogue of a
+    * sort-merge full-outer join, with no build-side materialization and
+    * no width limit on the merge logic. Headers without lines surface
+    * with n_lines = 0 (the full-outer face a semi-join audit would
+    * drop). Exactness: per-line charges follow q01's decimal discipline
+    * (each ≤4-dp factor cast to DECIMAL(12,4), multiplied exactly,
+    * rounded once to cents), the fold sums longs. */
+  def q232CogroupRecon(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val oKV = t(s, d, "orders")
+      .filter(pmod(col("o_orderkey"), lit(23)) === 0)
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("oc"))
+      .as[(Long, Long)].groupByKey(_._1)
+    val lKV = t(s, d, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(23)) === 0)
+      .select(col("l_orderkey"),
+        expr("""CAST(round(CAST(l_extendedprice AS DECIMAL(12,4))
+               | * CAST(1.0 - l_discount AS DECIMAL(12,4))
+               | * CAST(1.0 + l_tax AS DECIMAL(12,4)), 2) * 100 AS BIGINT)"""
+          .stripMargin).as("lc"))
+      .as[(Long, Long)].groupByKey(_._1)
+    oKV.cogroup(lKV) { case (k, os, ls) =>
+      val header = os.toSeq
+      if (header.isEmpty) Iterator.empty // lines without a header: none by FK
+      else {
+        val lcs = ls.map(_._2).toSeq
+        val total = lcs.sum
+        Iterator.single(
+          (k, header.head._2, total, header.head._2 - total,
+            lcs.length.toLong))
+      }
+    }.toDF("o_orderkey", "order_total_c", "lines_total_c", "delta_c",
+        "n_lines")
+      .orderBy("o_orderkey")
+  }
+
   // ---------------------------------------------------------------- q230
   /** STRING TOOLKIT — the manipulation surface q03's basics leave out:
     * field splitting (split_part), character-class mapping (translate),
@@ -1125,6 +1169,7 @@ object Relational {
     "q228_array_algebra" -> (q228ArrayAlgebra _),
     "q230_string_toolkit" -> (q230StringToolkit _),
     "q231_gaps_islands" -> (q231GapsIslands _),
+    "q232_cogroup_recon" -> (q232CogroupRecon _),
     "q05_scalar_math" -> (q05ScalarMath _),
     "q06_agg_basic" -> (q06AggBasic _),
     "q07_agg_distinct" -> (q07AggDistinct _),
@@ -1209,6 +1254,27 @@ object Relational {
         | CAST(day(o_orderdate) AS INT) AS o_day,
         | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
         |FROM orders WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    // the cogroup is engine-side representation; the oracle restates the
+    // per-key merge as a LEFT JOIN aggregate with q01's charge decimals
+    "q232_cogroup_recon" ->
+      """WITH o AS (
+        | SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS oc
+        | FROM orders WHERE o_orderkey % 23 = 0),
+        |l AS (
+        | SELECT l_orderkey,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(12,4))
+        |   * CAST(1.0 - l_discount AS DECIMAL(12,4))
+        |   * CAST(1.0 + l_tax AS DECIMAL(12,4)), 2) * 100 AS BIGINT) AS lc
+        | FROM lineitem WHERE l_orderkey % 23 = 0)
+        |SELECT o.o_orderkey,
+        | o.oc AS order_total_c,
+        | CAST(coalesce(sum(l.lc), 0) AS BIGINT) AS lines_total_c,
+        | o.oc - CAST(coalesce(sum(l.lc), 0) AS BIGINT) AS delta_c,
+        | CAST(count(l.lc) AS BIGINT) AS n_lines
+        |FROM o LEFT JOIN l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderkey, o.oc
         |ORDER BY o_orderkey""".stripMargin,
     // per-row scalar twins; regexes in the shared RE2 subset
     "q230_string_toolkit" ->

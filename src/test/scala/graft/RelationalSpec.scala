@@ -385,4 +385,29 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getLong(4) === best.head)
     }
   }
+
+  test("q232 typed cogroup equals the relational left-join twin") {
+    val got = Relational.q232CogroupRecon(spark, sf).collect().map(_.toSeq)
+    val o = Tables.load(spark, sf, "orders")
+      .filter(pmod(col("o_orderkey"), lit(23)) === 0)
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("oc"))
+    val l = Tables.load(spark, sf, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(23)) === 0)
+      .select(col("l_orderkey").as("o_orderkey"),
+        expr("""CAST(round(CAST(l_extendedprice AS DECIMAL(12,4))
+               | * CAST(1.0 - l_discount AS DECIMAL(12,4))
+               | * CAST(1.0 + l_tax AS DECIMAL(12,4)), 2) * 100 AS BIGINT)"""
+          .stripMargin).as("lc"))
+    val twin = o.join(l, Seq("o_orderkey"), "left")
+      .groupBy("o_orderkey")
+      .agg(first("oc").as("order_total_c"),
+        coalesce(sum("lc"), lit(0L)).as("lines_total_c"),
+        count(col("lc")).as("n_lines"))
+      .select(col("o_orderkey"), col("order_total_c"), col("lines_total_c"),
+        (col("order_total_c") - col("lines_total_c")).as("delta_c"),
+        col("n_lines"))
+      .orderBy("o_orderkey").collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq === twin.toSeq)
+  }
 }
