@@ -894,4 +894,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .mapValues(_.map(_.getAs[Long]("overlap")).sum).toMap
     assert(byM(32) >= byM(8), s"m=32 total overlap ${byM(32)} < m=8 ${byM(8)}")
   }
+
+  test("q233 incremental verdicts equal the full pair set restricted to its universe") {
+    val got = DedupOps.q233IncrementalDedup(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getString(4)))
+    // full symmetric pair basis (q140), then restrict to pairs touching
+    // an odd (incoming) doc on the canonical side the incremental join
+    // uses: partner=corpus any order, batch pairs lower-id-first
+    val full = DedupOps.q140PpjoinExact(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val touching = full.flatMap { case (a, b, j) =>
+      Seq((a, b, j), (b, a, j)) // both orientations
+    }.filter { case (partner, inc, _) =>
+      inc % 2 == 1 && (partner % 2 == 0 || partner < inc)
+    }
+    val byInc = touching.groupBy(_._2)
+    got.foreach { case (id, nm, bj, bp, verdict) =>
+      byInc.get(id) match {
+        case None =>
+          assert(nm === 0L && verdict === "keep" && bj.isEmpty && bp.isEmpty)
+        case Some(ps) =>
+          assert(nm === ps.length.toLong && verdict === "drop")
+          val best = ps.maxBy(p => (p._3, -p._1))
+          assert(bj.contains(best._3) && bp.contains(best._1))
+      }
+    }
+    // every incoming doc got a verdict row
+    assert(got.map(_._1).toSet ===
+      Tables.load(spark, TestSpark.sf, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 1)
+        .collect().map(_.getLong(0)).toSet)
+  }
 }
