@@ -122,6 +122,70 @@ object Relational {
         ntz(date_trunc("month", ntz(col("o_orderdate")))).as("month_start"))
       .orderBy("o_orderkey")
 
+  // ---------------------------------------------------------------- q234
+  /** OBSERVE METRICS — `Dataset.observe` + `Observation`, the engine's
+    * in-flight observability API (the O9 surface made first-class): a
+    * quality gate attaches named aggregate metrics to a flowing Dataset
+    * and reads them after ONE pass — no second scan, no separate
+    * monitoring query, which is the entire point at 100 TB (metrics ride
+    * the action that was running anyway). The observed values (row
+    * count, cents sum/min/max, negative-value count) are exact integers;
+    * the query returns them as its result row, so the driver's oracle
+    * hash-checks the OBSERVATION itself against a direct aggregate —
+    * proving the side-channel sees every row exactly once. */
+  def q234ObserveMetrics(s: SparkSession, d: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation("graft_gate")
+    val flow = t(s, d, "events")
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum("c").as("sum_c"),
+        min("c").as("min_c"),
+        max("c").as("max_c"),
+        sum(when(col("c") < 0L, 1L).otherwise(0L)).as("n_negative"))
+    // the action the metrics ride on (a real pipeline's parquet write)
+    flow.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_c").asInstanceOf[Long],
+      m("min_c").asInstanceOf[Long], m("max_c").asInstanceOf[Long],
+      m("n_negative").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_c", "min_c", "max_c", "n_negative")
+  }
+
+  // ---------------------------------------------------------------- q235
+  /** GENERATOR SEMANTICS — the explode-family corner users hit once and
+    * never forget: `explode` DROPS rows whose array is empty, while
+    * `explode_outer` keeps them with a NULL element (the LEFT-JOIN-unnest
+    * dual). Per language: document count, row counts under both
+    * semantics (outer − inner = exactly the empty-array docs), and the
+    * empty-doc count cross-checked directly. The probe array is the
+    * z-containing tokens of each document — rare enough that empties
+    * actually occur. One generator pass per semantics, map-side until
+    * the final lang-grained aggregate. */
+  def q235GeneratorSemantics(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .select(col("lang"),
+        filter(TextOps.tokens(col("text")), tk => tk.contains("z"))
+          .as("ztoks"))
+    val inner = base.select(col("lang"), explode(col("ztoks")).as("tk"))
+      .groupBy("lang").agg(count(lit(1)).as("n_inner"))
+    val outer = base.select(col("lang"), explode_outer(col("ztoks")).as("tk"))
+      .groupBy("lang").agg(count(lit(1)).as("n_outer"),
+        sum(when(col("tk").isNull, 1L).otherwise(0L)).as("n_null_rows"))
+    base.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(size(col("ztoks")) === 0, 1L).otherwise(0L))
+          .as("n_empty_docs"))
+      .join(outer, Seq("lang"))
+      .join(inner, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_empty_docs"),
+        coalesce(col("n_inner"), lit(0L)).as("n_inner"), col("n_outer"),
+        col("n_null_rows"))
+      .orderBy("lang")
+  }
+
   // ---------------------------------------------------------------- q232
   /** TYPED COGROUP reconciliation — the order-header vs line-detail
     * consistency audit (does o_totalprice equal the sum of its lines'
@@ -1170,6 +1234,8 @@ object Relational {
     "q230_string_toolkit" -> (q230StringToolkit _),
     "q231_gaps_islands" -> (q231GapsIslands _),
     "q232_cogroup_recon" -> (q232CogroupRecon _),
+    "q234_observe_metrics" -> (q234ObserveMetrics _),
+    "q235_generator_semantics" -> (q235GeneratorSemantics _),
     "q05_scalar_math" -> (q05ScalarMath _),
     "q06_agg_basic" -> (q06AggBasic _),
     "q07_agg_distinct" -> (q07AggDistinct _),
@@ -1255,6 +1321,34 @@ object Relational {
         | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
         |FROM orders WHERE o_orderkey % 7 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    // the oracle is the direct aggregate — hash-equality proves the
+    // observe side-channel saw every row exactly once
+    "q234_observe_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(c) AS BIGINT) AS sum_c,
+        | CAST(min(c) AS BIGINT) AS min_c,
+        | CAST(max(c) AS BIGINT) AS max_c,
+        | CAST(sum(CASE WHEN c < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_negative
+        |FROM (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        AS c FROM events)""".stripMargin,
+    // the oracle states the generator CONTRACT closed-form: inner rows =
+    // Σ len, outer rows = Σ max(len, 1), null rows = empty-array docs
+    "q235_generator_semantics" ->
+      """WITH base AS (
+        | SELECT lang,
+        |  list_filter(
+        |   regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
+        |   tk -> contains(tk, 'z')) AS ztoks
+        | FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN len(ztoks) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_empty_docs,
+        | CAST(sum(len(ztoks)) AS BIGINT) AS n_inner,
+        | CAST(sum(greatest(len(ztoks), 1)) AS BIGINT) AS n_outer,
+        | CAST(sum(CASE WHEN len(ztoks) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_null_rows
+        |FROM base GROUP BY lang ORDER BY lang""".stripMargin,
     // the cogroup is engine-side representation; the oracle restates the
     // per-key merge as a LEFT JOIN aggregate with q01's charge decimals
     "q232_cogroup_recon" ->

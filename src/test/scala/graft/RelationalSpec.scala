@@ -410,4 +410,28 @@ class RelationalSpec extends AnyFunSuite {
       .orderBy("o_orderkey").collect().map(_.toSeq)
     assert(got.nonEmpty && got.toSeq === twin.toSeq)
   }
+
+  test("q234 observe: re-invocable, and metrics equal a direct aggregate") {
+    val r1 = Relational.q234ObserveMetrics(spark, sf).collect().head
+    // a fresh Observation per call — the API is single-use per Dataset
+    val r2 = Relational.q234ObserveMetrics(spark, sf).collect().head
+    assert(r1.toSeq === r2.toSeq)
+    val direct = Tables.load(spark, sf, "events")
+      .select(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .agg(count(lit(1)), sum("c"), min("c"), max("c"),
+        sum(when(col("c") < 0L, 1L).otherwise(0L))).collect().head
+    assert(r1.toSeq === direct.toSeq)
+  }
+
+  test("q235 generator semantics: outer = inner + empty docs, per language") {
+    val rows = Relational.q235GeneratorSemantics(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (docs, empty, inner, outer, nulls) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(outer === inner + empty)
+      assert(nulls === empty)
+      assert(outer >= docs) // every doc yields >= 1 outer row
+    }
+  }
 }
