@@ -1331,6 +1331,38 @@ object StatsOps {
       .transform(Tables.portable)
   }
 
+  // ---------------------------------------------------------------- q236
+  /** QUANTILE NORMALIZATION — the rank-based feature transform (map every
+    * value to its tie-averaged uniform quantile within its group) that
+    * precedes any scale-sensitive model: immune to outliers and monotone
+    * re-parameterizations where z-scoring is not. Computed per VALUE-GRID
+    * CELL, never per row (the q172/q185 rank discipline): one aggregate
+    * to (event_type, cents, cnt), a per-type window over the bounded
+    * value domain for the cumulative count, and the tie-averaged doubled
+    * rank 2r̄ = 2·cum + cnt + 1 — so the quantile u = r̄/(n+1) lands in
+    * integer parts-per-million via one integral division, exact in both
+    * engines, and the output is domain-sized (distinct values), not
+    * row-sized. A row-level transform is then a broadcast/map-side join
+    * of this dictionary back onto the fact — the 100 TB shape. */
+  def q236QuantileNormalize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = t(s, d, "events")
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .groupBy("event_type", "c")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy("event_type")
+    grid
+      .withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("n", sum("cnt").over(wn))
+      .select(col("event_type"), col("c"), col("cnt"),
+        (lit(2L) * col("cum") + col("cnt") + lit(1L)).as("two_rbar"),
+        expr("(2 * cum + cnt + 1) * 1000000 div (2 * (n + 1))").as("u_ppm"))
+      .orderBy("event_type", "c")
+  }
+
   // ---------------------------------------------------------------- q219
   /** ONE-WAY ANOVA F — does mean event value differ across event types?
     * The k-sample completion of the q157/q172 hypothesis-test family
@@ -1454,6 +1486,7 @@ object StatsOps {
     "q212_l_diversity" -> (q212LDiversity _),
     "q219_anova" -> (q219AnovaF _),
     "q221_t_closeness" -> (q221TCloseness _),
+    "q236_quantile_normalize" -> (q236QuantileNormalize _),
     "q217_rolling_ols" -> (q217RollingOls _),
     "q170_benford_audit" -> (q170BenfordAudit _),
     "q171_group_ols" -> (q171GroupOls _),
@@ -1750,6 +1783,25 @@ object StatsOps {
         | CAST(CAST(sum(CASE WHEN cls < k THEN cls ELSE 0 END) AS BIGINT) * 10000
         |   // CAST(sum(cls) AS BIGINT) AS BIGINT) AS risk_bp
         |FROM cls CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
+    // same doubled tie-rank construction on the value grid; the ppm
+    // quantile is one integral division on non-negative operands
+    "q236_quantile_normalize" ->
+      """WITH g AS (
+        | SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |w AS (
+        | SELECT event_type, c, cnt,
+        |  CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        | FROM g)
+        |SELECT event_type, c, cnt,
+        | 2 * cum + cnt + 1 AS two_rbar,
+        | (2 * cum + cnt + 1) * 1000000 // (2 * (n + 1)) AS u_ppm
+        |FROM w ORDER BY event_type, c""".stripMargin,
     // same exact integer sufficient statistics; the one FP reduction is
     // order-pinned via list_reduce over list(... ORDER BY event_type) —
     // the Spark side folds the identical sorted array, so both engines

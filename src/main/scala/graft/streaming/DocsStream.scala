@@ -11,7 +11,7 @@ import graft.ops.{StatsOps, TextOps}
   */
 object DocsStream {
 
-  private val docsSchema = StructType(Seq(
+  private[graft] val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
@@ -169,7 +169,7 @@ object DocsStream {
     * merges by union + re-take-k, so folding per micro-batch lands on
     * the same set as the one-shot batch build — the q141 mergeability
     * argument, replayed over time instead of over partitions. */
-  private class KmvProcessor(k: Int) extends org.apache.spark.sql.streaming
+  private[graft] class KmvProcessor(k: Int) extends org.apache.spark.sql.streaming
       .StatefulProcessor[String, KmvRow, KmvSketch] {
     import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
     @transient private var nDocs: ValueState[Long] = _

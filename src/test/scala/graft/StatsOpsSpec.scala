@@ -779,4 +779,22 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(target.getAs[Long]("emd_bp") ===
       emdScaled * 10000L / (nC * nTot * (bands.length - 1).toLong))
   }
+
+  // ------------------------------------------------------------ q236
+  test("q236 quantile normalization: tie-averaged ranks sum to the rank total") {
+    val rows = StatsOps.q236QuantileNormalize(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val n = g.map(_._3).sum
+      // sum of cnt * avg-rank over the grid = n(n+1)/2 (rank conservation)
+      // in doubled units: sum cnt * two_rbar = n(n+1)
+      assert(g.map(x => x._3 * x._4).sum === n * (n + 1))
+      // u_ppm monotone strictly increasing with the value
+      val ord = g.sortBy(_._2).map(_._5)
+      assert(ord.zip(ord.tail).forall { case (a, b) => a < b })
+      assert(ord.head > 0L && ord.last < 1000000L)
+    }
+  }
 }

@@ -416,4 +416,68 @@ class StreamingSpec extends AnyFunSuite {
       assert(sRow._3 === math.min(64L, bRow._3))
     }
   }
+
+  test("q225 KMV state survives a stop/restart from the checkpoint") {
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("kmv_src").toString
+    val sentDir = Files.createTempDirectory("kmv_sent").toString
+    val ckpt = Files.createTempDirectory("kmv_ckpt").toString
+    val outDir = Files.createTempDirectory("kmv_out").toString
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val drain = spark.newSession()
+    drain.conf.set("spark.sql.shuffle.partitions", "8")
+    drain.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import drain.implicits._
+    import graft.streaming.DocsStream
+    def pipeline() = {
+      val rows = drain.readStream.schema(DocsStream.docsSchema)
+        .parquet(srcDir)
+        .select(col("lang"), md5(regexp_replace(lower(col("text")),
+          "[ \\t\\n\\x0B\\f\\r]+", " ").cast("binary")).as("h"),
+          lit(false).as("sentinel"))
+        .as[DocsStream.KmvRow]
+      val sent = drain.readStream
+        .schema(org.apache.spark.sql.Encoders.product[DocsStream.KmvRow].schema)
+        .parquet(sentDir).as[DocsStream.KmvRow]
+      rows.union(sent).groupByKey(_.lang)
+        .transformWithState(new DocsStream.KmvProcessor(64),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+    }
+    def run(): Unit = {
+      // memory sink cannot recover from a checkpoint — foreachBatch can,
+      // and it is the recoverable-sink shape a real pipeline uses
+      val q = pipeline().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // first half folds into RocksDB state, then the query DIES
+    // the second half AND the flush sentinels arrive while it is down
+    docs.filter(pmod(col("doc_id"), lit(2)) === 1).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    langs.toSeq.map(l => DocsStream.KmvRow(l, null, sentinel = true)).toDF()
+      .write.mode("append").parquet(sentDir)
+    run() // restart: recovered state + new batch must equal one-shot
+    val got = drain.read.parquet(outDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // one-shot expectation straight from the batch table
+    val all = docs.select(col("lang"), md5(regexp_replace(lower(col("text")),
+        "[ \\t\\n\\x0B\\f\\r]+", " ").cast("binary")).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val want = all.groupBy(_._1).toSeq.map { case (lang, g) =>
+      val mink = g.map(_._2).distinct.sorted.take(64)
+      (lang, g.length.toLong, mink.length.toLong, mink.last)
+    }.sortBy(_._1)
+    assert(got.toSeq === want)
+  }
 }
