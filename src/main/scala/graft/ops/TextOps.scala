@@ -823,6 +823,67 @@ object TextOps {
         col("c_ab"), col("pmi_d").cast("double").as("pmi"))
   }
 
+  // ---------------------------------------------------------------- q237
+  /** PREFERENCE-PAIR CONSTRUCTION — the DPO/RLHF data-prep step: per
+    * language, pair the i-th BEST document (by the shared q33 composite
+    * quality score) with the i-th WORST as (chosen, rejected), for the
+    * top `k` pair ranks — margin-ordered contrastive pairs with the
+    * largest quality gaps first. Both rankings run through the native
+    * TopKPerGroup operator (bounded per-group heaps, map-side partial —
+    * never a full per-language sort), the bottom ranking is the exact
+    * reverse order ((q asc, id desc) ≡ n+1−rank of (q desc, id asc)), and
+    * i ≤ n/2 keeps chosen/rejected disjoint in small groups. Scores are
+    * the 4-dp-rounded composite, so ranks, pairs, and margins are
+    * engine-exact. */
+  def q237PreferencePairs(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val scored = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        qualityScore(col("text"), col("n_chars")).as("q"))
+    val n = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+    val top = graft.plans.TopK.perGroup(scored, Seq("lang"),
+      Seq(("q", false), ("doc_id", true)), k = k, rankName = "i")
+    val bot = graft.plans.TopK.perGroup(scored, Seq("lang"),
+      Seq(("q", true), ("doc_id", false)), k = k, rankName = "i")
+    top.select(col("lang"), col("i"), col("doc_id").as("chosen_id"),
+        col("q").as("q_chosen"))
+      .join(bot.select(col("lang"), col("i"),
+        col("doc_id").as("rejected_id"), col("q").as("q_rejected")),
+        Seq("lang", "i"))
+      .join(broadcast(n), Seq("lang"))
+      .filter(expr("i <= n div 2"))
+      .select(col("lang"), col("i").as("pair_rank"), col("chosen_id"),
+        col("rejected_id"), col("q_chosen"), col("q_rejected"),
+        round(col("q_chosen") - col("q_rejected"), 4).as("margin"))
+      .orderBy("lang", "pair_rank")
+  }
+
+  // ---------------------------------------------------------------- q238
+  /** PADDING-WASTE AUDIT — length-bucketed batching efficiency: every
+    * document pads up to the next power-of-two token length (the bucket
+    * a static-shape trainer/server would pick), and per bucket the audit
+    * reports how many tokens the padding burns. The bucket is pure
+    * integer bit math (2^bitlength(n−1), the q136 bin() idiom — no
+    * floating log2 anywhere), waste lands in integer basis points, and
+    * the whole audit is one map-side projection + one bucket-grained
+    * aggregate. The decision it feeds at scale: buckets with waste above
+    * a threshold get their own finer bucket — re-run the audit, compare
+    * total waste. */
+  def q238PaddingWaste(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(size(filter(tokens(col("text")), t => t =!= "")).cast("long")
+        .as("n_tok"))
+      .withColumn("bucket_len",
+        when(col("n_tok") <= 1L, 1L)
+          .otherwise(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n_tok - 1)) AS INT))")))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("real_tokens"))
+      .select(col("bucket_len"), col("n_docs"), col("real_tokens"),
+        (col("bucket_len") * col("n_docs")).as("padded_tokens"),
+        expr("(bucket_len * n_docs - real_tokens) * 10000 div (bucket_len * n_docs)")
+          .as("waste_bp"))
+      .orderBy("bucket_len")
+
   // ---------------------------------------------------------------- q224
   /** SKIP-GRAM CO-OCCURRENCE — the positional counting pass that feeds
     * word2vec/GloVe-style embedding training: for every ordered vocab
@@ -1583,6 +1644,8 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_skipgram_cooc" -> ((s: SparkSession, d: String) => q224SkipgramCooc(s, d)),
+    "q237_preference_pairs" -> ((s: SparkSession, d: String) => q237PreferencePairs(s, d)),
+    "q238_padding_waste" -> (q238PaddingWaste _),
     "q206_textrank_keywords" -> ((s: SparkSession, d: String) => q206TextrankKeywords(s, d)),
     "q209_unicode_audit" -> (q209UnicodeAudit _),
     "q173_gini_tokens" -> (q173GiniTokens _),
@@ -1962,6 +2025,52 @@ object TextOps {
          |SELECT lang, token, n, rk,
          | CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
          |FROM r ORDER BY lang, rk""".stripMargin,
+    // top-vs-bottom pairing on the shared 4-dp quality score; bottom rank
+    // is the exact reverse order, margins are differences of identical
+    // rounded doubles
+    "q237_preference_pairs" ->
+      s"""WITH sc AS (
+         | SELECT doc_id, lang, $duckQualityScore AS q FROM documents),
+         |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM sc
+         |      GROUP BY 1),
+         |top AS (
+         | SELECT lang, doc_id, q,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY q DESC, doc_id) AS INT) AS i
+         | FROM sc),
+         |bot AS (
+         | SELECT lang, doc_id, q,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY q ASC, doc_id DESC) AS INT) AS i
+         | FROM sc)
+         |SELECT t.lang, t.i AS pair_rank, t.doc_id AS chosen_id,
+         | b.doc_id AS rejected_id, t.q AS q_chosen, b.q AS q_rejected,
+         | round(t.q - b.q, 4) AS margin
+         |FROM top t
+         |JOIN bot b ON t.lang = b.lang AND t.i = b.i
+         |JOIN n ON n.lang = t.lang
+         |WHERE t.i <= 10 AND t.i <= n.n // 2
+         |ORDER BY t.lang, pair_rank""".stripMargin,
+    // same power-of-two bucket via bitlength (length(bin(n-1))) — integer
+    // bit math in both engines, waste in integer basis points
+    "q238_padding_waste" ->
+      """WITH d AS (
+        | SELECT CAST(len(list_filter(
+        |   regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
+        |   t -> t <> '')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |b AS (
+        | SELECT n_tok,
+        |  CASE WHEN n_tok <= 1 THEN 1
+        |   ELSE CAST(1 AS BIGINT) << length(bin(n_tok - 1)) END
+        |   AS bucket_len
+        | FROM d)
+        |SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+        | bucket_len * CAST(count(*) AS BIGINT) AS padded_tokens,
+        | (bucket_len * CAST(count(*) AS BIGINT) - CAST(sum(n_tok) AS BIGINT))
+        |   * 10000 // (bucket_len * CAST(count(*) AS BIGINT)) AS waste_bp
+        |FROM b GROUP BY bucket_len ORDER BY bucket_len""".stripMargin,
     // positions assigned before the vocab filter in both engines; the
     // distance weight 6/d stays on the integer grid (6, 3, 2)
     "q224_skipgram_cooc" ->

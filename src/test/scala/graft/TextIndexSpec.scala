@@ -615,4 +615,45 @@ class TextIndexSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("n_cooc") === n)
     assert(rows.head.getAs[Long]("w6") === w)
   }
+
+  test("q237 preference pairs: disjoint, margin-sane, ranks verified locally") {
+    val rows = TextOps.q237PreferencePairs(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) !== r.getLong(3)) // chosen != rejected
+      assert(r.getDouble(6) >= 0.0)         // best-vs-worst gap
+      assert(math.abs(r.getDouble(6) -
+        BigDecimal(r.getDouble(4) - r.getDouble(5))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // local replay of one language's pairing
+    val lang = rows.head.getString(0)
+    val scored = Tables.load(spark, TestSpark.sf, "documents")
+      .filter(col("lang") === lang)
+      .select(col("doc_id"),
+        TextOps.qualityScore(col("text"), col("n_chars")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val byBest = scored.sortBy(x => (-x._2, x._1))
+    val byWorst = byBest.reverse
+    val langRows = rows.filter(_.getString(0) == lang).sortBy(_.getInt(1))
+    langRows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(2) === byBest(i)._1, s"chosen at rank ${i + 1}")
+      assert(r.getLong(3) === byWorst(i)._1, s"rejected at rank ${i + 1}")
+    }
+  }
+
+  test("q238 padding waste: buckets are powers of two and conserve tokens") {
+    val rows = TextOps.q238PaddingWaste(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = Tables.load(spark, TestSpark.sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum === totalDocs)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert((b & (b - 1)) === 0L, s"bucket $b not a power of two")
+      assert(r.getLong(3) === b * r.getLong(1))
+      assert(r.getLong(2) <= r.getLong(3))
+      assert(r.getLong(2) > b / 2 * r.getLong(1)) // docs belong in their bucket
+      assert(r.getLong(4) === (r.getLong(3) - r.getLong(2)) * 10000L / r.getLong(3))
+    }
+  }
 }
