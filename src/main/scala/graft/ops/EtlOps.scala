@@ -800,6 +800,50 @@ object EtlOps {
       .orderBy("campaign")
   }
 
+  // ---------------------------------------------------------------- q239
+  /** OUT-OF-ORDERNESS AUDIT — the measurement that SIZES a watermark:
+    * replay each type's events in ARRIVAL order (event_id — the ingest
+    * sequence) and compare every event's time against the running
+    * maximum seen so far; the regression depth distribution is exactly
+    * the lateness a `withWatermark` delay must cover (q135 audits late
+    * rows against a GIVEN watermark; this derives the delay itself).
+    * Per type: arrival count, regression count/share, max depth, and the
+    * depth that covers 99% of arrivals (the value you'd actually set),
+    * computed by exact rank over the regression-depth grid — integer µs
+    * everywhere. One per-type window over arrival order (running max is
+    * O(1) per row), one depth-grid aggregate; nothing row-scaled leaves
+    * the partition. */
+  def q239OooAudit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val depths = t(s, d, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("hwm", max("tus").over(w))
+      .select(col("event_type"),
+        greatest(col("hwm") - col("tus"), lit(0L)).as("depth"))
+    val grid = depths.groupBy("event_type", "depth")
+      .agg(count(lit(1)).as("cnt"))
+    val wd = Window.partitionBy("event_type").orderBy("depth")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wn = Window.partitionBy("event_type")
+    grid
+      .withColumn("cum", sum("cnt").over(wd))
+      .withColumn("n", sum("cnt").over(wn))
+      .groupBy("event_type")
+      .agg(first("n").as("n_events"),
+        sum(when(col("depth") > 0L, col("cnt")).otherwise(0L))
+          .as("n_late"),
+        max("depth").as("max_depth_us"),
+        min(when(col("cum") * 100L >= col("n") * 99L, col("depth")))
+          .as("p99_depth_us"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        expr("n_late * 10000 div n_events").as("late_bp"),
+        col("max_depth_us"), col("p99_depth_us"))
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------------------------- q215
   /** MULTI-TOUCH LINEAR ATTRIBUTION — the fairness upgrade over q120's
     * last-touch: every campaign click in the hour before a purchase
@@ -1404,6 +1448,7 @@ object EtlOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_ooo_audit" -> (q239OooAudit _),
     "q162_funnel_curve" -> ((s: SparkSession, d: String) => q162FunnelCurve(s, d)),
     "q156_session_paths" -> ((s: SparkSession, d: String) => q156SessionPaths(s, d)),
     "q155_cusum_changepoint" -> (q155CusumChangepoint _),
@@ -1718,6 +1763,36 @@ object EtlOps {
         | CAST(var_cents2 AS DOUBLE) / 10000.0 AS var_value,
         | sqrt(CAST(var_cents2 AS DOUBLE) / 10000.0) AS stddev_value
         |FROM q ORDER BY event_type""".stripMargin,
+    // same running-max regression depths over arrival order; the p99
+    // cover depth is an exact rank over the depth grid
+    "q239_ooo_audit" ->
+      """WITH e AS (
+        | SELECT event_type, event_id, epoch_us(ts) AS tus FROM events),
+        |dep AS (
+        | SELECT event_type,
+        |  greatest(coalesce(max(tus) OVER (PARTITION BY event_type
+        |    ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), tus)
+        |    - tus, 0) AS depth
+        | FROM e),
+        |g AS (
+        | SELECT event_type, depth, CAST(count(*) AS BIGINT) AS cnt
+        | FROM dep GROUP BY 1, 2),
+        |w AS (
+        | SELECT event_type, depth, cnt,
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY depth
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        | FROM g)
+        |SELECT event_type, min(n) AS n_events,
+        | CAST(sum(CASE WHEN depth > 0 THEN cnt ELSE 0 END) AS BIGINT)
+        |   AS n_late,
+        | CAST(sum(CASE WHEN depth > 0 THEN cnt ELSE 0 END) AS BIGINT)
+        |   * 10000 // min(n) AS late_bp,
+        | max(depth) AS max_depth_us,
+        | min(CASE WHEN cum * 100 >= n * 99 THEN depth END) AS p99_depth_us
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q135_late_data_audit" ->
       """WITH e AS (
         | SELECT event_type, event_id, event_id % 8 AS part,

@@ -122,6 +122,35 @@ object Relational {
         ntz(date_trunc("month", ntz(col("o_orderdate")))).as("month_start"))
       .orderBy("o_orderkey")
 
+  // ---------------------------------------------------------------- q240
+  /** MODERN SQL SUGAR — the analyst-facing syntax conveniences in one
+    * statement: inline VALUES tables, the range() table-valued function,
+    * GROUP BY ALL (group by every non-aggregate select column) and ORDER
+    * BY ALL. Semantically a plain band join + aggregate (all integers,
+    * exact), but the SURFACE is the point: a user migrating ad-hoc SQL
+    * must not have to rewrite these forms. The oracle states the same
+    * query in DuckDB's spelling of the identical sugar. */
+  def q240SqlSugar(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events").createOrReplaceTempView("graft_q240_events")
+    s.sql("""
+      |WITH labels AS (
+      |  SELECT * FROM VALUES (0, 'low'), (1, 'mid'), (2, 'high')
+      |    AS v(band, label)),
+      |bands AS (
+      |  SELECT r.id AS band, l.label
+      |  FROM range(3) r JOIN labels l ON l.band = r.id),
+      |e AS (
+      |  SELECT event_type, user_id,
+      |    least(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      div 2500, CAST(2 AS BIGINT)) AS band
+      |  FROM graft_q240_events)
+      |SELECT e.event_type, b.label, count(*) AS n_events,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN bands b ON b.band = e.band
+      |GROUP BY ALL ORDER BY ALL
+      |""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- q234
   /** OBSERVE METRICS — `Dataset.observe` + `Observation`, the engine's
     * in-flight observability API (the O9 surface made first-class): a
@@ -1236,6 +1265,7 @@ object Relational {
     "q232_cogroup_recon" -> (q232CogroupRecon _),
     "q234_observe_metrics" -> (q234ObserveMetrics _),
     "q235_generator_semantics" -> (q235GeneratorSemantics _),
+    "q240_sql_sugar" -> (q240SqlSugar _),
     "q05_scalar_math" -> (q05ScalarMath _),
     "q06_agg_basic" -> (q06AggBasic _),
     "q07_agg_distinct" -> (q07AggDistinct _),
@@ -1321,6 +1351,23 @@ object Relational {
         | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
         |FROM orders WHERE o_orderkey % 7 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    // DuckDB's spelling of the identical sugar (VALUES list, range() TVF,
+    // GROUP BY ALL, ORDER BY ALL)
+    "q240_sql_sugar" ->
+      """WITH labels(band, label) AS (
+        |  VALUES (0, 'low'), (1, 'mid'), (2, 'high')),
+        |bands AS (
+        |  SELECT t.b AS band, l.label
+        |  FROM range(3) t(b) JOIN labels l ON l.band = t.b),
+        |e AS (
+        |  SELECT event_type, user_id,
+        |    least(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      // 2500, 2) AS band
+        |  FROM events)
+        |SELECT e.event_type, b.label, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN bands b ON b.band = e.band
+        |GROUP BY ALL ORDER BY ALL""".stripMargin,
     // the oracle is the direct aggregate — hash-equality proves the
     // observe side-channel saw every row exactly once
     "q234_observe_metrics" ->

@@ -434,4 +434,39 @@ class RelationalSpec extends AnyFunSuite {
       assert(outer >= docs) // every doc yields >= 1 outer row
     }
   }
+
+  test("q239 out-of-orderness audit: p99 depth covers at least 99% of arrivals") {
+    val rows = ops.EtlOps.q239OooAudit(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    // local replay for one type
+    val t0 = rows.head.getString(0)
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+      .filter(col("event_type") === t0)
+      .select(col("event_id"), expr("ts div 1000").as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var hwm = Long.MinValue
+    val depths = ev.map { case (_, t) =>
+      val d = math.max(if (hwm == Long.MinValue) 0L else hwm - t, 0L)
+      hwm = math.max(hwm, t); d
+    }
+    val r = rows.head
+    assert(r.getLong(1) === ev.length.toLong)
+    assert(r.getLong(2) === depths.count(_ > 0L).toLong)
+    assert(r.getLong(4) === depths.max)
+    val p99 = r.getLong(5)
+    assert(depths.count(_ <= p99) * 100L >= ev.length.toLong * 99L)
+    // and it is the SMALLEST such depth on the grid
+    val smaller = depths.filter(_ < p99)
+    if (p99 > 0L)
+      assert(depths.count(_ <= (if (smaller.isEmpty) -1L else smaller.max))
+        * 100L < ev.length.toLong * 99L)
+  }
+
+  test("q240 SQL sugar: bands partition the events, all three labels occur") {
+    val rows = Relational.q240SqlSugar(spark, sf).collect()
+    assert(rows.map(_.getString(1)).distinct.sorted.toSeq ===
+      Seq("high", "low", "mid"))
+    assert(rows.map(_.getLong(2)).sum ===
+      Tables.load(spark, sf, "events").count())
+  }
 }
