@@ -122,6 +122,51 @@ object Relational {
         ntz(date_trunc("month", ntz(col("o_orderdate")))).as("month_start"))
       .orderBy("o_orderkey")
 
+  // ---------------------------------------------------------------- q242
+  /** TRY_* ERROR-SAFE ARITHMETIC — the ANSI-mode migration surface:
+    * under ANSI SQL semantics a divide-by-zero, bad cast, or numeric
+    * overflow ABORTS the job at 100 TB after hours of progress; the
+    * try_* family returns NULL instead, row by row, so one poisoned
+    * record cannot kill the pipeline. Each column demonstrates one
+    * failure class (zero divisor, unparseable cast, long overflow)
+    * alongside its succeeding twin. The oracle states the CONTRACT —
+    * the exact expected values including the NULLs — rather than
+    * re-running the failure (DuckDB would error on some of them, which
+    * is precisely the difference being pinned). */
+  def q242TryArithmetic(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(100)) === 0 &&
+        col("l_orderkey") > 0 && col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        expr("try_divide(l_extendedprice, l_quantity)").as("ok_div"),
+        expr("try_divide(l_extendedprice, l_quantity - l_quantity)")
+          .as("null_div"),
+        expr("try_cast(concat('x', l_orderkey) AS INT)").as("null_cast"),
+        expr("try_cast(CAST(l_orderkey AS STRING) AS BIGINT)").as("ok_cast"),
+        expr("try_add(CAST(9223372036854775807 AS BIGINT), l_orderkey)")
+          .as("null_overflow"),
+        expr("try_multiply(l_orderkey, CAST(2 AS BIGINT))").as("ok_mult"))
+      .orderBy("l_orderkey")
+
+  // ---------------------------------------------------------------- q243
+  /** BITWISE AGGREGATES — bit_and / bit_or / bit_xor over groups (the
+    * flag-mask rollups behind permission systems and feature-flag
+    * audits) plus scalar shifts and masks: all pure integer ops, exact
+    * in any engine. bit_xor doubles as a cheap order-insensitive
+    * checksum of a key set (the q97 table-checksum idea as a built-in). */
+  def q243BitwiseOps(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("CAST(bit_and(l_linenumber) AS BIGINT)").as("and_line"),
+        expr("CAST(bit_or(l_linenumber) AS BIGINT)").as("or_line"),
+        expr("bit_xor(l_orderkey)").as("xor_keys"),
+        expr("bit_or(shiftleft(CAST(1 AS BIGINT)," +
+          " CAST(l_linenumber % 7 AS INT)))").as("line_mask"))
+      .orderBy("l_returnflag")
+
   // ---------------------------------------------------------------- q240
   /** MODERN SQL SUGAR — the analyst-facing syntax conveniences in one
     * statement: inline VALUES tables, the range() table-valued function,
@@ -1266,6 +1311,8 @@ object Relational {
     "q234_observe_metrics" -> (q234ObserveMetrics _),
     "q235_generator_semantics" -> (q235GeneratorSemantics _),
     "q240_sql_sugar" -> (q240SqlSugar _),
+    "q242_try_arithmetic" -> (q242TryArithmetic _),
+    "q243_bitwise_ops" -> (q243BitwiseOps _),
     "q05_scalar_math" -> (q05ScalarMath _),
     "q06_agg_basic" -> (q06AggBasic _),
     "q07_agg_distinct" -> (q07AggDistinct _),
@@ -1351,6 +1398,30 @@ object Relational {
         | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
         |FROM orders WHERE o_orderkey % 7 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    // the CONTRACT stated directly: expected values including the NULLs
+    // (DuckDB would ERROR on the failing forms — that IS the difference)
+    "q242_try_arithmetic" ->
+      """SELECT l_orderkey,
+        | l_extendedprice / l_quantity AS ok_div,
+        | CAST(NULL AS DOUBLE) AS null_div,
+        | CAST(NULL AS INT) AS null_cast,
+        | l_orderkey AS ok_cast,
+        | CAST(NULL AS BIGINT) AS null_overflow,
+        | l_orderkey * 2 AS ok_mult
+        |FROM lineitem
+        |WHERE l_orderkey % 100 = 0 AND l_orderkey > 0
+        |  AND l_linenumber = 1
+        |ORDER BY l_orderkey""".stripMargin,
+    // pure integer bit algebra, identical in both engines
+    "q243_bitwise_ops" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | CAST(bit_and(l_linenumber) AS BIGINT) AS and_line,
+        | CAST(bit_or(l_linenumber) AS BIGINT) AS or_line,
+        | CAST(bit_xor(l_orderkey) AS BIGINT) AS xor_keys,
+        | CAST(bit_or(CAST(1 AS BIGINT) << CAST(l_linenumber % 7 AS INT))
+        |   AS BIGINT) AS line_mask
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // DuckDB's spelling of the identical sugar (VALUES list, range() TVF,
     // GROUP BY ALL, ORDER BY ALL)
     "q240_sql_sugar" ->

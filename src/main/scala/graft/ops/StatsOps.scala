@@ -1331,6 +1331,30 @@ object StatsOps {
       .transform(Tables.portable)
   }
 
+  // ---------------------------------------------------------------- q241
+  /** BUILT-IN REGRESSION AGGREGATES — the regr_* family (slope,
+    * intercept, r², count, means) q46's moment aggregates leave out:
+    * the one-call OLS surface analysts reach for before anything custom.
+    * Like q46, these are single-pass mergeable float aggregates whose
+    * partial-merge order differs per engine, so results round at 6 dp
+    * (the certificate-exact OLS lives in q171/q217 — this query is the
+    * API surface, that one is the bit-exact discipline). */
+  def q241RegrBuiltins(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("regr_count(l_extendedprice, l_quantity)").as("n"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 6)
+          .as("slope_r6"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6)
+          .as("intercept_r6"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2_r6"),
+        round(expr("regr_avgx(l_extendedprice, l_quantity)"), 6)
+          .as("avgx_r6"),
+        round(expr("regr_avgy(l_extendedprice, l_quantity)"), 6)
+          .as("avgy_r6"))
+      .orderBy("l_returnflag")
+
   // ---------------------------------------------------------------- q236
   /** QUANTILE NORMALIZATION — the rank-based feature transform (map every
     * value to its tie-averaged uniform quantile within its group) that
@@ -1487,6 +1511,7 @@ object StatsOps {
     "q219_anova" -> (q219AnovaF _),
     "q221_t_closeness" -> (q221TCloseness _),
     "q236_quantile_normalize" -> (q236QuantileNormalize _),
+    "q241_regr_builtins" -> (q241RegrBuiltins _),
     "q217_rolling_ols" -> (q217RollingOls _),
     "q170_benford_audit" -> (q170BenfordAudit _),
     "q171_group_ols" -> (q171GroupOls _),
@@ -1783,6 +1808,19 @@ object StatsOps {
         | CAST(CAST(sum(CASE WHEN cls < k THEN cls ELSE 0 END) AS BIGINT) * 10000
         |   // CAST(sum(cls) AS BIGINT) AS BIGINT) AS risk_bp
         |FROM cls CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
+    // same regr_* functions, 6-dp rounded (mergeable float aggregates —
+    // the q46 discipline)
+    "q241_regr_builtins" ->
+      """SELECT l_returnflag,
+        | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        | round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_r6,
+        | round(regr_intercept(l_extendedprice, l_quantity), 6)
+        |   AS intercept_r6,
+        | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2_r6,
+        | round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx_r6,
+        | round(regr_avgy(l_extendedprice, l_quantity), 6) AS avgy_r6
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // same doubled tie-rank construction on the value grid; the ppm
     // quantile is one integral division on non-negative operands
     "q236_quantile_normalize" ->

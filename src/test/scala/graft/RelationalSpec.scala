@@ -469,4 +469,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum ===
       Tables.load(spark, sf, "events").count())
   }
+
+  test("q242 try_* family: failing forms are NULL, succeeding twins are values") {
+    val rows = Relational.q242TryArithmetic(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(1) && r.isNullAt(2))   // ok_div vs zero divisor
+      assert(r.isNullAt(3) && !r.isNullAt(4))   // bad cast vs good cast
+      assert(r.isNullAt(5))                     // long overflow
+      assert(r.getLong(6) === 2 * r.getLong(0)) // ok multiply
+    }
+  }
+
+  test("q243 bitwise aggregates match a local fold") {
+    val rows = Relational.q243BitwiseOps(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_linenumber").cast("long"),
+        col("l_orderkey")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val g = raw(r.getString(0))
+      assert(r.getLong(1) === g.length.toLong)
+      assert(r.getLong(2) === g.map(_._2).reduce(_ & _))
+      assert(r.getLong(3) === g.map(_._2).reduce(_ | _))
+      assert(r.getLong(4) === g.map(_._3).reduce(_ ^ _))
+      assert(r.getLong(5) === g.map(x => 1L << (x._2 % 7).toInt).reduce(_ | _))
+    }
+  }
 }
