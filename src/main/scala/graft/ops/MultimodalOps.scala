@@ -116,6 +116,36 @@ object MultimodalOps {
     (w, h, w.toLong * h, sb, sg, sr)
   }
 
+  /** Nearest-neighbor 2× DOWNSAMPLE of a 24-bit BMP — the real resize
+    * kernel: walks the raster, samples the pixel at IMAGE coordinate
+    * (2·ox, 2·oy) for every output cell (storage rows are bottom-up, so
+    * image row iy lives at storage row h−1−iy), and accumulates the
+    * downsampled per-channel sums. Output dims are ⌈w/2⌉ × ⌈h/2⌉ (origin
+    * kept, the standard NN convention). On the test rasters every
+    * sampled pixel has even linear index ((2oy)·w + 2ox is even), so the
+    * sums have a CLOSED FORM the oracle states exactly — and any kernel
+    * bug that samples odd offsets, flips orientation into odd rows, or
+    * averages neighbors pulls g2-valued pixels and breaks the hash. */
+  def resizeSumsBmp24(bytes: Array[Byte]): (Int, Int, Int, Int, Long, Long, Long) = {
+    val (w, h, offset, stride) = bmpGeometry(bytes)
+    val outW = (w + 1) / 2
+    val outH = (h + 1) / 2
+    var sb = 0L; var sg = 0L; var sr = 0L
+    var oy = 0
+    while (oy < outH) {
+      val sRow = offset + (h - 1 - 2 * oy) * stride
+      var ox = 0
+      while (ox < outW) {
+        sb += bytes(sRow + 6 * ox) & 0xFF
+        sg += bytes(sRow + 6 * ox + 1) & 0xFF
+        sr += bytes(sRow + 6 * ox + 2) & 0xFF
+        ox += 1
+      }
+      oy += 1
+    }
+    (w, h, outW, outH, sb, sg, sr)
+  }
+
   /** Perceptual DIFFERENCE HASH (dHash) of a 24-bit BMP — the standard
     * image near-dup fingerprint (resize to a 9×8 brightness grid, emit one
     * bit per horizontal neighbor comparison): bit k = j·8+i is set iff
@@ -595,6 +625,34 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q244
+  case class ResizeStats(doc_id: Long, in_w: Int, in_h: Int, out_w: Int,
+                         out_h: Int, sum_b: Long, sum_g: Long, sum_r: Long)
+
+  /** IMAGE RESIZE stage — the remaining multimodal verb (decode q44,
+    * features q44/q205, frame-sample q153, audio q200): every image row's
+    * BMP goes through the REAL decode + nearest-neighbor 2× downsample
+    * kernel ([[resizeSumsBmp24]]) in the q44 mapPartitions shape, and the
+    * downsampled dims + per-channel sums close the roundtrip against a
+    * closed-form oracle (sampled pixels all carry the even-parity value,
+    * so the sums are exactly g1-derived constants × the output pixel
+    * count — a sampling-position or orientation bug pulls g2 pixels and
+    * fails the hash). At 100 TB this is the thumbnail/feature-prep pass:
+    * pure map-side, codec state per partition, no shuffle at all before
+    * the audit ORDER BY. */
+  def q244ImageResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).filter(col("media_type") === "image").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val (w, h, ow, oh, sb, sg, sr) = resizeSumsBmp24(m.content)
+          ResizeStats(m.doc_id, w, h, ow, oh, sb, sg, sr)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q200
   case class AudioStats(doc_id: Long, n_bytes: Int, sample_rate: Int,
                         n_channels: Int, n_samples: Long, sum_ch0: Long,
@@ -723,6 +781,7 @@ object MultimodalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_png_decode" -> (q210PngDecode _),
+    "q244_image_resize" -> (q244ImageResize _),
     "q205_image_dhash" -> (q205ImageDhash _),
     "q43_multimodal_meta" -> (q43MultimodalMeta _),
     "q44_multimodal_features" -> (q44MultimodalFeatures _),
@@ -730,6 +789,22 @@ object MultimodalOps {
     "q153_frame_dedup" -> ((s: SparkSession, d: String) => q153FrameDedup(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // downsampled pixels all carry the even-parity g1 value, so sums are
+    // closed-form constants x the output pixel count
+    "q244_image_resize" ->
+      """WITH m AS (
+        | SELECT doc_id, CAST(doc_id % 8 * 4 + 4 AS BIGINT) AS w,
+        |  CAST(doc_id % 4 * 4 + 4 AS BIGINT) AS h, n_chars % 256 AS g1
+        | FROM documents WHERE doc_id % 3 = 0),
+        |c AS (
+        | SELECT doc_id, w, h, (w + 1) // 2 AS ow, (h + 1) // 2 AS oh, g1
+        | FROM m)
+        |SELECT doc_id, CAST(w AS INT) AS in_w, CAST(h AS INT) AS in_h,
+        | CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+        | g1 * ow * oh AS sum_b,
+        | ((g1 + 85) % 256) * ow * oh AS sum_g,
+        | ((g1 + 170) % 256) * ow * oh AS sum_r
+        |FROM c ORDER BY doc_id""".stripMargin,
     // the PNG roundtrip: every gradient pixel regenerated and re-summed;
     // byte size from the stored-block zlib container arithmetic
     "q210_png_decode" ->

@@ -324,4 +324,21 @@ class MultimodalSpec extends AnyFunSuite {
       media.filter(col("media_type") =!= "video").select("doc_id"), "doc_id")
     assert(nonVideo.count() === 0)
   }
+
+  test("resizeSumsBmp24: NN 2x downsample picks exactly the even image coordinates") {
+    // asymmetric dims incl. odd sizes and stride padding; pixel values
+    // encode their own coordinates so any sampling slip is visible
+    for ((w, h) <- Seq((5, 3), (4, 4), (7, 6), (1, 1), (2, 5))) {
+      val px = (x: Int, y: Int) => (x + 1, y + 1, 10 * (y + 1) + (x + 1))
+      val bmp = MultimodalOps.encodeBmp24(w, h, px)
+      val (iw, ih, ow, oh, sb, sg, sr) = MultimodalOps.resizeSumsBmp24(bmp)
+      assert((iw, ih) === ((w, h)))
+      assert(ow === (w + 1) / 2 && oh === (h + 1) / 2)
+      val sampled = for (oy <- 0 until oh; ox <- 0 until ow)
+        yield px(2 * ox, 2 * oy)
+      assert(sb === sampled.map(_._1.toLong).sum)
+      assert(sg === sampled.map(_._2.toLong).sum)
+      assert(sr === sampled.map(_._3.toLong).sum)
+    }
+  }
 }
