@@ -59,7 +59,9 @@ object SparkEntry {
         "q214_stream_asof_enrich" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q214StreamAsofEnrich(s, d)),
         "q225_stream_kmv" ->
-          ((s: SparkSession, d: String) => graft.streaming.DocsStream.q225StreamKmv(s, d)))
+          ((s: SparkSession, d: String) => graft.streaming.DocsStream.q225StreamKmv(s, d)),
+        "q245_stream_quantile_grid" ->
+          ((s: SparkSession, d: String) => graft.streaming.DocsStream.q245StreamQuantileGrid(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -200,6 +202,11 @@ object SparkEntry {
             | CAST(sum(c) AS DOUBLE) / 100.0 AS sum_value
             |FROM j GROUP BY user_id, version
             |ORDER BY user_id, version""".stripMargin,
+        // additive value-grid counters merge across micro-batches exactly
+        // as across partitions — the streamed dictionary must equal the
+        // batch build, so the twin shares q236's oracle by construction
+        "q245_stream_quantile_grid" ->
+          graft.ops.StatsOps.oracle("q236_quantile_normalize"),
         // the min-k set folds across micro-batches exactly as across
         // partitions (union + re-take-k), so the streamed sketch must
         // land on q141's batch sketch; m replaces n_distinct (bounded

@@ -157,6 +157,41 @@ object DocsStream {
     }.orderBy("j", "bucket")
   }
 
+  // --------------------------------------- q245: streaming quantile grid
+  /** q245: q236's QUANTILE-NORMALIZATION dictionary maintained as a
+    * STREAM — the q199 pattern applied to ranks: the (event_type, cents)
+    * VALUE-GRID counts are additive, so a complete-mode streaming
+    * groupBy IS the sketch (state = one counter per occupied grid cell —
+    * value-domain-bounded, not row-bounded), and the tie-averaged rank /
+    * ppm-quantile tail runs in batch over the drained grid with q236's
+    * exact expressions. Micro-batch merge ≡ partition merge ⇒ the
+    * streamed dictionary must be bit-identical to the batch build, so
+    * the stream twin SHARES q236's oracle by construction. */
+  def q245StreamQuantileGrid(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val name = "graft_stream_qgrid"
+    val grid = EventsStream.withDrainSession(s) { drain =>
+      val cells = drain.readStream.schema(EventsStream.eventsSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+      EventsStream.drainNow(cells.writeStream.outputMode("complete")
+        .format("memory").queryName(name))
+      drain.table(name)
+    }
+    val w = Window.partitionBy("event_type").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy("event_type")
+    grid
+      .withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("n", sum("cnt").over(wn))
+      .select(col("event_type"), col("c"), col("cnt"),
+        (lit(2L) * col("cum") + col("cnt") + lit(1L)).as("two_rbar"),
+        expr("(2 * cum + cnt + 1) * 1000000 div (2 * (n + 1))").as("u_ppm"))
+      .orderBy("event_type", "c")
+  }
+
   case class KmvRow(lang: String, h: String, sentinel: Boolean)
   case class KmvSketch(lang: String, n_docs: Long, m: Long, kth: String)
 

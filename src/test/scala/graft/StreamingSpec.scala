@@ -480,4 +480,12 @@ class StreamingSpec extends AnyFunSuite {
     }.sortBy(_._1)
     assert(got.toSeq === want)
   }
+
+  test("q245 streamed quantile grid is row-identical to the batch q236 build") {
+    val stream = graft.streaming.DocsStream.q245StreamQuantileGrid(spark, TestSpark.sf)
+      .collect().map(_.toSeq)
+    val batch = graft.ops.StatsOps.q236QuantileNormalize(spark, TestSpark.sf)
+      .collect().map(_.toSeq)
+    assert(stream.nonEmpty && stream.toSeq === batch.toSeq)
+  }
 }
