@@ -131,4 +131,16 @@ class PlanShapeSpec extends AnyFunSuite {
     val wide = docs.repartition(64, org.apache.spark.sql.functions.col("doc_id"))
     assert(Tables.spread(wide, "doc_id").rdd.getNumPartitions === 64)
   }
+
+  test("plan audit: no unexpected nested-loop or cartesian joins anywhere") {
+    // plans every non-stream registered query; anything that plans a
+    // CartesianProduct / BroadcastNestedLoopJoin and is not explicitly
+    // allowlisted (domain-bounded broadcast cross joins) is a regression
+    val suspects = graft.PlanAudit.scan(spark, TestSpark.sf)
+      .filter { case (n, bad) =>
+        bad.nonEmpty && !graft.PlanAudit.allowedNestedLoop.contains(n)
+      }
+    assert(suspects.isEmpty,
+      s"unexpected nested-loop plans: ${suspects.map(_._1).mkString(", ")}")
+  }
 }
