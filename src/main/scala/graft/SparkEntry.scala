@@ -61,7 +61,9 @@ object SparkEntry {
         "q225_stream_kmv" ->
           ((s: SparkSession, d: String) => graft.streaming.DocsStream.q225StreamKmv(s, d)),
         "q245_stream_quantile_grid" ->
-          ((s: SparkSession, d: String) => graft.streaming.DocsStream.q245StreamQuantileGrid(s, d)))
+          ((s: SparkSession, d: String) => graft.streaming.DocsStream.q245StreamQuantileGrid(s, d)),
+        "q246_stream_topk" ->
+          ((s: SparkSession, d: String) => graft.streaming.DocsStream.q246StreamTopK(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -202,6 +204,20 @@ object SparkEntry {
             | CAST(sum(c) AS DOUBLE) / 100.0 AS sum_value
             |FROM j GROUP BY user_id, version
             |ORDER BY user_id, version""".stripMargin,
+        // top-k sets merge by union + re-take-k across micro-batches, so
+        // the drained ListState equals the batch window top-k exactly
+        "q246_stream_topk" ->
+          """WITH e AS (
+            | SELECT event_type, event_id,
+            |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            | FROM events),
+            |r AS (
+            | SELECT event_type, event_id, c,
+            |  CAST(row_number() OVER (PARTITION BY event_type
+            |    ORDER BY c DESC, event_id) AS INT) AS rk
+            | FROM e)
+            |SELECT event_type, rk, event_id, c FROM r WHERE rk <= 5
+            |ORDER BY event_type, rk""".stripMargin,
         // additive value-grid counters merge across micro-batches exactly
         // as across partitions — the streamed dictionary must equal the
         // batch build, so the twin shares q236's oracle by construction

@@ -800,6 +800,76 @@ object EtlOps {
       .orderBy("campaign")
   }
 
+  // ---------------------------------------------------------------- q247
+  /** SECONDARY SORT — the MapReduce-era pattern in its Spark form:
+    * `repartition(key)` + `sortWithinPartitions(key, order)` + a
+    * sequential `mapPartitions` scan holding per-key state — the shape
+    * for per-key logic that is INHERENTLY sequential (legacy parsers,
+    * protocol state machines, order-sensitive folds). The demonstrator
+    * is each user's longest strictly-increasing run of purchase values
+    * in event-time order; this particular statistic IS window-expressible
+    * (the oracle uses the lag/reset-counter form — that equivalence is
+    * the correctness check), but the execution pattern is the point: one
+    * hash exchange, an in-partition sort, and an O(1)-state linear scan
+    * that never materializes a per-user collection. */
+  def q247SecondarySort(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = t(s, d, "events")
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .repartition(n, col("user_id"))
+      .sortWithinPartitions("user_id", "tus", "event_id")
+      .as[(Long, Long, Long, Long)]
+    sorted.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var cur = Long.MinValue
+      var nEv = 0L; var run = 0L; var best = 0L; var prevC = 0L
+      def close(): Unit = if (nEv > 0) out += ((cur, nEv, best))
+      it.foreach { case (u, _, _, c) =>
+        if (u != cur) { close(); cur = u; nEv = 0L; run = 0L; best = 0L }
+        nEv += 1
+        run = if (nEv > 1 && c > prevC) run + 1 else 1
+        if (run > best) best = run
+        prevC = c
+      }
+      close()
+      out.iterator
+    }.toDF("user_id", "n_events", "longest_run").orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- q248
+  /** ACCUMULATOR AUDIT — SparkContext long accumulators as the task-side
+    * tally channel (the third observability face: q234 observes METRICS
+    * on a flowing Dataset, slf4j logs cover O9, accumulators count
+    * per-row conditions inside task code where no Dataset column
+    * exists). The demonstrator counts quality-rejected rows inside the
+    * pass itself. Honesty note for 100 TB: accumulators are
+    * AT-LEAST-ONCE under task retry/speculation — monitoring, not
+    * correctness — which is exactly why the emitted row can be (and is)
+    * hash-checked against the exact aggregate: in a clean run the two
+    * channels must agree, and the oracle proves the plumbing counted
+    * every row exactly once. */
+  def q248AccumulatorAudit(s: SparkSession, d: String): DataFrame = {
+    val total = s.sparkContext.longAccumulator("graft_q248_rows")
+    val rejected = s.sparkContext.longAccumulator("graft_q248_rejected")
+    val kSum = s.sparkContext.longAccumulator("graft_q248_ksum")
+    val tally = udf((k: Long) => {
+      total.add(1L)
+      if (k % 7L == 0L) rejected.add(1L)
+      kSum.add(k)
+      k
+    })
+    val flow = t(s, d, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(tally(col("k")).as("k"))
+    flow.write.format("noop").mode("overwrite").save()
+    import s.implicits._
+    Seq((total.value.longValue, rejected.value.longValue,
+      kSum.value.longValue))
+      .toDF("n_rows", "n_rejected", "k_sum")
+  }
+
   // ---------------------------------------------------------------- q239
   /** OUT-OF-ORDERNESS AUDIT — the measurement that SIZES a watermark:
     * replay each type's events in ARRIVAL order (event_id — the ingest
@@ -1449,6 +1519,8 @@ object EtlOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q239_ooo_audit" -> (q239OooAudit _),
+    "q247_secondary_sort" -> (q247SecondarySort _),
+    "q248_accumulator_audit" -> (q248AccumulatorAudit _),
     "q162_funnel_curve" -> ((s: SparkSession, d: String) => q162FunnelCurve(s, d)),
     "q156_session_paths" -> ((s: SparkSession, d: String) => q156SessionPaths(s, d)),
     "q155_cusum_changepoint" -> (q155CusumChangepoint _),
@@ -1763,6 +1835,39 @@ object EtlOps {
         | CAST(var_cents2 AS DOUBLE) / 10000.0 AS var_value,
         | sqrt(CAST(var_cents2 AS DOUBLE) / 10000.0) AS stddev_value
         |FROM q ORDER BY event_type""".stripMargin,
+    // the sequential-scan statistic restated in the window form: a reset
+    // flag per non-increase, runs = cumulative resets, longest = max run
+    "q247_secondary_sort" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        | FROM events),
+        |o AS (
+        | SELECT user_id, tus, event_id, c,
+        |  CASE WHEN c > lag(c) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) THEN 0 ELSE 1 END AS reset
+        | FROM e),
+        |r AS (
+        | SELECT user_id,
+        |  CAST(sum(reset) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS run_id
+        | FROM o),
+        |runs AS (
+        | SELECT user_id, run_id, CAST(count(*) AS BIGINT) AS len
+        | FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_events,
+        | CAST(max(len) AS BIGINT) AS longest_run
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the accumulator row must equal the exact aggregate — hash equality
+    // proves the task-side tallies saw every row exactly once
+    "q248_accumulator_audit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_rejected,
+        | CAST(sum(k) AS BIGINT) AS k_sum
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |        AS k FROM events)""".stripMargin,
     // same running-max regression depths over arrival order; the p99
     // cover depth is an exact rank over the depth grid
     "q239_ooo_audit" ->

@@ -239,6 +239,95 @@ object DocsStream {
     }
   }
 
+  case class PurchRow(event_type: String, event_id: Long, c: Long,
+                      sentinel: Boolean)
+  case class TopOut(event_type: String, rk: Int, event_id: Long, c: Long)
+
+  /** Per-type running TOP-K accumulator on `transformWithState` with
+    * LISTSTATE — the second face of the TWS API (q225 exercises
+    * ValueState): the state variable is the bounded top-k list itself,
+    * re-ranked per batch by (cents desc, id asc). Top-k sets merge by
+    * union + re-take-k (the q141/q225 mergeability argument), so the
+    * drained list equals the batch top-k no matter how the rows split
+    * into micro-batches. */
+  private[graft] class TopKProcessor(k: Int) extends org.apache.spark.sql
+      .streaming.StatefulProcessor[String, PurchRow, TopOut] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
+    @transient private var top: ListState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getListState[(Long, Long)]("top",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[PurchRow],
+        tv: TimerValues): Iterator[TopOut] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      top.get().foreach(buf += _) // (c, event_id)
+      var flush = false
+      rows.foreach { r =>
+        if (r.sentinel) flush = true else buf += ((r.c, r.event_id))
+      }
+      val best = buf.distinct.sortBy { case (c, id) => (-c, id) }.take(k)
+      if (flush) {
+        top.clear()
+        best.iterator.zipWithIndex.map { case ((c, id), i) =>
+          TopOut(key, i + 1, id, c)
+        }
+      } else {
+        top.clear(); top.appendList(best.toArray)
+        Iterator.empty
+      }
+    }
+  }
+
+  // --------------------------------------- q246: streaming top-k ListState
+  /** q246: per-type top-k purchases as a TWS ListState stream — drains to
+    * exactly the batch window top-k (ranked by cents desc, id asc), so
+    * the twin keeps an exact DuckDB oracle. Same two-phase sentinel
+    * discipline as q154/q225. */
+  def q246StreamTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val stagePath = java.nio.file.Files.createTempDirectory("graft_q246")
+    val name = "graft_stream_topk"
+    try {
+      EventsStream.withDrainSession(s) { drain =>
+        import drain.implicits._
+        drain.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val rows = drain.readStream.schema(EventsStream.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .select(col("event_type"), col("event_id"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("c"),
+            lit(false).as("sentinel")).as[PurchRow]
+        val sentinels = drain.readStream
+          .schema(org.apache.spark.sql.Encoders.product[PurchRow].schema)
+          .parquet(stagePath.toString).as[PurchRow]
+        val out = rows.union(sentinels)
+          .groupByKey(_.event_type)
+          .transformWithState(new TopKProcessor(k),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        val q = out.toDF().writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try {
+          q.processAllAvailable()
+          val types = graft.Tables.load(s, d, "events")
+            .select("event_type").distinct().collect().map(_.getString(0))
+          types.toSeq.map(t => PurchRow(t, -1L, 0L, sentinel = true)).toDF()
+            .write.mode("append").parquet(stagePath.toString)
+          q.processAllAvailable()
+        } finally q.stop()
+        drain.table(name)
+      }.orderBy("event_type", "rk")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: Throwable => () })
+    }
+  }
+
   // ------------------------------------------------ q225: streaming KMV
   /** q225: q141's KMV DISTINCT-COUNT sketch maintained as a STREAM on
     * the `transformWithState` API — the bounded-state alternative to

@@ -1068,4 +1068,34 @@ class EtlOpsSpec extends AnyFunSuite {
       } else assert(!rows.contains((a, b)))
     }
   }
+
+  test("q247 secondary sort equals the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val got = ops.EtlOps.q247SecondarySort(spark, TestSpark.sf)
+      .collect().map(_.toSeq)
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val twin = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .withColumn("reset",
+        when(col("c") > lag("c", 1).over(w), 0L).otherwise(1L))
+      .withColumn("run_id", sum("reset").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "run_id").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(sum("len").as("n_events"),
+        max("len").as("longest_run"))
+      .orderBy("user_id").collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq === twin.toSeq)
+  }
+
+  test("q248 accumulators agree with the exact aggregate and re-invoke cleanly") {
+    val r1 = ops.EtlOps.q248AccumulatorAudit(spark, TestSpark.sf).collect().head
+    val r2 = ops.EtlOps.q248AccumulatorAudit(spark, TestSpark.sf).collect().head
+    assert(r1.toSeq === r2.toSeq) // fresh accumulators per invocation
+    val direct = Tables.load(spark, TestSpark.sf, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .agg(count(lit(1)), sum(when(pmod(col("k"), lit(7L)) === 0L, 1L)
+        .otherwise(0L)), sum("k")).collect().head
+    assert(r1.toSeq === direct.toSeq)
+  }
 }
