@@ -63,7 +63,9 @@ object SparkEntry {
         "q245_stream_quantile_grid" ->
           ((s: SparkSession, d: String) => graft.streaming.DocsStream.q245StreamQuantileGrid(s, d)),
         "q246_stream_topk" ->
-          ((s: SparkSession, d: String) => graft.streaming.DocsStream.q246StreamTopK(s, d)))
+          ((s: SparkSession, d: String) => graft.streaming.DocsStream.q246StreamTopK(s, d)),
+        "q250_stream_timer_sessions" ->
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q250StreamTimerSessions(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -204,6 +206,9 @@ object SparkEntry {
             | CAST(sum(c) AS DOUBLE) / 100.0 AS sum_value
             |FROM j GROUP BY user_id, version
             |ORDER BY user_id, version""".stripMargin,
+        // identical fold machine + identical drain as q60 ⇒ the timer
+        // formulation must land on the same session set as the batch form
+        "q250_stream_timer_sessions" -> Relational.oracle("q28_sessionize"),
         // top-k sets merge by union + re-take-k across micro-batches, so
         // the drained ListState equals the batch window top-k exactly
         "q246_stream_topk" ->

@@ -122,6 +122,37 @@ object Relational {
         ntz(date_trunc("month", ntz(col("o_orderdate")))).as("month_start"))
       .orderBy("o_orderkey")
 
+  // ---------------------------------------------------------------- q249
+  /** TYPED mapGroups — the one KeyValueGroupedDataset verb left
+    * (cogroup q232, flatMapGroupsWithState/transformWithState in the
+    * streams): an arbitrary Scala fold per key. The fold here is
+    * deliberately ORDER-INSENSITIVE (count/sum/min/max/xor — mapGroups
+    * hands the group iterator in engine order, which is not a contract;
+    * an order-sensitive fold belongs behind the q247 secondary sort),
+    * and the xor doubles as a key-set checksum no built-in aggregate
+    * chain produces in one typed pass. */
+  def q249MapGroups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (tpe, it) =>
+        var n = 0L; var sum = 0L; var mn = Long.MaxValue
+        var mx = Long.MinValue; var xorIds = 0L
+        it.foreach { case (_, id, c) =>
+          n += 1; sum += c
+          if (c < mn) mn = c
+          if (c > mx) mx = c
+          xorIds ^= id
+        }
+        (tpe, n, sum, mn, mx, xorIds)
+      }
+      .toDF("event_type", "n_events", "sum_c", "min_c", "max_c", "xor_ids")
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------------------------- q242
   /** TRY_* ERROR-SAFE ARITHMETIC — the ANSI-mode migration surface:
     * under ANSI SQL semantics a divide-by-zero, bad cast, or numeric
@@ -1313,6 +1344,7 @@ object Relational {
     "q240_sql_sugar" -> (q240SqlSugar _),
     "q242_try_arithmetic" -> (q242TryArithmetic _),
     "q243_bitwise_ops" -> (q243BitwiseOps _),
+    "q249_map_groups" -> (q249MapGroups _),
     "q05_scalar_math" -> (q05ScalarMath _),
     "q06_agg_basic" -> (q06AggBasic _),
     "q07_agg_distinct" -> (q07AggDistinct _),
@@ -1398,6 +1430,18 @@ object Relational {
         | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
         |FROM orders WHERE o_orderkey % 7 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    // order-insensitive typed fold restated as plain aggregates; the id
+    // xor matches bit_xor exactly
+    "q249_map_groups" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(c) AS BIGINT) AS sum_c,
+        | CAST(min(c) AS BIGINT) AS min_c,
+        | CAST(max(c) AS BIGINT) AS max_c,
+        | CAST(bit_xor(event_id) AS BIGINT) AS xor_ids
+        |FROM (SELECT event_type, event_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        | FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the CONTRACT stated directly: expected values including the NULLs
     // (DuckDB would ERROR on the failing forms — that IS the difference)
     "q242_try_arithmetic" ->

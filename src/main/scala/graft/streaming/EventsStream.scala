@@ -287,6 +287,119 @@ object EventsStream {
       }
   }
 
+  // ------------------- q250: sessionize on transformWithState + timers
+  /** The FOURTH implementation of the one session contract (q28 batch
+    * window, q60 flatMapGroupsWithState + event-time TIMEOUT, q83/q187
+    * built-in session_window, and this: `transformWithState` with
+    * EXPLICIT EVENT-TIME TIMERS — the Spark 4 API where timer lifecycle
+    * is the processor's own responsibility instead of one timeout slot
+    * per group). Open intervals live in ListState; every batch folds
+    * sorted incoming events through the SAME [[foldIntervals]] state
+    * machine as q60, then deletes stale timers and registers one at the
+    * earliest legal emission instant (ceiling-ms of min(last)+gap — the
+    * q60 early-fire discipline); `handleExpiredTimer` re-folds against
+    * the advanced watermark and emits closed sessions. Identical machine
+    * + identical drain ⇒ shares q28's exact oracle. */
+  private[graft] class TimerSessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming
+        .StatefulProcessor[Long, ExactEvent, ExactSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
+    @transient private var iv: ListState[ExactState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      iv = getHandle.getListState[ExactState]("iv",
+        org.apache.spark.sql.Encoders.product[ExactState], TTLConfig.NONE)
+    private def step(uid: Long, incoming: Seq[ExactState],
+                     wmUs: Long): Iterator[ExactSession] = {
+      val retained = iv.get().toSeq
+      val (done, keep) = foldIntervals[ExactState](retained, incoming,
+        wmUs, gapUs, _.startUs, _.lastUs,
+        (a, b) => ExactState(a.startUs, math.max(a.lastUs, b.lastUs),
+          a.n + b.n, a.cents + b.cents))
+      iv.clear()
+      // timers are processor-managed on this API: drop the previous
+      // registration before placing the new one (a stale earlier timer
+      // would fire a no-op step; a stale LATER one would delay nothing —
+      // but unbounded accumulation is still a state leak)
+      getHandle.listTimers().toSeq
+        .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (keep.isEmpty) iv.clear()
+      else {
+        iv.appendList(keep.toArray)
+        getHandle.registerTimer(
+          math.max(keep.map(st => (st.lastUs + gapUs + 999) / 1000).min,
+            wmUs / 1000 + 1))
+      }
+      done.map(st => ExactSession(uid, st.startUs, st.n, st.cents)).iterator
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[ExactEvent],
+        tv: TimerValues): Iterator[ExactSession] =
+      step(uid,
+        rows.toSeq.sortBy(e => (e.tus, e.event_id))
+          .map(e => ExactState(e.tus, e.tus, 1, e.cents)),
+        tv.getCurrentWatermarkInMs() * 1000L)
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ExactSession] =
+      step(uid, Nil, tv.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  /** q250: the timer-based sessionizer run through q60's exact drain +
+    * reshape (far-future sentinel advances the watermark; AvailableNow's
+    * no-data flush batch fires the final timers). */
+  def q250StreamTimerSessions(s: SparkSession, d: String,
+                              gapUs: Long = 30L * 60 * 1000 * 1000): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val maxRow = graft.Tables.load(s, d, "events").agg(max(expr("ts div 1000"))).head
+    if (maxRow.isNullAt(0)) throw new IllegalArgumentException(
+      s"events table at $d is empty — nothing to sessionize")
+    val maxUs = maxRow.getLong(0)
+    val stagePath = java.nio.file.Files.createTempDirectory("graft_q250")
+    val stageDir = stagePath.toString
+    val name = "graft_stream_timer_sessions"
+    var drained: DataFrame = null
+    def toExact(raw: DataFrame): DataFrame = raw
+      .select(col("event_id"), col("user_id"),
+        cents(col("value")).as("cents"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("ts", timestamp_micros(col("tus")))
+    try {
+      Seq((-1L, (maxUs + 10L * 24 * 3600 * 1000000) * 1000, -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .transform(ntzTs)
+        .write.mode("overwrite").parquet(stageDir)
+      drained = withDrainSession(s) { drain =>
+        drain.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val main = readEventsNanos(drain, d)
+        val sentinel = readStageNanos(drain, stageDir)
+        val stream = toExact(main.unionAll(sentinel)).as[ExactEvent]
+        val sessions = stream
+          .withWatermark("ts", s"${gapUs / 1000} milliseconds")
+          .groupByKey(_.user_id)
+          .transformWithState(new TimerSessionProcessor(gapUs),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        drainNow(sessions.toDF().writeStream.outputMode("append")
+          .format("memory").queryName(name))
+        drain.table(name)
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
+    val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    drained
+      .filter(col("user_id") >= 0)
+      .withColumn("session_seq", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_seq"),
+        timestamp_micros(col("start_us")).cast("timestamp_ntz").as("session_start"),
+        col("n_events"),
+        (col("sum_cents") / 100.0).as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** q60: gap sessionization executed AS A STATEFUL STREAM
     * (flatMapGroupsWithState + event-time timeout), returned as a batch
     * DataFrame sharing q28's exact oracle. Drain mechanics: the stream is

@@ -488,4 +488,12 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq)
     assert(stream.nonEmpty && stream.toSeq === batch.toSeq)
   }
+
+  test("q250 timer-based sessions are row-identical to the q60 timeout form") {
+    val timer = EventsStream.q250StreamTimerSessions(spark, TestSpark.sf)
+      .collect().map(_.toSeq)
+    val timeout = EventsStream.q60StreamSessionize(spark, TestSpark.sf)
+      .collect().map(_.toSeq)
+    assert(timer.nonEmpty && timer.toSeq === timeout.toSeq)
+  }
 }
