@@ -65,7 +65,9 @@ object SparkEntry {
         "q246_stream_topk" ->
           ((s: SparkSession, d: String) => graft.streaming.DocsStream.q246StreamTopK(s, d)),
         "q250_stream_timer_sessions" ->
-          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q250StreamTimerSessions(s, d)))
+          ((s: SparkSession, d: String) => graft.streaming.EventsStream.q250StreamTimerSessions(s, d)),
+        "q251_stream_daily_map" ->
+          ((s: SparkSession, d: String) => graft.streaming.DocsStream.q251StreamDailyMap(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -209,6 +211,15 @@ object SparkEntry {
         // identical fold machine + identical drain as q60 ⇒ the timer
         // formulation must land on the same session set as the batch form
         "q250_stream_timer_sessions" -> Relational.oracle("q28_sessionize"),
+        // daily map cells are additive: micro-batch merge ≡ partition
+        // merge ⇒ the drained MapState equals the batch daily rollup
+        "q251_stream_daily_map" ->
+          """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+            | CAST(count(*) AS BIGINT) AS n_events,
+            | CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            |   AS BIGINT) AS sum_cents
+            |FROM events GROUP BY 1, 2
+            |ORDER BY event_type, day""".stripMargin,
         // top-k sets merge by union + re-take-k across micro-batches, so
         // the drained ListState equals the batch window top-k exactly
         "q246_stream_topk" ->

@@ -918,6 +918,34 @@ object Relational {
         (sum(col("r.p")) / 100.0).as("sum_price"))
       .orderBy("o_orderstatus")
 
+  // ---------------------------------------------------------------- q252
+  /** XPATH EXTRACTION — the q203 XML surface's query-side face: where
+    * from_xml schema-parses a whole document, the xpath_* built-ins pull
+    * single values by path expression (the form ad-hoc XML ETL actually
+    * writes): xpath_string / xpath_long / xpath_boolean plus the
+    * node-list form xpath(...) whose hit COUNT survives aggregation.
+    * Documents are the engine-identical q203 renderings; the oracle
+    * re-derives every extracted value from the SOURCE columns — the
+    * roundtrip contract is "extraction inverts construction", and any
+    * path/namespace/cast bug in the xpath kernel breaks the hash. */
+  def q252XpathExtract(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .filter(pmod(col("o_orderkey"), lit(50)) === 0)
+      .select(col("o_orderkey"),
+        col("o_orderstatus").as("st"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"))
+      .withColumn("xml", concat(
+        lit("<o><k>"), col("o_orderkey").cast("string"),
+        lit("</k><p>"), col("cents").cast("string"),
+        lit("</p><s>"), col("st"), lit("</s></o>")))
+      .select(col("o_orderkey"),
+        expr("xpath_string(xml, '/o/s')").as("status"),
+        expr("xpath_long(xml, '/o/p')").as("price_cents"),
+        expr("xpath_boolean(xml, '/o/s[.=\"F\"]')").as("is_f"),
+        expr("size(xpath(xml, '/o/*'))").cast("int").as("n_children"))
+      .orderBy("o_orderkey")
+
   // ---------------------------------------------------------------- q25
   /** Backward as-of join: each click annotated with the user's most recent
     * purchase at-or-before it. See AsofJoin for the single-sort plan. */
@@ -1345,6 +1373,7 @@ object Relational {
     "q242_try_arithmetic" -> (q242TryArithmetic _),
     "q243_bitwise_ops" -> (q243BitwiseOps _),
     "q249_map_groups" -> (q249MapGroups _),
+    "q252_xpath_extract" -> (q252XpathExtract _),
     "q05_scalar_math" -> (q05ScalarMath _),
     "q06_agg_basic" -> (q06AggBasic _),
     "q07_agg_distinct" -> (q07AggDistinct _),
@@ -1429,6 +1458,17 @@ object Relational {
         | CAST(day(o_orderdate) AS INT) AS o_day,
         | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
         |FROM orders WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    // extraction inverts construction: every xpath value re-derived from
+    // the source columns directly
+    "q252_xpath_extract" ->
+      """SELECT o_orderkey,
+        | o_orderstatus AS status,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS price_cents,
+        | (o_orderstatus = 'F') AS is_f,
+        | CAST(3 AS INT) AS n_children
+        |FROM orders WHERE o_orderkey % 50 = 0
         |ORDER BY o_orderkey""".stripMargin,
     // order-insensitive typed fold restated as plain aggregates; the id
     // xor matches bit_xor exactly

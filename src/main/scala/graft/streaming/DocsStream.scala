@@ -239,6 +239,94 @@ object DocsStream {
     }
   }
 
+  case class DayRow(event_type: String, day: Long, c: Long, sentinel: Boolean)
+  case class DayOut(event_type: String, day: Long, n_events: Long,
+                    sum_cents: Long)
+
+  /** Per-type daily-spend accumulator on `transformWithState` with
+    * MAPSTATE — the third and last TWS state shape (q225 ValueState,
+    * q246 ListState): state is a day → (count, cents) map, point-updated
+    * per row (no full-map rewrite per batch — the reason MapState exists
+    * over a ValueState holding a Map), CALENDAR-bounded forever. Daily
+    * cells are additive, so micro-batch merge ≡ partition merge and the
+    * drained map equals the batch groupBy exactly. */
+  private[graft] class DailyMapProcessor extends org.apache.spark.sql
+      .streaming.StatefulProcessor[String, DayRow, DayOut] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TTLConfig, TimeMode, TimerValues}
+    @transient private var days: MapState[Long, (Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      days = getHandle.getMapState[Long, (Long, Long)]("days",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(tpe: String, rows: Iterator[DayRow],
+        tv: TimerValues): Iterator[DayOut] = {
+      var flush = false
+      rows.foreach { r =>
+        if (r.sentinel) flush = true
+        else {
+          val (n, s) =
+            if (days.containsKey(r.day)) days.getValue(r.day) else (0L, 0L)
+          days.updateValue(r.day, (n + 1L, s + r.c))
+        }
+      }
+      if (flush) {
+        val out = days.iterator().map { case (day, (n, sum)) =>
+          DayOut(tpe, day, n, sum)
+        }.toSeq.sortBy(_.day)
+        days.clear()
+        out.iterator
+      } else Iterator.empty
+    }
+  }
+
+  // ------------------------------------------ q251: streaming daily map
+  /** q251: the MapState daily-spend rollup drained through the q154/q225
+    * sentinel discipline; shares a plain batch-aggregate oracle. */
+  def q251StreamDailyMap(s: SparkSession, d: String): DataFrame = {
+    val stagePath = java.nio.file.Files.createTempDirectory("graft_q251")
+    val name = "graft_stream_dailymap"
+    try {
+      EventsStream.withDrainSession(s) { drain =>
+        import drain.implicits._
+        drain.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val rows = EventsStream.readEventsNanos(drain, d)
+          .select(col("event_type"),
+            expr("(ts div 1000) div 86400000000").as("day"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("c"),
+            lit(false).as("sentinel")).as[DayRow]
+        val sentinels = drain.readStream
+          .schema(org.apache.spark.sql.Encoders.product[DayRow].schema)
+          .parquet(stagePath.toString).as[DayRow]
+        val out = rows.union(sentinels)
+          .groupByKey(_.event_type)
+          .transformWithState(new DailyMapProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        val q = out.toDF().writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try {
+          q.processAllAvailable()
+          val types = graft.Tables.load(s, d, "events")
+            .select("event_type").distinct().collect().map(_.getString(0))
+          types.toSeq.map(t => DayRow(t, -1L, 0L, sentinel = true)).toDF()
+            .write.mode("append").parquet(stagePath.toString)
+          q.processAllAvailable()
+        } finally q.stop()
+        drain.table(name)
+      }.orderBy("event_type", "day")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: Throwable => () })
+    }
+  }
+
   case class PurchRow(event_type: String, event_id: Long, c: Long,
                       sentinel: Boolean)
   case class TopOut(event_type: String, rk: Int, event_id: Long, c: Long)

@@ -498,4 +498,21 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getLong(5) === g.map(x => 1L << (x._2 % 7).toInt).reduce(_ | _))
     }
   }
+
+  test("q252 xpath extraction inverts construction on every row") {
+    val rows = Relational.q252XpathExtract(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val src = Tables.load(spark, sf, "orders")
+      .filter(pmod(col("o_orderkey"), lit(50)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (st, cents) = src(r.getLong(0))
+      assert(r.getString(1) === st)
+      assert(r.getLong(2) === cents)
+      assert(r.getBoolean(3) === (st == "F"))
+      assert(r.getInt(4) === 3)
+    }
+  }
 }

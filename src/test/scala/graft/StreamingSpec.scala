@@ -496,4 +496,16 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq)
     assert(timer.nonEmpty && timer.toSeq === timeout.toSeq)
   }
+
+  test("q251 MapState daily rollup equals the batch aggregate") {
+    val stream = graft.streaming.DocsStream.q251StreamDailyMap(spark, TestSpark.sf)
+      .collect().map(_.toSeq)
+    val batch = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"), sum("c").as("sum_cents"))
+      .orderBy("event_type", "day").collect().map(_.toSeq)
+    assert(stream.nonEmpty && stream.toSeq === batch.toSeq)
+  }
 }
