@@ -918,6 +918,30 @@ object Relational {
         (sum(col("r.p")) / 100.0).as("sum_price"))
       .orderBy("o_orderstatus")
 
+  // ---------------------------------------------------------------- q253
+  /** ORDERED-SET AGGREGATES — Spark 4's listagg WITHIN GROUP (the ANSI
+    * ordered string aggregation q47 emulated with sort_array+concat_ws)
+    * and deterministic mode(expr, true) (ties resolve to the LOWEST
+    * value — the documented rule, which the oracle restates as a
+    * (count desc, value asc) rank so a tie-rule regression breaks the
+    * hash). Both are single-pass aggregates; listagg's buffer is
+    * group-sized, so the demo keys on a sampled subset — at 100 TB you
+    * cap or bucket the list, never aggregate an unbounded string. */
+  def q253OrderedAgg(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders")
+      .filter(pmod(col("o_orderkey"), lit(500)) === 0)
+      .createOrReplaceTempView("graft_q253_orders")
+    s.sql("""
+      |SELECT o_orderstatus,
+      |  listagg(o_orderpriority, '|')
+      |    WITHIN GROUP (ORDER BY o_orderpriority, o_orderkey) AS pri_list,
+      |  mode(o_orderpriority, true) AS mode_pri,
+      |  count(*) AS n
+      |FROM graft_q253_orders
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus
+      |""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- q252
   /** XPATH EXTRACTION — the q203 XML surface's query-side face: where
     * from_xml schema-parses a whole document, the xpath_* built-ins pull
@@ -1374,6 +1398,7 @@ object Relational {
     "q243_bitwise_ops" -> (q243BitwiseOps _),
     "q249_map_groups" -> (q249MapGroups _),
     "q252_xpath_extract" -> (q252XpathExtract _),
+    "q253_ordered_agg" -> (q253OrderedAgg _),
     "q05_scalar_math" -> (q05ScalarMath _),
     "q06_agg_basic" -> (q06AggBasic _),
     "q07_agg_distinct" -> (q07AggDistinct _),
@@ -1459,6 +1484,26 @@ object Relational {
         | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
         |FROM orders WHERE o_orderkey % 7 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    // string_agg with the same ORDER BY; mode's documented lowest-wins
+    // tie rule restated as a (count desc, value asc) rank
+    "q253_ordered_agg" ->
+      """WITH f AS (
+        | SELECT o_orderstatus, o_orderpriority, o_orderkey
+        | FROM orders WHERE o_orderkey % 500 = 0),
+        |g AS (
+        | SELECT o_orderstatus,
+        |  string_agg(o_orderpriority, '|'
+        |    ORDER BY o_orderpriority, o_orderkey) AS pri_list,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM f GROUP BY 1),
+        |m AS (
+        | SELECT o_orderstatus, o_orderpriority AS mode_pri,
+        |  row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY count(*) DESC, o_orderpriority) AS rk
+        | FROM f GROUP BY o_orderstatus, o_orderpriority)
+        |SELECT g.o_orderstatus, g.pri_list, m.mode_pri, g.n
+        |FROM g JOIN m ON m.o_orderstatus = g.o_orderstatus AND m.rk = 1
+        |ORDER BY g.o_orderstatus""".stripMargin,
     // extraction inverts construction: every xpath value re-derived from
     // the source columns directly
     "q252_xpath_extract" ->

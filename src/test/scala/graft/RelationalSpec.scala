@@ -515,4 +515,23 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getInt(4) === 3)
     }
   }
+
+  test("q253 ordered aggregates: list is sorted, mode obeys lowest-wins ties") {
+    val rows = Relational.q253OrderedAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.load(spark, sf, "orders")
+      .filter(pmod(col("o_orderkey"), lit(500)) === 0)
+      .select("o_orderstatus", "o_orderpriority", "o_orderkey").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val g = raw(r.getString(0))
+      assert(r.getString(1) ===
+        g.sortBy(x => (x._2, x._3)).map(_._2).mkString("|"))
+      val counts = g.groupBy(_._2).view.mapValues(_.size)
+      val best = counts.toSeq.sortBy(x => (-x._2, x._1)).head._1
+      assert(r.getString(2) === best)
+      assert(r.getLong(3) === g.length.toLong)
+    }
+  }
 }
