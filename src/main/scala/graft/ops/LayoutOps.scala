@@ -675,12 +675,15 @@ object LayoutOps {
     def codes(c: String, as: String) = li.select(col(c)).distinct()
       .withColumn(as,
         (row_number().over(Window.orderBy(col(c))) - 1).cast("long"))
-    val coded = li
+    // the coded relation feeds FOUR independent rank passes — checkpoint
+    // once so the dictionary joins and the scan run once, not per layout
+    val coded = graft.Transients.track(li
       .join(broadcast(codes("l_returnflag", "sm")), Seq("l_returnflag"))
       .join(broadcast(codes("l_linestatus", "rf")), Seq("l_linestatus"))
       .withColumn("z",
         expr("""pmod(sm, 2) + 2 * pmod(rf, 2) + 4 * pmod(sm div 2, 2)
                | + 8 * pmod(rf div 2, 2) + 16 * pmod(sm div 4, 2)""".stripMargin))
+      .localCheckpoint())
     val layouts: Seq[(String, Column, Seq[Column])] = Seq(
       ("1_natural", expr("length(bin(l_orderkey)) - 1"),
         Seq(col("l_orderkey"), col("l_linenumber"))),
