@@ -86,7 +86,11 @@ object PlanAudit {
             "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"))
             .collect { case (k, true) => k }
           Some(name -> bad)
-        } catch { case _: Throwable => None }
+        } catch {
+          // a query that cannot even PLAN must surface as a suspect,
+          // not silently vanish from the gate
+          case e: Throwable => Some(name -> Seq("PlanningFailed"))
+        }
       }
 
   def main(args: Array[String]): Unit = {
@@ -103,10 +107,10 @@ object PlanAudit {
     val suspects = rows.filter { case (n, bad) =>
       bad.nonEmpty && !allowedNestedLoop.contains(n)
     }
+    spark.stop()
     if (suspects.nonEmpty) {
       System.err.println(s"SUSPECT plans: ${suspects.map(_._1).mkString(", ")}")
       sys.exit(1)
     }
-    spark.stop()
   }
 }

@@ -854,10 +854,15 @@ object EtlOps {
     val total = s.sparkContext.longAccumulator("graft_q248_rows")
     val rejected = s.sparkContext.longAccumulator("graft_q248_rejected")
     val kSum = s.sparkContext.longAccumulator("graft_q248_ksum")
-    val tally = udf((k: Long) => {
+    // java.lang.Long, not Long: a primitive-arg UDF is SKIPPED on NULL
+    // input (Spark returns null without invoking it), which would
+    // silently undercount rows whose props lack a parseable k
+    val tally = udf((k: java.lang.Long) => {
       total.add(1L)
-      if (k % 7L == 0L) rejected.add(1L)
-      kSum.add(k)
+      if (k != null) {
+        if (k % 7L == 0L) rejected.add(1L)
+        kSum.add(k.longValue)
+      }
       k
     })
     val flow = t(s, d, "events")

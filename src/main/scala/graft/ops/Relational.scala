@@ -270,10 +270,13 @@ object Relational {
     * actually occur. One generator pass per semantics, map-side until
     * the final lang-grained aggregate. */
   def q235GeneratorSemantics(s: SparkSession, d: String): DataFrame = {
-    val base = t(s, d, "documents")
+    // three independent consumers (inner, outer, the docs aggregate) —
+    // checkpoint once so the tokenize+filter scan runs once, not 3×
+    val base = graft.Transients.track(t(s, d, "documents")
       .select(col("lang"),
         filter(TextOps.tokens(col("text")), tk => tk.contains("z"))
           .as("ztoks"))
+      .localCheckpoint())
     val inner = base.select(col("lang"), explode(col("ztoks")).as("tk"))
       .groupBy("lang").agg(count(lit(1)).as("n_inner"))
     val outer = base.select(col("lang"), explode_outer(col("ztoks")).as("tk"))
@@ -450,7 +453,10 @@ object Relational {
         col("user_id"),
         size(col("m")).as("n_types"),
         concat_ws(",", map_keys(col("m"))).as("types_csv"),
-        coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+        // try_element_at, not element_at: ANSI mode (the Spark 4
+        // default) makes element_at THROW on a missing key — a sampled
+        // user with no clicks must report 0, not abort the query
+        coalesce(expr("try_element_at(m, 'click')"), lit(0L)).as("clicks"),
         size(map_filter(col("m"), (_, v) => v >= 3L)).as("n_heavy_types"),
         aggregate(map_values(transform_values(col("m"), (_, v) => v * 2L)),
           lit(0L), (acc, x) => acc + x).as("double_total"))
@@ -489,8 +495,10 @@ object Relational {
         concat_ws(",", array_sort(array_except(col("b"), col("a"))))
           .as("odd_only_csv"),
         size(array_sort(array_union(col("a"), col("b")))).as("n_union"),
-        array_position(array_sort(array_union(col("a"), col("b"))), "click")
-          .cast("long").as("click_pos"),
+        // array_position returns 0 (not NULL) when absent — nullif
+        // restores the NULL-when-missing contract the oracle states
+        nullif(array_position(array_sort(array_union(col("a"), col("b"))),
+          "click"), lit(0L)).cast("long").as("click_pos"),
         arrays_overlap(col("a"), col("b")).as("overlaps"))
       .orderBy("user_id")
   }

@@ -1368,13 +1368,20 @@ object StatsOps {
     * engines, and the output is domain-sized (distinct values), not
     * row-sized. A row-level transform is then a broadcast/map-side join
     * of this dictionary back onto the fact — the 100 TB shape. */
-  def q236QuantileNormalize(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grid = t(s, d, "events")
+  def q236QuantileNormalize(s: SparkSession, d: String): DataFrame =
+    quantileTail(t(s, d, "events")
       .select(col("event_type"),
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
       .groupBy("event_type", "c")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** The tie-averaged rank / ppm-quantile tail over a (event_type, c,
+    * cnt) value grid — ONE implementation shared by the batch build
+    * (q236) and its stream twin (q245), so the "same tail ⇒ same
+    * oracle" equivalence is pinned structurally, not by keeping two
+    * copies in sync by hand. */
+  private[graft] def quantileTail(grid: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("c")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wn = Window.partitionBy("event_type")

@@ -168,7 +168,6 @@ object DocsStream {
     * streamed dictionary must be bit-identical to the batch build, so
     * the stream twin SHARES q236's oracle by construction. */
   def q245StreamQuantileGrid(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val name = "graft_stream_qgrid"
     val grid = EventsStream.withDrainSession(s) { drain =>
       val cells = drain.readStream.schema(EventsStream.eventsSchema)
@@ -180,16 +179,8 @@ object DocsStream {
         .format("memory").queryName(name))
       drain.table(name)
     }
-    val w = Window.partitionBy("event_type").orderBy("c")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wn = Window.partitionBy("event_type")
-    grid
-      .withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
-      .withColumn("n", sum("cnt").over(wn))
-      .select(col("event_type"), col("c"), col("cnt"),
-        (lit(2L) * col("cum") + col("cnt") + lit(1L)).as("two_rbar"),
-        expr("(2 * cum + cnt + 1) * 1000000 div (2 * (n + 1))").as("u_ppm"))
-      .orderBy("event_type", "c")
+    // rank/ppm tail: ONE shared implementation with the batch q236
+    StatsOps.quantileTail(grid)
   }
 
   case class KmvRow(lang: String, h: String, sentinel: Boolean)

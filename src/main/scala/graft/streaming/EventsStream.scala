@@ -322,8 +322,7 @@ object EventsStream {
       // but unbounded accumulation is still a state leak)
       getHandle.listTimers().toSeq
         .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      if (keep.isEmpty) iv.clear()
-      else {
+      if (keep.nonEmpty) {
         iv.appendList(keep.toArray)
         getHandle.registerTimer(
           math.max(keep.map(st => (st.lastUs + gapUs + 999) / 1000).min,
@@ -342,89 +341,25 @@ object EventsStream {
       step(uid, Nil, tv.getCurrentWatermarkInMs() * 1000L)
   }
 
-  /** q250: the timer-based sessionizer run through q60's exact drain +
-    * reshape (far-future sentinel advances the watermark; AvailableNow's
-    * no-data flush batch fires the final timers). */
-  def q250StreamTimerSessions(s: SparkSession, d: String,
-                              gapUs: Long = 30L * 60 * 1000 * 1000): DataFrame = {
+  /** Shared q60/q250 drain harness: stages the one-row far-future
+    * sentinel beside the in-place events source, runs `pipe` over the
+    * (events ∪ sentinel) exact-event stream in a drain session
+    * (optionally reconfigured — e.g. the RocksDB provider
+    * transformWithState requires), cleans the staging dir, and reshapes
+    * the drained sessions into the q28 output contract. ONE copy of the
+    * drain discipline — a fix here reaches both sessionizer
+    * implementations. */
+  private def drainSessionized(s: SparkSession, d: String, name: String,
+      configure: SparkSession => Unit = _ => ())(
+      pipe: Dataset[ExactEvent] => DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val maxRow = graft.Tables.load(s, d, "events").agg(max(expr("ts div 1000"))).head
     if (maxRow.isNullAt(0)) throw new IllegalArgumentException(
       s"events table at $d is empty — nothing to sessionize")
     val maxUs = maxRow.getLong(0)
-    val stagePath = java.nio.file.Files.createTempDirectory("graft_q250")
+    val stagePath = java.nio.file.Files.createTempDirectory("graft_sessions")
     val stageDir = stagePath.toString
-    val name = "graft_stream_timer_sessions"
-    var drained: DataFrame = null
-    def toExact(raw: DataFrame): DataFrame = raw
-      .select(col("event_id"), col("user_id"),
-        cents(col("value")).as("cents"),
-        expr("ts div 1000").as("tus"))
-      .withColumn("ts", timestamp_micros(col("tus")))
-    try {
-      Seq((-1L, (maxUs + 10L * 24 * 3600 * 1000000) * 1000, -1L, "sentinel", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .transform(ntzTs)
-        .write.mode("overwrite").parquet(stageDir)
-      drained = withDrainSession(s) { drain =>
-        drain.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        val main = readEventsNanos(drain, d)
-        val sentinel = readStageNanos(drain, stageDir)
-        val stream = toExact(main.unionAll(sentinel)).as[ExactEvent]
-        val sessions = stream
-          .withWatermark("ts", s"${gapUs / 1000} milliseconds")
-          .groupByKey(_.user_id)
-          .transformWithState(new TimerSessionProcessor(gapUs),
-            org.apache.spark.sql.streaming.TimeMode.EventTime(),
-            org.apache.spark.sql.streaming.OutputMode.Append())
-        drainNow(sessions.toDF().writeStream.outputMode("append")
-          .format("memory").queryName(name))
-        drain.table(name)
-      }
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
-    }
-    val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
-    drained
-      .filter(col("user_id") >= 0)
-      .withColumn("session_seq", row_number().over(w).cast("long"))
-      .select(col("user_id"), col("session_seq"),
-        timestamp_micros(col("start_us")).cast("timestamp_ntz").as("session_start"),
-        col("n_events"),
-        (col("sum_cents") / 100.0).as("sum_value"))
-      .orderBy("user_id", "session_seq")
-  }
-
-  /** q60: gap sessionization executed AS A STATEFUL STREAM
-    * (flatMapGroupsWithState + event-time timeout), returned as a batch
-    * DataFrame sharing q28's exact oracle. Drain mechanics: the stream is
-    * the UNION of two file sources — the events parquet read IN PLACE
-    * (no staging copy; an O(table) rewrite per drain would be
-    * unacceptable anywhere outside a toy harness) and a one-row SENTINEL
-    * source in a temp dir, one event 10 days past the corpus end under an
-    * impossible user id. The sentinel jumps the watermark past every open
-    * session's (lastTs + gap) timeout, so the engine's follow-up batch
-    * flushes them all into the append-mode memory sink — no session is
-    * left open, which is what makes the stream's output equal the batch
-    * twin's. session_seq is re-derived afterwards (sessions may EMIT out
-    * of order; their per-user start times are disjoint, so a row_number
-    * over start_us reproduces the batch numbering). */
-  def q60StreamSessionize(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
-    val maxRow = graft.Tables.load(s, d, "events").agg(max(expr("ts div 1000"))).head
-    if (maxRow.isNullAt(0)) throw new IllegalArgumentException(
-      s"events table at $d is empty — nothing to sessionize")
-    val maxUs = maxRow.getLong(0)
-    val stagePath = java.nio.file.Files.createTempDirectory("graft_q60")
-    val stageDir = stagePath.toString
-    val name = "graft_stream_sessions"
     var drained: DataFrame = null
     def toExact(raw: DataFrame): DataFrame = raw
       .select(col("event_id"), col("user_id"),
@@ -438,10 +373,11 @@ object EventsStream {
         .transform(ntzTs)
         .write.mode("overwrite").parquet(stageDir)
       drained = withDrainSession(s) { drain =>
+        configure(drain)
         val main = readEventsNanos(drain, d)
         val sentinel = readStageNanos(drain, stageDir)
         val stream = toExact(main.unionAll(sentinel)).as[ExactEvent]
-        drainNow(sessionizeExact(stream).toDF()
+        drainNow(pipe(stream)
           .writeStream.outputMode("append")
           .format("memory").queryName(name))
         drain.table(name)
@@ -464,6 +400,44 @@ object EventsStream {
         (col("sum_cents") / 100.0).as("sum_value"))
       .orderBy("user_id", "session_seq")
   }
+
+  /** q250: the timer-based sessionizer run through the shared drain
+    * (far-future sentinel advances the watermark; AvailableNow's no-data
+    * flush batch fires the final timers). */
+  def q250StreamTimerSessions(s: SparkSession, d: String,
+                              gapUs: Long = 30L * 60 * 1000 * 1000): DataFrame =
+    drainSessionized(s, d, "graft_stream_timer_sessions",
+      configure = _.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+      stream =>
+        import stream.sparkSession.implicits._
+        stream
+          .withWatermark("ts", s"${gapUs / 1000} milliseconds")
+          .groupByKey(_.user_id)
+          .transformWithState(new TimerSessionProcessor(gapUs),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF()
+    }
+
+  /** q60: gap sessionization executed AS A STATEFUL STREAM
+    * (flatMapGroupsWithState + event-time timeout), returned as a batch
+    * DataFrame sharing q28's exact oracle. Drain mechanics: the stream is
+    * the UNION of two file sources — the events parquet read IN PLACE
+    * (no staging copy; an O(table) rewrite per drain would be
+    * unacceptable anywhere outside a toy harness) and a one-row SENTINEL
+    * source in a temp dir, one event 10 days past the corpus end under an
+    * impossible user id. The sentinel jumps the watermark past every open
+    * session's (lastTs + gap) timeout, so the engine's follow-up batch
+    * flushes them all into the append-mode memory sink — no session is
+    * left open, which is what makes the stream's output equal the batch
+    * twin's. session_seq is re-derived afterwards (sessions may EMIT out
+    * of order; their per-user start times are disjoint, so a row_number
+    * over start_us reproduces the batch numbering). */
+  def q60StreamSessionize(s: SparkSession, d: String): DataFrame =
+    drainSessionized(s, d, "graft_stream_sessions") { stream =>
+      sessionizeExact(stream).toDF()
+    }
 
   // ------------------------------- q108: stateful stream transition matrix
   case class TransEvent(event_id: Long, user_id: Long, event_type: String,
