@@ -108,4 +108,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(merged.filter(col("score").isNull).count() === 2)
     assert(merged.filter(col("id") === 3).head.getAs[Double]("score") === 9.5)
   }
+
+  test("csv malformed-row modes: PERMISSIVE nulls+captures, DROPMALFORMED drops, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_malformed").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/rows.csv"),
+      "id,qty\n1,10\n2,notanumber\n3,30\nbroken_line_only\n4,40\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType),
+      StructField("_corrupt_record", StringType)))
+    // PERMISSIVE (the default): bad fields become NULL, the raw line is
+    // captured in the corrupt-record column, every row survives
+    val permissive = spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .csv(dir).cache()
+    assert(permissive.count() === 5)
+    val corrupt = permissive.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").collect().map(_.getString(0)).sorted
+    assert(corrupt.toSeq === Seq("2,notanumber", "broken_line_only"))
+    assert(permissive.filter(col("id") === 2).head.isNullAt(1))
+    // DROPMALFORMED: the two bad rows vanish
+    val dropped = spark.read
+      .schema(StructType(schema.fields.dropRight(1)))
+      .option("header", "true").option("mode", "DROPMALFORMED")
+      .csv(dir)
+    assert(dropped.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 4L))
+    // FAILFAST: the first bad row aborts the read
+    val thrown = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(StructType(schema.fields.dropRight(1)))
+        .option("header", "true").option("mode", "FAILFAST")
+        .csv(dir).collect()
+    }
+    assert(thrown.getMessage.toLowerCase.contains("malformed") ||
+      Option(thrown.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
 }
