@@ -926,6 +926,128 @@ object Relational {
         (sum(col("r.p")) / 100.0).as("sum_price"))
       .orderBy("o_orderstatus")
 
+  // ---------------------------------------------------------------- q254
+  /** TYPED flatMapGroups — the 1→N face of the typed group API (mapGroups
+    * q249 emits one row per key; this explodes each user's time-ordered
+    * event sequence into INTER-EVENT GAP rows, the raw material of
+    * arrival-process analysis). The fold sorts the group in the lambda —
+    * legitimate here because a user's event count is bounded by behavior,
+    * not corpus size (the q247 secondary sort is the shape when it
+    * isn't). Gap rows are integer µs; the oracle restates the explosion
+    * as a lag window. */
+  def q254FlatMapGroups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "events")
+      .filter(pmod(col("user_id"), lit(29)) === 0)
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val ord = it.toSeq.sortBy(e => (e._2, e._3))
+        ord.sliding(2).collect {
+          case Seq((_, t1, _), (_, t2, id2)) => (uid, id2, t2 - t1)
+        }
+      }
+      .toDF("user_id", "event_id", "gap_us")
+      .orderBy("user_id", "event_id")
+  }
+
+  // ---------------------------------------------------------------- q255
+  /** FILTER CLAUSE — per-aggregate predicates (`count(*) FILTER (WHERE
+    * ...)`), the ANSI form that replaces a pile of CASE-WHEN-wrapped
+    * aggregates; one pass, each aggregate sees its own row subset. */
+  def q255FilterClause(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("graft_q255_orders")
+    s.sql("""
+      |SELECT o_orderstatus,
+      |  count(*) AS n,
+      |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+      |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+      |    AS urgent_total
+      |FROM graft_q255_orders
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus
+      |""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q256
+  /** LIMIT/OFFSET PAGINATION — page 3 of the price-ranked orders under a
+    * TOTAL deterministic order (price desc, key): OFFSET is Spark 3.4+
+    * SQL surface and the classic API-pagination shape. The scale note is
+    * the point of the scaladoc: OFFSET n scans and discards n rows —
+    * fine for UI pages, wrong for deep pagination, where the keyset form
+    * (WHERE (price, key) < last-seen ORDER BY ... LIMIT k) keeps the
+    * scan bounded; this query emits page 3 by BOTH forms and proves them
+    * identical. */
+  def q256Pagination(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("graft_q256_orders")
+    s.sql("""
+      |WITH page3 AS (
+      |  SELECT o_orderkey, o_totalprice
+      |  FROM graft_q256_orders
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20),
+      |last2 AS (
+      |  SELECT o_totalprice AS p, o_orderkey AS k
+      |  FROM graft_q256_orders
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1 OFFSET 19),
+      |keyset AS (
+      |  SELECT o.o_orderkey, o.o_totalprice
+      |  FROM graft_q256_orders o CROSS JOIN last2
+      |  WHERE o.o_totalprice < last2.p
+      |     OR (o.o_totalprice = last2.p AND o.o_orderkey > last2.k)
+      |  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 10)
+      |SELECT p3.o_orderkey, p3.o_totalprice,
+      |  (ks.o_orderkey IS NOT NULL) AS keyset_agrees
+      |FROM page3 p3 LEFT JOIN keyset ks ON ks.o_orderkey = p3.o_orderkey
+      |ORDER BY p3.o_totalprice DESC, p3.o_orderkey
+      |""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q257
+  /** LEGACY LATERAL VIEW — the HiveQL generator syntax
+    * (`LATERAL VIEW [OUTER] explode(...)`) that a decade of migrated
+    * warehouse SQL still carries; semantically q235's explode/
+    * explode_outer pair, spelled in the legacy dialect so migrations
+    * run unmodified. The oracle restates it with unnest + the
+    * closed-form outer contract. */
+  def q257LateralView(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents").createOrReplaceTempView("graft_q257_docs")
+    s.sql("""
+      |SELECT lang,
+      |  count(*) AS n_outer_rows,
+      |  count(tok) AS n_tokens,
+      |  count(*) - count(tok) AS n_empty_docs
+      |FROM (
+      |  SELECT lang, tok
+      |  FROM graft_q257_docs
+      |  LATERAL VIEW OUTER explode(
+      |    filter(split(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+      |      t -> t RLIKE 'z')) x AS tok)
+      |GROUP BY lang ORDER BY lang
+      |""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q258
+  /** SIGNED INTEGER-DIVISION SEMANTICS — the cross-engine contract every
+    * oracle in this repo silently relies on, pinned as its own hashed
+    * query: over a generated ± grid, `a div b` (truncating division),
+    * `a % b` (sign of the dividend), and `pmod(a, b)` (always
+    * non-negative). DuckDB's `//` and `%` follow the same truncation
+    * convention; its pmod is restated as ((a % b) + b) % b. A regression
+    * in either engine's semantics (or a wrong assumption in a future
+    * oracle) breaks this hash first. */
+  def q258IntDivSemantics(s: SparkSession, d: String): DataFrame =
+    s.range(-7, 8).toDF("a")
+      .crossJoin(s.range(1, 4).toDF("bb"))
+      .select(col("a"), col("bb"),
+        expr("a div bb").as("trunc_div"),
+        expr("a % bb").as("rem"),
+        pmod(col("a"), col("bb")).as("pm"),
+        floor(col("a").cast("double") / col("bb").cast("double"))
+          .cast("long").as("floor_div"))
+      .orderBy("a", "bb")
+
   // ---------------------------------------------------------------- q253
   /** ORDERED-SET AGGREGATES — Spark 4's listagg WITHIN GROUP (the ANSI
     * ordered string aggregation q47 emulated with sort_array+concat_ws)
@@ -1407,6 +1529,11 @@ object Relational {
     "q249_map_groups" -> (q249MapGroups _),
     "q252_xpath_extract" -> (q252XpathExtract _),
     "q253_ordered_agg" -> (q253OrderedAgg _),
+    "q254_flatmap_groups" -> (q254FlatMapGroups _),
+    "q255_filter_clause" -> (q255FilterClause _),
+    "q256_pagination" -> (q256Pagination _),
+    "q257_lateral_view" -> (q257LateralView _),
+    "q258_intdiv_semantics" -> (q258IntDivSemantics _),
     "q05_scalar_math" -> (q05ScalarMath _),
     "q06_agg_basic" -> (q06AggBasic _),
     "q07_agg_distinct" -> (q07AggDistinct _),
@@ -1492,6 +1619,76 @@ object Relational {
         | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
         |FROM orders WHERE o_orderkey % 7 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    // the 1→N explosion restated as a lag window (gap rides the later
+    // event; the first event's NULL gap is filtered on both sides)
+    "q254_flatmap_groups" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS tus, event_id
+        | FROM events WHERE user_id % 29 = 0),
+        |g AS (
+        | SELECT user_id, event_id,
+        |  tus - lag(tus) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) AS gap_us
+        | FROM e)
+        |SELECT user_id, event_id, CAST(gap_us AS BIGINT) AS gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
+    // identical FILTER clause syntax in DuckDB
+    "q255_filter_clause" ->
+      """SELECT o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+        |   AS n_big,
+        | CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+        |   AS BIGINT) AS n_urgent,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+        |   AS urgent_total
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // same page by both forms; keyset_agrees TRUE row-for-row
+    "q256_pagination" ->
+      """WITH page3 AS (
+        | SELECT o_orderkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20),
+        |last2 AS (
+        | SELECT o_totalprice AS p, o_orderkey AS k FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 1 OFFSET 19),
+        |keyset AS (
+        | SELECT o.o_orderkey, o.o_totalprice
+        | FROM orders o CROSS JOIN last2
+        | WHERE o.o_totalprice < last2.p
+        |    OR (o.o_totalprice = last2.p AND o.o_orderkey > last2.k)
+        | ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 10)
+        |SELECT p3.o_orderkey, p3.o_totalprice,
+        | (ks.o_orderkey IS NOT NULL) AS keyset_agrees
+        |FROM page3 p3 LEFT JOIN keyset ks ON ks.o_orderkey = p3.o_orderkey
+        |ORDER BY p3.o_totalprice DESC, p3.o_orderkey""".stripMargin,
+    // the legacy generator restated with the q235 closed-form contract
+    "q257_lateral_view" ->
+      """WITH base AS (
+        | SELECT lang,
+        |  list_filter(
+        |   regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
+        |   t -> regexp_matches(t, 'z')) AS z
+        | FROM documents)
+        |SELECT lang,
+        | CAST(sum(greatest(len(z), 1)) AS BIGINT) AS n_outer_rows,
+        | CAST(sum(len(z)) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN len(z) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_empty_docs
+        |FROM base GROUP BY lang ORDER BY lang""".stripMargin,
+    // DuckDB's // truncates toward zero and % carries the dividend's
+    // sign — probed, and now pinned by this hash forever
+    "q258_intdiv_semantics" ->
+      """WITH a AS (SELECT x AS a FROM range(-7, 8) t(x)),
+        |b AS (SELECT x AS bb FROM range(1, 4) t(x))
+        |SELECT a, bb,
+        | CAST(a // bb AS BIGINT) AS trunc_div,
+        | CAST(a % bb AS BIGINT) AS rem,
+        | CAST(((a % bb) + bb) % bb AS BIGINT) AS pm,
+        | CAST(floor(CAST(a AS DOUBLE) / bb) AS BIGINT) AS floor_div
+        |FROM a CROSS JOIN b ORDER BY a, bb""".stripMargin,
     // string_agg with the same ORDER BY; mode's documented lowest-wins
     // tie rule restated as a (count desc, value asc) rank
     "q253_ordered_agg" ->

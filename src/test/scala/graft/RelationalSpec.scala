@@ -534,4 +534,56 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getLong(3) === g.length.toLong)
     }
   }
+
+  test("q254 flatMapGroups gaps: positive, count = events - users") {
+    val rows = Relational.q254FlatMapGroups(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) >= 0L))
+    val ev = Tables.load(spark, sf, "events")
+      .filter(pmod(col("user_id"), lit(29)) === 0)
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.length.toLong === ev.count() - nUsers)
+  }
+
+  test("q255 filter clause: filtered counts bounded by the group count") {
+    val rows = Relational.q255FilterClause(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(1))
+    }
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.load(spark, sf, "orders").count())
+  }
+
+  test("q256 pagination: keyset page equals the OFFSET page on every row") {
+    val rows = Relational.q256Pagination(spark, sf).collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getBoolean(2)), "keyset and OFFSET pages diverged")
+    val prices = rows.map(_.getDouble(1))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q257 legacy LATERAL VIEW OUTER equals the q235 generator contract") {
+    val legacy = Relational.q257LateralView(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val modern = Relational.q235GeneratorSemantics(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(4), r.getLong(3), r.getLong(2)))
+    assert(legacy.toSeq === modern.toSeq)
+  }
+
+  test("q258 integer-division identities hold on the signed grid") {
+    val rows = Relational.q258IntDivSemantics(spark, sf).collect()
+    assert(rows.length === 45)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (td, rem, pm, fd) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+      assert(td === a / b)                   // JVM division truncates
+      assert(rem === a % b)                  // dividend-signed remainder
+      assert(td * b + rem === a)             // division identity
+      assert(pm === ((a % b) + b) % b && pm >= 0L)
+      assert(fd === math.floorDiv(a, b))
+      if (a < 0 && rem != 0) assert(fd === td - 1) else assert(fd === td)
+    }
+  }
 }
