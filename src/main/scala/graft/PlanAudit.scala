@@ -68,7 +68,9 @@ object PlanAudit {
     "q149_bm25" -> "one-row corpus stats broadcast",
     "q156_session_paths" -> "one-row total broadcast",
     "q191_kcore_peel" -> "one-row per-round edge-count certificate",
-    "q81_event_funnel" -> "one-row stage totals broadcast")
+    "q81_event_funnel" -> "one-row stage totals broadcast",
+    "q256_pagination" -> "one-row keyset anchor broadcast",
+    "q258_intdiv_semantics" -> "15×3 generated grid cross join")
 
   def scan(spark: org.apache.spark.sql.SparkSession, d: String,
            only: Option[Set[String]] = None): Seq[(String, Seq[String])] =
