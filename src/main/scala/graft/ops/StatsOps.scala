@@ -1331,6 +1331,52 @@ object StatsOps {
       .transform(Tables.portable)
   }
 
+  // ---------------------------------------------------------------- q259
+  /** DISCRETE PERCENTILES — percentile_disc WITHIN GROUP, the quantile
+    * that returns an ACTUAL data element (smallest value whose cumulative
+    * share ≥ p — probed identical to DuckDB's quantile_disc selection
+    * rule) instead of q45's interpolated blend: on the integer cents
+    * grid the result is exact with zero FP anywhere, which makes this
+    * the quantile form that survives any engine (the interpolated form
+    * needed q45's dyadic-midpoint argument). */
+  def q259DiscQuantiles(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events").createOrReplaceTempView("graft_q259_events")
+    s.sql("""
+      |WITH e AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM graft_q259_events)
+      |SELECT event_type,
+      |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY c) AS BIGINT)
+      |    AS p25_c,
+      |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT)
+      |    AS p50_c,
+      |  CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY c) AS BIGINT)
+      |    AS p75_c,
+      |  CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY c) AS BIGINT)
+      |    AS p95_c
+      |FROM e GROUP BY event_type ORDER BY event_type
+      |""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q260
+  /** BOOLEAN AGGREGATES — every / any / bool_and / bool_or / count_if,
+    * the predicate-rollup family behind data-quality dashboards
+    * ("does EVERY row satisfy the invariant; does ANY row breach the
+    * limit; how many"): one pass, short-circuitable, exact. */
+  def q260BoolAggregates(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .groupBy("event_type")
+      .agg(
+        expr("every(c >= 0)").as("all_nonneg"),
+        expr("any(c > 20000)").as("any_over_200"),
+        expr("bool_and(c < 100000)").as("all_under_1000"),
+        expr("bool_or(c = 0)").as("any_zero"),
+        expr("count_if(c > 5000)").as("n_over_50"))
+      .orderBy("event_type")
+
   // ---------------------------------------------------------------- q241
   /** BUILT-IN REGRESSION AGGREGATES — the regr_* family (slope,
     * intercept, r², count, means) q46's moment aggregates leave out:
@@ -1519,6 +1565,8 @@ object StatsOps {
     "q221_t_closeness" -> (q221TCloseness _),
     "q236_quantile_normalize" -> (q236QuantileNormalize _),
     "q241_regr_builtins" -> (q241RegrBuiltins _),
+    "q259_disc_quantiles" -> (q259DiscQuantiles _),
+    "q260_bool_aggregates" -> (q260BoolAggregates _),
     "q217_rolling_ols" -> (q217RollingOls _),
     "q170_benford_audit" -> (q170BenfordAudit _),
     "q171_group_ols" -> (q171GroupOls _),
@@ -1815,6 +1863,32 @@ object StatsOps {
         | CAST(CAST(sum(CASE WHEN cls < k THEN cls ELSE 0 END) AS BIGINT) * 10000
         |   // CAST(sum(cls) AS BIGINT) AS BIGINT) AS risk_bp
         |FROM cls CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
+    // quantile_disc shares percentile_disc's smallest-cum>=p selection
+    // rule (probed) — actual grid elements, zero FP
+    "q259_disc_quantiles" ->
+      """WITH e AS (
+        | SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        | FROM events)
+        |SELECT event_type,
+        | CAST(quantile_disc(c, 0.25) AS BIGINT) AS p25_c,
+        | CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_c,
+        | CAST(quantile_disc(c, 0.75) AS BIGINT) AS p75_c,
+        | CAST(quantile_disc(c, 0.95) AS BIGINT) AS p95_c
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // every/any restated as bool_and/bool_or; count_if identical
+    "q260_bool_aggregates" ->
+      """WITH e AS (
+        | SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        | FROM events)
+        |SELECT event_type,
+        | bool_and(c >= 0) AS all_nonneg,
+        | bool_or(c > 20000) AS any_over_200,
+        | bool_and(c < 100000) AS all_under_1000,
+        | bool_or(c = 0) AS any_zero,
+        | CAST(count_if(c > 5000) AS BIGINT) AS n_over_50
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // same regr_* functions, 6-dp rounded (mergeable float aggregates —
     // the q46 discipline)
     "q241_regr_builtins" ->

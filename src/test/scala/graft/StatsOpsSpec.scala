@@ -797,4 +797,37 @@ class StatsOpsSpec extends AnyFunSuite {
       assert(ord.head > 0L && ord.last < 1000000L)
     }
   }
+
+  // ------------------------------------------------------------ q259/q260
+  test("q259 discrete quantiles are actual data elements in order") {
+    val rows = StatsOps.q259DiscQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = Tables.load(spark, sf, "events")
+      .select(col("event_type"), graft.streaming.EventsStream.cents(col("value")).as("c"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).sorted).toMap
+    rows.foreach { r =>
+      val xs = byType(r.getString(0))
+      val qs = Seq(0.25, 0.5, 0.75, 0.95).map { p =>
+        xs(math.max(math.ceil(p * xs.length).toInt - 1, 0)) // smallest cum >= p
+      }
+      assert(Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) === qs)
+    }
+  }
+
+  test("q260 boolean aggregates match direct predicates") {
+    val rows = StatsOps.q260BoolAggregates(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = Tables.load(spark, sf, "events")
+      .select(col("event_type"), graft.streaming.EventsStream.cents(col("value")).as("c"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1))).toMap
+    rows.foreach { r =>
+      val xs = byType(r.getString(0))
+      assert(r.getBoolean(1) === xs.forall(_ >= 0L))
+      assert(r.getBoolean(2) === xs.exists(_ > 20000L))
+      assert(r.getBoolean(3) === xs.forall(_ < 100000L))
+      assert(r.getBoolean(4) === xs.contains(0L))
+      assert(r.getLong(5) === xs.count(_ > 5000L).toLong)
+    }
+  }
 }
