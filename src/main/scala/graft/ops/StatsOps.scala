@@ -1331,6 +1331,26 @@ object StatsOps {
       .transform(Tables.portable)
   }
 
+  // ---------------------------------------------------------------- q261
+  /** ARGMIN/ARGMAX AGGREGATES — min_by / max_by, the one-call form of
+    * the max(struct(...)) argmax trick used across this repo (q80, q184,
+    * q233…): per type, the event id carrying the extreme value. Both
+    * engines leave TIES undefined, so the ordering key is the composite
+    * c·10⁷ + id — strictly unique, which makes the pick deterministic
+    * and the tie rule (highest cents, then highest id; lowest cents,
+    * then lowest id) explicit in the key construction itself. */
+  def q261ArgmaxAggregates(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .withColumn("key", col("c") * lit(10000000L) + col("event_id"))
+      .groupBy("event_type")
+      .agg(
+        expr("max_by(event_id, key)").as("max_event_id"),
+        expr("min_by(event_id, key)").as("min_event_id"),
+        max("c").as("max_c"), min("c").as("min_c"))
+      .orderBy("event_type")
+
   // ---------------------------------------------------------------- q259
   /** DISCRETE PERCENTILES — percentile_disc WITHIN GROUP, the quantile
     * that returns an ACTUAL data element (smallest value whose cumulative
@@ -1567,6 +1587,7 @@ object StatsOps {
     "q241_regr_builtins" -> (q241RegrBuiltins _),
     "q259_disc_quantiles" -> (q259DiscQuantiles _),
     "q260_bool_aggregates" -> (q260BoolAggregates _),
+    "q261_argmax_aggregates" -> (q261ArgmaxAggregates _),
     "q217_rolling_ols" -> (q217RollingOls _),
     "q170_benford_audit" -> (q170BenfordAudit _),
     "q171_group_ols" -> (q171GroupOls _),
@@ -1863,6 +1884,21 @@ object StatsOps {
         | CAST(CAST(sum(CASE WHEN cls < k THEN cls ELSE 0 END) AS BIGINT) * 10000
         |   // CAST(sum(cls) AS BIGINT) AS BIGINT) AS risk_bp
         |FROM cls CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
+    // same unique composite ordering key; DuckDB's arg_max/arg_min are
+    // the same argmax aggregates
+    "q261_argmax_aggregates" ->
+      """WITH e AS (
+        | SELECT event_type, event_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000
+        |    + event_id AS key
+        | FROM events)
+        |SELECT event_type,
+        | CAST(arg_max(event_id, key) AS BIGINT) AS max_event_id,
+        | CAST(arg_min(event_id, key) AS BIGINT) AS min_event_id,
+        | CAST(max(c) AS BIGINT) AS max_c,
+        | CAST(min(c) AS BIGINT) AS min_c
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // quantile_disc shares percentile_disc's smallest-cum>=p selection
     // rule (probed) — actual grid elements, zero FP
     "q259_disc_quantiles" ->

@@ -830,4 +830,22 @@ class StatsOpsSpec extends AnyFunSuite {
       assert(r.getLong(5) === xs.count(_ > 5000L).toLong)
     }
   }
+
+  test("q261 argmax aggregates pick the composite-key extremes") {
+    val rows = StatsOps.q261ArgmaxAggregates(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("event_id"),
+        graft.streaming.EventsStream.cents(col("value")).as("c"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val g = byType(r.getString(0))
+        .map(x => (x.getLong(2) * 10000000L + x.getLong(1), x.getLong(1),
+          x.getLong(2)))
+      assert(r.getLong(1) === g.maxBy(_._1)._2)
+      assert(r.getLong(2) === g.minBy(_._1)._2)
+      assert(r.getLong(3) === g.map(_._3).max)
+      assert(r.getLong(4) === g.map(_._3).min)
+    }
+  }
 }
