@@ -28,6 +28,12 @@ object HashFamily {
   def bucket(hb: Column, j: Column, m: Int): Column =
     ((hb * (j * 2 + 1) + j) % Mod48) % m
 
+  /** Full (un-bucketed) family member j of hb — the 48-bit value MinHash
+    * components minimize over (q147's signature discipline; DuckDB
+    * spelling: `(hb * (2*j+1) + j) % 281474976710656`). */
+  def member(hb: Column, j: Column): Column =
+    (hb * (j * 2 + 1) + j) % Mod48
+
   /** Driver-side twin of [[hb48]] — identical bytes, identical result. */
   def hb48Jvm(s: String): Long = {
     val dig = java.security.MessageDigest.getInstance("MD5")

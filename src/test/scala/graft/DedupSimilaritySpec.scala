@@ -24,6 +24,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("md5-family minhash (the q36 pipeline) finds the same verified pairs") {
+    // same fixture, same contract as the xxhash64 path: token-set dups
+    // pair up, unrelated docs never do — the family change moves WHERE
+    // candidates come from, not what survives exact verification
+    val pairs = DedupOps.minhashNearDupPairsMd5(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("md5-family chain cap: mega-clique emits 2m-3 pairs, keeps connectivity") {
+    val m = 40
+    val clique = (1 to m).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta", "s"))
+      .toDF("doc_id", "text", "source")
+    val pairs = DedupOps.minhashNearDupPairsMd5(clique, maxBucketNeighbors = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.length === 2 * m - 3)
+    assert(pairs.map(_._2).toSet === (2 to m).map(_.toLong).toSet)
+  }
+
+  test("md5-bit simhash: identical texts hash equal; banding pairs them") {
+    val sh = DedupOps.simhashMd5(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L)) // same token SET: identical bit votes
+    assert(sh(1L) === sh(4L))
+    assert(sh(1L) !== sh(3L))
+    val pairs = DedupOps.q37SimhashPairs(spark, TestSpark.sf)
+    assert(pairs.columns.toSeq === Seq("doc_a", "doc_b", "hamming"))
+  }
+
   test("minhash jaccard values are exact-verified") {
     val withJ = DedupOps.minhashNearDupPairs(docs).collect()
     assert(withJ.forall(_.getDouble(2) >= 0.8))
