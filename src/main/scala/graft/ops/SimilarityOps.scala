@@ -136,18 +136,35 @@ object SimilarityOps {
       .orderBy("vec_id")
 
   // ---------------------------------------------------------------- q42
-  /** Random-hyperplane LSH ANN: `tables` independent hash tables of `bits`
-    * hyperplanes each; candidates sharing a (table, bucket) with a query are
-    * scored exactly, then per-query top-k. Hyperplanes are generated from a
-    * fixed-seed PRNG at plan build — deterministic across runs/engines. */
-  def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long = 42L): Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(tables, bits, dim)(rnd.nextGaussian())
-  }
+  /** Sign-random-projection LSH ANN: `tables` independent hash tables of
+    * `bits` hyperplanes each; candidates sharing a (table, bucket) with a
+    * query are scored exactly, then per-query top-k.
+    *
+    * Hyperplanes are RADEMACHER (±1 per component), each sign one genuine
+    * md5 bit of "graft-plane:t:b:d" — the round-7 oracle conversion:
+    * sign-LSH's collision probability 1 − θ/π holds for any symmetric
+    * component distribution (Charikar '02 needs only spherical symmetry in
+    * expectation; ±1 projections are the standard cheap variant), and an
+    * md5-derived plane is renderable in SQL, so DuckDB rebuilds the
+    * ENTIRE index. The dot-product sign is evaluated on the proven 10⁻⁷
+    * integer grid (a7 — q143's quantize path): Σ ±a7ᵢ is an exact BIGINT
+    * in both engines, so no FP-accumulation-order gamble decides a bucket
+    * bit, and the blocking itself carries the oracle. */
+  def hyperplanes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, bits, dim) { (t, b, d) =>
+      if (HashFamily.hb48Jvm(s"graft-plane:$t:$b:$d") % 2 == 0) 1.0 else -1.0
+    }
 
-  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
+  /** Exact ±1-plane dot on the a7 integer grid — BIGINT, order-free. */
+  private def dotSigns7(a7: Column, signs: Array[Long]): Column =
+    aggregate(zip_with(a7, typedlit(signs.toSeq), (x, s) => x * s),
+      lit(0L), (acc, x) => acc + x)
+
+  /** One table's bucket id from an `a7` BIGINT-array column: bit i set iff
+    * the i-th plane's exact integer dot is >= 0. */
+  def lshBucket(a7: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(emb, lit(p)) >= 0, lit(1 << i)).otherwise(lit(0)): Column
+      when(dotSigns7(a7, p.map(_.toLong)) >= 0, lit(1 << i)).otherwise(lit(0)): Column
     }.reduce((a, b) => a.bitwiseOR(b))
 
   def q42AnnLsh(s: SparkSession, d: String, k: Int = 3): DataFrame =
@@ -163,9 +180,9 @@ object SimilarityOps {
                               k: Int = 3): DataFrame = {
     val dim = 64
     val planes = hyperplanes(tables = tables, bits = bits, dim = dim)
-    val withBuckets = e.select(col("vec_id"),
+    val withBuckets = e.withColumn("a7", expr(a7GridSql)).select(col("vec_id"),
       posexplode(array(planes.indices.map(ti =>
-        lshBucket(col("embedding"), planes(ti))): _*)).as(Seq("tbl", "bucket")))
+        lshBucket(col("a7"), planes(ti))): _*)).as(Seq("tbl", "bucket")))
     // multi-table collision dedup over bare id pairs; embeddings re-attach
     // afterwards (same shuffle discipline as DedupOps.minhashNearDupPairs)
     val q = withBuckets.filter(col("vec_id") < 10)
@@ -214,37 +231,43 @@ object SimilarityOps {
   }
 
   // ---------------------------------------------------------------- q56
-  /** Deterministic k-means-lite coarse quantizer for IVF: init = the
-    * lowest-vec_id vectors, then `iters` Lloyd rounds computed
-    * distributedly — assignment is a broadcast-centroid crossJoin + argmax
-    * cosine (the same join shape the query path uses), the update is a
-    * per-dimension avg over posexploded members. Each round's centroid
-    * components are averaged in DECIMAL fixed point — decimal sums are
-    * exact, so the result is identical under ANY partial-aggregation order
-    * or partition layout (rounding a double avg is NOT enough: two FP sums
-    * that straddle a rounding boundary round apart) — then rounded to 6
-    * decimals as doubles. Only nlist x dim doubles ever reach the driver.
-    * At 100 TB you'd train on a sample (the assign/update jobs are linear
-    * scans); the query-side join shape is unchanged either way. */
-  def learnCentroids(e: DataFrame, nlist: Int, iters: Int = 2): Seq[(Int, Seq[Double])] = {
+  /** Deterministic k-means-lite coarse quantizer for IVF, ENTIRELY on the
+    * proven 10⁻⁷ integer grid (round-7 oracle conversion): init = the
+    * lowest-vec_id vectors' a7 arrays, then `iters` Lloyd rounds —
+    * assignment is a broadcast-centroid crossJoin + exact-BIGINT
+    * squared-L2 argmin (min-struct (dist2, list_id) tie-break, q143's
+    * discipline), the update is one truncating integral division
+    * sum(v7) div n per (list, dim) — Spark `div` ≡ DuckDB `//`, verified
+    * including negatives. No float exists anywhere in the loop, so the
+    * learned index is bit-identical in any partial-aggregation order AND
+    * replayable as unrolled SQL CTEs — which is what moved q56 from
+    * rows-only to hash-exact. A list that loses every member keeps its
+    * previous centroid (both engines spell that as a left-join COALESCE).
+    * Only nlist × dim longs ever reach the driver. At 100 TB you'd train
+    * on a sample (the assign/update jobs are linear scans); the
+    * query-side join shape is unchanged either way. */
+  def learnCentroids(e: DataFrame, nlist: Int, iters: Int = 2): Seq[(Int, Seq[Long])] = {
     val s = e.sparkSession
     import s.implicits._
-    var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < nlist)
-      .select(col("vec_id").cast("int"), col("embedding").cast("array<double>"))
-      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val a7 = e.select(col("vec_id"), expr(a7GridSql).as("a7"))
+    var cents: Seq[(Int, Seq[Long])] = a7.filter(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int"), col("a7"))
+      .as[(Int, Seq[Long])].collect().toSeq.sortBy(_._1)
     for (_ <- 0 until iters) {
-      val centDf = cents.toDF("list_id", "c_emb")
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("list_id"))
-      val updated = e.select(col("vec_id"), col("embedding"))
+      val centDf = cents.toDF("list_id", "c7")
+      val updated = a7
         .crossJoin(broadcast(centDf))
-        .withColumn("c_sim", call_function("graft_cosine", col("embedding"), col("c_emb")))
-        .withColumn("c_rk", row_number().over(w))
-        .filter(col("c_rk") === 1)
-        .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("dist2", expr(
+          """aggregate(zip_with(a7, c7, (x, y) -> (x - y) * (x - y)),
+            | CAST(0 AS BIGINT), (acc, t) -> acc + t)""".stripMargin))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("list_id"))).as("m"))
+        .select(col("vec_id"), col("m.list_id").as("list_id"))
+        .join(a7, "vec_id")
+        .select(col("list_id"), posexplode(col("a7")).as(Seq("pos", "v7")))
         .groupBy("list_id", "pos")
-        .agg(round(avg(col("x").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
-          .cast("double"), 6).as("m"))
-        .as[(Int, Int, Double)].collect()
+        .agg(expr("sum(v7) div count(1)").as("c7"))
+        .as[(Int, Int, Long)].collect()
         .groupBy(_._1)
         .map { case (lid, dims) => lid -> dims.sortBy(_._2).map(_._3).toSeq }
       // a list that lost every member keeps its previous centroid
@@ -254,13 +277,13 @@ object SimilarityOps {
   }
 
   /** IVF-style ANN with LEARNED coarse centroids (k-means-lite above):
-    * every vector assigned to its nearest centroid list; queries probe
-    * their `nprobe` nearest lists only. The scan shrinks by
-    * ~nlist/nprobe; the join shape (equi-join on list id) is identical at
-    * any scale. */
+    * every vector assigned to its nearest centroid list (exact integer
+    * L2); queries probe their `nprobe` nearest lists only. The scan
+    * shrinks by ~nlist/nprobe; the join shape (equi-join on list id) is
+    * identical at any scale. */
   def q56AnnIvf(s: SparkSession, d: String, nlist: Int = 16, nprobe: Int = 4,
                 k: Int = 3): DataFrame =
-    // spread: centroid assignment scores nlist cosines per row map-side
+    // spread: centroid assignment scores nlist distances per row map-side
     annIvfOn(Tables.spread(t(s, d, "embeddings"), "vec_id"), nlist, nprobe, k)
 
   /** The IVF ANN core over ANY (vec_id, embedding) frame — factored out so
@@ -273,23 +296,25 @@ object SimilarityOps {
     val s = e.sparkSession
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    val centroids = learnCentroids(e, nlist).toDF("list_id", "c_emb")
-    def nearestLists(v: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("c_sim").desc, col("list_id"))
+    val centroids = learnCentroids(e, nlist).toDF("list_id", "c7")
+    val a7e = e.withColumn("a7", expr(a7GridSql))
+    def nearestLists(v: DataFrame, idCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("dist2"), col("list_id"))
       v.crossJoin(broadcast(centroids))
-        .withColumn("c_sim", call_function("graft_cosine",
-          col(embCol), col("c_emb")))
+        .withColumn("dist2", expr(
+          """aggregate(zip_with(a7, c7, (x, y) -> (x - y) * (x - y)),
+            | CAST(0 AS BIGINT), (acc, t) -> acc + t)""".stripMargin))
         .withColumn("c_rk", row_number().over(w))
         .filter(col("c_rk") <= n)
-        .drop("c_emb", "c_sim", "c_rk")
+        .drop("c7", "dist2", "c_rk", "a7")
     }
     val cands = nearestLists(
-      e.select(col("vec_id").as("c_id"), col("embedding").as("cand_emb")),
-      "c_id", "cand_emb", 1) // each vector lives in exactly one list
+      a7e.select(col("vec_id").as("c_id"), col("embedding").as("cand_emb"), col("a7")),
+      "c_id", 1) // each vector lives in exactly one list
     val queries = nearestLists(
-      e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
-      "q_id", "q_emb", nprobe)
+      a7e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("a7")),
+      "q_id", nprobe)
     // each candidate lives in exactly ONE list, so a (query, candidate) pair
     // can surface through at most one probed list — no pair dedup needed
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
@@ -316,8 +341,9 @@ object SimilarityOps {
     * pairs are. Dedup apply = filter `sim >= threshold` on these pairs,
     * then the min-id anti-join of DedupOps.dropNearDuplicates — the
     * threshold is a policy choice applied downstream, NOT baked in here,
-    * so the ranking stays non-empty on dup-free corpora. Rows-only check:
-    * the hyperplane family lives in the Spark plan, not in DuckDB. */
+    * so the ranking stays non-empty on dup-free corpora. Hash-exact since
+    * round 7: the md5-Rademacher planes + a7-grid sign tests AND the
+    * cap-16 neighbor-chain window all replay in the DuckDB oracle. */
   def q61EmbeddingNearDup(s: SparkSession, d: String, k: Int = 25,
                           maxBucketNeighbors: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -325,9 +351,9 @@ object SimilarityOps {
     val planes = hyperplanes(tables = 4, bits = 8, dim = dim)
     // spread: 32 hyperplane dot products per row ride the scan stage
     val e = Tables.spread(t(s, d, "embeddings"), "vec_id")
-    val withBuckets = e.select(col("vec_id"),
+    val withBuckets = e.withColumn("a7", expr(a7GridSql)).select(col("vec_id"),
       posexplode(array(planes.indices.map(ti =>
-        lshBucket(col("embedding"), planes(ti))): _*)).as(Seq("band_idx", "band_hash")))
+        lshBucket(col("a7"), planes(ti))): _*)).as(Seq("band_idx", "band_hash")))
     // same capped bucket-join shape as the token/shingle dedup families
     val cand = DedupOps.bandedPairs(withBuckets, "vec_id", maxBucketNeighbors)
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
@@ -815,9 +841,159 @@ object SimilarityOps {
     "q56_ann_ivf" -> ((s: SparkSession, d: String) => q56AnnIvf(s, d)),
     "q61_embedding_neardup" -> ((s: SparkSession, d: String) => q61EmbeddingNearDup(s, d)))
 
-  /** q42's hyperplanes live in the Spark plan only → rows-only check.
-    * q40/q41/q53/q77 recompute the same double math in DuckDB. */
+  /** Shared oracle CTE text for the sign-LSH family (q42/q61): a7 values
+    * per (vec, dim), md5-Rademacher plane signs, exact integer dots, and
+    * per-table bucket ids — the engine's blocking replayed verbatim.
+    * NB: no fragment line may START with "||" — this pre-stripped text is
+    * embedded in outer stripMargin oracles, and the second margin strip
+    * would eat one pipe of a line-leading concat. */
+  private def lshBucketsCtes(tables: Int, bits: Int): String =
+    s"""ve AS (
+       | SELECT vec_id, i - 1 AS d,
+       |  CAST(CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(18,7))
+       |    * 10000000 AS BIGINT) AS v7
+       | FROM embeddings, range(1, 65) t(i)),
+       |pl AS (
+       | SELECT t, b, d,
+       |  CASE WHEN CAST(('0x' || substr(md5('graft-plane:' ||
+       |    CAST(t AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':' ||
+       |    CAST(d AS VARCHAR)), 1, 12))
+       |    AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+       | FROM range(0, $tables) tt(t), range(0, $bits) bb(b), range(0, 64) dd(d)),
+       |dots AS (
+       | SELECT ve.vec_id, pl.t, pl.b, sum(pl.s * ve.v7) AS sd
+       | FROM ve JOIN pl ON pl.d = ve.d GROUP BY 1, 2, 3),
+       |bk AS (
+       | SELECT vec_id, t AS tbl,
+       |  CAST(sum(CASE WHEN sd >= 0
+       |    THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT)
+       |   AS bucket
+       | FROM dots GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB spelling of the rounded-double cosine between two rows of a
+    * doubles-list CTE (the q40 discipline). */
+  private def cosSql(a: String, b: String): String =
+    s"""round(
+       |   list_sum(list_transform(range(1, 65), i -> $a.emb[i] * $b.emb[i]))
+       |   / (sqrt(list_sum(list_transform($a.emb, x -> x * x)))
+       |      * sqrt(list_sum(list_transform($b.emb, x -> x * x)))), 6)""".stripMargin
+
+  /** q56's oracle: the integer-grid Lloyd loop unrolled as CTEs — init
+    * from the lowest-vec_id vectors, `iters` rounds of exact-BIGINT L2
+    * assignment + truncating-division centroid update (empty lists keep
+    * their previous centroid via LEFT JOIN COALESCE), then the probe/
+    * assign/score tail with the same (dist2, list_id) and (sim, c_id)
+    * tie-breaks the engine uses. Generated from the SAME (nlist, nprobe,
+    * k, iters) constants as the engine — shared shape, cannot drift. */
+  private[graft] def ivfOracleSql(nlist: Int = 16, nprobe: Int = 4,
+                                  k: Int = 3, iters: Int = 2): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""d$i AS (
+         | SELECT ve.vec_id, c.list_id,
+         |  CAST(sum((ve.v7 - c.c7) * (ve.v7 - c.c7)) AS BIGINT) AS dist2
+         | FROM ve JOIN c${i - 1} c USING (d) GROUP BY 1, 2),
+         |a$i AS (
+         | SELECT vec_id,
+         |  (min(struct_pack(d2 := dist2, l := list_id))).l AS list_id
+         | FROM d$i GROUP BY 1),
+         |c$i AS (
+         | SELECT c.list_id, c.d, COALESCE(u.c7, c.c7) AS c7
+         | FROM c${i - 1} c LEFT JOIN (
+         |  SELECT a.list_id, ve.d,
+         |   CAST(CAST(sum(ve.v7) AS BIGINT) // count(*) AS BIGINT) AS c7
+         |  FROM a$i a JOIN ve USING (vec_id) GROUP BY 1, 2) u
+         |  ON u.list_id = c.list_id AND u.d = c.d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ve AS (
+       | SELECT vec_id, i - 1 AS d,
+       |  CAST(CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(18,7))
+       |    * 10000000 AS BIGINT) AS v7
+       | FROM embeddings, range(1, 65) t(i)),
+       |c0 AS (
+       | SELECT CAST(vec_id AS INT) AS list_id, d, v7 AS c7
+       | FROM ve WHERE vec_id < $nlist),
+       |$rounds,
+       |df AS (
+       | SELECT ve.vec_id, c.list_id,
+       |  CAST(sum((ve.v7 - c.c7) * (ve.v7 - c.c7)) AS BIGINT) AS dist2
+       | FROM ve JOIN c$iters c USING (d) GROUP BY 1, 2),
+       |ca AS (
+       | SELECT vec_id AS c_id,
+       |  (min(struct_pack(d2 := dist2, l := list_id))).l AS list_id
+       | FROM df GROUP BY 1),
+       |qp AS (
+       | SELECT vec_id AS q_id, list_id FROM (
+       |  SELECT vec_id, list_id,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist2, list_id)
+       |     AS rk
+       |  FROM df WHERE vec_id < 10) WHERE rk <= $nprobe),
+       |e AS (
+       | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       | FROM embeddings),
+       |p AS (
+       | SELECT qp.q_id, ca.c_id, ${cosSql("q", "c")} AS sim
+       | FROM qp JOIN ca USING (list_id)
+       | JOIN e q ON q.vec_id = qp.q_id JOIN e c ON c.vec_id = ca.c_id
+       | WHERE qp.q_id <> ca.c_id),
+       |r AS (
+       | SELECT q_id, c_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+       |    AS INT) AS rk
+       | FROM p)
+       |SELECT q_id, c_id, sim, rk FROM r WHERE rk <= $k
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** Every similarity query is hash-exact since round 7: the sign-LSH
+    * planes (q42/q61) derive from md5 bits and test on the a7 integer
+    * grid, and the IVF quantizer (q56) is the unrolled integer-grid
+    * Lloyd loop — DuckDB rebuilds each index, not just the scoring. */
   val oracle: Map[String, String] = Map(
+    "q56_ann_ivf" -> ivfOracleSql(),
+    // q42: replay plane signs, integer dots, per-table buckets, the
+    // multi-table candidate dedup, exact rounded cosine, per-query top-k
+    "q42_ann_lsh" ->
+      s"""WITH ${lshBucketsCtes(4, 8)},
+         |cand AS (
+         | SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+         | FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         | WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |e AS (
+         | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         | FROM embeddings),
+         |p AS (
+         | SELECT cand.q_id, cand.c_id, ${cosSql("q", "c")} AS sim
+         | FROM cand JOIN e q ON q.vec_id = cand.q_id
+         |   JOIN e c ON c.vec_id = cand.c_id),
+         |r AS (
+         | SELECT q_id, c_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+         |    AS INT) AS rk
+         | FROM p)
+         |SELECT q_id, c_id, sim, rk FROM r WHERE rk <= 3
+         |ORDER BY q_id, rk""".stripMargin,
+    // q61: same buckets over ALL vectors, the cap-16 neighbor-chain
+    // window (q36's discipline), exact rounded cosine, global top-25
+    "q61_embedding_neardup" ->
+      s"""WITH ${lshBucketsCtes(4, 8)},
+         |rk AS (
+         | SELECT vec_id, tbl, bucket,
+         |  row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id)
+         |    AS pos
+         | FROM bk),
+         |cand AS (
+         | SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         | FROM rk a JOIN rk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |  AND b.pos > a.pos AND b.pos - a.pos <= 16),
+         |e AS (
+         | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         | FROM embeddings),
+         |p AS (
+         | SELECT cand.vec_a, cand.vec_b, ${cosSql("q", "c")} AS sim
+         | FROM cand JOIN e q ON q.vec_id = cand.vec_a
+         |   JOIN e c ON c.vec_id = cand.vec_b)
+         |SELECT vec_a, vec_b, sim FROM p
+         |ORDER BY sim DESC, vec_a, vec_b LIMIT 25""".stripMargin,
     "q208_mmr_rerank" -> mmrOracleSql(),
     // integer-grid L2: quantize, truncating-divide centroids, BIGINT
     // squared sums — `//` and Spark's `div` both truncate toward zero
