@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{DedupOps, EtlOps, GraphOps, LayoutOps, MultimodalOps, Relational, SimilarityOps, StatsOps, TextOps}
+import graft.ops.{DedupOps, EtlOps, GraphOps, LayoutOps, MultimodalOps, Relational, SimilarityOps, StatsOps, TextOps, TpchOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,6 +21,7 @@ object SparkEntry {
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
       GraphOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
       StatsOps.queries ++ EtlOps.queries ++ LayoutOps.queries ++
+      TpchOps.queries ++
       Map(
         "q76_stream_static_join" ->
           ((s: SparkSession, d: String) => graft.streaming.EventsStream.q76StreamStaticJoin(s, d)),
@@ -75,6 +76,7 @@ object SparkEntry {
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
       GraphOps.oracle ++ SimilarityOps.oracle ++ MultimodalOps.oracle ++
       StatsOps.oracle ++ EtlOps.oracle ++ LayoutOps.oracle ++
+      TpchOps.oracle ++
       // streaming twins of q23/q28: same semantics, so literally the same
       // oracle strings — the stream must produce the batch answer
       Map(
