@@ -18,51 +18,23 @@ object PlanAudit {
     "q40_cosine_topk" -> "10-vector query set broadcast",
     "q53_cosine_topk_native" -> "10-vector query set broadcast",
     "q26_range_band_join" -> "price-band grid broadcast (bounded bands)",
-    "q85_value_histogram" -> "—",
     "q115_distribution_drift" -> "one-row totals broadcast",
     "q110_heavy_hitters" -> "one-row token total broadcast",
     "q104_chi2_independence" -> "one-row total broadcast",
     "q72_tfidf_terms" -> "one-row doc-count broadcast",
     "q127_ppl_buckets" -> "one-row corpus stats broadcast",
-    "q170_benford_audit" -> "9-digit grid",
-    "q121_bootstrap_se" -> "resample-id grid broadcast",
     "q90_token_pmi" -> "one-row doc-count broadcast",
     "q154_stream_hitters" -> "one-row token total broadcast",
-    "q42_ann_lsh" -> "query-signature broadcast",
     "q56_ann_ivf" -> "query + centroid broadcast",
-    "q61_embedding_neardup" -> "query-side broadcast",
-    "q128_negative_sampling" -> "positive-set broadcast",
     "q208_mmr_rerank" -> "top-m candidate set broadcast",
     "q143_nearest_centroid" -> "centroid table broadcast",
-    "q146_int8_quantize" -> "per-label scale broadcast",
-    "q179_pca_power" -> "gram-matrix broadcast (dim², data-free)",
-    "q186_split_drift" -> "per-label sums broadcast",
-    "q77_label_centroids" -> "one-row totals broadcast",
-    "q102_contamination" -> "eval-side gram set broadcast",
     "q111_mixture_weights" -> "one-row totals broadcast",
-    "q100_vocab_coverage" -> "vocab list broadcast",
     "q109_lm_doc_score" -> "bigram LM table broadcast",
-    "q84_weighted_sample" -> "one-row totals broadcast",
-    "q139_kfold_assign" -> "fold-id grid broadcast",
     "q162_funnel_curve" -> "stage grid broadcast",
-    "q166_sketch_quantiles" -> "quantile-p grid broadcast",
-    "q169_kanon_audit" -> "k-threshold grid broadcast",
-    "q212_l_diversity" -> "l-threshold grid broadcast",
-    "q190_countmin_freq" -> "probe-key table vs 2048-cell grid",
     "q195_bloom_index" -> "probe-key list broadcast",
     "q207_zonemap_index" -> "probe grid broadcast",
-    "q229_layout_audit" -> "band-offset table broadcast",
     "q182_ks_test" -> "two one-row totals broadcast",
-    "q157_ab_experiment" -> "one-row arm totals",
-    "q165_ivm_join" -> "delta-side broadcast",
     "q114_integrity_audit" -> "one-row totals broadcast",
-    "q92_column_profile" -> "one-row totals broadcast",
-    "q145_shard_balance" -> "shard-id grid broadcast",
-    "q168_skew_audit" -> "one-row totals broadcast",
-    "q181_curation_funnel" -> "one-row stage totals broadcast",
-    "q188_weighted_quantiles" -> "quantile-p grid broadcast",
-    "q173_gini_tokens" -> "one-row totals broadcast",
-    "q136_degree_histogram" -> "one-row totals broadcast",
     "q122_cohort_ltv" -> "cohort-size × one-row max-week grid broadcast",
     "q132_basket_lift" -> "|event types|-row singles + one-row user total",
     "q149_bm25" -> "one-row corpus stats broadcast",
@@ -70,7 +42,9 @@ object PlanAudit {
     "q191_kcore_peel" -> "one-row per-round edge-count certificate",
     "q81_event_funnel" -> "one-row stage totals broadcast",
     "q256_pagination" -> "one-row keyset anchor broadcast",
-    "q258_intdiv_semantics" -> "15×3 generated grid cross join")
+    "q258_intdiv_semantics" -> "15×3 generated grid cross join",
+    "q311_tpch11_stock" -> "one-row value-threshold broadcast (TPC-H Q11)",
+    "q322_tpch22_opportunity" -> "one-row avg-balance broadcast (TPC-H Q22)")
 
   def scan(spark: org.apache.spark.sql.SparkSession, d: String,
            only: Option[Set[String]] = None): Seq[(String, Seq[String])] =

@@ -136,11 +136,26 @@ class PlanShapeSpec extends AnyFunSuite {
     // plans every non-stream registered query; anything that plans a
     // CartesianProduct / BroadcastNestedLoopJoin and is not explicitly
     // allowlisted (domain-bounded broadcast cross joins) is a regression
-    val suspects = graft.PlanAudit.scan(spark, TestSpark.sf)
-      .filter { case (n, bad) =>
-        bad.nonEmpty && !graft.PlanAudit.allowedNestedLoop.contains(n)
-      }
+    val scanned = graft.PlanAudit.scan(spark, TestSpark.sf)
+    val suspects = scanned.filter { case (n, bad) =>
+      bad.nonEmpty && !graft.PlanAudit.allowedNestedLoop.contains(n)
+    }
     assert(suspects.isEmpty,
       s"unexpected nested-loop plans: ${suspects.map(_._1).mkString(", ")}")
+    // the gate is BIDIRECTIONAL (r6 verdict item 8): an allowlisted batch
+    // query that no longer plans a nested loop is a STALE entry — the
+    // allowlist must shrink with the plans, or removing a real regression
+    // guard later would go unnoticed. (Stream-only entries are pinned by
+    // their own specs; scan() excludes them.)
+    val byName = scanned.toMap
+    val stale = graft.PlanAudit.allowedNestedLoop.keys.toSeq.sorted.filter {
+      n => byName.get(n).exists(_.isEmpty)
+    }
+    assert(stale.isEmpty,
+      s"allowlist entries whose queries no longer plan nested loops — " +
+        s"remove them: ${stale.mkString(", ")}")
+    // and a query that cannot even plan must always surface
+    val broken = scanned.filter(_._2.contains("PlanningFailed"))
+    assert(broken.isEmpty, s"queries failing to plan: ${broken.map(_._1).mkString(", ")}")
   }
 }
