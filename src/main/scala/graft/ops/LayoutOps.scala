@@ -599,7 +599,10 @@ object LayoutOps {
 
   /** Range-read `dir` for keyCol in [lo, hi] touching only zone-overlap
     * files. Returns (result, filesRead, filesTotal). No false negatives:
-    * the result is exactly the full filter (spec-proved). */
+    * the result is exactly the full filter (spec-proved). The prune
+    * decision is one relational filter over the index; only the FINAL
+    * surviving file list reaches the driver — the same scale as the
+    * FileIndex any scan already materializes there. */
   def zonemapPrunedRead(s: SparkSession, dir: String, index: DataFrame,
                         keyCol: String, lo: Long, hi: Long): (DataFrame, Long, Long) = {
     val total = index.count()
@@ -627,15 +630,28 @@ object LayoutOps {
 
   /** Point-read `dir` for keyCol == key touching only bloom-hit files.
     * Returns (result, filesRead, filesTotal). No false negatives: the
-    * result is exactly the full filter (spec-proved). */
+    * result is exactly the full filter (spec-proved).
+    *
+    * The prune decision stays RELATIONAL end to end (r6 verdict item 6):
+    * a file is a hit iff all 3 probe cells are set, computed as ONE pass
+    * over the index — filter to the 3 (j, pos) cells, group by file,
+    * keep files covering all 3 distinct j — and only the FINAL file list
+    * is collected (one short string per surviving file). The previous
+    * form reduced three per-cell frames with DataFrame.intersect: also
+    * relational, but 3 index scans + 2 shuffle-distincts where one
+    * grouped scan suffices, and at 100 TB (~10⁶ manifest rows per probe
+    * batch) the index scan count is the cost. */
   def bloomPrunedRead(s: SparkSession, dir: String, index: DataFrame,
                       keyCol: String, key: Long): (DataFrame, Long, Long) = {
     val hb = HashFamily.hb48Jvm(key.toString)
     val ps = (0 until 3).map(j => (j, HashFamily.bucketJvm(hb, j, bloomM)))
     val total = index.select("file").distinct().count()
-    val picked = ps.map { case (j, p) =>
-        index.filter(col("j") === j && col("pos") === p).select("file")
-      }.reduce(_.intersect(_)).collect().map(_.getString(0))
+    val cellHit = ps.map { case (j, p) => col("j") === j && col("pos") === p }
+      .reduce(_ || _)
+    val picked = index.filter(cellHit)
+      .groupBy("file").agg(countDistinct(col("j")).as("nj"))
+      .filter(col("nj") === 3)
+      .select("file").collect().map(_.getString(0))
     val res =
       (if (picked.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
