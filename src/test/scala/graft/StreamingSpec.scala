@@ -481,6 +481,170 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
+  /** Shared stop/restart recovery harness (r6 verdict item 7 — the q225
+    * RocksDB recovery spec generalized): run `pipeline` over a parquet
+    * source dir with a checkpointed foreachBatch sink, kill it, add more
+    * input while it is DOWN, restart from the checkpoint, and return
+    * everything emitted across both lives. */
+  private def runRecovered(drain: org.apache.spark.sql.SparkSession,
+      ckpt: String, outDir: String,
+      pipeline: () => org.apache.spark.sql.DataFrame)(
+      betweenRuns: => Unit): org.apache.spark.sql.DataFrame = {
+    def run(): Unit = {
+      val q = pipeline().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    betweenRuns
+    run()
+    drain.read.parquet(outDir)
+  }
+
+  private def rocksDrain(): org.apache.spark.sql.SparkSession = {
+    val drain = spark.newSession()
+    drain.conf.set("spark.sql.shuffle.partitions", "8")
+    drain.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    drain
+  }
+
+  test("q246 ListState top-k survives a stop/restart from the checkpoint") {
+    import graft.streaming.DocsStream
+    val srcDir = Files.createTempDirectory("topk_src").toString
+    val ckpt = Files.createTempDirectory("topk_ckpt").toString
+    val outDir = Files.createTempDirectory("topk_out").toString
+    val rows = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"),
+        lit(false).as("sentinel"))
+    rows.filter(pmod(col("event_id"), lit(2)) === 0).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val drain = rocksDrain()
+    import drain.implicits._
+    def pipeline() = drain.readStream
+      .schema(org.apache.spark.sql.Encoders.product[DocsStream.PurchRow].schema)
+      .parquet(srcDir).as[DocsStream.PurchRow]
+      .groupByKey(_.event_type)
+      .transformWithState(new DocsStream.TopKProcessor(5),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF()
+    val got = runRecovered(drain, ckpt, outDir, pipeline _) {
+      // second half AND the flush sentinels land while the query is DOWN:
+      // the restart must merge them into the RECOVERED ListState top-k
+      rows.filter(pmod(col("event_id"), lit(2)) === 1).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      val types = rows.select("event_type").distinct()
+        .collect().map(_.getString(0))
+      types.toSeq.map(t => DocsStream.PurchRow(t, -1L, 0L, sentinel = true))
+        .toDF().write.mode("append").parquet(srcDir)
+    }.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val want = rows.select("event_type", "event_id", "c").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (tpe, g) =>
+        g.map(x => (x._3, x._2)).distinct.sortBy { case (c, id) => (-c, id) }
+          .take(5).zipWithIndex
+          .map { case ((c, id), i) => (tpe, i + 1, id, c) }
+      }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === want)
+  }
+
+  test("q251 MapState daily map survives a stop/restart from the checkpoint") {
+    import graft.streaming.DocsStream
+    val srcDir = Files.createTempDirectory("dmap_src").toString
+    val ckpt = Files.createTempDirectory("dmap_ckpt").toString
+    val outDir = Files.createTempDirectory("dmap_out").toString
+    val rows = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+    rows.filter(pmod(col("event_id"), lit(2)) === 0)
+      .select(col("event_type"), col("day"), col("c"), lit(false).as("sentinel"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val drain = rocksDrain()
+    import drain.implicits._
+    def pipeline() = drain.readStream
+      .schema(org.apache.spark.sql.Encoders.product[DocsStream.DayRow].schema)
+      .parquet(srcDir).as[DocsStream.DayRow]
+      .groupByKey(_.event_type)
+      .transformWithState(new DocsStream.DailyMapProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF()
+    val got = runRecovered(drain, ckpt, outDir, pipeline _) {
+      rows.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_type"), col("day"), col("c"), lit(false).as("sentinel"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      val types = rows.select("event_type").distinct()
+        .collect().map(_.getString(0))
+      types.toSeq.map(t => DocsStream.DayRow(t, -1L, 0L, sentinel = true))
+        .toDF().write.mode("append").parquet(srcDir)
+    }.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // point-updated MapState cells recovered from RocksDB must fold the
+    // down-time rows into exactly the batch (type, day) rollup
+    val want = rows.collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      .groupBy(t => (t._1, t._2)).toSeq.map { case ((tpe, day), g) =>
+        (tpe, day, g.length.toLong, g.map(_._3).sum)
+      }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === want)
+  }
+
+  test("q60 session state survives a stop/restart from the checkpoint") {
+    val srcDir = Files.createTempDirectory("sess_src").toString
+    val ckpt = Files.createTempDirectory("sess_ckpt").toString
+    val outDir = Files.createTempDirectory("sess_out").toString
+    val exact = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("ts", timestamp_micros(col("tus")))
+      .select("event_id", "user_id", "cents", "tus", "ts")
+    val bounds = exact.agg(min("tus"), max("tus")).head()
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    // TIME split, not parity: a restart resumes with the checkpointed
+    // watermark, so the down-time half must be entirely above it or the
+    // source itself would legitimately drop rows and test nothing
+    exact.filter(col("tus") < mid).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val drain = rocksDrain()
+    import drain.implicits._
+    def pipeline() = EventsStream.sessionizeExact(
+      drain.readStream
+        .schema(org.apache.spark.sql.Encoders.product[EventsStream.ExactEvent].schema)
+        .parquet(srcDir).as[EventsStream.ExactEvent]).toDF()
+    val got = runRecovered(drain, ckpt, outDir, pipeline _) {
+      // later half + the far-future sentinel arrive while the query is
+      // DOWN; cross-boundary sessions must merge from recovered state
+      exact.filter(col("tus") >= mid).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      val sentinelUs = bounds.getLong(1) + 10L * 24 * 3600 * 1000000
+      Seq((-1L, -1L, 0L, sentinelUs))
+        .toDF("event_id", "user_id", "cents", "tus")
+        .withColumn("ts", timestamp_micros(col("tus")))
+        .write.mode("append").parquet(srcDir)
+    }.filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // one-shot twin: the same state machine drained without any restart
+    // (itself pinned to q28's exact oracle)
+    val want = EventsStream.q60StreamSessionize(spark, TestSpark.sf)
+      .select(col("user_id"),
+        expr("unix_micros(cast(session_start AS TIMESTAMP))").as("start_us"),
+        col("n_events"),
+        expr("CAST(round(sum_value * 100, 0) AS BIGINT)").as("sum_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty && got.toSeq === want.toSeq)
+  }
+
   test("q245 streamed quantile grid is row-identical to the batch q236 build") {
     val stream = graft.streaming.DocsStream.q245StreamQuantileGrid(spark, TestSpark.sf)
       .collect().map(_.toSeq)
