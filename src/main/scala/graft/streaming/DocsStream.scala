@@ -222,7 +222,12 @@ object DocsStream {
       }
       if (flush) {
         nDocs.clear(); minK.clear()
-        Iterator.single(KmvSketch(lang, n, set.size.toLong, set.last))
+        // a sentinel for a group that never saw data (possible when the
+        // sentinel lang list and the stream's source drift) flushes
+        // NOTHING — set.last on the empty sketch was the sf1 crash that
+        // exposed the GenScale single-file-contract break
+        if (set.isEmpty) Iterator.empty
+        else Iterator.single(KmvSketch(lang, n, set.size.toLong, set.last))
       } else {
         nDocs.update(n); minK.update(set.mkString(","))
         Iterator.empty
