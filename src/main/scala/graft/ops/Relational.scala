@@ -1083,8 +1083,11 @@ object Relational {
     * roundtrip contract is "extraction inverts construction", and any
     * path/namespace/cast bug in the xpath kernel breaks the hash. */
   def q252XpathExtract(s: SparkSession, d: String): DataFrame =
-    t(s, d, "orders")
-      .filter(pmod(col("o_orderkey"), lit(50)) === 0)
+    // spread: per-row XML render + four JAXP xpath evaluations are the
+    // compute stage (sf1: 14 s nearly-single-task unspread)
+    graft.Tables.spread(
+      t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(50)) === 0),
+      "o_orderkey")
       .select(col("o_orderkey"),
         col("o_orderstatus").as("st"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")

@@ -137,7 +137,8 @@ object TextOps {
 
   def q62RollingFingerprint(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
-    t(s, d, "documents").select(
+    // spread: one md5 per token (twice) per document rides the scan
+    graft.Tables.spread(t(s, d, "documents"), "doc_id").select(
       col("doc_id"),
       md5RollingHash(toks).as("fp_rolling"),
       array_min(transform(toks, tk => md5TokenHash(tk))).as("fp_min_token"))
@@ -712,7 +713,9 @@ object TextOps {
       phonePattern, "<PHONE>")
 
   def q78PiiScrub(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").select(
+    // spread: three regexp_extract_all passes + the redact chain per row
+    // ride the scan stage — single-split at every graded layout
+    graft.Tables.spread(t(s, d, "documents"), "doc_id").select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(emailPattern), lit(0))).as("n_emails"),
       size(regexp_extract_all(col("text"), lit(urlPattern), lit(0))).as("n_urls"),
@@ -1086,7 +1089,9 @@ object TextOps {
     * documented on [[q109LmDocScore]]. */
   private def lmPerDocNll(docs: DataFrame): DataFrame = {
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val bg = docs
+    // spread: tokenize + bigram zip explode is the compute-heavy map
+    // stage of every consumer (q109/q127/q151) — widen the scan first
+    val bg = graft.Tables.spread(docs, "doc_id")
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(zip_with(
         slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
@@ -1312,7 +1317,9 @@ object TextOps {
                           topGramMax: Double = 0.18,
                           dupTriMax: Double = 0.30): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val base = t(s, d, "documents")
+    // spread: both gram arrays + the fused max-run expression are one
+    // compute-bound projection per row (sf1: 10.9 s single-task unspread)
+    val base = graft.Tables.spread(t(s, d, "documents"), "doc_id")
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), size(col("t")).as("n_tokens"),
         wordGrams(col("t"), 2).as("g2"), wordGrams(col("t"), 3).as("g3"))
@@ -1468,7 +1475,9 @@ object TextOps {
     * end to end; the one IEEE division per row is on exact operands. */
   def q163BpeEncode(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
     val merges = bpeTrain(s, d, rounds).map(_._2)
-    val pre = t(s, d, "documents")
+    // spread: the GPT-2-style pre-token regexp over every document is
+    // the pipeline's map-heavy stage (sf1: 10.6 s single-task unspread)
+    val pre = graft.Tables.spread(t(s, d, "documents"), "doc_id")
       .select(col("doc_id"),
         explode(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("tok"))
     var enc = pre.select("tok").distinct()

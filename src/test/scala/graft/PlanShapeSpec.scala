@@ -90,9 +90,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashExchanges === 1, plan)
   }
 
-  test("q78: pii scrub plans zero shuffles before the output sort") {
+  test("q78: pii scrub plans at most the spread exchange before the output sort") {
+    // r7: the regex-heavy projection rides behind Tables.spread (the sf1
+    // single-split starvation fix), so ONE narrow width-spreading
+    // exchange of the raw rows is the design; any second hash exchange
+    // (an accidental aggregation/join) is still a regression
     val plan = planOf(ops.TextOps.q78PiiScrub(spark, TestSpark.sf))
-    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1, plan)
   }
 
   test("q113: verify attaches shuffle-hash — no docs-wide broadcast build") {
