@@ -283,8 +283,9 @@ object TpchOps {
 
   // ---------------------------------------------------------------- q312
   /** TPC-H Q12 shipping-mode priority mix (l_shipmode absent →
-    * l_linestatus bands the lines; lateness substitute as in q304): for
-    * 1998 shipments, high- vs low-priority order counts per band. */
+    * l_linestatus bands the lines): for 1998 shipments, high- vs
+    * low-priority order counts per band — the conditional-count pair
+    * that defines Q12's aggregate shape. */
   def q312(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .filter(ntz(col("l_shipdate")) >= tsLit("1998-01-01T00:00:00") &&
