@@ -44,6 +44,72 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.map(_._2).toSet === (2 to m).map(_.toLong).toSet)
   }
 
+  test("sparse-regime corpus (Zipf vocab): LSH finds exactly the planted pairs") {
+    // The graded documents corpus is unrealistically DENSE (~40-word
+    // vocab — BASELINE.md round-1 note), so LSH selectivity never runs
+    // in its designed regime there. This fixture is the sparse corpus:
+    // a 5000-token Zipf-ish vocabulary, 400 independent documents, and
+    // 20 planted near-dups at token-set Jaccard ≈ 0.9. The verified
+    // pair set must equal the BRUTE-FORCE thresholded set exactly (at
+    // j ≈ 0.9 the per-pair banding miss probability is ~4e-8), and the
+    // pair mass must collapse to the planted edges — the ~n²/4 pair
+    // explosion of the dense corpus cannot appear here.
+    val rnd = new scala.util.Random(99)
+    val vocabN = 5000
+    def zipfTok(): String = {
+      val r = math.pow(rnd.nextDouble(), 3.0) // mass toward low ranks
+      s"w${(r * vocabN).toInt.min(vocabN - 1)}"
+    }
+    val base = (0 until 400).map { i =>
+      (i.toLong, Seq.fill(60)(zipfTok()).mkString(" "))
+    }
+    val planted = (0 until 20).map { j =>
+      val toks = base(j)._2.split(" ").toVector
+      val mutated = (0 until 3).foldLeft(toks)((t, _) =>
+        t.updated(rnd.nextInt(t.size), zipfTok()))
+      (1000L + j, mutated.mkString(" "))
+    }
+    val all = base ++ planted
+    val docs = all.map { case (i, t) => (i, t, "s") }
+      .toDF("doc_id", "text", "source")
+    val got = DedupOps.minhashNearDupPairsMd5(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // driver-side brute force over the 420-doc token sets
+    val sets = all.map { case (i, t) =>
+      i -> t.toLowerCase.trim.split("[ \\t\\n\\x0B\\f\\r]+").toSet
+    }
+    def r4(j: Double): BigDecimal = // Spark round() = HALF_UP
+      BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if r4(j) >= BigDecimal("0.8")
+    } yield (a, b)).toSet
+    assert(got === brute, "LSH must find exactly the brute-force pair set")
+    assert(got.size >= 15 && got.size <= 25,
+      s"pair mass must stay at the planted scale, got ${got.size}")
+    assert(got.forall { case (a, b) => b >= 1000L || a >= 1000L },
+      "only planted twins may pair in the sparse regime")
+    // the guaranteed-recall prefix-filter basis agrees on the same corpus
+    // 3 token edits in 60 tokens damage ~9 of ~58 shingles (j ≈ 0.73),
+    // so the shingle-level twins sit above 0.6, not 0.8
+    val pp = DedupOps.ppjoinPairs(docs, tNum = 3, tDen = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val bruteSh = {
+      val grams = all.map { case (i, t) =>
+        val tk = t.toLowerCase.trim.split("[ \\t\\n\\x0B\\f\\r]+")
+        i -> tk.sliding(3).map(_.mkString(" ")).toSet
+      }
+      (for {
+        (a, sa) <- grams; (b, sb) <- grams if a < b
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if r4(j) >= BigDecimal("0.6")
+      } yield (a, b)).toSet
+    }
+    assert(pp === bruteSh,
+      "prefix-filter recall is a theorem — sparse corpora included")
+  }
+
   test("md5-bit simhash: identical texts hash equal; banding pairs them") {
     val sh = DedupOps.simhashMd5(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

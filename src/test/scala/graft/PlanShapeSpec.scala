@@ -100,6 +100,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashExchanges <= 1, plan)
   }
 
+  test("tpch family: dimension joins broadcast, limit heads take-ordered") {
+    // the plan qualities that make the canonical set scale: catalog dims
+    // ride BroadcastHashJoin (never a shuffled fact-fact exchange for a
+    // 25-row nation), and every LIMIT head is TakeOrderedAndProject (a
+    // bounded heap), not a global sort
+    val p305 = planOf(ops.TpchOps.q305(spark, TestSpark.sf))
+    assert(p305.contains("BroadcastHashJoin"), p305)
+    val p302 = planOf(ops.TpchOps.q302(spark, TestSpark.sf))
+    assert(p302.contains("BroadcastHashJoin") &&
+      p302.contains("TakeOrderedAndProject"), p302)
+    val p318 = planOf(ops.TpchOps.q318(spark, TestSpark.sf))
+    assert(p318.contains("TakeOrderedAndProject"), p318)
+    val p321 = planOf(ops.TpchOps.q321(spark, TestSpark.sf))
+    assert(p321.contains("TakeOrderedAndProject"), p321)
+  }
+
   test("q113: verify attaches shuffle-hash — no docs-wide broadcast build") {
     // the containment verify must never broadcast (doc_id, grams): the
     // build serializes the whole corpus' shingle sets through one task
