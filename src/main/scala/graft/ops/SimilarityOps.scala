@@ -671,12 +671,29 @@ object SimilarityOps {
     * oracle (md5 strings + window rank). */
   def q128NegativeSampling(s: SparkSession, d: String,
                            salt: String = "graft-neg-7",
-                           nBuckets: Int = 16, k: Int = 3): DataFrame = {
-    require(nBuckets == 16, "bucket id is one hex digit; widen the substr to scale")
-    val e = t(s, d, "embeddings")
+                           nBuckets: Int = 0, k: Int = 3): DataFrame = {
+    // nBuckets = 0 → ADAPTIVE: pair candidates are Σ m_b² ≈ n²/nBuckets,
+    // so the bucket count must grow with the corpus (the operator's
+    // documented scale contract — a fixed 16 measured ×25 scaling at the
+    // r7 sf1 run). The tier rule is a pure function of the corpus SIZE,
+    // so the DuckDB oracle derives the same digit count from count(*)
+    // and the query stays hash-exact at every SF. One hex digit per
+    // tier: 16 buckets below 10k vectors, 256 above (next tier at 2.56M
+    // would be 4096 — extend the match when a graded corpus gets there).
+    val e0 = t(s, d, "embeddings")
+    val nb =
+      if (nBuckets > 0) nBuckets
+      else if (e0.count() >= 10000L) 256 else 16
+    val digits = nb match {
+      case 16 => 1
+      case 256 => 2
+      case _ => throw new IllegalArgumentException(
+        s"nBuckets must be a hex-digit tier (16 or 256), got $nb")
+    }
+    val e = e0
       .select(col("vec_id"), col("label"),
         substring(md5(concat(lit(salt + ":"), col("vec_id").cast("string"))
-          .cast("binary")), 1, 1).as("bkt"))
+          .cast("binary")), 1, digits).as("bkt"))
     val cand = e.select(col("bkt"), col("vec_id").as("anchor_id"),
         col("label").as("anchor_label"))
       .join(e.select(col("bkt"), col("vec_id").as("neg_id"),
@@ -1116,10 +1133,16 @@ object SimilarityOps {
         | max(err2) AS max_err2,
         | CAST(CAST(sum(err2) AS HUGEINT) // count(*) AS BIGINT) AS mean_err2
         |FROM pv GROUP BY label ORDER BY label""".stripMargin,
+    // the bucket-id width derives from count(*) exactly as the engine's
+    // adaptive tier rule does (16 buckets below 10k vectors, 256 above)
     "q128_negative_sampling" ->
-      """WITH e AS (
+      """WITH nb AS (
+        | SELECT CASE WHEN count(*) >= 10000 THEN 2 ELSE 1 END AS d
+        | FROM embeddings),
+        |e AS (
         | SELECT vec_id, label,
-        |  substr(md5('graft-neg-7:' || CAST(vec_id AS VARCHAR)), 1, 1) AS bkt
+        |  substr(md5('graft-neg-7:' || CAST(vec_id AS VARCHAR)), 1,
+        |    (SELECT d FROM nb)) AS bkt
         | FROM embeddings),
         |c AS (
         | SELECT a.vec_id AS anchor_id, a.label AS anchor_label,

@@ -671,6 +671,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getAs[Long]("anchor_id"), r.getAs[Long]("neg_id"))
     assert(rows.map(key).toSet != other.map(key).toSet)
+    // the 256-bucket tier (r7 scale fix — candidates are n²/nBuckets, so
+    // the bucket count must grow with the corpus): explicit 256 keeps the
+    // sampling deterministic and each anchor's negatives inside its
+    // 2-hex-digit bucket; below the 10k-vector tier threshold the
+    // adaptive default stays at 16 (same rows as the explicit call)
+    val wide = SimilarityOps.q128NegativeSampling(spark, TestSpark.sf,
+      nBuckets = 256)
+    val e2 = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), substring(md5(concat(lit("graft-neg-7:"),
+        col("vec_id").cast("string")).cast("binary")), 1, 2).as("bkt"))
+    val crossBucket2 = wide
+      .join(e2.select(col("vec_id").as("anchor_id"), col("bkt").as("ba")), "anchor_id")
+      .join(e2.select(col("vec_id").as("neg_id"), col("bkt").as("bb")), "neg_id")
+      .filter(col("ba") =!= col("bb")).count()
+    assert(crossBucket2 === 0L)
+    val explicit16 = SimilarityOps.q128NegativeSampling(spark, TestSpark.sf,
+      nBuckets = 16).collect()
+    assert(rows.map(key).toSeq === explicit16.map(key).toSeq)
   }
 
   test("ppjoin: exact recall on a corpus with all its mass AT the threshold") {
