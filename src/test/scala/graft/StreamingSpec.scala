@@ -645,6 +645,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSeq === want.toSeq)
   }
 
+  test("q137 buffered-replay EWMA state survives a stop/restart from the checkpoint") {
+    // the order-sensitive family (q108/q137): recovered state must carry
+    // BOTH the emitted history (the last ≤15 observations, which every
+    // future smoothed value depends on) AND the still-held reorder buffer
+    val srcDir = Files.createTempDirectory("ewma_src").toString
+    val ckpt = Files.createTempDirectory("ewma_ckpt").toString
+    val outDir = Files.createTempDirectory("ewma_out").toString
+    val exact = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tus"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("vc"))
+      .withColumn("ts", timestamp_micros(col("tus")))
+      .select("event_id", "user_id", "tus", "vc", "ts")
+    val bounds = exact.agg(min("tus"), max("tus")).head()
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    exact.filter(col("tus") < mid).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val drain = rocksDrain()
+    import drain.implicits._
+    def pipeline() = EventsStream.ewmaExact(
+      drain.readStream
+        .schema(org.apache.spark.sql.Encoders.product[EventsStream.EwmaEvent].schema)
+        .parquet(srcDir).as[EventsStream.EwmaEvent]).toDF()
+    val got = runRecovered(drain, ckpt, outDir, pipeline _) {
+      exact.filter(col("tus") >= mid).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      val sentinelUs = bounds.getLong(1) + 10L * 24 * 3600 * 1000000
+      Seq((-1L, -1L, sentinelUs, 0L))
+        .toDF("event_id", "user_id", "tus", "vc")
+        .withColumn("ts", timestamp_micros(col("tus")))
+        .select("event_id", "user_id", "tus", "vc", "ts")
+        .write.mode("append").parquet(srcDir)
+    }.filter(col("user_id") >= 0)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val want = EventsStream.q137StreamEwma(spark, TestSpark.sf)
+      .select("user_id", "event_id", "tus", "value", "ewma")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.nonEmpty && got.toSeq === want.toSeq)
+  }
+
   test("q245 streamed quantile grid is row-identical to the batch q236 build") {
     val stream = graft.streaming.DocsStream.q245StreamQuantileGrid(spark, TestSpark.sf)
       .collect().map(_.toSeq)
