@@ -20,11 +20,16 @@ import org.apache.spark.sql.functions._
   *    facts in every real warehouse, and a fixed catalog preserves the
   *    broadcast-join design point the engine optimizes for.
   *  - documents: replica 0 keeps the source text verbatim; replica i > 0
-  *    prefixes every token with "r<i>" — within-replica near-dup
+  *    prefixes every token with "r<i>·" — within-replica near-dup
   *    structure is IDENTICAL to the source corpus while cross-replica
   *    token sets are disjoint, so dedup pair counts scale exactly ×factor
   *    (10 verbatim copies would instead square the pair mass into a
-  *    pathological mega-clique corpus that measures nothing).
+  *    pathological mega-clique corpus that measures nothing). The "·"
+  *    terminator makes the replica id self-delimiting ("r1·" + "1·x" can
+  *    never equal "r11·" + "x"), and because a source token could still
+  *    adversarially start with "r<digits>·", the generator ASSERTS the
+  *    disjointness it claims after writing: distinct output tokens must
+  *    equal factor × distinct source tokens.
   *  - embeddings: replica i > 0 jitters each component by a deterministic
   *    hash draw in ±0.01, preserving geometry (no exact-tie degeneracy,
   *    no duplicate vectors).
@@ -108,7 +113,7 @@ object GenScale {
         if (i == 0) col("text")
         else array_join(transform(
           split(trim(lower(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"),
-          t => concat(lit(s"r$i"), t)), " ")
+          t => concat(lit(s"r${i}·"), t)), " ")
       df.withColumn("doc_id", col("doc_id") + lit(i * docS))
         .withColumn("text", txt)
         .withColumn("n_chars", length(col("text")).cast("long"))
@@ -123,6 +128,19 @@ object GenScale {
       df.withColumn("vec_id", col("vec_id") + lit(i * vecS))
         .withColumn("embedding", emb)
     })
+
+    // the linear dedup-pair-scaling claim rests on cross-replica token
+    // disjointness — assert it instead of trusting the prefix scheme
+    // (a source token starting with "r<digits>·" would silently void it)
+    def vocab(df: DataFrame) = df
+      .select(explode(split(trim(lower(col("text"))),
+        "[ \\t\\n\\x0B\\f\\r]+")).as("tok"))
+      .filter(col("tok") =!= "").agg(count_distinct(col("tok"))).as[Long].head()
+    val srcVocab = vocab(rd("documents"))
+    val outVocab = vocab(spark.read.parquet(s"$out/documents.parquet"))
+    require(outVocab == factor.toLong * srcVocab,
+      s"cross-replica token collision: $outVocab distinct output tokens, " +
+        s"expected $factor × $srcVocab")
 
     Tables.names.foreach { n =>
       println(s"$n: ${spark.read.parquet(s"$out/$n.parquet").count()} rows")

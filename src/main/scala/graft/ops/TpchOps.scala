@@ -477,17 +477,23 @@ object TpchOps {
   /** TPC-H Q22 global sales opportunity. Country-code substitute:
     * c_nationkey plays c_phone's code; "no orders" (every customer here
     * has orders) becomes "no large orders" (none above 300k). The
-    * positive-balance average is a scalar subquery over exact decimals. */
+    * "above the positive-balance average" cut is CROSS-MULTIPLIED —
+    * bal·n_pos > sum_bal over exact decimals — never divided: a divided
+    * average is a rounded value (and DuckDB promotes sum(DECIMAL)/count
+    * to DOUBLE), so the strict > flips on corpora where the true average
+    * lands exactly on a cent-grid balance; the cross-multiplied form
+    * compares against the exact rational average in both engines. */
   def q322(s: SparkSession, d: String): DataFrame = {
     val codes = Seq(1, 3, 5, 7, 9, 11, 13)
     val cust = t(s, d, "customer").filter(col("c_nationkey").isin(codes: _*))
     val avgBal = cust.filter(col("c_acctbal") > 0)
-      .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))) / count(lit(1)))
-        .as("avg_bal"))
+      .agg(sum(col("c_acctbal").cast(DecimalType(18, 2))).as("sum_bal"),
+        count(lit(1)).as("n_pos"))
     val bigOrders = t(s, d, "orders").filter(col("o_totalprice") > 300000)
       .select(col("o_custkey"))
     cust.crossJoin(broadcast(avgBal))
-      .filter(col("c_acctbal").cast(DecimalType(18, 2)) > col("avg_bal"))
+      .filter(col("c_acctbal").cast(DecimalType(18, 2)) * col("n_pos")
+        > col("sum_bal"))
       .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey").as("cntrycode"))
       .agg(count(lit(1)).as("numcust"),
@@ -825,12 +831,13 @@ object TpchOps {
         | SELECT c_custkey, c_nationkey, c_acctbal FROM customer
         | WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
         |ab AS (
-        | SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) / count(*) AS avg_bal
+        | SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+        |  count(*) AS n_pos
         | FROM cust WHERE c_acctbal > 0)
         |SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
         | CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
         |FROM cust c, ab
-        |WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) > ab.avg_bal
+        |WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * ab.n_pos > ab.sum_bal
         | AND NOT EXISTS (SELECT 1 FROM orders o
         |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |GROUP BY 1 ORDER BY 1""".stripMargin)
