@@ -13,6 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    MEDIAN, so single-JVM ambient load (±30%+ observed on this box for
   *    identical code) can't flip the bench gate; sub-2 s queries keep the
   *    single-shot number (their contribution to the total is noise-level);
+  *  - STREAM queries (name contains "_stream") are median-of-3 REGARDLESS
+  *    of first-run time: every drain pays a planning/termination cycle
+  *    whose spread (±0.3-0.8 s per drain, 28 stream queries) carried most
+  *    of the sf1 run-to-run variance — a single-shot stream number reads
+  *    drain weather as regression. Each drain already stages into a fresh
+  *    temp dir with a fresh checkpoint, so repeats never replay state;
   *  - queries that materialize a session-scoped cache as a side effect
   *    (q36 fills the near-dup pair cache) evict it before EVERY timed run,
   *    so the median measures the real pipeline, not two cache hits.
@@ -63,8 +69,10 @@ object Bench {
       }
       val timed = try {
         val first = timeOnce()
-        // median-of-3 for anything slow enough to move the total
-        if (first > 2.0) Some(Seq(first, timeOnce(), timeOnce()).sorted.apply(1))
+        // median-of-3 for anything slow enough to move the total, and for
+        // every stream drain (drain-cycle spread dominates their variance)
+        if (first > 2.0 || name.contains("_stream"))
+          Some(Seq(first, timeOnce(), timeOnce()).sorted.apply(1))
         else Some(first)
       } catch {
         case e: Throwable =>

@@ -37,6 +37,36 @@ import org.apache.spark.sql.functions._
   * regenerates byte-identical inputs. */
 object GenScale {
 
+  /** The driver layout is one parquet FILE per table (TESTDATA.md), and
+    * stream sources select tables with pathGlobFilter("<n>.parquet") —
+    * a directory of part-files silently matches NOTHING there (the sf1
+    * q225 crash). Write via a temp dir, then move the single part file
+    * to the bare `<n>.parquet` path. Shared with [[GenZipf]]. */
+  def writeSingleFile(df: DataFrame, out: String, n: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = s"$out/_tmp_$n"
+    // 16 MB row groups: a coalesce(1) single file otherwise lands as
+    // ONE row group (measured: 6M-row lineitem), and parquet splits
+    // assign whole row groups — every scan of the table would be one
+    // task no matter what maxPartitionBytes says
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", (16 * 1024 * 1024).toString)
+      .parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator()
+    var single: java.nio.file.Path = null
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) single = p
+    }
+    require(single != null, s"no part file written for $n")
+    Files.createDirectories(Paths.get(out))
+    Files.move(single, Paths.get(s"$out/$n.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(tmp)).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
@@ -51,35 +81,7 @@ object GenScale {
     import spark.implicits._
 
     def rd(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
-    // The driver layout is one parquet FILE per table (TESTDATA.md), and
-    // stream sources select tables with pathGlobFilter("<n>.parquet") —
-    // a directory of part-files silently matches NOTHING there (the sf1
-    // q225 crash). Write via a temp dir, then move the single part file
-    // to the bare `<n>.parquet` path.
-    def wr(df: DataFrame, n: String): Unit = {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val tmp = s"$out/_tmp_$n"
-      // 16 MB row groups: a coalesce(1) single file otherwise lands as
-      // ONE row group (measured: 6M-row lineitem), and parquet splits
-      // assign whole row groups — every scan of the table would be one
-      // task no matter what maxPartitionBytes says
-      df.coalesce(1).write.mode("overwrite")
-        .option("parquet.block.size", (16 * 1024 * 1024).toString)
-        .parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).iterator()
-      var single: java.nio.file.Path = null
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) single = p
-      }
-      require(single != null, s"no part file written for $n")
-      Files.createDirectories(Paths.get(out))
-      Files.move(single, Paths.get(s"$out/$n.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      import scala.jdk.CollectionConverters._
-      Files.walk(Paths.get(tmp)).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
-    }
+    def wr(df: DataFrame, n: String): Unit = writeSingleFile(df, out, n)
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).as[Long].head() + 1L
 

@@ -166,4 +166,47 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(rLsh >= 0.9, s"q42 high-sim recall floor at sf0.1: got $rLsh")
     assert(rIvf >= 0.85, s"q56 default-budget recall floor at sf0.1: got $rIvf")
   }
+
+  test("recall floors hold at sf1 (10x corpus; runs only when /tmp/sf1 exists)") {
+    // the sf0.1 floors could in principle erode as distractor mass grows
+    // 10x (more near-boundary vectors per bucket/cell); assert them once
+    // against the GenScale output. Gated: the scale corpus is generated
+    // out-of-band (runMain graft.GenScale /root/testdata/sf0.1 /tmp/sf1),
+    // so its absence cancels rather than fails.
+    assume(new java.io.File("/tmp/sf1/embeddings.parquet").exists(),
+      "sf1 corpus not generated")
+    val e = Tables.spread(
+      Tables.load(spark, "/tmp/sf1", "embeddings"), "vec_id")
+    val rIvf = recallAt(e, 3, SimilarityOps.annIvfOn(e, nlist = 16, nprobe = 4, k = 3))
+    val rnd = new scala.util.Random(13)
+    import org.apache.spark.sql.functions.{col, max => fmax}
+    // planted ids start past the real id domain (5000L + q collides at sf1)
+    val base = e.agg(fmax("vec_id")).head.getLong(0) + 1L
+    val qs = e.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val planted = qs.map { case (id, v) =>
+      (base + id) -> normalize(v.map(_.toDouble).map(_ + 0.02 * rnd.nextGaussian()))
+    }
+    val e2 = e.select("vec_id", "embedding").unionAll(toDf(planted.toSeq))
+    // at sf1 the corpus ALREADY holds a closer neighbor than the planted
+    // twin: GenScale's replicas jitter each component by ±0.01, so
+    // replica copies of the query sit at cos ≈ 0.9999. The premise is
+    // therefore "the true nearest neighbor is in the high-sim regime",
+    // not "it is the planted row" — recall is measured against brute
+    // top-1 whichever row that is (the plant guarantees the premise
+    // even if a future generator drops the jitter scheme).
+    val truthRows = SimilarityOps.bruteTopKOn(e2, 1)
+      .select("q_id", "c_id", "sim").as[(Long, Long, Double)].collect()
+    assert(truthRows.forall(_._3 >= 0.99),
+      s"premise: every query needs a high-sim nearest neighbor, " +
+        s"min sim ${truthRows.map(_._3).min}")
+    val truth1 = truthRows.map(t => t._1 -> t._2).toMap
+    val ann1 = SimilarityOps.annLshOn(e2, tables = 4, bits = 8, k = 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    val rLsh = truth1.count { case (q, c) => ann1.get(q).contains(c) }.toDouble / truth1.size
+    info(f"sf1 recall: LSH(high-sim top-1) $rLsh%.3f, IVF(weak-sim top-3) $rIvf%.3f")
+    assert(rLsh >= 0.9, s"q42 high-sim recall floor at sf1: got $rLsh")
+    assert(rIvf >= 0.85, s"q56 default-budget recall floor at sf1: got $rIvf")
+  }
 }

@@ -32,6 +32,75 @@ class SkewExtensionsSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("planted hot key: AQE splits the skewed partitions and the answer is unchanged") {
+    // the graded testdata is uniform, so AQE's skew path never fires there;
+    // this plants the skew it exists for: one key owning ~80% of a fact-fact
+    // join's left side (the q10 shape — two shuffled sides, no broadcast)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // test-scale thresholds: the defaults (256 MB) are cluster-sized; the
+    // point is the MECHANISM (partition split + identical result), which
+    // is size-invariant
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "8KB")
+    import org.apache.spark.sql.functions.{col, expr}
+    val left = s2.range(0, 400000).select(
+      expr("CASE WHEN id % 5 != 0 THEN 7L ELSE id % 1000 END").as("k"),
+      (col("id") % 97).as("lv"))
+    val right = s2.range(0, 1000).select(col("id").as("k"),
+      (col("id") % 13).as("rv"))
+    // global (grouping-free) aggregate downstream: a groupBy on the join
+    // key would REUSE the join's hash partitioning, and AQE declines to
+    // split skewed partitions when that would force an extra shuffle —
+    // the partial aggregation here is partition-local, so splitting is
+    // free and the optimizer takes it
+    val joined = left.join(right, "k")
+      .agg(count(lit(1)).as("n"), sum(col("lv") + col("rv")).as("s"))
+    val got = joined.collect()(0)
+    // the adaptive final plan must have actually split the hot partition
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"expected AQE skew-join split in the final plan:\n$plan")
+    // result identity vs the same join with the skew optimization off
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s3.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val left3 = s3.range(0, 400000).select(
+      expr("CASE WHEN id % 5 != 0 THEN 7L ELSE id % 1000 END").as("k"),
+      (col("id") % 97).as("lv"))
+    val right3 = s3.range(0, 1000).select(col("id").as("k"),
+      (col("id") % 13).as("rv"))
+    val want = left3.join(right3, "k")
+      .agg(count(lit(1)).as("n"), sum(col("lv") + col("rv")).as("s"))
+      .collect()(0)
+    assert(got.getLong(0) === want.getLong(0))
+    assert(got.getLong(1) === want.getLong(1))
+    // the hot key really is hot: 80% of the joined rows
+    val hot = left.filter(col("k") === 7L).count()
+    assert(hot >= 320000L)
+  }
+
+  test("salted join matches plain join under the same planted skew") {
+    // SkewUtils.saltedJoin is the explicit mitigation for when AQE cannot
+    // see the skew (e.g. the shuffle feeds a non-join operator); assert
+    // result identity on the planted-skew shape, not just uniform data
+    val left = spark.range(0, 100000).select(
+      expr("CASE WHEN id % 5 != 0 THEN 7L ELSE id % 1000 END").as("k"),
+      (col("id") % 97).as("lv"))
+    val right = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") % 13).as("rv"))
+    val plain = left.join(right, "k")
+      .agg(count(lit(1)).as("n"), sum(col("lv") + col("rv")).as("s"))
+      .collect()(0)
+    val salted = SkewUtils.saltedJoin(left, right, "k", buckets = 8)
+      .agg(count(lit(1)).as("n"), sum(col("lv") + col("rv")).as("s"))
+      .collect()(0)
+    assert(salted.getLong(0) === plain.getLong(0))
+    assert(salted.getLong(1) === plain.getLong(1))
+  }
+
   test("extensions install the native functions into a fresh session") {
     val ext = new GraftExtensions
     val s2 = spark.newSession()
