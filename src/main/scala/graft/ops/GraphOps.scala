@@ -253,10 +253,19 @@ object GraphOps {
       .union(pw.select(col("v").as("u"), col("u").as("v"), col("w")))
     // materialize the capped ranking ONCE (≤ n·cap rows): the mutual join
     // probes it from both sides with swapped keys, which defeats exchange
-    // reuse — without the checkpoint the adjacency window runs twice
-    val rk = graft.Transients.track(adj.withColumn("r",
-      row_number().over(Window.partitionBy("u").orderBy(col("w").desc, col("v"))))
-      .filter(col("r") <= cap)
+    // reuse — without the checkpoint the adjacency window runs twice.
+    // The cap is the native TopKPerGroup operator (bounded per-group
+    // heaps), not a row_number window: timing parity at sf0.1 (r8
+    // measured 4.4 vs 4.6 s q105 medians — the pre-cap adjacency is
+    // small there), but the window sorts EVERY node's full adjacency to
+    // keep 64, so at 100 TB a hub node's sort is the build's straggler
+    // while the 64-heap stays O(deg·log 64). Semantics identical:
+    // (w desc, v asc) is a total order, so heap and window keep exactly
+    // the same rows (the DuckDB oracle replays the same cap as a window
+    // over the same total order).
+    val rk = graft.Transients.track(
+      graft.plans.TopK.perGroup(adj, groupCols = Seq("u"),
+        orderBy = Seq(("w", false), ("v", true)), k = cap, rankName = "r")
       .localCheckpoint())
     rk.as("x")
       .join(rk.select(col("u").as("yu"), col("v").as("yv")).as("y"),
