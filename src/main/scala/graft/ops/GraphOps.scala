@@ -810,14 +810,16 @@ object GraphOps {
     val unitsToScore =
       (col("aa_u").cast(DecimalType(20, 0)) *
         lit(new java.math.BigDecimal("0.0000001"))).cast("double")
-    val probe =
-      e.agg(max(greatest(col("u"), col("v"))), count(lit(1))).first()
-    val idsFit32 = probe.getLong(0) < (1L << 32)
+    val probe = e.agg(max(greatest(col("u"), col("v"))),
+      min(least(col("u"), col("v"))), count(lit(1))).first()
+    // the pack needs BOTH bounds: a negative id would sign-corrupt the
+    // shifted high half as silently as a too-wide one
+    val idsFit32 = probe.getLong(0) < (1L << 32) && probe.getLong(1) >= 0L
     // broadcast the anti side only while it is actually small — the edge
     // memo is n·cap rows and outgrows a broadcast long before the packed
     // key overflows; past the threshold the anti join reuses the (pk)
     // hash partitioning the aggregate just produced (exchange-free SMJ)
-    val bcastAnti = probe.getLong(1) < 4_000_000L
+    val bcastAnti = probe.getLong(2) < 4_000_000L
     if (idsFit32) {
       val wedges = nbrIl.as("a").join(nbr.as("b"),
           col("a.z") === col("b.z") && col("a.n") < col("b.n"))
