@@ -47,6 +47,12 @@ object Graft {
       // surface kept for catalog-scale recursion.
       .config("spark.sql.cteRecursionRowLimit", "200000000")
       .config("spark.ui.enabled", "false")
+      // the SQL status listener retains per-execution metric state even
+      // with the UI off (it backs the status APIs); at 1000 retained
+      // executions a multi-hundred-query JVM carries every past query's
+      // metrics on the heap for no reader. 32 keeps recent history for
+      // debugging without the accumulation.
+      .config("spark.sql.ui.retainedExecutions", "32")
 
   /** Build (or reuse) the session and register the native functions. */
   def session(master: String = "local[*]"): SparkSession = {

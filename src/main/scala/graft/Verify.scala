@@ -14,6 +14,11 @@ object Verify {
     val spark = Graft.sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Same long-JVM hygiene as Bench: the ContextCleaner frees shuffle and
+    // broadcast residue only on driver GC, and Spark's own periodic nudge
+    // (30 min default) rarely fires within a dump. One GC a minute keeps
+    // the 282-query JVM from compounding eviction pressure into the tail.
+    var lastGc = System.nanoTime()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -45,7 +50,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         clear() // a partial write must not linger either
       }
-      finally Transients.drop(spark) // per-query checkpoint residue
+      finally {
+        Transients.drop(spark) // per-query checkpoint residue
+        if ((System.nanoTime() - lastGc) / 1e9 > 60.0) {
+          System.gc()
+          lastGc = System.nanoTime()
+        }
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
