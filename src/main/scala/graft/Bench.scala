@@ -55,26 +55,14 @@ object Bench {
     // untimed warmup: JVM/codegen/shuffle machinery spin-up otherwise lands
     // entirely on the alphabetically-first query
     try execute(SparkEntry.entry(spark)) catch { case _: Throwable => () }
-    // Long-JVM hygiene: shuffle files and broadcast blocks are reclaimed by
-    // Spark's ContextCleaner only when a driver GC collects the referencing
-    // objects, and Spark's own safety nudge (spark.cleaner.periodicGC
-    // .interval) defaults to 30 MINUTES — longer than an entire bench run.
-    // Left alone, the one JVM that runs all 282 queries accumulates every
-    // prior query's shuffle/broadcast residue, and late queries inflate
-    // 2–8× vs a fresh JVM (measured at sf1: q249 14.0 s in-bench vs 1.7 s
-    // isolated; q159 14.5 vs 7.2). Nudge a GC at most once a minute,
-    // always OUTSIDE the timed spans, so the cleaner's backlog drains
-    // between queries instead of compounding under them.
-    var lastGc = System.nanoTime()
-    def gcNudge(): Unit =
-      if ((System.nanoTime() - lastGc) / 1e9 > 60.0) {
-        System.gc()
-        lastGc = System.nanoTime()
-      }
+    // long-JVM hygiene — drain the cleaner's backlog between queries so
+    // shuffle/broadcast residue never compounds under the timed spans
+    // (rationale and measurements on Graft.GcNudge)
+    val gc = new Graft.GcNudge()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timeOnce(): Double = {
         if (cacheProducers(name)) evictCaches(spark)
-        gcNudge()
+        gc.maybe()
         val t0 = System.nanoTime()
         execute(fn(spark, sfDir))
         val elapsed = (System.nanoTime() - t0) / 1e9

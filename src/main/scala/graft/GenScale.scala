@@ -114,7 +114,12 @@ object GenScale {
       val txt =
         if (i == 0) col("text")
         else array_join(transform(
-          split(trim(lower(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"),
+          // drop empty tokens BEFORE prefixing: split of an empty or
+          // whitespace-only text yields [""], which would otherwise
+          // become a bare "r<i>·" token that exists in no source doc —
+          // spuriously failing the vocabulary-disjointness assert below
+          filter(split(trim(lower(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"),
+            t => t =!= ""),
           t => concat(lit(s"r${i}·"), t)), " ")
       df.withColumn("doc_id", col("doc_id") + lit(i * docS))
         .withColumn("text", txt)

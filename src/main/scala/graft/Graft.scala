@@ -60,4 +60,21 @@ object Graft {
     functions.GraftFunctions.register(s)
     s
   }
+
+  /** Long-JVM hygiene shared by Bench and Verify: Spark's ContextCleaner
+    * frees shuffle files and broadcast blocks only when a driver GC
+    * collects the referencing objects, and Spark's own safety nudge
+    * (spark.cleaner.periodicGC.interval) defaults to 30 MINUTES — longer
+    * than an entire 282-query run. Left alone, late queries inflate 2–8×
+    * vs a fresh JVM (measured at sf1: q249 14.0 s in-bench vs 1.7 s
+    * isolated). Call [[GcNudge.maybe]] between queries, always OUTSIDE
+    * timed spans; it GCs at most once per `intervalSec`. */
+  final class GcNudge(intervalSec: Double = 60.0) {
+    private var last = System.nanoTime()
+    def maybe(): Unit =
+      if ((System.nanoTime() - last) / 1e9 > intervalSec) {
+        System.gc()
+        last = System.nanoTime()
+      }
+  }
 }

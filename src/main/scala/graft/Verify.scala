@@ -14,11 +14,9 @@ object Verify {
     val spark = Graft.sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Same long-JVM hygiene as Bench: the ContextCleaner frees shuffle and
-    // broadcast residue only on driver GC, and Spark's own periodic nudge
-    // (30 min default) rarely fires within a dump. One GC a minute keeps
-    // the 282-query JVM from compounding eviction pressure into the tail.
-    var lastGc = System.nanoTime()
+    // same long-JVM hygiene as Bench (rationale on Graft.GcNudge): keep
+    // the 282-query JVM from compounding eviction pressure into the tail
+    val gc = new Graft.GcNudge()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -52,10 +50,7 @@ object Verify {
       }
       finally {
         Transients.drop(spark) // per-query checkpoint residue
-        if ((System.nanoTime() - lastGc) / 1e9 > 60.0) {
-          System.gc()
-          lastGc = System.nanoTime()
-        }
+        gc.maybe()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

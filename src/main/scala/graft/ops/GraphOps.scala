@@ -812,9 +812,14 @@ object GraphOps {
         lit(new java.math.BigDecimal("0.0000001"))).cast("double")
     val probe = e.agg(max(greatest(col("u"), col("v"))),
       min(least(col("u"), col("v"))), count(lit(1))).first()
-    // the pack needs BOTH bounds: a negative id would sign-corrupt the
-    // shifted high half as silently as a too-wide one
-    val idsFit32 = probe.getLong(0) < (1L << 32) && probe.getLong(1) >= 0L
+    // the pack needs BOTH bounds, and the ceiling is 2^31, not 2^32: the
+    // high half lands on the signed long's sign bit, so an id in
+    // [2^31, 2^32) would wrap pk negative — corrupting both the unpacked
+    // x and the pk tiebreak order as silently as a negative id would.
+    // An empty memo probes (null, null, 0): no packing, and the
+    // two-column branch flows an empty frame through unchanged.
+    val idsFit32 = !probe.isNullAt(0) &&
+      probe.getLong(0) < (1L << 31) && probe.getLong(1) >= 0L
     // broadcast the anti side only while it is actually small — the edge
     // memo is n·cap rows and outgrows a broadcast long before the packed
     // key overflows; past the threshold the anti join reuses the (pk)

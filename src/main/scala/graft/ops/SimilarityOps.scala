@@ -651,9 +651,15 @@ object SimilarityOps {
   /** Memoized embeddings row count per (session, dir) — the q128 adaptive
     * bucket tier needs the corpus size, and one count-star scan per call
     * adds up across bench repeats (the [[graft.ops.GraphOps.edgeCache]]
-    * pattern, for a single long). */
+    * pattern, for a single long). [[evict]] completes the pattern: a
+    * tool that regenerates a dir in-session must call it or the stale
+    * count could pick a tier the oracle (which recounts) would not, and
+    * per-fixture sessions would otherwise stay pinned by the map key. */
   private val countCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  def evict(s: SparkSession): Unit =
+    countCache.keys.filter(_._1 eq s).foreach(countCache.remove)
 
   // ---------------------------------------------------------------- q128
   /** Deterministic NEGATIVE SAMPLING for contrastive training — for every

@@ -419,4 +419,47 @@ class GraphOpsSpec extends AnyFunSuite {
     }.sum.toDouble
     assert(math.abs(rows.head.getAs[Double]("aa_score") - expected) < 1e-9)
   }
+
+  /** Write a minimal lineitem.parquet (the only table q223 reads) into a
+    * fresh temp dir so the packed-key probe sees a controlled id domain. */
+  private def adamicDir(rows: Seq[(Long, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q223").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("q223 ids at or above 2^31 stay exact (no packed-key sign overflow)") {
+    // wedge: orders {a,b} share z with x and y respectively; x-y is the
+    // one non-edge with a common neighbor. Shift the whole id space by
+    // 2^31 + 5: a pack bounded at 2^32 would wrap pk negative here and
+    // emit a corrupted x — the probe must route these ids to the
+    // two-column aggregate instead.
+    val base = Seq(
+      (1L, 1L), (1L, 3L), // order 1: parts 1,3  -> edge 1-3
+      (2L, 2L), (2L, 3L), // order 2: parts 2,3  -> edge 2-3
+      (3L, 3L), (3L, 4L)) // order 3: parts 3,4  -> edge 3-4 (deg(3)=3)
+    val shift = (1L << 31) + 5L
+    val small = GraphOps.q223AdamicAdar(spark, adamicDir(base)).collect()
+    val big = GraphOps.q223AdamicAdar(spark,
+      adamicDir(base.map { case (o, p) => (o, p + shift) })).collect()
+    assert(big.nonEmpty)
+    big.foreach { r =>
+      assert(r.getLong(0) > shift && r.getLong(1) > shift,
+        s"corrupted id in (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // the shifted graph is isomorphic: same scores, ids shifted
+    assert(big.map(r => (r.getLong(0) - shift, r.getLong(1) - shift,
+        r.getLong(2), r.getDouble(3))).toSeq ===
+      small.map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSeq)
+  }
+
+  test("q223 empty co-order graph yields an empty frame, not an error") {
+    // every order holds ONE distinct part -> no co-order edges at all;
+    // the id-domain probe sees (null, null, 0) and must not NPE
+    val rows = GraphOps.q223AdamicAdar(spark,
+      adamicDir(Seq((1L, 1L), (2L, 2L), (3L, 3L)))).collect()
+    assert(rows.isEmpty)
+  }
 }
