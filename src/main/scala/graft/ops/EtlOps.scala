@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.slf4j.LoggerFactory
 import graft.Tables
 
 /** Incremental-ingestion operators — the ETL surface a production pipeline
@@ -19,6 +20,8 @@ import graft.Tables
   *    of crossing the shuffle.
   */
 object EtlOps {
+
+  private val log = LoggerFactory.getLogger(getClass)
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
   // the one timestamp convention, shared with Relational
@@ -124,9 +127,17 @@ object EtlOps {
     * the explicit, always-on form, sized by default from an exact count of
     * the build side (one extra cheap aggregate over the side the sketch
     * scans anyway — an undersized filter saturates to fpp ~ 1 and silently
-    * stops filtering). The membership probe is a broadcast-local UDF call
-    * per row — cheap relative to the exchange bytes it saves, though
-    * (unlike a fused native expression) not codegen-inlined. */
+    * stops filtering). The bit array is CAPPED at 256 MB: the optimal
+    * size grows ~9.6 bits/key at 1% fpp, so a 3e10-key build side would
+    * otherwise ask every aggregation task to allocate a ~36 GB array and
+    * then broadcast it (df.stat.bloomFilter builds one per task and
+    * merges). Past the cap the filter keeps its size and lets fpp rise
+    * instead — MORE probe rows survive to the real join (degraded
+    * effectiveness, logged), but never a wrong result: false negatives
+    * remain impossible at any fpp. The membership probe is a
+    * broadcast-local UDF call per row — cheap relative to the exchange
+    * bytes it saves, though (unlike a fused native expression) not
+    * codegen-inlined. */
   def bloomSemiFilter(probe: DataFrame, probeKey: String,
                       build: DataFrame, buildKey: String,
                       expectedItems: Option[Long] = None,
@@ -135,7 +146,18 @@ object EtlOps {
     // hardcoded capacity silently saturates at scale (fpp -> 1) and the
     // prefilter stops filtering while still charging for the probe
     val items = expectedItems.getOrElse(math.max(1L, build.count()))
-    val bf = build.stat.bloomFilter(buildKey, items, fpp)
+    val optimalBits =
+      math.ceil(-items.toDouble * math.log(fpp) / (math.log(2) * math.log(2)))
+    val maxBits = 1L << 31 // 256 MB of bits — executor- and broadcast-safe
+    val bf =
+      if (optimalBits <= maxBits.toDouble)
+        build.stat.bloomFilter(buildKey, items, fpp)
+      else {
+        log.warn(s"bloomSemiFilter: $items build keys want " +
+          f"${optimalBits / 8 / 1048576}%.0f MB of bits; capping at 256 MB " +
+          "(fpp rises, result unchanged — the real join removes survivors)")
+        build.stat.bloomFilter(buildKey, items, maxBits)
+      }
     val bcast = probe.sparkSession.sparkContext.broadcast(bf)
     val might = udf((k: Long) => bcast.value.mightContain(k))
     probe.filter(might(col(probeKey)))

@@ -343,6 +343,8 @@ object GraphOps {
     // (u, v, deg_u): the only per-iteration join input, materialized once
     val adjd = graft.Transients.track(adj.join(deg, "u").localCheckpoint())
     val n = adjd.select(col("u")).distinct().count()
+    // an edge-free graph has no nodes to rank: empty frame, not /0 below
+    if (n == 0L) return adjd.select(col("u").as("node"), lit(0L).as("r")).limit(0)
     val base = (scale * 15L / 100L) / n
     var rank = adjd.select(col("u").as("node")).distinct()
       .select(col("node"), lit(scale / n).as("r"))
@@ -376,6 +378,8 @@ object GraphOps {
       .select(col("u"), col("v"), expr("(1000000 * w) div wtot").as("p"))
       .localCheckpoint())
     val n = adjp.select(col("u")).distinct().count()
+    // an edge-free graph has no nodes to rank: empty frame, not /0 below
+    if (n == 0L) return adjp.select(col("u").as("node"), lit(0L).as("r")).limit(0)
     val base = (scale * 15L / 100L) / n
     var rank = adjp.select(col("u").as("node")).distinct()
       .select(col("node"), lit(scale / n).as("r"))
@@ -691,6 +695,9 @@ object GraphOps {
     val seeds = deg.orderBy(col("deg").desc, col("u"))
       .limit(nSeeds).select(col("u").as("node"))
     val k = seeds.count()
+    // an edge-free graph seeds nothing: empty frame, not /0 below
+    if (k == 0L) return seeds.select(col("node"),
+      lit(0L).as("ppr_scaled"), lit(0.0).as("ppr")).limit(0)
     val tele = (15L * scale) / (100L * k)
     val teleRows = seeds.select(col("node"), lit(0L).as("c"),
       lit(tele).as("tp"))

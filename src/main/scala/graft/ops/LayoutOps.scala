@@ -493,7 +493,10 @@ object LayoutOps {
     // lineitem here would be two redundant full-table reads at scale
     val present = pairs.select(col("pk").as("probe_pk")).distinct()
       .filter(col("probe_pk") % 167 === 0).orderBy("probe_pk").limit(12)
-    val maxPk = pairs.agg(max("pk")).head.getLong(0)
+    // null-safe: an empty lineitem yields max(pk) = null; absent probes
+    // then start past 0 and the report is simply all-miss, never an NPE
+    val maxRow = pairs.agg(max("pk")).head
+    val maxPk = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val absent = s.range(1, 9).select((lit(maxPk) + col("id")).as("probe_pk"))
     val probes = present.unionAll(absent)
     val shards = pairs.select("shard").distinct()
@@ -557,8 +560,11 @@ object LayoutOps {
       .agg(min("day").as("zmin"), max("day").as("zmax"),
         count(lit(1)).as("n_rows_shard"))
       .localCheckpoint())
+    // null-safe: an empty lineitem has no zone bounds — probe a 1-day
+    // degenerate span so the report is all-zero rows, never an NPE
     val b = zm.agg(min("zmin"), max("zmax")).head
-    val (mind, maxd) = (b.getLong(0), b.getLong(1))
+    val (mind, maxd) =
+      if (b.isNullAt(0)) (0L, 0L) else (b.getLong(0), b.getLong(1))
     val span = maxd - mind + 1
     val wd = span / 4
     val probeRows = (0L until 4L).map { i =>

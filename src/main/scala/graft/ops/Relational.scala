@@ -1290,10 +1290,14 @@ object Relational {
     *
     * Scale shape: the only fact-sized shuffles are the (l_partkey,
     * l_suppkey) partial+final aggregate and the window's hash partition on
-    * p_partkey; supplier attaches by broadcast after aggregation (it's
-    * dimension-sized vs lineitem), and the filtered `part` side broadcasts
-    * into the final join — the fact side is never reshuffled for
-    * dimension data. min() is order-free, so no decimal dance is needed. */
+    * p_partkey. Only nation and region carry broadcast HINTS — they are
+    * the SF-invariant dims. supplier and part grow linearly with SF
+    * (supplier = SF·10k rows: catalog-sized at sf0.1, billions at
+    * 100 TB), so their joins are left to the optimizer: AQE broadcasts
+    * them while they measure under the threshold and falls back to a
+    * shuffle join once they don't — a forced hint would bypass that
+    * guard and hit the broadcast ceiling at scale. min() is order-free,
+    * so no decimal dance is needed. */
   def q59MinCostSupplier(s: SparkSession, d: String): DataFrame = {
     val costs = t(s, d, "lineitem")
       .groupBy(col("l_partkey"), col("l_suppkey"))
@@ -1303,7 +1307,7 @@ object Relational {
     val r = t(s, d, "region").filter(col("r_name") === "EUROPE")
     val p = t(s, d, "part").filter(col("p_size") <= 15 && col("p_type") === "ECONOMY")
     val eligible = costs
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
     val w = Window.partitionBy(col("l_partkey"))
@@ -1311,7 +1315,7 @@ object Relational {
     eligible
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("s_name"),
         col("n_name").as("supp_nation"), col("min_price"))
       .orderBy("p_partkey")
@@ -1409,7 +1413,9 @@ object Relational {
       .join(t(s, d, "orders").filter(col("o_orderstatus") =!= "P")
         .select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      // no broadcast hint: part grows with SF (only nation/region are
+      // SF-invariant) — AQE broadcasts it while small, shuffles past that
+      .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_small"),
         dsum(col("l_extendedprice")).as("small_revenue"))

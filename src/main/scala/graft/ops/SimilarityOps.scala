@@ -795,7 +795,9 @@ object SimilarityOps {
     perQ.as[MmrQuery].flatMap { qr =>
       val sim = qr.pairs.map(p => ((p.a_id, p.b_id), p.s6)).toMap
       var selected = List.empty[Long]
-      (1 to k).map { step =>
+      // a query with fewer than k candidates yields that many picks (the
+      // oracle's unrolled steps do the same) — never maxBy on an empty pool
+      (1 to math.min(k, qr.cands.size)).map { step =>
         val (score, cid) = qr.cands
           .filterNot(cd => selected.contains(cd.c_id))
           .map { cd =>

@@ -849,7 +849,10 @@ object StatsOps {
     val ev = t(s, d, "events")
       .select(col("event_id"), col("event_type"), expr("ts div 1000").as("tus"),
         graft.streaming.EventsStream.cents(col("value")).as("v"))
-    val minTus = ev.agg(min("tus")).head.getLong(0)
+    // null-safe: an empty events table has no min — rebase to 0 and the
+    // window query flows an empty frame through, never an NPE
+    val minRow = ev.agg(min("tus")).head
+    val minTus = if (minRow.isNullAt(0)) 0L else minRow.getLong(0)
     val based = ev.withColumn("trel", expr(s"(tus - ${minTus}L) div 1000000"))
     val w = Window.partitionBy("event_type").orderBy("trel")
       .rangeBetween(-3600L, 0L)
@@ -1567,7 +1570,10 @@ object StatsOps {
       .agg(first("n_c").as("n_rows"), first("n_total").as("n_total"),
         count(lit(1)).as("n_bands"), sum("diffj").as("emd_scaled"))
       .select(col("segment"), col("nation"), col("n_rows"), col("emd_scaled"),
-        expr("emd_scaled * 10000 div (n_rows * n_total * (n_bands - 1))")
+        // greatest(·,1): a single-band corpus has emd_scaled = 0 by
+        // construction (cumc/cumg both complete at the only band), so the
+        // guard turns 0 div 0 — an ANSI-mode throw — into the correct 0
+        expr("emd_scaled * 10000 div (n_rows * n_total * greatest(n_bands - 1, 1))")
           .as("emd_bp"))
       .withColumn("t15_breach", col("emd_bp") > 1500L)
       .orderBy("segment", "nation")
@@ -2034,9 +2040,10 @@ object StatsOps {
         |  CAST(sum(abs(pop_n * cumc - n_c * cumg)) AS BIGINT) AS emd_scaled
         | FROM cum GROUP BY 1, 2)
         |SELECT segment, nation, n_rows, emd_scaled,
-        | emd_scaled * 10000 // (n_rows * pop_n * (n_bands - 1)) AS emd_bp,
-        | (emd_scaled * 10000 // (n_rows * pop_n * (n_bands - 1))) > 1500
-        |   AS t15_breach
+        | emd_scaled * 10000 // (n_rows * pop_n * greatest(n_bands - 1, 1))
+        |   AS emd_bp,
+        | (emd_scaled * 10000 // (n_rows * pop_n * greatest(n_bands - 1, 1)))
+        |   > 1500 AS t15_breach
         |FROM per ORDER BY segment, nation""".stripMargin,
     // identical pinned CASE constants; leading digit read off the cents
     // string in both engines

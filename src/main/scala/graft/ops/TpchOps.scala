@@ -424,7 +424,9 @@ object TpchOps {
     val li98 = t(s, d, "lineitem")
       .filter(ntz(col("l_shipdate")) >= tsLit("1998-01-01T00:00:00") &&
         ntz(col("l_shipdate")) < tsLit("1999-01-01T00:00:00"))
-      .join(broadcast(bolt), col("l_partkey") === col("p_partkey"))
+      // bolt is a fixed FRACTION of part, so it grows with SF — no hint;
+      // AQE broadcasts it while it measures small and shuffles past that
+      .join(bolt, col("l_partkey") === col("p_partkey"))
     val perPart = li98.groupBy(col("l_partkey").as("pp_part"))
       .agg(sum(col("l_quantity").cast("long")).as("part_qty"))
     val perSupp = li98.groupBy("l_partkey", "l_suppkey")

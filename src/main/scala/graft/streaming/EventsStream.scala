@@ -1147,16 +1147,22 @@ object EventsStream {
     * to the static `customer` dimension (the canonical streaming-ETL
     * enrichment: attach slowly-changing reference data to each event as it
     * arrives), then aggregated per (segment, event_type) in complete mode.
-    * The static side is explicitly broadcast, so enrichment is map-side on
-    * every micro-batch — no stream-side shuffle before the aggregation and
+    * The static side is left to the optimizer: while the dimension
+    * measures under the broadcast threshold enrichment is map-side on
+    * every micro-batch, and once it outgrows that (customer scales with
+    * SF) the join degrades to a shuffled stream-static join — still with
     * no state kept for the join itself (unlike the stream-stream q63, a
     * stream-static join is stateless by construction: the dimension is
     * re-readable). Value sums ride the exact decimal-cents convention, so
     * the drained result shares an exact batch oracle. */
   def q76StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
     val drained = withDrainSession(s) { drain =>
-      val dim = broadcast(graft.Tables.load(drain, d, "customer")
-        .select(col("c_custkey"), col("c_mktsegment")))
+      // no broadcast hint: customer grows with SF, and a forced broadcast
+      // would pin a scale-growing dim on every executor each micro-batch;
+      // the optimizer broadcasts it while it measures small and falls
+      // back to a (stateless) shuffled stream-static join past that
+      val dim = graft.Tables.load(drain, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
       val enriched = readEventsNanos(drain, d)
         .join(dim, col("user_id") === col("c_custkey"))
         .select(col("c_mktsegment").as("segment"), col("event_type"),

@@ -989,6 +989,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("MMR rerank on a sub-k corpus emits one pick per candidate, no crash") {
+    // 4 vectors, every one a query (id < 10): each query sees 3 candidates,
+    // fewer than k = 8 — the greedy loop must stop at the pool size (the
+    // oracle's unrolled steps emit the same shorter list), not maxBy an
+    // empty list on step 4
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmr_subk").toString
+    val vecs = (0L until 4L).map { i =>
+      (i, Array.tabulate(64)(j => if (j == i) 1.0f else 0.01f * j))
+    }
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val picks = SimilarityOps.q208MmrRerank(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("step"),
+        r.getAs[Long]("c_id")))
+    assert(picks.length === 4 * 3)
+    picks.groupBy(_._1).foreach { case (q, ps) =>
+      assert(ps.map(_._2).sorted.toSeq === (1 to 3), s"q=$q steps")
+      assert(ps.map(_._3).distinct.length === 3, s"q=$q duplicate picks")
+      assert(!ps.map(_._3).contains(q), s"q=$q picked itself")
+    }
+  }
+
   test("q222 matryoshka: full-dim rows are perfect, every (query, m) cell present") {
     val rows = SimilarityOps.q222Matryoshka(spark, TestSpark.sf).collect()
     val k = 10

@@ -64,6 +64,21 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(kept.count() <= (trueKeys.count() * 1.2 + li.count() * 0.05).toLong)
   }
 
+  test("bloom prefilter caps the bit array past 256 MB and stays exact") {
+    // claim 3e8 expected keys: the optimal array (~2.9e9 bits at 1% fpp)
+    // crosses the 256 MB cap, so the filter keeps its size and fpp rises —
+    // the true-key guarantee (no false negatives) must survive the cap
+    val urgent = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val li = Tables.load(spark, sf, "lineitem")
+    val kept = EtlOps.bloomSemiFilter(li, "l_orderkey", urgent, "o_orderkey",
+      expectedItems = Some(300000000L))
+    val trueKeys = li.join(urgent, col("l_orderkey") === col("o_orderkey"),
+      "left_semi")
+    assert(trueKeys.join(kept.select("l_orderkey", "l_linenumber").distinct(),
+      Seq("l_orderkey", "l_linenumber"), "left_anti").count() === 0)
+  }
+
   // ------------------------------------------------------------ q72 tfidf
   test("tfidf: ranks are 1..N per lang and ordered by score desc") {
     val t = TextOps.q72TfidfTerms(spark, sf)

@@ -462,4 +462,22 @@ class GraphOpsSpec extends AnyFunSuite {
       adamicDir(Seq((1L, 1L), (2L, 2L), (3L, 3L)))).collect()
     assert(rows.isEmpty)
   }
+
+  test("PageRank cores on an empty edge list return empty frames, not /0") {
+    // n = 0 distinct nodes previously threw ArithmeticException on the
+    // driver before any job ran (scale/n); now both cores short-circuit
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(GraphOps.pageRankScaled(empty, iterations = 3).collect().isEmpty)
+    val emptyW = Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")
+    assert(GraphOps.pageRankWeightedScaled(emptyW, iterations = 3)
+      .collect().isEmpty)
+  }
+
+  test("q183 on a co-order-free corpus yields an empty frame, not /0") {
+    // no order holds 2+ distinct parts -> no edges -> zero seeds; the
+    // teleport split (scale / k) must not divide by the empty seed count
+    val rows = GraphOps.q183PersonalizedPagerank(spark,
+      adamicDir(Seq((1L, 1L), (2L, 2L)))).collect()
+    assert(rows.isEmpty)
+  }
 }

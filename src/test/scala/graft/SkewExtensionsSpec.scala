@@ -22,6 +22,21 @@ class SkewExtensionsSpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
+  test("salted agg with byte-identical duplicate rows stays exact") {
+    // the salt is a hash of the row's VALUES (attempt-stable, unlike
+    // monotonically_increasing_id — see the SkewUtils scaladoc), so
+    // identical duplicates share one salt: they don't spread, but the
+    // result must stay exactly right
+    val dup = Seq.fill(1000)(("hot", 5L)).toDF("k", "v")
+      .unionAll(Seq(("cold", 1L), ("cold", 2L)).toDF("k", "v"))
+    val got = SkewUtils.saltedAgg(dup, col("k"), buckets = 16,
+      partials = Seq(count(lit(1)).as("pc"), sum("v").as("ps")),
+      merge = Seq(sum("pc").as("n"), sum("ps").as("sv")))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("hot" -> ((1000L, 5000L)), "cold" -> ((2L, 3L))))
+  }
+
   test("salted join matches plain join") {
     val li = Tables.load(spark, TestSpark.sf, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_quantity")

@@ -780,6 +780,25 @@ class StatsOpsSpec extends AnyFunSuite {
       emdScaled * 10000L / (nC * nTot * (bands.length - 1).toLong))
   }
 
+  test("q221 single-band corpus reports EMD 0, not an ANSI divide-by-zero") {
+    // every balance lands in band 0 (values < 1000.00), so n_bands = 1:
+    // the EMD numerator is 0 by construction (both CDFs complete at the
+    // only band) and the greatest(n_bands-1, 1) guard must emit 0 instead
+    // of throwing on the 0-denominator integral division
+    val dir = java.nio.file.Files.createTempDirectory("graft_q221_1band").toString
+    Seq(("SEG", 1, 100.50), ("SEG", 1, 150.25), ("OTHER", 2, 200.00),
+      ("OTHER", 2, 999.99))
+      .toDF("c_mktsegment", "c_nationkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val rows = StatsOps.q221TCloseness(spark, dir).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("emd_scaled") === 0L)
+      assert(r.getAs[Long]("emd_bp") === 0L)
+      assert(!r.getAs[Boolean]("t15_breach"))
+    }
+  }
+
   // ------------------------------------------------------------ q236
   test("q236 quantile normalization: tie-averaged ranks sum to the rank total") {
     val rows = StatsOps.q236QuantileNormalize(spark, sf).collect()
