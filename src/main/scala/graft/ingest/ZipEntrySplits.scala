@@ -99,6 +99,14 @@ object ZipEntrySplits {
           val extraLen = u16(cd, p + 30)
           val commentLen = u16(cd, p + 32)
           val lho = u32(cd, p + 42)
+          // the while-guard covers only the FIXED 46-byte header; the
+          // variable tail (name/extra/comment) needs its own bound or a
+          // directory cut mid-record surfaces as an opaque
+          // StringIndexOutOfBounds instead of the truncation contract
+          if (p + 46 + nameLen + extraLen + commentLen > cd.length)
+            throw new IllegalArgumentException(
+              s"${st.getPath}: truncated central directory (record at " +
+                s"offset $p extends past the directory's $cdSize bytes)")
           val name = new String(cd, p + 46, nameLen, java.nio.charset.StandardCharsets.UTF_8)
           if (csize == 0xffffffffL || usize == 0xffffffffL || lho == 0xffffffffL)
             throw new UnsupportedOperationException(

@@ -30,26 +30,31 @@ object ZipSource {
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val zis = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
-        val out = Seq.newBuilder[ZipEntryRow]
-        var entry = zis.getNextEntry
-        while (entry != null) {
-          val name = entry.getName
-          // flat-archive contract: any path separator disqualifies; a
-          // separator-free name cannot traverse, so ".." is only unsafe as
-          // the whole name (names like "a..b.csv" are legitimate)
-          val unsafe = name.contains("/") || name.contains("\\") || name == ".."
-          if (!entry.isDirectory && !unsafe) {
-            val bos = new ByteArrayOutputStream()
-            val buf = new Array[Byte](64 * 1024)
-            var n = zis.read(buf)
-            while (n >= 0) { bos.write(buf, 0, n); n = zis.read(buf) }
-            out += ZipEntryRow(path, name, bos.toByteArray)
+        // close in a finally: ZipInputStream wraps an Inflater whose zlib
+        // buffers live OFF-HEAP — a ZipException from a corrupt archive
+        // (plus Spark's task retries of it) would otherwise leak native
+        // memory on long-lived executors until finalization
+        try {
+          val out = Seq.newBuilder[ZipEntryRow]
+          var entry = zis.getNextEntry
+          while (entry != null) {
+            val name = entry.getName
+            // flat-archive contract: any path separator disqualifies; a
+            // separator-free name cannot traverse, so ".." is only unsafe as
+            // the whole name (names like "a..b.csv" are legitimate)
+            val unsafe = name.contains("/") || name.contains("\\") || name == ".."
+            if (!entry.isDirectory && !unsafe) {
+              val bos = new ByteArrayOutputStream()
+              val buf = new Array[Byte](64 * 1024)
+              var n = zis.read(buf)
+              while (n >= 0) { bos.write(buf, 0, n); n = zis.read(buf) }
+              out += ZipEntryRow(path, name, bos.toByteArray)
+            }
+            zis.closeEntry()
+            entry = zis.getNextEntry
           }
-          zis.closeEntry()
-          entry = zis.getNextEntry
-        }
-        zis.close()
-        out.result()
+          out.result()
+        } finally zis.close()
       }
   }
 

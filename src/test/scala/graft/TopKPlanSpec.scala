@@ -157,4 +157,36 @@ class TopKPlanSpec extends AnyFunSuite {
       .filter(col("rk") <= 3)
     assert(topkNodes(ranked).isEmpty, "rank() must not match the rewrite")
   }
+
+  test("rewrite leaves global (no PARTITION BY) top-N and degenerate bounds alone") {
+    import org.apache.spark.sql.expressions.Window
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations = Seq(graft.plans.RowNumberTopKRewrite)
+    s2.experimental.extraStrategies = Seq(TopK.Planner)
+    val li = Tables.load(s2, TestSpark.sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    // GLOBAL top-N: the exec's ClusteredDistribution(Nil) is rejected by
+    // Spark, so the rule must NOT fire — the query must still plan and run
+    val global = li.withColumn("rn", row_number().over(
+        Window.orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))))
+      .filter(col("rn") <= 5)
+    assert(topkNodes(global).isEmpty, "global top-N must not be rewritten")
+    assert(global.count() === 5L)
+    // rn < Int.MinValue is always false (row numbers start at 1); the
+    // strict-bound k-1 underflow would have rewritten it into
+    // top-Int.MaxValue and returned EVERY row
+    val degenerate = li.withColumn("rn", row_number().over(
+        Window.partitionBy("l_orderkey")
+          .orderBy(col("l_extendedprice").desc, col("l_linenumber"))))
+      .filter(col("rn") < Int.MinValue)
+    assert(topkNodes(degenerate).isEmpty, "underflowing bound must not match")
+    assert(degenerate.count() === 0L)
+    // the native API itself refuses an empty group list with a clear error
+    val err = intercept[IllegalArgumentException] {
+      TopK.perGroup(li, groupCols = Seq.empty,
+        orderBy = Seq(("l_extendedprice", false)), k = 3)
+    }
+    assert(err.getMessage.contains("group column"))
+  }
 }
