@@ -76,52 +76,64 @@ object IngestStream {
     *    lost the only copy).
     * The returned frame is locally checkpointed so the temp state dirs
     * can be deleted before returning. */
+  private[graft] def stateIds(root: java.nio.file.Path): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(root).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("state_") && !n.endsWith(".tmp"))
+      .map(_.stripPrefix("state_").toLong).toSeq
+  }
+
+  /** One crash-safe, idempotent state-fold step (the foreachBatch body,
+    * exposed so the re-delivery and crashed-tmp contracts are directly
+    * spec-testable): merge `batch`'s delta onto the latest `state_i`
+    * with i < bid, landing atomically as `state_bid`; a bid whose state
+    * dir already exists is a re-delivery and is skipped. */
+  private[graft] def applyBatch(root: java.nio.file.Path,
+                                    batch: DataFrame, bid: Long): Unit = {
+    import java.nio.file.{Files, Path}
+    val ops = graft.ops.EtlOps
+    def statePath(id: Long): String = s"$root/state_$id"
+    val target = Path.of(statePath(bid))
+    if (!Files.exists(target)) { // re-delivered batch: already merged
+      val prevId = stateIds(root).filter(_ < bid).max
+      val tmp = Path.of(s"${statePath(bid)}.tmp")
+      deleteRec(tmp) // a crash mid-write leaves a partial tmp
+      ops.mergeState(batch.sparkSession.read.parquet(statePath(prevId)),
+          ops.deltaAgg(batch))
+        .write.mode("overwrite").parquet(tmp.toString)
+      Files.move(tmp, target)
+      // prune predecessors only now — a complete state always exists
+      stateIds(root).filter(_ < bid)
+        .foreach(i => deleteRec(Path.of(statePath(i))))
+    }
+  }
+
   def streamMergeOrders(s: SparkSession, srcDir: String, glob: String,
                         customer: DataFrame,
                         ordersSchema: StructType): DataFrame = {
-    import java.nio.file.{Files, Path}
+    import java.nio.file.Files
     val ops = graft.ops.EtlOps
     val root = Files.createTempDirectory("graft_q79")
     val ckpt = s"$root/ckpt"
-    def stateIds(): Seq[Long] = {
-      import scala.jdk.CollectionConverters._
-      Files.list(root).iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("state_") && !n.endsWith(".tmp"))
-        .map(_.stripPrefix("state_").toLong).toSeq
-    }
-    def statePath(id: Long): String = s"$root/state_$id"
     try {
       // the base snapshot is state -1: every real batchId is >= 0
       ops.mergeBaseState(customer).write.mode("overwrite")
-        .parquet(statePath(-1L))
+        .parquet(s"$root/state_-1")
       val stream = s.readStream.schema(ordersSchema)
         .option("pathGlobFilter", glob)
         .option("maxFilesPerTrigger", "1") // one delta file per micro-batch
         .parquet(srcDir)
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], bid: Long) =>
-          val sess = batch.sparkSession
-          val target = Path.of(statePath(bid))
-          if (!Files.exists(target)) { // re-delivered batch: already merged
-            val prevId = stateIds().filter(_ < bid).max
-            val tmp = Path.of(s"${statePath(bid)}.tmp")
-            deleteRec(tmp) // a crash mid-write leaves a partial tmp
-            ops.mergeState(sess.read.parquet(statePath(prevId)),
-                ops.deltaAgg(batch))
-              .write.mode("overwrite").parquet(tmp.toString)
-            Files.move(tmp, target)
-            // prune predecessors only now — a complete state always exists
-            stateIds().filter(_ < bid)
-              .foreach(i => deleteRec(Path.of(statePath(i))))
-          }
-          ()
+          applyBatch(root, batch.toDF(), bid)
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
       try q.awaitTermination() finally q.stop()
-      val out = ops.presentMerge(s.read.parquet(statePath(stateIds().max)))
+      val out = ops.presentMerge(
+          s.read.parquet(s"$root/state_${stateIds(root).max}"))
         .orderBy("custkey")
         .localCheckpoint(true)
       out

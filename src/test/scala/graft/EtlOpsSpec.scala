@@ -169,6 +169,45 @@ class EtlOpsSpec extends AnyFunSuite {
       batch.collect().map(_.toSeq).toSeq)
   }
 
+  test("CDC state fold is idempotent per batch and survives a crashed tmp write") {
+    // drive applyBatch directly (the foreachBatch body): a re-delivered
+    // batchId must be a no-op — the merge is associative, NOT idempotent,
+    // so re-applying would double-count — and a partial state_b.tmp left
+    // by a crash mid-write must be cleared by the retry, not read
+    import graft.streaming.IngestStream
+    val ops = graft.ops.EtlOps
+    val root = java.nio.file.Files.createTempDirectory("graft_q79_idem")
+    val orders = Tables.load(spark, sf, "orders")
+    val customer = Tables.load(spark, sf, "customer")
+    ops.mergeBaseState(customer).write.mode("overwrite")
+      .parquet(s"$root/state_-1")
+    val d0 = orders.filter(col("o_orderkey") % 2 === 0)
+    val d1 = orders.filter(col("o_orderkey") % 2 === 1)
+    IngestStream.applyBatch(root, d0, 0L)
+    // simulate a crash mid-write of batch 1: a partial tmp dir exists
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Path.of(s"$root/state_1.tmp/garbage"))
+    IngestStream.applyBatch(root, d1, 1L)
+    val once = ops.presentMerge(spark.read.parquet(s"$root/state_1"))
+      .orderBy("custkey").collect().map(_.toSeq).toSeq
+    // re-deliver the LATEST batch (crash after its rename, before the
+    // checkpoint commit — the only re-delivery Spark's offset log allows,
+    // since batch b+1 never starts until b committed): must be a no-op
+    IngestStream.applyBatch(root, d1, 1L)
+    val twice = ops.presentMerge(spark.read.parquet(s"$root/state_1"))
+      .orderBy("custkey").collect().map(_.toSeq).toSeq
+    assert(twice === once, "re-delivered batch was re-applied")
+    // the fold over splits equals the one-shot batch merge
+    val batchTwin = ops.q73MergeUpsert(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(once === batchTwin)
+    // only the latest state survives pruning; no tmp dirs linger
+    import scala.jdk.CollectionConverters._
+    val names = java.nio.file.Files.list(root).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("state_")).toSeq
+    assert(names.sorted === Seq("state_1"))
+  }
+
   // ------------------------------------------------------- q80 latest-per-key
   test("latest-per-key agg equals the row_number window formulation") {
     import org.apache.spark.sql.expressions.Window
