@@ -52,9 +52,11 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q59: dimension chain broadcasts; fact side shuffles only for agg + window") {
     val plan = planOf(ops.Relational.q59MinCostSupplier(spark, TestSpark.sf))
     assert(plan.contains("BroadcastHashJoin"), plan)
-    // supplier/nation/region/part all attach by broadcast: the only
-    // hash-partition exchanges are the (partkey, suppkey) aggregate and the
-    // per-part window — no exchange keyed on a dimension key
+    // nation/region broadcast by HINT (SF-invariant); supplier/part carry
+    // no hint (they grow with SF) but the optimizer auto-broadcasts them
+    // at this size — so the small-regime plan still has no hash-partition
+    // exchange keyed on a dimension key, only the (partkey, suppkey)
+    // aggregate and the per-part window
     assert(!plan.contains("Exchange hashpartitioning(s_suppkey"), plan)
     assert(!plan.contains("Exchange hashpartitioning(n_nationkey"), plan)
   }
