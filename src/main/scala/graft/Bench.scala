@@ -42,6 +42,7 @@ object Bench {
   private[graft] def evictCaches(spark: SparkSession): Unit = {
     ops.DedupOps.evict(spark)
     ops.GraphOps.evict(spark)
+    ops.SimilarityOps.evict(spark)
   }
 
   private def execute(df: DataFrame): Unit =

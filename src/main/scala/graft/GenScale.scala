@@ -52,18 +52,18 @@ object GenScale {
     df.coalesce(1).write.mode("overwrite")
       .option("parquet.block.size", (16 * 1024 * 1024).toString)
       .parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).iterator()
-    var single: java.nio.file.Path = null
-    while (part.hasNext) {
-      val p = part.next()
-      if (p.getFileName.toString.endsWith(".parquet")) single = p
-    }
-    require(single != null, s"no part file written for $n")
+    import scala.jdk.CollectionConverters._
+    // close the directory streams deterministically — each Files.list/walk
+    // pins a directory fd until closed, and a generation loop calls this
+    // once per table
+    val single = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+      _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")))
+      .getOrElse(sys.error(s"no part file written for $n"))
     Files.createDirectories(Paths.get(out))
     Files.move(single, Paths.get(s"$out/$n.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    import scala.jdk.CollectionConverters._
-    Files.walk(Paths.get(tmp)).iterator().asScala.toSeq
+    scala.util.Using.resource(Files.walk(Paths.get(tmp)))(
+      _.iterator().asScala.toSeq)
       .sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
   }
 

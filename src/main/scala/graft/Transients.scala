@@ -24,6 +24,37 @@ object Transients {
   private val reg =
     scala.collection.mutable.Map.empty[SparkSession, List[DataFrame]]
 
+  /** Lineage cut for iterative operators (star-contraction rounds,
+    * PageRank/LPA/k-core/BFS frontiers): `localCheckpoint()` by default —
+    * executor-memory/disk resident, fastest, but LOST ON EXECUTOR FAILURE,
+    * which on a real cluster restarts a multi-hour iterative job from
+    * round zero when one node dies. Setting
+    * `spark.graft.reliableCheckpointDir` on the session (or the
+    * `SPARK_GRAFT_RELIABLE_CHECKPOINT` env var) switches every cut to a
+    * reliable `checkpoint()` against that directory (HDFS/S3 on a
+    * cluster), making each round durable at the cost of a write per cut.
+    * Checkpoint files live until the context stops (or the ContextCleaner
+    * collects them under `spark.cleaner.referenceTracking.cleanCheckpoints`)
+    * — size the directory for the working set, not the corpus: each cut
+    * is one round's edge/frontier set, and superseded rounds are
+    * unpersisted by their operators as they go. */
+  def cut(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.reliableCheckpointDir")
+      .filter(_.nonEmpty)
+      .orElse(sys.env.get("SPARK_GRAFT_RELIABLE_CHECKPOINT")) match {
+      case Some(dir) =>
+        val sc = s.sparkContext
+        // setCheckpointDir is context-global; first cut wins, later conf
+        // edits in the same JVM keep the original dir (documented — a
+        // per-cut re-point would silently split one job's rounds across
+        // directories)
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+
   def track(df: DataFrame): DataFrame = synchronized {
     reg.updateWith(df.sparkSession)(l => Some(df :: l.getOrElse(Nil)))
     df

@@ -28,14 +28,17 @@ import graft.Tables
   *
   * Scale: each round shuffles bare (u, v) long pairs only (groupBy u /
   * join on u — the same key, so AQE coalesces; no payload ever rides the
-  * iteration). Each round's edge set is localCheckpoint'ed: a persist
-  * alone caches BLOCKS but keeps the logical plan growing (each round
-  * references the previous ~6 times, so N un-truncated rounds build a
-  * 6^N-node plan — measured as a driver OOM just EXPLAINING round 8);
-  * the checkpoint replaces the plan with the materialized RDD. On a real
-  * cluster a reliable `checkpoint()` to the checkpoint dir would be the
-  * fault-tolerant variant — same shape, one conf. The driver sees only
-  * per-round edge counts (one long each), never edge data.
+  * iteration). Each round's edge set is lineage-cut via
+  * [[graft.Transients.cut]]: a persist alone caches BLOCKS but keeps the
+  * logical plan growing (each round references the previous ~6 times, so
+  * N un-truncated rounds build a 6^N-node plan — measured as a driver OOM
+  * just EXPLAINING round 8); the checkpoint replaces the plan with the
+  * materialized RDD. By default that cut is a localCheckpoint (fastest,
+  * lost on executor failure); setting `spark.graft.reliableCheckpointDir`
+  * (or `SPARK_GRAFT_RELIABLE_CHECKPOINT`) switches every round to a
+  * reliable `checkpoint()` so a multi-hour 100 TB run survives node loss
+  * instead of restarting from round zero. The driver sees only per-round
+  * edge counts (one long each), never edge data.
   */
 object GraphOps {
 
@@ -50,7 +53,7 @@ object GraphOps {
       .select(array_min(array(col("src"), col("dst"))).as("u"),
         array_max(array(col("src"), col("dst"))).as("v"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Transients.cut)
     var curCount = cur.count()
     var converged = false
     var i = 0
@@ -78,7 +81,7 @@ object GraphOps {
         .select(array_min(array(col("n"), col("m"))).as("u"),
           array_max(array(col("n"), col("m"))).as("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(graft.Transients.cut)
       // convergence: the canonical edge set is a literal fixpoint. Count
       // equality gates the (join-shaped) set difference, so the extra pass
       // runs only on the final round (counts shrink monotonically under
@@ -266,7 +269,7 @@ object GraphOps {
     val rk = graft.Transients.track(
       graft.plans.TopK.perGroup(adj, groupCols = Seq("u"),
         orderBy = Seq(("w", false), ("v", true)), k = cap, rankName = "r")
-      .localCheckpoint())
+      .transform(graft.Transients.cut))
     rk.as("x")
       .join(rk.select(col("u").as("yu"), col("v").as("yv")).as("y"),
         col("x.u") === col("y.yv") && col("x.v") === col("y.yu"))
@@ -285,7 +288,7 @@ object GraphOps {
 
   def cachedCoOrderEdges(s: SparkSession, d: String): DataFrame =
     edgeCache.getOrElseUpdate((s, d),
-      coOrderEdges(Tables.load(s, d, "lineitem")).localCheckpoint())
+      coOrderEdges(Tables.load(s, d, "lineitem")).transform(graft.Transients.cut))
 
   def evict(s: SparkSession): Unit =
     edgeCache.keys.filter(_._1 eq s).foreach { k =>
@@ -341,7 +344,7 @@ object GraphOps {
       .union(edges.select(col("v").as("u"), col("u").as("v")))
     val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
     // (u, v, deg_u): the only per-iteration join input, materialized once
-    val adjd = graft.Transients.track(adj.join(deg, "u").localCheckpoint())
+    val adjd = graft.Transients.track(adj.join(deg, "u").transform(graft.Transients.cut))
     val n = adjd.select(col("u")).distinct().count()
     // an edge-free graph has no nodes to rank: empty frame, not /0 below
     if (n == 0L) return adjd.select(col("u").as("node"), lit(0L).as("r")).limit(0)
@@ -376,7 +379,7 @@ object GraphOps {
     val wt = adj.groupBy("u").agg(sum("w").as("wtot"))
     val adjp = graft.Transients.track(adj.join(wt, "u")
       .select(col("u"), col("v"), expr("(1000000 * w) div wtot").as("p"))
-      .localCheckpoint())
+      .transform(graft.Transients.cut))
     val n = adjp.select(col("u")).distinct().count()
     // an edge-free graph has no nodes to rank: empty frame, not /0 below
     if (n == 0L) return adjp.select(col("u").as("node"), lit(0L).as("r")).limit(0)
@@ -430,7 +433,7 @@ object GraphOps {
       edges.select(col("u").as("u"), col("v").as("v"), col("w").as("w"))
         .union(edges.select(col("v").as("u"), col("u").as("v"),
           col("w").as("w")))
-        .localCheckpoint())
+        .transform(graft.Transients.cut))
     var labels = adj.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     val byVote = Window.partitionBy("node")
@@ -592,7 +595,7 @@ object GraphOps {
     val dec38 = DecimalType(38, 0)
     val edges = graft.Transients.track(Tables.load(s, d, "events")
       .groupBy(col("user_id").as("u"), col("event_type").as("item"))
-      .agg(count(lit(1)).as("w")).localCheckpoint())
+      .agg(count(lit(1)).as("w")).transform(graft.Transients.cut))
     val auth1 = edges.groupBy("item")
       .agg(sum(col("w").cast(dec38)).as("auth1"))
     val hub1 = edges.join(broadcast(auth1), "item")
@@ -635,7 +638,7 @@ object GraphOps {
     val seeds = deg.orderBy(col("deg").desc, col("u"))
       .limit(nSeeds).select(col("u").as("node"))
     var visited = graft.Transients.track(
-      seeds.withColumn("dist", lit(0)).localCheckpoint())
+      seeds.withColumn("dist", lit(0)).transform(graft.Transients.cut))
     var frontier = visited
     for (h <- 1 to maxHops) {
       val next = graft.Transients.track(
@@ -643,7 +646,7 @@ object GraphOps {
           .select(adj("v").as("node")).distinct()
           .join(visited, Seq("node"), "left_anti")
           .withColumn("dist", lit(h))
-          .localCheckpoint())
+          .transform(graft.Transients.cut))
       visited = visited.union(next)
       frontier = next
     }
@@ -691,7 +694,7 @@ object GraphOps {
       .union(e.select(col("v").as("u"), col("u").as("v")))
     val deg = adj0.groupBy("u").agg(count(lit(1)).as("deg"))
     val adj = graft.Transients.track(
-      adj0.join(deg, "u").localCheckpoint())
+      adj0.join(deg, "u").transform(graft.Transients.cut))
     val seeds = deg.orderBy(col("deg").desc, col("u"))
       .limit(nSeeds).select(col("u").as("node"))
     val k = seeds.count()
@@ -738,7 +741,7 @@ object GraphOps {
   def q191KcorePeel(s: SparkSession, d: String, k: Int = 32,
       rounds: Int = 3): DataFrame = {
     var e = graft.Transients.track(
-      cachedCoOrderEdges(s, d).select("u", "v").localCheckpoint())
+      cachedCoOrderEdges(s, d).select("u", "v").transform(graft.Transients.cut))
     def cert(round: Int, edges: DataFrame): DataFrame = {
       val nodes = edges.select(col("u").as("n"))
         .unionAll(edges.select(col("v").as("n"))).distinct()
@@ -757,7 +760,7 @@ object GraphOps {
       e = graft.Transients.track(
         e.join(keep, col("u") === col("kn"), "left_semi")
           .join(keep, col("v") === col("kn"), "left_semi")
-          .localCheckpoint())
+          .transform(graft.Transients.cut))
       out = out.unionAll(cert(r, e))
     }
     out.orderBy("round")

@@ -156,7 +156,13 @@ object EventsStream {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        (sum(cents(col("value"))) / 100.0).as("sum_value"))
+        // divide on the decimal grid, not long/double: a raw long/100.0 is
+        // bit-exact only while the cents sum stays under 2^53, and its
+        // round-per-event semantics diverge from the batch q23 rollup's
+        // round-after-sum; decimal/100 then one final cast matches q55
+        (sum(cents(col("value")))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0)) / 100)
+          .cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 

@@ -44,10 +44,12 @@ object IngestStream {
   // ------------------------------------------------- q79: streaming CDC apply
   private def deleteRec(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
+    if (java.nio.file.Files.exists(p)) {
+      val paths = scala.util.Using.resource(java.nio.file.Files.walk(p))(
+        _.iterator().asScala.toSeq)
+      paths.sortBy(-_.getNameCount)
         .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Throwable => () })
+    }
   }
 
   /** Core of the streaming CDC apply: stream order-delta parquet files from
@@ -78,10 +80,14 @@ object IngestStream {
     * can be deleted before returning. */
   private[graft] def stateIds(root: java.nio.file.Path): Seq[Long] = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(root).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("state_") && !n.endsWith(".tmp"))
-      .map(_.stripPrefix("state_").toLong).toSeq
+    // Files.list holds a directory fd until the stream is closed; this runs
+    // up to twice per micro-batch, so rely on Using, not GC, to release it
+    scala.util.Using.resource(java.nio.file.Files.list(root)) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("state_") && !n.endsWith(".tmp"))
+        .map(_.stripPrefix("state_").toLong).toSeq
+    }
   }
 
   /** One crash-safe, idempotent state-fold step (the foreachBatch body,

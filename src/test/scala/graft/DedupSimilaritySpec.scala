@@ -1063,4 +1063,53 @@ class DedupSimilaritySpec extends AnyFunSuite {
         .filter(pmod(col("doc_id"), lit(2)) === 1)
         .collect().map(_.getLong(0)).toSet)
   }
+
+  test("ppjoin hot-bucket split: cells bounded, pair set identical to unsalted") {
+    // Planted HOT-GRAM corpus — the sf1 straggler regime distilled: a
+    // 10-word vocabulary makes every surviving prefix gram's candidate
+    // bucket hold a large share of the corpus, so without splitting one
+    // join task owns a quadratic bucket (fresh-JVM sf1 q140 spread was
+    // 15.5–53.8 s on identical data). 240 deterministic docs, 30 tokens.
+    graft.functions.GraftFunctions.register(spark)
+    val hotDocs = (0 until 240).map { i =>
+      val toks = (0 until 30).map(p => s"w${(i * 7 + p * (1 + i % 3)) % 10}")
+      (i.toLong, toks.mkString(" "), "s")
+    }.toDF("doc_id", "text", "source")
+
+    // 1) mechanism: hot grams get fanout > 1 and no (gram, salt) cell
+    //    keeps more than a hash-noise multiple of its fair share
+    val sh = hotDocs.select(col("doc_id"),
+      DedupOps.shingles(col("text"), 3).as("grams"))
+    val pre = DedupOps.ppjoinPrefix(sh, tNum = 1, tDen = 2,
+      hotBucketDf = DedupOps.HotBucketDf,
+      maxSaltFanout = DedupOps.MaxSaltFanout)
+    val cells = pre.groupBy("gram", "fanout", "salt")
+      .agg(count(lit(1)).as("cell"))
+      .groupBy("gram", "fanout")
+      .agg(sum(col("cell")).as("bucket"), max(col("cell")).as("max_cell"),
+        count(lit(1)).as("n_cells"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(cells.exists(_._2 > 1), "fixture must actually trigger splitting")
+    cells.filter(_._2 > 1).foreach { case (gram, fanout, bucket, maxCell, _) =>
+      val fair = bucket.toDouble / fanout
+      assert(maxCell <= math.max(4 * fair, 16.0),
+        s"gram $gram: cell $maxCell vs fair share $fair at fanout $fanout")
+    }
+    // hot buckets really did use more than one cell
+    assert(cells.filter(c => c._2 > 1 && c._3 >= 2 * DedupOps.HotBucketDf)
+      .forall(_._5 > 1))
+
+    // 2) recall-losslessness: the salted join emits EXACTLY the pairs the
+    //    unsalted (maxSaltFanout = 1 degenerates to the pre-split plan)
+    //    join does, jaccard values included
+    def pairSet(fanout: Int) =
+      DedupOps.ppjoinPairs(hotDocs, maxSaltFanout = fanout)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = pairSet(DedupOps.MaxSaltFanout)
+    val unsalted = pairSet(1)
+    assert(salted.nonEmpty, "fixture must produce qualifying pairs")
+    assert(salted === unsalted)
+  }
 }

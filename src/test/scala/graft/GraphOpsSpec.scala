@@ -480,4 +480,40 @@ class GraphOpsSpec extends AnyFunSuite {
       adamicDir(Seq((1L, 1L), (2L, 2L)))).collect()
     assert(rows.isEmpty)
   }
+
+  test("reliable-checkpoint mode: CC and PageRank identical, files durable") {
+    // spark.graft.reliableCheckpointDir switches every per-round lineage
+    // cut (Transients.cut) from executor-resident localCheckpoint to a
+    // reliable checkpoint() against the directory — the form a 1000-
+    // executor multi-hour run needs, where one lost node must not restart
+    // the iteration from round zero. Same rounds, same results.
+    val edges = ((1L until 120L).map(i => (i, i + 1)) ++ // a long path
+      Seq((200L, 201L), (201L, 202L), (300L, 300L))).toDF("src", "dst")
+    val pr = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("u", "v")
+    val ccBefore = GraphOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val prBefore = GraphOps.pageRankScaled(pr, iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt")
+    spark.conf.set("spark.graft.reliableCheckpointDir", dir.toString)
+    try {
+      assert(GraphOps.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap === ccBefore)
+      assert(GraphOps.pageRankScaled(pr, iterations = 5)
+        .as[(Long, Long)].collect().toMap === prBefore)
+      // the rounds really went through the reliable path: checkpoint data
+      // landed under the configured dir (setCheckpointDir nests a UUID dir)
+      import scala.jdk.CollectionConverters._
+      val written = scala.util.Using.resource(
+        java.nio.file.Files.walk(dir))(_.iterator().asScala.count(p =>
+          p.getFileName.toString.startsWith("rdd-")))
+      assert(written > 0, "no reliable checkpoint data was written")
+    } finally {
+      spark.conf.unset("spark.graft.reliableCheckpointDir")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(dir))(
+        _.iterator().asScala.toSeq).sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
