@@ -62,9 +62,7 @@ object GenScale {
     Files.createDirectories(Paths.get(out))
     Files.move(single, Paths.get(s"$out/$n.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    scala.util.Using.resource(Files.walk(Paths.get(tmp)))(
-      _.iterator().asScala.toSeq)
-      .sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+    FsUtil.deleteRec(Paths.get(tmp))
   }
 
   def main(args: Array[String]): Unit = {

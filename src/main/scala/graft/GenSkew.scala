@@ -31,16 +31,24 @@ object GenSkew {
 
   /** hotPct% of rows (drawn by hashing the row's identifying columns)
     * re-keyed to the 3 smallest existing values of `keyCol`; key dtype
-    * preserved. `idCols` must identify a row (a non-unique draw key would
+    * preserved. The hot keys are looked up, not derived as lo+0..2 — a
+    * sparse key space would otherwise re-key rows onto values that exist
+    * in no dimension row and silently void the referential-integrity
+    * guarantee. `idCols` must identify a row (a non-unique draw key would
     * re-key whole equivalence classes at once). */
   private def skewKey(df: DataFrame, keyCol: String, idCols: Seq[String],
                       hotPct: Int): DataFrame = {
     val keyType = df.schema(keyCol).dataType
-    val lo = df.agg(min(col(keyCol)).cast("long")).head().getLong(0)
+    val hot = df.select(col(keyCol).cast("long")).distinct()
+      .orderBy(col(keyCol)).limit(3).collect().map(_.getLong(0))
+    require(hot.length == 3, s"need >= 3 distinct $keyCol values")
     val ids = idCols.map(col)
     df.withColumn(keyCol,
       when(pmod(xxhash64((lit("skew_draw") +: ids): _*), lit(100)) < hotPct,
-        (lit(lo) + pmod(xxhash64((lit("skew_hot") +: ids): _*), lit(3)))
+        element_at(
+          array(hot.map(lit): _*),
+          (pmod(xxhash64((lit("skew_hot") +: ids): _*), lit(3)) + 1)
+            .cast("int"))
           .cast(keyType))
         .otherwise(col(keyCol)))
   }

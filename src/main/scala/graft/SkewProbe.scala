@@ -61,7 +61,9 @@ object SkewProbe {
           val t0 = System.nanoTime()
           val rows = df.collect()
           val secs = (System.nanoTime() - t0) / 1e9
-          val h = md5(rows.map(_.mkString("")).sorted.mkString("\n"))
+          // \u0001-delimited columns: a separator-less concat would let
+          // (12, 3) and (1, 23) collide and the equality gate false-pass
+          val h = md5(rows.map(_.mkString("\u0001")).sorted.mkString("\n"))
           val plan = df.queryExecution.executedPlan.toString
           val fired = plan.contains("skew=true")
           if (sys.env.contains("GRAFT_SKEW_DEBUG"))

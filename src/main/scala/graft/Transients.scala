@@ -24,8 +24,10 @@ object Transients {
   private val reg =
     scala.collection.mutable.Map.empty[SparkSession, List[DataFrame]]
 
-  /** Lineage cut for iterative operators (star-contraction rounds,
-    * PageRank/LPA/k-core/BFS frontiers): `localCheckpoint()` by default —
+  /** The engine's ONE lineage-cut primitive — every operator that
+    * truncates a plan (star-contraction rounds, PageRank/LPA/k-core/BFS
+    * frontiers, memoized pair/edge sets, reused mid-query relations)
+    * routes through here: `localCheckpoint()` by default —
     * executor-memory/disk resident, fastest, but LOST ON EXECUTOR FAILURE,
     * which on a real cluster restarts a multi-hour iterative job from
     * round zero when one node dies. Setting
@@ -41,9 +43,16 @@ object Transients {
   def cut(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption("spark.graft.reliableCheckpointDir")
-      .filter(_.nonEmpty)
-      .orElse(sys.env.get("SPARK_GRAFT_RELIABLE_CHECKPOINT")) match {
+      .orElse(sys.env.get("SPARK_GRAFT_RELIABLE_CHECKPOINT"))
+      .filter(_.nonEmpty) match {
       case Some(dir) =>
+        // the value is a DIRECTORY, not a boolean switch: an operator who
+        // exports =true would otherwise silently checkpoint every round
+        // into a relative ./true on the default FS
+        require(dir.contains("/"),
+          s"reliable checkpoint dir must be a path (got '$dir'); set " +
+            "spark.graft.reliableCheckpointDir/SPARK_GRAFT_RELIABLE_CHECKPOINT " +
+            "to an HDFS/S3/local directory URI")
         val sc = s.sparkContext
         // setCheckpointDir is context-global; first cut wins, later conf
         // edits in the same JVM keep the original dir (documented — a

@@ -345,7 +345,7 @@ object LayoutOps {
     // branch — checkpoint once so upstream map work (tokenize/score) does
     // not run twice (the q147 multi-consumer discipline)
     val banded = graft.Transients.track(
-      df.withColumn("__band", band).localCheckpoint())
+      df.withColumn("__band", band).transform(graft.Transients.cut))
     val wOff = Window.orderBy(col("__band"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = banded.groupBy("__band").agg(count(lit(1)).as("__cnt"))
@@ -371,7 +371,7 @@ object LayoutOps {
                         order: Seq[Column], rankName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val banded = graft.Transients.track(
-      df.withColumn("__band", band).localCheckpoint())
+      df.withColumn("__band", band).transform(graft.Transients.cut))
     val gb = groups :+ "__band"
     val wOff = Window.partitionBy(groups.map(col): _*).orderBy(col("__band"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -482,7 +482,7 @@ object LayoutOps {
         substring(md5(col("l_orderkey").cast("string").cast("binary")), 1, 2).as("shard"),
         col("l_partkey").as("pk"))
       .distinct()
-      .localCheckpoint())
+      .transform(graft.Transients.cut))
     val bitsJ = pairs
       .select(col("shard"), HashFamily.hb48(col("pk").cast("string")).as("hb"))
       .select(col("shard"), explode(sequence(lit(0), lit(2))).as("j"), col("hb"))
@@ -559,7 +559,7 @@ object LayoutOps {
     val zm = graft.Transients.track(li.groupBy("shard")
       .agg(min("day").as("zmin"), max("day").as("zmax"),
         count(lit(1)).as("n_rows_shard"))
-      .localCheckpoint())
+      .transform(graft.Transients.cut))
     // null-safe: an empty lineitem has no zone bounds — probe a 1-day
     // degenerate span so the report is all-zero rows, never an NPE
     val b = zm.agg(min("zmin"), max("zmax")).head
@@ -705,7 +705,7 @@ object LayoutOps {
       .withColumn("z",
         expr("""pmod(sm, 2) + 2 * pmod(rf, 2) + 4 * pmod(sm div 2, 2)
                | + 8 * pmod(rf div 2, 2) + 16 * pmod(sm div 4, 2)""".stripMargin))
-      .localCheckpoint())
+      .transform(graft.Transients.cut))
     val layouts: Seq[(String, Column, Seq[Column])] = Seq(
       ("1_natural", expr("length(bin(l_orderkey)) - 1"),
         Seq(col("l_orderkey"), col("l_linenumber"))),

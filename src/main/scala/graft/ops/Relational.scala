@@ -276,7 +276,7 @@ object Relational {
       .select(col("lang"),
         filter(TextOps.tokens(col("text")), tk => tk.contains("z"))
           .as("ztoks"))
-      .localCheckpoint())
+      .transform(graft.Transients.cut))
     val inner = base.select(col("lang"), explode(col("ztoks")).as("tk"))
       .groupBy("lang").agg(count(lit(1)).as("n_inner"))
     val outer = base.select(col("lang"), explode_outer(col("ztoks")).as("tk"))
@@ -1474,7 +1474,7 @@ object Relational {
     // ROUNDLOG; the checkpoint turns each level into a key-only join
     // against a materialized relation)
     val ch = graft.Transients.track(
-      s.sql(q194ChainSql("graft_q194_orders")).localCheckpoint())
+      s.sql(q194ChainSql("graft_q194_orders")).transform(graft.Transients.cut))
     ch.createOrReplaceTempView("graft_q194_ch")
     s.sql(q194WalkSqlFor("graft_q194_ch"))
   }

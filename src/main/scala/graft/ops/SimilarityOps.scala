@@ -549,7 +549,7 @@ object SimilarityOps {
       .groupBy("idx").agg(sum(col("gv")).as("g"))
       .select(expr(s"idx div $dim + 1").as("gi"),
         expr(s"idx % $dim + 1").as("gj"), col("g"))
-      .localCheckpoint())
+      .transform(graft.Transients.cut))
     val w1 = gram.groupBy("gi").agg(sum(col("g").cast(dec38)).as("w1"))
       .withColumnRenamed("gi", "i")
     val w2 = gram.join(broadcast(w1.withColumnRenamed("i", "j")),

@@ -229,7 +229,7 @@ object StatsOps {
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
       .select(col("tok"), HashFamily.hb48(col("tok")).as("hb"))
-      .localCheckpoint())
+      .transform(graft.Transients.cut))
     val counters = tk
       .select(explode(sequence(lit(0), lit(depth - 1))).as("j"), col("hb"))
       .select(col("j"),
@@ -1227,7 +1227,7 @@ object StatsOps {
     val base = graft.Transients.track(
       t(s, d, "lineitem").select(corrCols.map { case (n, c) =>
         expr(s"CAST(CAST($c AS DECIMAL(18,4)) * 10000 AS BIGINT)").as(n)
-      }: _*).localCheckpoint())
+      }: _*).transform(graft.Transients.cut))
     def ranked(name: String): DataFrame = {
       // the grid feeds the offsets aggregate AND the in-band window branch
       // — checkpoint (value-grid-sized) so the base aggregate runs once
@@ -1235,7 +1235,7 @@ object StatsOps {
       val grid = graft.Transients.track(
         base.groupBy(col(name)).agg(count(lit(1)).as("cnt"))
           .withColumn("band", expr(s"$name div 1000000"))
-          .localCheckpoint())
+          .transform(graft.Transients.cut))
       val wOff = Window.orderBy("band")
         .rowsBetween(Window.unboundedPreceding, -1)
       val offs = grid.groupBy("band").agg(sum(col("cnt")).as("bcnt"))

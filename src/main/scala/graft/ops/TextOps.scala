@@ -337,7 +337,7 @@ object TextOps {
         qualityScore(col("text"), col("n_chars")).as("q"),
         md5(regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ").cast("binary"))
           .as("nm"))
-      .localCheckpoint())
+      .transform(graft.Transients.cut))
     val s01 = base.agg(
         count(lit(1)).as("n0"),
         coalesce(sum("n_tokens"), lit(0L)).as("t0"),
@@ -357,7 +357,7 @@ object TextOps {
           .as("split"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
-      .localCheckpoint())
+      .transform(graft.Transients.cut))
     val s2 = perSplit.agg(lit("2_dedup").as("stage"),
       coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
       coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
@@ -663,7 +663,7 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("pos"),
         md5(array_join(slice(col("toks"), col("pos").cast("int"), lit(k)), " ")
           .cast("binary")).as("g"))
-      .localCheckpoint())
+      .transform(graft.Transients.cut))
     val dupG = occ.groupBy("g").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("g")
     val spans = occ.join(dupG, "g")
@@ -1430,7 +1430,7 @@ object TextOps {
       .filter(bpeEligible(col("tok")))
       .select(bpeSpaced(col("tok")).as("sp"))
       .groupBy("sp").agg(count(lit(1)).as("freq"))
-      .localCheckpoint()
+      .transform(graft.Transients.cut)
     val learned = Seq.newBuilder[(Int, String, Long)]
     for (r <- 1 to rounds) {
       val pairs = wf

@@ -117,11 +117,7 @@ object DocsStream {
             .as("share"))
         .orderBy(col("cnt").desc, col("token"))
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
-          catch { case _: Throwable => () })
+      graft.FsUtil.deleteRec(stagePath)
     }
   }
 
@@ -315,11 +311,7 @@ object DocsStream {
         drain.table(name)
       }.orderBy("event_type", "day")
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
-          catch { case _: Throwable => () })
+      graft.FsUtil.deleteRec(stagePath)
     }
   }
 
@@ -404,11 +396,7 @@ object DocsStream {
         drain.table(name)
       }.orderBy("event_type", "rk")
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
-          catch { case _: Throwable => () })
+      graft.FsUtil.deleteRec(stagePath)
     }
   }
 
@@ -472,11 +460,7 @@ object DocsStream {
         .select("lang", "n_docs", "m", "kth_prefix", "est_distinct")
         .orderBy("lang")
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
-          catch { case _: Throwable => () })
+      graft.FsUtil.deleteRec(stagePath)
     }
   }
 }

@@ -405,10 +405,7 @@ object EventsStream {
     } finally {
       // the memory sink holds the drained rows; only the one-row sentinel
       // file was ever staged
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+      graft.FsUtil.deleteRec(stagePath)
     }
     val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
     drained
@@ -566,10 +563,7 @@ object EventsStream {
         drain.table(name)
       }
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+      graft.FsUtil.deleteRec(stagePath)
     }
     // per-from totals via a window over the tiny counts frame (a self-join
     // of a memory-sink table trips reference dedup; the window avoids it)
@@ -677,10 +671,7 @@ object EventsStream {
         drain.table(name)
       }
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+      graft.FsUtil.deleteRec(stagePath)
     }
     drained.filter(col("user_id") >= 0)
       .select("user_id", "event_id", "tus", "value", "ewma")
@@ -766,10 +757,7 @@ object EventsStream {
         body(drain, () => mk())
       }
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+      graft.FsUtil.deleteRec(stagePath)
     }
   }
 
@@ -964,11 +952,7 @@ object EventsStream {
         drain.table(name).orderBy("event_type")
       }
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
-          catch { case _: Throwable => () })
+      graft.FsUtil.deleteRec(stagePath)
     }
   }
 

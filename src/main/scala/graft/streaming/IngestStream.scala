@@ -42,15 +42,7 @@ object IngestStream {
   }
 
   // ------------------------------------------------- q79: streaming CDC apply
-  private def deleteRec(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      val paths = scala.util.Using.resource(java.nio.file.Files.walk(p))(
-        _.iterator().asScala.toSeq)
-      paths.sortBy(-_.getNameCount)
-        .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Throwable => () })
-    }
-  }
+  private def deleteRec(p: java.nio.file.Path): Unit = graft.FsUtil.deleteRec(p)
 
   /** Core of the streaming CDC apply: stream order-delta parquet files from
     * `srcDir` (matching `glob`) and fold each micro-batch into a
@@ -141,7 +133,7 @@ object IngestStream {
       val out = ops.presentMerge(
           s.read.parquet(s"$root/state_${stateIds(root).max}"))
         .orderBy("custkey")
-        .localCheckpoint(true)
+        .transform(graft.Transients.cut)
       out
     } finally deleteRec(root)
   }

@@ -510,10 +510,7 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(written > 0, "no reliable checkpoint data was written")
     } finally {
       spark.conf.unset("spark.graft.reliableCheckpointDir")
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(dir))(
-        _.iterator().asScala.toSeq).sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      FsUtil.deleteRec(dir)
     }
   }
 }
