@@ -36,8 +36,8 @@ object GenSkew {
     * in no dimension row and silently void the referential-integrity
     * guarantee. `idCols` must identify a row (a non-unique draw key would
     * re-key whole equivalence classes at once). */
-  private def skewKey(df: DataFrame, keyCol: String, idCols: Seq[String],
-                      hotPct: Int): DataFrame = {
+  private[graft] def skewKey(df: DataFrame, keyCol: String,
+                             idCols: Seq[String], hotPct: Int): DataFrame = {
     val keyType = df.schema(keyCol).dataType
     val hot = df.select(col(keyCol).cast("long")).distinct()
       .orderBy(col(keyCol)).limit(3).collect().map(_.getLong(0))
