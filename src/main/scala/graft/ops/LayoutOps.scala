@@ -387,8 +387,10 @@ object LayoutOps {
   }
 
   def withShard(sizes: DataFrame, shards: Int): DataFrame = {
+    // negated keyBand = monotone in n_tokens DESC; the mantissa bits keep
+    // the most-populated bit-length from riding one sort task (see keyBand)
     val ranked = bandedRank(sizes,
-      (-(length(bin(col("n_tokens"))) - 1)).cast("int"),
+      (lit(0L) - keyBand("n_tokens")).cast("long"),
       Seq(col("n_tokens").desc, col("doc_id")), "r1")
     ranked
       .withColumn("r0", col("r1") - 1)
@@ -688,6 +690,25 @@ object LayoutOps {
     * (|values| ≤ 7), broadcast back. Exactness: ranks, shard ids, and
     * distinct counts are all integers; the per-shard averages export in
     * integer basis points. */
+  /** Fine MONOTONE band over a non-negative integer key column: packed
+    * (bit-length, top-5 mantissa bits). Monotone in the key — a larger
+    * key has a strictly larger bit-length, or the same bit-length and a
+    * >= top-mantissa prefix (same divisor, floor division) — so it is a
+    * legal [[bandedRank]] band wherever the bare bit-length idiom is.
+    * The point is PARALLELISM AT SCALE: a bit-length band alone pins
+    * ~half of a uniform key space (the top bit-length) to ONE in-band
+    * sort task at any data size; the 5 mantissa bits split every
+    * bit-length band ~32 ways (≤ 4096 band values total, still a
+    * domain-bounded offsets aggregate). Measured on q229 at sf1: the
+    * four rank passes' window stage was the query's cost precisely
+    * because coarse bands (3-value major codes, bit-length) capped sort
+    * parallelism at 3–20 tasks over 6 M rows. */
+  private[graft] def keyBand(keyName: String): Column =
+    expr(s"""(length(bin($keyName)) - 1) * 64
+            | + ($keyName div cast(
+            |     pow(2.0D, greatest(length(bin($keyName)) - 6, 0))
+            |     as bigint))""".stripMargin)
+
   def q229LayoutAudit(s: SparkSession, d: String,
                       shardSize: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -706,14 +727,20 @@ object LayoutOps {
         expr("""pmod(sm, 2) + 2 * pmod(rf, 2) + 4 * pmod(sm div 2, 2)
                | + 8 * pmod(rf div 2, 2) + 16 * pmod(sm div 4, 2)""".stripMargin))
       .transform(graft.Transients.cut))
+    // every band refines its layout's major key(s) with the orderkey's
+    // (bit-length, mantissa) band — ranks are unchanged (the band stays
+    // monotone in each layout's total order, and the order columns are a
+    // unique key so ties never depend on banding), but no major code's
+    // whole row population rides one sort task
+    val kb = keyBand("l_orderkey") // < 4096 by construction
     val layouts: Seq[(String, Column, Seq[Column])] = Seq(
-      ("1_natural", expr("length(bin(l_orderkey)) - 1"),
+      ("1_natural", kb,
         Seq(col("l_orderkey"), col("l_linenumber"))),
-      ("2_returnflag_major", col("sm"),
+      ("2_returnflag_major", (col("sm") * 8 + col("rf")) * 4096 + kb,
         Seq(col("rf"), col("l_orderkey"), col("l_linenumber"))),
-      ("3_linestatus_major", col("rf"),
+      ("3_linestatus_major", (col("rf") * 8 + col("sm")) * 4096 + kb,
         Seq(col("sm"), col("l_orderkey"), col("l_linenumber"))),
-      ("4_interleaved", col("z"),
+      ("4_interleaved", col("z") * 4096 + kb,
         Seq(col("l_orderkey"), col("l_linenumber"))))
     layouts.map { case (name, band, ord) =>
       bandedRank(coded, band, ord, "rnk")

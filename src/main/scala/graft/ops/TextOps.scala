@@ -1529,7 +1529,7 @@ object TextOps {
     val sizes = t(s, d, "documents").select(col("lang"), col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"))
     LayoutOps.groupedBandedRank(sizes, Seq("lang"),
-        (length(bin(col("n_tokens"))) - 1).cast("int"),
+        LayoutOps.keyBand("n_tokens"),
         Seq(col("n_tokens"), col("doc_id")), "rk")
       .groupBy("lang")
       .agg(count(lit(1)).as("n"),

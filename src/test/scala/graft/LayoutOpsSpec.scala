@@ -241,4 +241,22 @@ class LayoutOpsSpec extends AnyFunSuite {
       assert(r.getLong(5) >= 1L && r.getLong(5) <= 3L)
     }
   }
+
+  test("keyBand: monotone in the key, bounded, and actually fine-grained") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic spread of non-negative keys across many magnitudes,
+    // including the 0/1 bit-length edge and dense runs
+    val keys = ((0L to 64L) ++ (0 until 4000).map(i =>
+      math.abs(i.toLong * 2654435761L) % 50000000L)).distinct.sorted
+    val bands = keys.toDF("k").orderBy("k")
+      .select(graft.ops.LayoutOps.keyBand("k"))
+      .as[Long].collect()
+    // monotone non-decreasing in key order: the bandedRank precondition
+    bands.sliding(2).foreach(w => assert(w(0) <= w(1)))
+    assert(bands.forall(b => b >= 0 && b < 4096))
+    // fine-grained: far more realized bands than bit-lengths alone, so a
+    // top bit-length's population cannot ride one sort task
+    assert(bands.distinct.length > 200, s"only ${bands.distinct.length} bands")
+  }
 }
