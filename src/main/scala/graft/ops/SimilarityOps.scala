@@ -343,7 +343,20 @@ object SimilarityOps {
     * threshold is a policy choice applied downstream, NOT baked in here,
     * so the ranking stays non-empty on dup-free corpora. Hash-exact since
     * round 7: the md5-Rademacher planes + a7-grid sign tests AND the
-    * cap-16 neighbor-chain window all replay in the DuckDB oracle. */
+    * cap-16 neighbor-chain window all replay in the DuckDB oracle.
+    *
+    * Hot-bucket audit (round 10): this matcher needs NO df-gated salt
+    * split — the bucket self-join already runs through the CAPPED branch
+    * of [[graft.ops.DedupOps.bandedPairs]], whose in-bucket rank window
+    * bounds a mega-bucket of m vectors at m*cap emitted pairs (not m²/2)
+    * and whose pinned bucket-key repartition spreads the m*cap work
+    * across the shuffle width. A sign-LSH bucket holding the whole corpus
+    * (all-identical embeddings) therefore costs linear work per band,
+    * which is the same bound the salt split buys the exact-recall
+    * matchers — here the cap is ALLOWED to trade recall because the
+    * output contract is a ranked candidate top-k, not a guaranteed-recall
+    * pair set (the chain keeps min-id connectivity for the downstream
+    * dedup apply). */
   def q61EmbeddingNearDup(s: SparkSession, d: String, k: Int = 25,
                           maxBucketNeighbors: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(s)

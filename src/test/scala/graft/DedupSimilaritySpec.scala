@@ -1112,4 +1112,85 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(salted.nonEmpty, "fixture must produce qualifying pairs")
     assert(salted === unsalted)
   }
+
+  test("simhash hot-bucket split: cells bounded, pair set identical to unsalted") {
+    // Planted MEGA-CLIQUE — the boilerplate regime the r9 verdict flagged
+    // for q37: near-identical docs have identical simhashes, so all four
+    // 16-bit chunks collide and an unsalted (chunk_idx, chunk_val) join
+    // puts the whole clique's ~B² pair evaluations inside one task. 200
+    // identical docs + 30 distinct background docs.
+    val clique = (0 until 200).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta", "s"))
+    val rest = (200 until 230).map(i =>
+      (i.toLong, s"distinct background body u$i v${i * 3} w${i * 7} " +
+        s"x${i * 11} y${i * 13} z${i * 17}", "s"))
+    val hotDocs = (clique ++ rest).toDF("doc_id", "text", "source")
+    val sh = DedupOps.simhashMd5(hotDocs)
+
+    // 1) mechanism: the clique's chunk buckets get fanout > 1 and no
+    //    (chunk, salt) cell keeps more than a hash-noise multiple of its
+    //    fair share (same bound as the ppjoin split's spec)
+    val chunks = sh.select(col("doc_id"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val (build, _) = DedupOps.saltedBlockSides(chunks,
+      Seq("chunk_idx", "chunk_val"), "doc_id")
+    val cells = build.groupBy("chunk_idx", "chunk_val", "block_fanout", "block_salt")
+      .agg(count(lit(1)).as("cell"))
+      .groupBy("chunk_idx", "chunk_val", "block_fanout")
+      .agg(sum(col("cell")).as("bucket"), max(col("cell")).as("max_cell"),
+        count(lit(1)).as("n_cells"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(cells.exists(_._3 > 1), "fixture must actually trigger splitting")
+    cells.filter(_._3 > 1).foreach { case (ci, cv, fanout, bucket, maxCell, _) =>
+      val fair = bucket.toDouble / fanout
+      assert(maxCell <= math.max(4 * fair, 16.0),
+        s"chunk ($ci, $cv): cell $maxCell vs fair share $fair at fanout $fanout")
+    }
+    // hot buckets really did use more than one cell
+    assert(cells.filter(c => c._3 > 1 && c._4 >= 2 * DedupOps.HotBucketDf)
+      .forall(_._6 > 1))
+
+    // 2) recall-losslessness: salted pairs == unsalted (maxSaltFanout = 1
+    //    reproduces the pre-split plan), hamming distances included. The
+    //    first-matching-chunk emission keys each pair to one chunk_idx and
+    //    the salt to one cell within it, so counts must match exactly too.
+    def pairSet(fanout: Int) =
+      DedupOps.q37PairsFrom(sh, maxSaltFanout = fanout)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val salted = pairSet(DedupOps.MaxSaltFanout)
+    val unsalted = pairSet(1)
+    // every C(200,2) clique pair survives the split, at hamming 0, exactly once
+    assert(salted.count(t => t._1 < 200 && t._2 < 200 && t._3 == 0) === 19900)
+    assert(salted === unsalted)
+  }
+
+  test("noun-block hot-bucket split (q91/q204): pair sets identical to unsalted") {
+    graft.functions.GraftFunctions.register(spark)
+    // planted catalog: one mega-noun block (same blocking token, small
+    // edits) + singleton-noun names that can never pair
+    val names = ((0 until 150).map(i =>
+      (f"shade$i%03d widget", 1L + i % 3)) ++
+      (0 until 20).map(i => (s"lone gadget$i extra$i", 1L)))
+      .toDF("p_name", "n_parts")
+      .withColumn("noun", split(col("p_name"), " ").getItem(1))
+    def lev(f: Int) = DedupOps.q91PairsFrom(names, maxDist = 3, maxSaltFanout = f)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val levSalted = lev(DedupOps.MaxSaltFanout)
+    assert(levSalted.nonEmpty, "fixture must produce edit-distance matches")
+    assert(levSalted === lev(1))
+    def jw(f: Int) = DedupOps.q204PairsFrom(names, threshold = 0.9, maxSaltFanout = f)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val jwSalted = jw(DedupOps.MaxSaltFanout)
+    assert(jwSalted.nonEmpty, "fixture must produce jaro-winkler matches")
+    assert(jwSalted === jw(1))
+    // the mega-noun block really split: fanout > 1 on the hot noun
+    val (build, _) = DedupOps.saltedBlockSides(names, Seq("noun"), "p_name")
+    val hot = build.filter(col("noun") === "widget")
+      .select("block_fanout").distinct().collect().map(_.getInt(0))
+    assert(hot.length === 1 && hot.head > 1)
+  }
 }
