@@ -29,7 +29,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    working directory: the driver's stdout capture has truncated the
   *    tail of the single JSON line before (r5 lost everything past ~q58),
   *    and round-over-round per-query regressions are invisible without
-  *    the complete set. */
+  *    the complete set;
+  *  - a `spread` map ({min, med, max, runs} per query) rides next to the
+  *    median `queries` map, so an inflated gating run carries its own
+  *    adjudication evidence — a wide min..max on the suspect queries is
+  *    ambient contention mid-run, three tight runs at the high value is a
+  *    real regression (BASELINE.md "Variance adjudication"). */
 object Bench {
 
   /** Queries that fill a session-scoped cache (the dedup pair cache, the
@@ -73,13 +78,13 @@ object Bench {
         Transients.drop(spark)
         elapsed
       }
-      val timed = try {
+      val timed: Option[Seq[Double]] = try {
         val first = timeOnce()
         // median-of-3 for anything slow enough to move the total, and for
         // every stream drain (drain-cycle spread dominates their variance)
         if (first > 2.0 || name.contains("_stream"))
-          Some(Seq(first, timeOnce(), timeOnce()).sorted.apply(1))
-        else Some(first)
+          Some(Seq(first, timeOnce(), timeOnce()))
+        else Some(Seq(first))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -87,18 +92,38 @@ object Bench {
       }
       // a failed query must not shrink the total into a better score:
       // report -1 so the driver (and a human) can see the failure
-      (name, timed.getOrElse(-1.0), timed.isDefined)
+      (name, timed, timed.isDefined)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def median(rs: Seq[Double]): Double = rs.sorted.apply(rs.size / 2)
+    val qs = results.map { case (k, v, _) =>
+      "\"" + k + "\":" + v.map(median).getOrElse(-1.0)
+    }.mkString("{", ",", "}")
+    // per-query run spread — the self-adjudication evidence (VERDICT r9
+    // #2): twice in three rounds the driver's gating run inflated the
+    // shuffle-heavy tail 3-11x vs same-code builder runs, and the dispute
+    // could only be settled out-of-band. With min/max/all-runs in the
+    // artifact itself, "median 11.8 off runs 2.1,11.8,12.0" (ambient
+    // contention mid-run) reads differently from "3 tight runs at 11.8"
+    // (real regression) without git archaeology. Additive: the driver's
+    // parser keeps reading `queries` medians.
+    // Locale.ROOT: the f-interpolator formats under the default locale,
+    // and a comma decimal separator would corrupt the JSON artifact
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val spread = results.collect { case (k, Some(rs), _) =>
+      "\"" + k + "\":{\"min\":" + d3(rs.min) +
+        ",\"med\":" + d3(median(rs)) +
+        ",\"max\":" + d3(rs.max) +
+        ",\"runs\":[" + rs.map(d3).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // any failure poisons the headline metric — a crashed query must never
     // read as a faster total
     val total = if (results.exists(!_._3)) -1.0
-      else results.map(_._2).sum
+      else results.map(r => median(r._2.get)).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // durable copy of the complete per-query set (stdout capture has
     // truncated the tail of this line before — see the scaladoc)
