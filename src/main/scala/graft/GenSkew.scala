@@ -39,9 +39,17 @@ object GenSkew {
   private[graft] def skewKey(df: DataFrame, keyCol: String,
                              idCols: Seq[String], hotPct: Int): DataFrame = {
     val keyType = df.schema(keyCol).dataType
-    val hot = df.select(col(keyCol).cast("long")).distinct()
+    // integral keys only: a non-castable type would turn into nulls that
+    // survive the length check while corrupting the re-key, and a null key
+    // sorts FIRST under orderBy — it would enter the hot set and NPE on
+    // getLong. Guard the type, drop the nulls.
+    require(Seq("byte", "short", "int", "bigint")
+        .contains(keyType.simpleString),
+      s"$keyCol must be an integral column (got ${keyType.simpleString})")
+    val hot = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("long")).distinct()
       .orderBy(col(keyCol)).limit(3).collect().map(_.getLong(0))
-    require(hot.length == 3, s"need >= 3 distinct $keyCol values")
+    require(hot.length == 3, s"need >= 3 distinct non-null $keyCol values")
     val ids = idCols.map(col)
     df.withColumn(keyCol,
       when(pmod(xxhash64((lit("skew_draw") +: ids): _*), lit(100)) < hotPct,

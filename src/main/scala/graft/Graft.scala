@@ -46,6 +46,13 @@ object Graft {
       // graph operators use (GraphOps.connectedComponents), with the SQL
       // surface kept for catalog-scale recursion.
       .config("spark.sql.cteRecursionRowLimit", "200000000")
+      // reliable-checkpoint hygiene (Transients.cut): reclaim a superseded
+      // round's rdd-* checkpoint files in-job once its frame is unpersisted
+      // and GC'd — without this a multi-day iterative job accumulates every
+      // past round's files until context stop. Safe for the engine's cuts:
+      // a checkpointed round still referenced by a live plan cannot be
+      // collected, and a dropped one is by definition rebuildable.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       // the SQL status listener retains per-execution metric state even
       // with the UI off (it backs the status APIs); at 1000 retained

@@ -79,8 +79,11 @@ object SkewProbe {
       }
       require(runs(0)._1 == runs(1)._1,
         s"$name: results differ between skew handling on and off")
+      // off-time / on-time: > 1.0x means skew handling made the query
+      // faster (named unambiguously — the old `on_vs_off` label read as
+      // the inverse ratio and could misattribute which setting won)
       println(f"SKEWPROBE $name HASH_EQUAL on/off " +
-        f"on_vs_off=${runs(0)._3 / runs(1)._3}%.2fx fired=${runs(1)._2}")
+        f"off_over_on=${runs(0)._3 / runs(1)._3}%.2fx fired=${runs(1)._2}")
     }
     spark.stop()
   }

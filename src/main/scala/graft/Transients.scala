@@ -35,11 +35,24 @@ object Transients {
     * `SPARK_GRAFT_RELIABLE_CHECKPOINT` env var) switches every cut to a
     * reliable `checkpoint()` against that directory (HDFS/S3 on a
     * cluster), making each round durable at the cost of a write per cut.
-    * Checkpoint files live until the context stops (or the ContextCleaner
-    * collects them under `spark.cleaner.referenceTracking.cleanCheckpoints`)
-    * — size the directory for the working set, not the corpus: each cut
-    * is one round's edge/frontier set, and superseded rounds are
-    * unpersisted by their operators as they go. */
+    * Checkpoint files are reclaimed IN-JOB by the ContextCleaner —
+    * [[graft.Graft.sessionBuilder]] sets
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, so a
+    * superseded round's rdd-* files are deleted once its frame is
+    * unpersisted and the driver GCs the reference (a multi-day iterative
+    * job would otherwise accumulate every past round's files until
+    * context stop) — size the directory for the working set, not the
+    * corpus: each cut is one round's edge/frontier set.
+    *
+    * Reliable-mode cost: `Dataset.checkpoint()` is eager — it runs one
+    * job to materialize and the RDD's partitions are then recomputed to
+    * write the checkpoint files, so an unpersisted plan would execute
+    * TWICE per cut (reintroducing the double-computation the cut exists
+    * to avoid). The cut therefore persists the frame first (the write
+    * pass becomes a cache read) and unpersists right after the
+    * checkpoint materializes — the standard persist-then-checkpoint
+    * pattern; measured costs per round in BASELINE.md ("Reliable
+    * checkpoint cost, round 10"). */
   def cut(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption("spark.graft.reliableCheckpointDir")
@@ -59,7 +72,16 @@ object Transients {
         // per-cut re-point would silently split one job's rounds across
         // directories)
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        df.checkpoint()
+        // persist-then-checkpoint: without the cache the eager checkpoint
+        // recomputes the whole plan to write the files (2x per cut); with
+        // it the write pass reads blocks. Skip when the caller already
+        // persisted (unpersisting THEIR cache here would be a surprise).
+        val ownCache =
+          df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+        if (ownCache)
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint()
+        finally if (ownCache) df.unpersist(blocking = false)
       case None => df.localCheckpoint()
     }
   }

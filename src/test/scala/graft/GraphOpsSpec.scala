@@ -494,7 +494,14 @@ class GraphOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     val prBefore = GraphOps.pageRankScaled(pr, iterations = 5)
       .as[(Long, Long)].collect().toMap
-    val dir = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt")
+    // ONE stable per-JVM dir, deleted only at JVM exit — NOT a per-test
+    // temp dir deleted in finally: SparkContext.setCheckpointDir is
+    // first-cut-wins and can never be unset, so deleting the dir here
+    // would leave the shared test session's context permanently pointing
+    // at a dead path, silently breaking any LATER suite that enables
+    // reliable mode in the same JVM (it would checkpoint under the stale
+    // deleted dir instead of its configured one).
+    val dir = GraphOpsSpec.reliableCkptDir
     spark.conf.set("spark.graft.reliableCheckpointDir", dir.toString)
     try {
       assert(GraphOps.connectedComponents(edges)
@@ -510,7 +517,18 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(written > 0, "no reliable checkpoint data was written")
     } finally {
       spark.conf.unset("spark.graft.reliableCheckpointDir")
-      FsUtil.deleteRec(dir)
     }
+  }
+}
+
+object GraphOpsSpec {
+  /** One stable reliable-checkpoint dir per JVM: setCheckpointDir is
+    * first-cut-wins and can never be reset, so this path must outlive
+    * every suite that might exercise reliable mode in the shared test
+    * session — deleted by a shutdown hook at JVM exit, never mid-run. */
+  lazy val reliableCkptDir: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt")
+    sys.addShutdownHook(FsUtil.deleteRec(d))
+    d
   }
 }
