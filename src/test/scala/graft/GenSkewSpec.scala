@@ -50,4 +50,27 @@ class GenSkewSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("distinct"))
   }
+
+  test("null keys never enter the hot set; non-integral keys are rejected") {
+    // nulls sort FIRST under orderBy — before the guard a null landed in
+    // the 3-row hot lookup and NPE'd on getLong; now it is filtered and
+    // the hot set is the 3 smallest REAL keys
+    val withNulls = ((1 to 200).map(i => (i.toLong, Some(10L * (i % 10 + 1)))) ++
+      Seq((201L, None), (202L, None))).toDF("id", "key")
+    val out = GenSkew.skewKey(withNulls, "key", Seq("id"), 40)
+    val hot = out.groupBy("key").count()
+      .orderBy(col("count").desc).limit(3)
+      .select("key").as[Option[Long]].collect().flatten.toSet
+    assert(hot === Set(10L, 20L, 30L))
+    // null-key rows pass through unkeyed or re-keyed — but never crash
+    assert(out.count() === 202)
+
+    // a string key would cast to null and corrupt the re-key silently —
+    // the guard rejects the type up front instead
+    val strKey = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "key")
+    val e = intercept[IllegalArgumentException] {
+      GenSkew.skewKey(strKey, "key", Seq("id"), 40)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
