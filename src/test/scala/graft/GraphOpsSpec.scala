@@ -519,6 +519,33 @@ class GraphOpsSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.reliableCheckpointDir")
     }
   }
+
+  test("reliable cut computes its plan exactly once (persist-then-checkpoint)") {
+    // Dataset.checkpoint() is eager: one job materializes, then the RDD's
+    // partitions are recomputed to WRITE the checkpoint files. On an
+    // unpersisted plan that write pass re-executes the whole plan — every
+    // cut would run twice. The cut persists first, so the write pass reads
+    // cache: the accumulator below must tick exactly once per row, and
+    // must NOT tick again when downstream reads come off the checkpoint.
+    spark.conf.set("spark.graft.reliableCheckpointDir",
+      GraphOpsSpec.reliableCkptDir.toString)
+    try {
+      val acc = spark.sparkContext.longAccumulator("cut_compute")
+      val base = spark.range(1000).as[Long]
+        .map { x => acc.add(1L); x }.toDF("v")
+      val cp = Transients.track(Transients.cut(base))
+      assert(acc.value === 1000L,
+        s"cut executed its plan ${acc.value / 1000.0}x, expected once")
+      assert(cp.count() === 1000L)
+      assert(acc.value === 1000L, "downstream read recomputed the plan")
+      // and the cut released its own cache — no block residue pinned
+      assert(base.storageLevel ===
+        org.apache.spark.storage.StorageLevel.NONE)
+    } finally {
+      spark.conf.unset("spark.graft.reliableCheckpointDir")
+      Transients.drop(spark)
+    }
+  }
 }
 
 object GraphOpsSpec {
