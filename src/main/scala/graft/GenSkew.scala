@@ -43,7 +43,7 @@ object GenSkew {
     // survive the length check while corrupting the re-key, and a null key
     // sorts FIRST under orderBy — it would enter the hot set and NPE on
     // getLong. Guard the type, drop the nulls.
-    require(Seq("byte", "short", "int", "bigint")
+    require(Seq("tinyint", "smallint", "int", "bigint")
         .contains(keyType.simpleString),
       s"$keyCol must be an integral column (got ${keyType.simpleString})")
     val hot = df.filter(col(keyCol).isNotNull)

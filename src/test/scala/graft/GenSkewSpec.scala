@@ -72,5 +72,13 @@ class GenSkewSpec extends AnyFunSuite {
       GenSkew.skewKey(strKey, "key", Seq("id"), 40)
     }
     assert(e.getMessage.contains("integral"))
+
+    // every integral width is accepted (simpleString spells them
+    // tinyint/smallint/int/bigint — the guard must use those names)
+    val shortKey = (1 to 30).map(i => (i.toLong, (i % 5 + 1).toShort))
+      .toDF("id", "key")
+    assert(GenSkew.skewKey(shortKey, "key", Seq("id"), 40).count() === 30)
+    assert(GenSkew.skewKey(shortKey, "key", Seq("id"), 40)
+      .schema("key").dataType === org.apache.spark.sql.types.ShortType)
   }
 }
