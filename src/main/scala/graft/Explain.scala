@@ -19,6 +19,7 @@ object Explain {
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      Transients.drop(spark) // construction-time cuts (graph rounds etc.)
     }
     spark.stop()
   }

@@ -29,7 +29,12 @@ object MicroBench {
         if (Bench.cacheProducers(name)) Bench.evictCaches(spark)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // release per-query checkpoint residue OUTSIDE the timed span
+        // (Bench's discipline): queries that cut a transient would
+        // otherwise pin one copy per rep and drift later medians
+        Transients.drop(spark)
+        elapsed
       }
       val median = times.sorted.apply(reps / 2)
       println(f"$name%-28s median=$median%.3fs runs=${times.map(t => f"$t%.3f").mkString(",")}")

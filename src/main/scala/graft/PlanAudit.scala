@@ -66,6 +66,11 @@ object PlanAudit {
           // a query that cannot even PLAN must surface as a suspect,
           // not silently vanish from the gate
           case e: Throwable => Some(name -> Seq("PlanningFailed"))
+        } finally {
+          // iterative/salted queries cut transients at CONSTRUCTION
+          // (graph rounds, signature/catalog tables): release them per
+          // query or a full scan pins every query's checkpoint at once
+          Transients.drop(spark)
         }
       }
 

@@ -503,18 +503,23 @@ class GraphOpsSpec extends AnyFunSuite {
     // deleted dir instead of its configured one).
     val dir = GraphOpsSpec.reliableCkptDir
     spark.conf.set("spark.graft.reliableCheckpointDir", dir.toString)
+    // the dir is shared by every reliable-mode test in the JVM and never
+    // cleaned mid-run, so the durability assertion must count the DELTA —
+    // a pre-existing rdd-* from another test must not satisfy it
+    import scala.jdk.CollectionConverters._
+    def rddDirs(): Long = scala.util.Using.resource(
+      java.nio.file.Files.walk(dir))(_.iterator().asScala.count(p =>
+        p.getFileName.toString.startsWith("rdd-")))
+    val before = rddDirs()
     try {
       assert(GraphOps.connectedComponents(edges)
         .as[(Long, Long)].collect().toMap === ccBefore)
       assert(GraphOps.pageRankScaled(pr, iterations = 5)
         .as[(Long, Long)].collect().toMap === prBefore)
-      // the rounds really went through the reliable path: checkpoint data
-      // landed under the configured dir (setCheckpointDir nests a UUID dir)
-      import scala.jdk.CollectionConverters._
-      val written = scala.util.Using.resource(
-        java.nio.file.Files.walk(dir))(_.iterator().asScala.count(p =>
-          p.getFileName.toString.startsWith("rdd-")))
-      assert(written > 0, "no reliable checkpoint data was written")
+      // the rounds really went through the reliable path: NEW checkpoint
+      // data landed under the configured dir (setCheckpointDir nests a
+      // UUID dir per context)
+      assert(rddDirs() > before, "no reliable checkpoint data was written")
     } finally {
       spark.conf.unset("spark.graft.reliableCheckpointDir")
     }
