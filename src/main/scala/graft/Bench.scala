@@ -70,13 +70,15 @@ object Bench {
         if (cacheProducers(name)) evictCaches(spark)
         gc.maybe()
         val t0 = System.nanoTime()
-        execute(fn(spark, sfDir))
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // release single-query checkpoint residue OUTSIDE the timed span:
-        // left pinned, it bleeds eviction/spill pressure into every later
-        // query (measured 2-4x drift across a full cycle)
-        Transients.drop(spark)
-        elapsed
+        // release single-query checkpoint residue OUTSIDE the timed span,
+        // and on FAILURE too (finally): queries cut transients eagerly at
+        // construction, so a run that throws mid-write has already pinned
+        // blocks — left around, they bleed eviction/spill pressure into
+        // the NEXT query's timed runs (measured 2-4x drift)
+        try {
+          execute(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        } finally Transients.drop(spark)
       }
       val timed: Option[Seq[Double]] = try {
         val first = timeOnce()

@@ -1171,16 +1171,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("noun-block hot-bucket split (q91/q204): pair sets identical to unsalted") {
     graft.functions.GraftFunctions.register(spark)
     // planted catalog: one mega-noun block (same blocking token, small
-    // edits) + singleton-noun names that can never pair
+    // edits) + singleton-noun names that can never pair + SINGLE-WORD
+    // names (no second token — the engine must block them together under
+    // '' exactly as DuckDB's split_part does, not drop them via null)
     val names = ((0 until 150).map(i =>
       (f"shade$i%03d widget", 1L + i % 3)) ++
-      (0 until 20).map(i => (s"lone gadget$i extra$i", 1L)))
+      (0 until 20).map(i => (s"lone gadget$i extra$i", 1L)) ++
+      Seq(("gizmo", 2L), ("gizmos", 1L)))
       .toDF("p_name", "n_parts")
-      .withColumn("noun", split(col("p_name"), " ").getItem(1))
+      // null-tolerant get(): ANSI-mode getItem(1) THROWS on 1-element
+      // arrays (same construction as DedupOps.nounCatalog)
+      .withColumn("noun",
+        coalesce(get(split(col("p_name"), " "), lit(1)), lit("")))
     def lev(f: Int) = DedupOps.q91PairsFrom(names, maxDist = 3, maxSaltFanout = f)
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
     val levSalted = lev(DedupOps.MaxSaltFanout)
     assert(levSalted.nonEmpty, "fixture must produce edit-distance matches")
+    assert(levSalted.contains(("gizmo", "gizmos", 1)),
+      "single-word names must pair through the '' block")
     assert(levSalted === lev(1))
     def jw(f: Int) = DedupOps.q204PairsFrom(names, threshold = 0.9, maxSaltFanout = f)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
