@@ -42,6 +42,26 @@ import graft.Tables
   */
 object GraphOps {
 
+  /** Canonical (u < v) edge list symmetrized to both orientations — THE
+    * shared neighborhood basis of the whole graph family (CC rounds,
+    * degree tables, PageRank adjacencies, BFS frontiers, wedge
+    * enumeration). One load-bearing detail, applied here once instead of
+    * at every call site: BOTH union children alias every column. An
+    * unaliased child that selects exactly the input's columns collapses
+    * to the (possibly checkpointed) relation itself, and Union's
+    * constraint rewrite then throws "key not found" when a LogicalRDD
+    * input (the co-order edge memo, a CC round's cut) carries constraints
+    * minted against pre-checkpoint attribute ids — the Spark
+    * constraint-propagation corner q161 documents. `cols` defaults to the
+    * bare (u, v) pair; pass ("u", "v", "w") to carry the weight. */
+  private def symmetrized(e: DataFrame, cols: String*): DataFrame = {
+    val cs = if (cols.isEmpty) Seq("u", "v") else cols
+    def side(u: String, v: String) =
+      e.select((Seq(col(u).as("u"), col(v).as("v")) ++
+        cs.drop(2).map(c => col(c).as(c))): _*)
+    side("u", "v").union(side("v", "u"))
+  }
+
   /** Connected components over an undirected edge list (columns `src`,
     * `dst`, any numeric id type; self-loops and duplicates tolerated).
     * Returns (id, component) for every node present in the edge list,
@@ -60,8 +80,7 @@ object GraphOps {
     while (!converged && i < maxIterations) {
       // -------- large-star: for each u, link larger neighbors to the
       // neighborhood minimum. Neighborhood here is over BOTH directions.
-      val nbrs = cur.select(col("u"), col("v"))
-        .union(cur.select(col("v").as("u"), col("u").as("v")))
+      val nbrs = symmetrized(cur)
       val mins = nbrs.groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
       val large = nbrs.join(mins, "u")
@@ -99,10 +118,17 @@ object GraphOps {
     }
     // a truncated iteration would silently label nodes with INTERMEDIATE
     // minima — fail loudly instead (log-round convergence makes the cap
-    // generous: 50 rounds covers graphs far beyond any real corpus)
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxIterations iterations " +
-        s"($curCount edges remaining) — raise maxIterations")
+    // generous: 50 rounds covers graphs far beyond any real corpus).
+    // Track the final round BEFORE throwing: its checkpoint blocks are
+    // otherwise orphaned (invisible to Transients.drop) and pin block-
+    // manager memory for the session's life in a harness that catches
+    // the error and moves on.
+    if (!converged) {
+      graft.Transients.track(cur)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIterations iterations " +
+          s"($curCount edges remaining) — raise maxIterations")
+    }
     // final edge set is a star forest: every v points at its component min u.
     // This last checkpoint backs the returned plan — released at the next
     // query boundary, not here.
@@ -252,8 +278,7 @@ object GraphOps {
       .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("u"), col("b.p").as("v"))
       .agg(count(lit(1)).as("w"))
-    val adj = pw.select(col("u"), col("v"), col("w"))
-      .union(pw.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val adj = symmetrized(pw, "u", "v", "w")
     // materialize the capped ranking ONCE (≤ n·cap rows): the mutual join
     // probes it from both sides with swapped keys, which defeats exchange
     // reuse — without the checkpoint the adjacency window runs twice.
@@ -340,8 +365,7 @@ object GraphOps {
     * (columns `u` < `v`): returns (node, r) with r in units of scale⁻¹. */
   def pageRankScaled(edges: DataFrame, iterations: Int,
                      scale: Long = 1000000000000L): DataFrame = {
-    val adj = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val adj = symmetrized(edges)
     val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
     // (u, v, deg_u): the only per-iteration join input, materialized once
     val adjd = graft.Transients.track(adj.join(deg, "u").transform(graft.Transients.cut))
@@ -374,8 +398,7 @@ object GraphOps {
     * iteration is one join + one integer aggregate, all order-free. */
   def pageRankWeightedScaled(edges: DataFrame, iterations: Int,
                              scale: Long = 1000000000000L): DataFrame = {
-    val adj = edges.select(col("u"), col("v"), col("w"))
-      .union(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val adj = symmetrized(edges, "u", "v", "w")
     val wt = adj.groupBy("u").agg(sum("w").as("wtot"))
     val adjp = graft.Transients.track(adj.join(wt, "u")
       .select(col("u"), col("v"), expr("(1000000 * w) div wtot").as("p"))
@@ -425,15 +448,11 @@ object GraphOps {
     * (sum DESC, label ASC) ranking only, no floats anywhere. */
   def labelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // BOTH union children alias every column: an unaliased child collapses
-    // to the (possibly checkpointed) relation itself, and Union's
-    // constraint rewrite throws "key not found" when a LogicalRDD child
-    // carries constraints minted against pre-checkpoint attribute ids
+    // the union-collapse aliasing guard lives in [[symmetrized]] — this
+    // site is where the "key not found" constraint-rewrite crash was
+    // first hit (checkpointed LogicalRDD input)
     val adj = graft.Transients.track(
-      edges.select(col("u").as("u"), col("v").as("v"), col("w").as("w"))
-        .union(edges.select(col("v").as("u"), col("u").as("v"),
-          col("w").as("w")))
-        .transform(graft.Transients.cut))
+      symmetrized(edges, "u", "v", "w").transform(graft.Transients.cut))
     var labels = adj.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     val byVote = Window.partitionBy("node")
@@ -506,8 +525,7 @@ object GraphOps {
     * 0/0. */
   def q160ClusteringCoeff(s: SparkSession, d: String): DataFrame = {
     val e = cachedCoOrderEdges(s, d)
-    val adj = e.select(col("u"), col("v"))
-      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val adj = symmetrized(e)
     val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
@@ -632,8 +650,7 @@ object GraphOps {
   def q175BfsHops(s: SparkSession, d: String,
                   maxHops: Int = 3, nSeeds: Int = 8): DataFrame = {
     val e = cachedCoOrderEdges(s, d)
-    val adj = e.select(col("u"), col("v"))
-      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val adj = symmetrized(e)
     val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
     val seeds = deg.orderBy(col("deg").desc, col("u"))
       .limit(nSeeds).select(col("u").as("node"))
@@ -690,8 +707,7 @@ object GraphOps {
                                iterations: Int = 3, nSeeds: Int = 8,
                                scale: Long = 1000000000000L): DataFrame = {
     val e = cachedCoOrderEdges(s, d)
-    val adj0 = e.select(col("u"), col("v"))
-      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val adj0 = symmetrized(e)
     val deg = adj0.groupBy("u").agg(count(lit(1)).as("deg"))
     val adj = graft.Transients.track(
       adj0.join(deg, "u").transform(graft.Transients.cut))
@@ -802,8 +818,7 @@ object GraphOps {
   def q223AdamicAdar(s: SparkSession, d: String, topN: Int = 25): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val e = cachedCoOrderEdges(s, d)
-    val adj = e.select(col("u"), col("v"))
-      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val adj = symmetrized(e)
     val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
     val invln = deg.filter(col("deg") >= 2)
       .select(col("u").as("z"),
@@ -858,8 +873,12 @@ object GraphOps {
         .select(col("a.ilu").as("ilu"), col("a.n").as("x"), col("b.n").as("y"))
       wedges.groupBy("x", "y")
         .agg(count(lit(1)).as("common_n"), sum(col("ilu")).as("aa_u"))
-        .join(e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"),
-          "left_anti")
+        // same size-gated broadcast as the packed branch: a wide-id corpus
+        // with a small edge memo should not pay a shuffle anti-join
+        .join({
+            val ep = e.select(col("u").as("x"), col("v").as("y"))
+            if (bcastAnti) broadcast(ep) else ep
+          }, Seq("x", "y"), "left_anti")
         .orderBy(col("aa_u").desc, col("x"), col("y"))
         .limit(topN)
         .select(col("x"), col("y"), col("common_n"),

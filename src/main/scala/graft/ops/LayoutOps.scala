@@ -446,8 +446,15 @@ object LayoutOps {
       .join(totals, "key_col")
       .select(col("key_col"), col("rank"), col("key"), col("cnt"),
         col("n_keys"), col("n_rows"),
-        expr("(10000 * cnt) div n_rows").as("share_bp"),
-        expr("(10000 * cnt * n_keys) div n_rows").as("vs_fair_bp"))
+        // products widened to DECIMAL(38,0) before the integral divide:
+        // 10000·cnt·n_keys overflows BIGINT once cnt·n_keys passes ~9.2e14
+        // — an ANSI ARITHMETIC_OVERFLOW crash in the very audit meant to
+        // diagnose 100 TB skew. Same widening in the DuckDB oracle
+        // (HUGEINT), same integral quotient, so values are unchanged.
+        expr("CAST((CAST(10000 AS DECIMAL(38,0)) * cnt) div n_rows AS BIGINT)")
+          .as("share_bp"),
+        expr("CAST((CAST(10000 AS DECIMAL(38,0)) * cnt * n_keys) div n_rows AS BIGINT)")
+          .as("vs_fair_bp"))
       .orderBy("key_col", "rank")
   }
 
@@ -593,8 +600,13 @@ object LayoutOps {
         coalesce(col("n_rows_scanned"), lit(0L)).as("n_rows_scanned"),
         coalesce(col("n_rows"), lit(0L)).as("n_rows"),
         coalesce(col("sum_qty"), lit(0L)).as("sum_qty"))
+      // CASE-guarded: on an empty table n_shards_total is 0 and ANSI
+      // integral divide would throw DIVIDE_BY_ZERO — the empty-input
+      // contract is all-zero report rows, never an error (branches of
+      // when() are lazily evaluated, so the divide never runs at 0)
       .withColumn("skip_bp",
-        expr("(10000 * (n_shards_total - n_shards_hit)) div n_shards_total"))
+        when(col("n_shards_total") === 0, lit(0L)).otherwise(
+          expr("(10000 * (n_shards_total - n_shards_hit)) div n_shards_total")))
       .orderBy("probe_id")
   }
 
@@ -937,8 +949,8 @@ object LayoutOps {
          |   PARTITION BY key_col ORDER BY cnt DESC, key) AS INT) AS rank
          | FROM counted)
          |SELECT r.key_col, r.rank, r.key, r.cnt, t.n_keys, t.n_rows,
-         | (10000 * r.cnt) // t.n_rows AS share_bp,
-         | (10000 * r.cnt * t.n_keys) // t.n_rows AS vs_fair_bp
+         | CAST((10000::HUGEINT * r.cnt) // t.n_rows AS BIGINT) AS share_bp,
+         | CAST((10000::HUGEINT * r.cnt * t.n_keys) // t.n_rows AS BIGINT) AS vs_fair_bp
          |FROM ranked r JOIN totals t USING (key_col)
          |WHERE r.rank <= 10 ORDER BY r.key_col, r.rank""".stripMargin
     },

@@ -103,7 +103,12 @@ object SimilarityOps {
     val simDims = array(dims.map(m => struct(lit(m).as("m"),
       round(cosine(slice(col("q_emb"), 1, m), slice(col("c_emb"), 1, m)), 6)
         .as("sim"))): _*)
-    val ranked = c.crossJoin(broadcast(q))
+    // cut: the ranked relation (|Q|·N·#m scored rows through a window)
+    // feeds TWO consumers — the full-dim extraction and the overlap join —
+    // and without the cut the window sort executes once per consumer
+    // (exchange reuse dedups the scan, not the sort). Same multi-consumer
+    // discipline as q147/bandedRank; post-cut the relation is |Q|·#m·k rows.
+    val ranked = graft.Transients.track(c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), explode(simDims).as("ds"))
       .select(col("q_id"), col("c_id"), col("ds.m").as("m"),
@@ -111,6 +116,7 @@ object SimilarityOps {
       .withColumn("rk", row_number().over(
         Window.partitionBy("q_id", "m").orderBy(col("sim").desc, col("c_id"))))
       .filter(col("rk") <= k)
+      .transform(graft.Transients.cut))
     val full = ranked.filter(col("m") === dims.max)
       .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
     // LEFT join, not semi: a (query, m) whose prefix top-k shares NOTHING
@@ -782,9 +788,15 @@ object SimilarityOps {
     * GROUP candidate list bounded by m = 20 rows — the q154-candidates
     * discipline: never the corpus, always the bounded head. */
   def q208MmrRerank(s: SparkSession, d: String, m: Int = 20,
-                    k: Int = 8): DataFrame = {
+                    k: Int = 8): DataFrame =
+    q208From(Tables.spread(t(s, d, "embeddings"), "vec_id"), m, k)
+
+  /** q208's rerank over a prebuilt (vec_id, embedding) frame — split out
+    * so the single-candidate edge case is spec-pinnable. */
+  private[graft] def q208From(e: DataFrame, m: Int = 20,
+                              k: Int = 8): DataFrame = {
+    val s = e.sparkSession
     import s.implicits._
-    val e = Tables.spread(t(s, d, "embeddings"), "vec_id")
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
@@ -800,13 +812,19 @@ object SimilarityOps {
       .filter(col("a_id") =!= col("b_id"))
       .select(col("q_id"), col("a_id"), col("b_id"),
         sim6(col("a_emb"), col("b_emb")).as("s6"))
+    // LEFT join: a query whose candidate pool has exactly one member
+    // produces ZERO pairs in cc — an inner join would drop the query
+    // entirely while the oracle's unrolled step 1 still emits its pick
+    // (step 1 never consults the pair map: selected is empty)
     val perQ = cand.groupBy("q_id")
       .agg(collect_list(struct(col("c_id"), col("rel6"))).as("cands"))
       .join(cc.groupBy("q_id")
         .agg(collect_list(struct(col("a_id"), col("b_id"), col("s6"))).as("pairs")),
-        "q_id")
+        Seq("q_id"), "left")
     perQ.as[MmrQuery].flatMap { qr =>
-      val sim = qr.pairs.map(p => ((p.a_id, p.b_id), p.s6)).toMap
+      // the left join encodes a pairless query's pairs as null
+      val sim = Option(qr.pairs).getOrElse(Seq.empty)
+        .map(p => ((p.a_id, p.b_id), p.s6)).toMap
       var selected = List.empty[Long]
       // a query with fewer than k candidates yields that many picks (the
       // oracle's unrolled steps do the same) — never maxBy on an empty pool

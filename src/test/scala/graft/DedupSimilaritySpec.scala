@@ -1201,4 +1201,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("block_fanout").distinct().collect().map(_.getInt(0))
     assert(hot.length === 1 && hot.head > 1)
   }
+
+  test("q208 MMR: a single-candidate query still emits its step-1 pick") {
+    // two embeddings: each query's candidate pool is the OTHER vector
+    // only, so its pair list is EMPTY — the per-query join must not drop
+    // the query (step 1 never consults the pair map; the oracle's
+    // unrolled step 1 emits the pick either way)
+    val e = Seq((0L, Array.fill(64)(1.0f)),
+      (1L, Array.fill(63)(1.0f) :+ 2.0f))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.q208From(e)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSet === Set((0L, 1, 1L), (1L, 1, 0L)))
+  }
 }
