@@ -458,7 +458,13 @@ object StatsOps {
       .join(c, Seq("lang", "source"), "left")
       .select(col("lang"), col("source"),
         coalesce(col("o"), lit(0L)).as("o"),
-        ((col("rl") * col("cs")).cast("double") / col("nn").cast("double")).as("e"))
+        // rl·cs widened to DECIMAL(38,0) before the product (the q115
+        // discipline; oracle widens to HUGEINT identically): two ~1e10
+        // marginals overflow a raw long product — and the exact-integer
+        // product cast once to double matches the oracle bit-for-bit in
+        // every regime, where double*double could differ an ulp past 2^53
+        ((col("rl").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("cs")).cast("double") / col("nn").cast("double")).as("e"))
     val x = grid.select(col("lang"), col("source"), col("o"), col("e"),
       floor((col("o") - col("e")) * (col("o") - col("e")) / col("e") * 1000000L)
         .as("contrib_u"))
@@ -682,8 +688,13 @@ object StatsOps {
   }
 
   def q110HeavyHitters(s: SparkSession, d: String): DataFrame = {
-    val tok = t(s, d, "documents")
+    // cut: the exploded token table feeds THREE consumers (the
+    // Misra-Gries candidate pass, the total count, the exact recount) —
+    // without it each consumer re-scans and re-tokenizes the corpus
+    // (q190's identical shape takes the same cut, the q147 discipline)
+    val tok = graft.Transients.track(t(s, d, "documents")
       .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .transform(graft.Transients.cut))
     val candidates = tok.select("token").as(Encoders.STRING)
       .mapPartitions(it => misraGries(it, mgCapacity))(Encoders.STRING)
       .toDF("token").distinct()
@@ -1007,9 +1018,15 @@ object StatsOps {
       .withColumn("cum", coalesce(sum(col("a") + col("b")).over(w), lit(0L)))
       .withColumn("two_r", lit(2L) * col("cum") + col("a") + col("b") + lit(1L))
       .agg(sum("a").as("n1"), sum("b").as("n2"),
-        sum((col("a") * col("two_r")).cast(dec38)).as("r1x2"),
-        sum(expr("CAST((a + b) * (a + b) * (a + b) - (a + b) AS DECIMAL(38,0))"))
-          .as("tie_term"))
+        // widen BEFORE multiplying (the q185/q167 discipline, and what the
+        // HUGEINT oracle does): a raw-long a*two_r overflows past ~2e9
+        // rows, and (a+b)^3 in long overflows once a single cents value
+        // is shared by more than ~2.1M events — ANSI ArithmeticException
+        // in a rank test meant for 100 TB event streams
+        sum(col("a").cast(dec38) * col("two_r").cast(dec38)).as("r1x2"),
+        sum(expr("""CAST(a + b AS DECIMAL(38,0)) * (a + b) * (a + b)
+                  | - (a + b)""".stripMargin))
+          .cast(dec38).as("tie_term"))
       .select(col("n1"), col("n2"), col("r1x2"),
         (col("r1x2") - col("n1").cast(dec38) * (col("n1") + lit(1L)).cast(dec38))
           .as("u1x2"),
@@ -1339,14 +1356,20 @@ object StatsOps {
     * the max(struct(...)) argmax trick used across this repo (q80, q184,
     * q233…): per type, the event id carrying the extreme value. Both
     * engines leave TIES undefined, so the ordering key is the composite
-    * c·10⁷ + id — strictly unique, which makes the pick deterministic
-    * and the tie rule (highest cents, then highest id; lowest cents,
-    * then lowest id) explicit in the key construction itself. */
+    * c·10¹⁹ + id in DECIMAL(38,0) — strictly unique for EVERY possible
+    * long id (10¹⁹ exceeds Long.MaxValue ≈ 9.2·10¹⁸, so ids can never
+    * straddle two cents values the way the earlier 10⁷ multiplier let
+    * them past 10M events, and the decimal grid can't overflow where the
+    * long product did) — which makes the pick deterministic and the tie
+    * rule (highest cents, then highest id; lowest cents, then lowest id)
+    * explicit in the key construction itself. */
   def q261ArgmaxAggregates(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .select(col("event_type"), col("event_id"),
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
-      .withColumn("key", col("c") * lit(10000000L) + col("event_id"))
+      .withColumn("key", expr(
+        """CAST(c AS DECIMAL(38,0)) * 10000000000000000000
+          | + event_id""".stripMargin))
       .groupBy("event_type")
       .agg(
         expr("max_by(event_id, key)").as("max_event_id"),
@@ -1896,8 +1919,8 @@ object StatsOps {
       """WITH e AS (
         | SELECT event_type, event_id,
         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
-        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000
-        |    + event_id AS key
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)
+        |    * 10000000000000000000::HUGEINT + event_id AS key
         | FROM events)
         |SELECT event_type,
         | CAST(arg_max(event_id, key) AS BIGINT) AS max_event_id,
@@ -2401,7 +2424,7 @@ object StatsOps {
         |n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM c),
         |g AS (
         | SELECT grid.lang, grid.source, coalesce(c.o, 0) AS o,
-        |  CAST(grid.rl * grid.cs AS DOUBLE) / CAST(grid.nn AS DOUBLE) AS e
+        |  CAST(grid.rl::HUGEINT * grid.cs AS DOUBLE) / CAST(grid.nn AS DOUBLE) AS e
         | FROM (SELECT l.lang, s.source, rl, cs, nn
         |       FROM l CROSS JOIN s CROSS JOIN n) grid
         | LEFT JOIN c ON grid.lang = c.lang AND grid.source = c.source),
