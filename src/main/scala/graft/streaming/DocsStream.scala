@@ -96,9 +96,13 @@ object DocsStream {
           .format("memory").queryName(name).start()
         try {
           q.processAllAvailable() // every token batch folds into state
-          // NOW stage the per-bucket sentinels — a strictly later batch
+          // NOW stage the per-bucket sentinels — a strictly later batch.
+          // Append, not overwrite: overwrite deletes the staged dir for a
+          // moment and the file-source poller logs a spurious
+          // FileNotFoundException when its listing races the delete (the
+          // q225 lesson below)
           (0 until buckets).map(b => TokRow(b, null, sentinel = true))
-            .toDF().write.mode("overwrite").parquet(stageDir)
+            .toDF().write.mode("append").parquet(stageDir)
           q.processAllAvailable() // flush batch: every group emits
         } finally q.stop()
         drain.table(name)
@@ -166,8 +170,10 @@ object DocsStream {
   def q245StreamQuantileGrid(s: SparkSession, d: String): DataFrame = {
     val name = "graft_stream_qgrid"
     val grid = EventsStream.withDrainSession(s) { drain =>
-      val cells = drain.readStream.schema(EventsStream.eventsSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      // through the ONE nanos-normalized events reader (ts is pruned
+      // here, but a hand-rolled schema would silently declare the wrong
+      // ts type the day it IS selected — the readEventsNanos contract)
+      val cells = EventsStream.readEventsNanos(drain, d)
         .select(col("event_type"),
           expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
         .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
@@ -212,7 +218,11 @@ object DocsStream {
         if (r.sentinel) flush = true
         else {
           n += 1
-          set += r.h
+          // a NULL-text doc hashes to null: the doc COUNT keeps it
+          // (count(*) semantics, matching the batch twin's n_docs) but
+          // the sketch set skips it (countDistinct semantics) — inserting
+          // null into a natural-ordering TreeSet would NPE the executor
+          if (r.h != null) set += r.h
           while (set.size > k) set -= set.last
         }
       }
@@ -369,8 +379,8 @@ object DocsStream {
         import drain.implicits._
         drain.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        val rows = drain.readStream.schema(EventsStream.eventsSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(d)
+        // same one-reader contract as q245 above
+        val rows = EventsStream.readEventsNanos(drain, d)
           .select(col("event_type"), col("event_id"),
             expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
               .as("c"),

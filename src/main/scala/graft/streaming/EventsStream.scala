@@ -85,6 +85,11 @@ object EventsStream {
     * batch path's Tables.normalizeEventTs so a regeneration in either
     * direction can't break the streaming surface. */
   def readEventsNanos(s: SparkSession, dir: String): DataFrame = {
+    // guard BOTH footer branches: nanosView carries its own requireUtc,
+    // but the raw-long branch previously reached tz-sensitive consumers
+    // (q55/q87's date_trunc→ntz casts) unguarded — a mis-pinned session
+    // would shift every window start silently instead of failing loudly
+    graft.Tables.requireUtc(s)
     val tsIsLong = s.read.parquet(s"$dir/events.parquet")
       .schema("ts").dataType == LongType
     val src = s.readStream
@@ -944,9 +949,13 @@ object EventsStream {
           .format("memory").queryName(name).start()
         try {
           q.processAllAvailable() // every event batch folds daily sums
-          // stage the per-type sentinels as a strictly LATER batch
+          // stage the per-type sentinels as a strictly LATER batch —
+          // append, not overwrite: overwrite deletes the staged dir for a
+          // moment and the file-source poller logs a spurious
+          // FileNotFoundException when its listing races the delete (the
+          // q225 lesson, DocsStream)
           types.map(t => CuRow(t, 0L, 0L, sentinel = true))
-            .toDF().write.mode("overwrite").parquet(stageDir)
+            .toDF().write.mode("append").parquet(stageDir)
           q.processAllAvailable() // flush batch: every group emits
         } finally q.stop()
         drain.table(name).orderBy("event_type")
