@@ -67,7 +67,9 @@ object Tables {
     * is read off the planned scan and the repartition only fires when the
     * layout starves the compute (fewer splits than the shuffle width). */
   def spread(df: DataFrame, key: String): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // typed accessor (numShufflePartitions), not a raw-string .toInt —
+    // survives distributions that set the conf non-numerically ("auto")
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions >= n) df
     else df.repartition(n, col(key))
   }

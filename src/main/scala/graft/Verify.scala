@@ -2,21 +2,25 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. The per-query
+  * loop lives in [[dump]] (session-agnostic) so the EdgeCorpusSpec gate
+  * can replay the EXACT driver pipeline — same lints, same clear-before-
+  * write hygiene — against adversarial corpora inside `sbt test`. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val (sfDir, outDir) = (args(0), args(1))
-    // optional third arg: comma-separated query-name filter (dev loop only;
-    // the driver always passes two args and gets every query)
-    val only = args.lift(2).map(_.split(",").toSet)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // one shared config source (AQE, UTC, nanosAsLong, ...): Graft.sessionBuilder
-    val spark = Graft.sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** Run every registered query against `sfDir`, writing each result to
+    * `outDir/<name>` (parquet) and the oracle SQL map to
+    * `outDir/oracle_sql.json`. Returns the names of queries that THREW
+    * (their output dirs are cleared — a failure must never leave stale
+    * parquet for the oracle compare to validate, the r5 blind spot).
+    * Does not create or stop the session. */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+           only: Option[Set[String]] = None): Seq[String] = {
     new java.io.File(outDir).mkdirs()
     // same long-JVM hygiene as Bench (rationale on Graft.GcNudge): keep
     // the 282-query JVM from compounding eviction pressure into the tail
     val gc = new Graft.GcNudge()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -46,6 +50,7 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
         clear() // a partial write must not linger either
       }
       finally {
@@ -68,6 +73,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    failed.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated query-name filter (dev loop only;
+    // the driver always passes two args and gets every query)
+    val only = args.lift(2).map(_.split(",").toSet)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // one shared config source (AQE, UTC, nanosAsLong, ...): Graft.sessionBuilder
+    val spark = Graft.sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dump(spark, sfDir, outDir, only)
     spark.stop()
   }
 }

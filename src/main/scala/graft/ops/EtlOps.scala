@@ -836,7 +836,7 @@ object EtlOps {
     * that never materializes a per-user collection. */
   def q247SecondarySort(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = s.sessionState.conf.numShufflePartitions
     val sorted = t(s, d, "events")
       .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"),
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))

@@ -34,6 +34,29 @@ object HashFamily {
   def member(hb: Column, j: Column): Column =
     (hb * (j * 2 + 1) + j) % Mod48
 
+  /** THE whitespace normalization every content fingerprint in this repo
+    * shares: lowercase, then collapse runs of the PINNED class
+    * `[ \t\n\x0B\f\r]+` to one space (never `\s` — Java's `\s` includes
+    * `\x0B`, RE2's does not, and the class is spelled out so both engines
+    * tokenize identically; OracleContractSpec lints the oracle side).
+    * DuckDB spelling:
+    * `regexp_replace(lower(x), '[ \t\n\x0B\f\r]+', ' ', 'g')`. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(text), "[ \\t\\n\\x0B\\f\\r]+", " ")
+
+  /** md5 hex of the normalized content — the repo's one document
+    * fingerprint (dedup keys, split assignment, sampling draws all derive
+    * from THIS digest; a drifted copy forks the fingerprint family, so
+    * every site routes through here). DuckDB spelling:
+    * `md5(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))`. */
+  def normMd5(text: Column): Column = md5(normText(text).cast("binary"))
+
+  /** Seeded fingerprint: md5('<seed>:' || normalized content) — the
+    * deterministic per-seed draw used by the sampling family. DuckDB:
+    * `md5('<seed>:' || regexp_replace(lower(text), '…', ' ', 'g'))`. */
+  def normMd5Seeded(seed: String, text: Column): Column =
+    md5(concat(lit(seed + ":"), normText(text)).cast("binary"))
+
   /** Driver-side twin of [[hb48]] — identical bytes, identical result. */
   def hb48Jvm(s: String): Long = {
     val dig = java.security.MessageDigest.getInstance("MD5")

@@ -359,6 +359,40 @@ object LayoutOps {
       .drop("__band", "__rb", "__off")
   }
 
+  /** Banded EXCLUSIVE running sum over a (value-grid-sized) relation —
+    * the [[bandedRank]] offset trick applied to cumulative SUMS: per-band
+    * totals cumulate through one bands-sized offset window, rows take
+    * in-band exclusive running sums partitioned by band, and the result
+    * `out = band_offset + in_band` equals the single-partition
+    * `sum(cnt) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING TO -1)`
+    * exactly (integer sums reassociate freely) — with NO unbounded-domain
+    * grid ever crossing one sort task. `band` must be monotone
+    * non-decreasing in `order` (integral `div` is, negatives included —
+    * truncation keeps band order aligned with key order, same idiom as
+    * q185's value bands). The banded input feeds both the offsets
+    * aggregate and the window branch, so it is checkpointed once (the
+    * q147 multi-consumer discipline). Parity with the bare window is
+    * pinned in LayoutOpsSpec (ties, negatives, empty input). */
+  private[graft] def bandedExclusiveCumSum(grid: DataFrame, band: Column,
+      order: Column, cnt: Column, outName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = graft.Transients.track(
+      grid.withColumn("__band", band).withColumn("__cnt", cnt)
+        .transform(graft.Transients.cut))
+    val wOff = Window.orderBy(col("__band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = banded.groupBy("__band").agg(sum(col("__cnt")).as("__bcnt"))
+      .withColumn("__boff", coalesce(sum(col("__bcnt")).over(wOff), lit(0L)))
+      .select("__band", "__boff")
+    val wIn = Window.partitionBy("__band").orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    banded
+      .withColumn("__inoff", coalesce(sum(col("__cnt")).over(wIn), lit(0L)))
+      .join(broadcast(offs), "__band")
+      .withColumn(outName, col("__boff") + col("__inoff"))
+      .drop("__band", "__cnt", "__boff", "__inoff")
+  }
+
   /** Per-GROUP sibling of [[bandedRank]]: a distributed row_number within
     * each group, again without putting any group's whole row set through a
     * single-partition window. `band` must be monotone non-decreasing in

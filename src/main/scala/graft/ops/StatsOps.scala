@@ -184,7 +184,7 @@ object StatsOps {
   def q141KmvSketch(s: SparkSession, d: String, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = t(s, d, "documents").select(col("lang"),
-      md5(regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ").cast("binary")).as("h"))
+      HashFamily.normMd5(col("text")).as("h"))
     val dh = h.distinct()
     val mink = dh
       .withColumn("rn", row_number().over(Window.partitionBy("lang").orderBy("h")))
@@ -288,8 +288,7 @@ object StatsOps {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, d, "documents")
       .select(col("lang"), col("doc_id"), col("n_chars"),
-        md5(concat(lit("graft-qsketch-42:"),
-          regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ")).cast("binary")).as("h"))
+        HashFamily.normMd5Seeded("graft-qsketch-42", col("text")).as("h"))
     // sketch: bottom-k by hash via the native bounded-heap operator
     val sample = graft.plans.TopK.perGroup(docs, Seq("lang"),
       Seq(("h", true), ("doc_id", true)), k = k, rankName = "rk")
@@ -997,13 +996,13 @@ object StatsOps {
     * exact certificate (the caller divides by 2 / plugs into the normal
     * approximation).
     *
-    * Scale: the only window runs over the DISTINCT-VALUE relation
-    * (domain-bounded — cents of a bounded price range — not row-bounded);
-    * at a wider domain the same monotone-band trick as
-    * [[LayoutOps.bandedRank]] splits the cumulative sum. Row-scale work
-    * is one map-side-combined groupBy on value. */
+    * Scale: the cumulative sum runs over the DISTINCT-VALUE relation
+    * (domain-bounded — cents of a bounded price range — not row-bounded)
+    * AND through [[LayoutOps.bandedExclusiveCumSum]] (the q185 value-band
+    * discipline: a bands-sized offset window + per-band in-grid windows —
+    * no single-partition window over the value grid even when the domain
+    * widens). Row-scale work is one map-side-combined groupBy on value. */
   def q172RankTest(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val dec38 = DecimalType(38, 0)
     val perVal = t(s, d, "events")
@@ -1013,9 +1012,8 @@ object StatsOps {
       .groupBy("c")
       .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("b"))
-    val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
-    perVal
-      .withColumn("cum", coalesce(sum(col("a") + col("b")).over(w), lit(0L)))
+    LayoutOps.bandedExclusiveCumSum(perVal, expr("c div 1000000"),
+        col("c"), col("a") + col("b"), "cum")
       .withColumn("two_r", lit(2L) * col("cum") + col("a") + col("b") + lit(1L))
       .agg(sum("a").as("n1"), sum("b").as("n2"),
         // widen BEFORE multiplying (the q185/q167 discipline, and what the
@@ -1238,7 +1236,6 @@ object StatsOps {
     * cumsums). Rows re-attach their four ranks by hash joins on the
     * quantized value, and the six pairs fold in ONE q167-style pass. */
   def q185SpearmanCertificates(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val dec38 = DecimalType(38, 0)
     val base = graft.Transients.track(
@@ -1246,26 +1243,14 @@ object StatsOps {
         expr(s"CAST(CAST($c AS DECIMAL(18,4)) * 10000 AS BIGINT)").as(n)
       }: _*).transform(graft.Transients.cut))
     def ranked(name: String): DataFrame = {
-      // the grid feeds the offsets aggregate AND the in-band window branch
-      // — checkpoint (value-grid-sized) so the base aggregate runs once
-      // per column, not twice (the q147 multi-consumer discipline)
-      val grid = graft.Transients.track(
-        base.groupBy(col(name)).agg(count(lit(1)).as("cnt"))
-          .withColumn("band", expr(s"$name div 1000000"))
-          .transform(graft.Transients.cut))
-      val wOff = Window.orderBy("band")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = grid.groupBy("band").agg(sum(col("cnt")).as("bcnt"))
-        .withColumn("boff", coalesce(sum(col("bcnt")).over(wOff), lit(0L)))
-        .select("band", "boff")
-      val wIn = Window.partitionBy("band").orderBy(name)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      grid
-        .withColumn("inoff", coalesce(sum(col("cnt")).over(wIn), lit(0L)))
-        .join(broadcast(offs), "band")
+      // value-grid cumsum via the shared banded-offset machinery (it
+      // checkpoints the grid once for its two window consumers — the
+      // q147 multi-consumer discipline)
+      val grid = base.groupBy(col(name)).agg(count(lit(1)).as("cnt"))
+      LayoutOps.bandedExclusiveCumSum(grid, expr(s"$name div 1000000"),
+          col(name), col("cnt"), "cum")
         .select(col(name),
-          (lit(2L) * (col("boff") + col("inoff")) + col("cnt") + lit(1L))
-            .as(s"r_$name"))
+          (lit(2L) * col("cum") + col("cnt") + lit(1L)).as(s"r_$name"))
     }
     val withRanks = corrCols.foldLeft(base) { case (df, (n, _)) =>
       df.join(ranked(n), n)
@@ -1356,19 +1341,21 @@ object StatsOps {
     * the max(struct(...)) argmax trick used across this repo (q80, q184,
     * q233…): per type, the event id carrying the extreme value. Both
     * engines leave TIES undefined, so the ordering key is the composite
-    * c·10¹⁹ + id in DECIMAL(38,0) — strictly unique for EVERY possible
-    * long id (10¹⁹ exceeds Long.MaxValue ≈ 9.2·10¹⁸, so ids can never
-    * straddle two cents values the way the earlier 10⁷ multiplier let
-    * them past 10M events, and the decimal grid can't overflow where the
-    * long product did) — which makes the pick deterministic and the tie
-    * rule (highest cents, then highest id; lowest cents, then lowest id)
-    * explicit in the key construction itself. */
+    * c·2·10¹⁹ + id in DECIMAL(38,0) — strictly unique for EVERY possible
+    * long id (2·10¹⁹ exceeds the FULL long span 2⁶⁴ ≈ 1.845·10¹⁹, so even
+    * a negative id can never straddle two cents bands; the earlier 10¹⁹
+    * multiplier only covered non-negative ids, and the original 10⁷ broke
+    * past 10M events — and the decimal grid can't overflow where the long
+    * product did: |c|·2·10¹⁹ < 2·10³⁷ < 10³⁸−1) — which makes the pick
+    * deterministic and the tie rule (highest cents, then highest id;
+    * lowest cents, then lowest id) explicit in the key construction
+    * itself, engine and oracle sharing the identical key. */
   def q261ArgmaxAggregates(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .select(col("event_type"), col("event_id"),
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
       .withColumn("key", expr(
-        """CAST(c AS DECIMAL(38,0)) * 10000000000000000000
+        """CAST(c AS DECIMAL(38,0)) * 20000000000000000000
           | + event_id""".stripMargin))
       .groupBy("event_type")
       .agg(
@@ -1913,14 +1900,15 @@ object StatsOps {
         | CAST(CAST(sum(CASE WHEN cls < k THEN cls ELSE 0 END) AS BIGINT) * 10000
         |   // CAST(sum(cls) AS BIGINT) AS BIGINT) AS risk_bp
         |FROM cls CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
-    // same unique composite ordering key; DuckDB's arg_max/arg_min are
-    // the same argmax aggregates
+    // same unique composite ordering key (2e19 > the full 2^64 long span,
+    // so the key orders (c, id) lexicographically for ANY long id);
+    // DuckDB's arg_max/arg_min are the same argmax aggregates
     "q261_argmax_aggregates" ->
       """WITH e AS (
         | SELECT event_type, event_id,
         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)
-        |    * 10000000000000000000::HUGEINT + event_id AS key
+        |    * 20000000000000000000::HUGEINT + event_id AS key
         | FROM events)
         |SELECT event_type,
         | CAST(arg_max(event_id, key) AS BIGINT) AS max_event_id,

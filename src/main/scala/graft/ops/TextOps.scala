@@ -89,7 +89,7 @@ object TextOps {
   def q34Fingerprint(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(
       col("doc_id"),
-      md5(regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ").cast("binary")).as("fp_md5"),
+      HashFamily.normMd5(col("text")).as("fp_md5"),
       sha2(col("text").cast("binary"), 256).as("fp_sha256"))
       .orderBy("doc_id")
 
@@ -159,10 +159,9 @@ object TextOps {
   /** The one definition of split assignment (shared with the q68 leakage
     * audit): first hex digit of the normalized-content md5 — 12/16 'train',
     * 4/16 'eval'. */
-  def splitAssign(text: Column): Column = {
-    val digest = md5(regexp_replace(lower(text), "[ \\t\\n\\x0B\\f\\r]+", " ").cast("binary"))
-    when(substring(digest, 1, 1) < "c", "train").otherwise("eval")
-  }
+  def splitAssign(text: Column): Column =
+    when(substring(HashFamily.normMd5(text), 1, 1) < "c", "train")
+      .otherwise("eval")
 
   def q64HashSplit(s: SparkSession, d: String): DataFrame = {
     t(s, d, "documents")
@@ -191,8 +190,7 @@ object TextOps {
     * sample decision is independent of q64's (unsalted) split digest.
     * Selection is map-side (zero shuffle); only the audit rollup shuffles. */
   def contentSampleHash(seed: String): Column =
-    substring(md5(concat(lit(seed + ":"),
-      regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ")).cast("binary")), 1, 2)
+    substring(HashFamily.normMd5Seeded(seed, col("text")), 1, 2)
 
   /** Per-stratum keep predicate: hash-hex < floor(f*256) in 2-digit hex.
     * Strata absent from `fractions` are KEPT (rebalancing downsamples named
@@ -335,8 +333,7 @@ object TextOps {
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
         qualityScore(col("text"), col("n_chars")).as("q"),
-        md5(regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ").cast("binary"))
-          .as("nm"))
+        HashFamily.normMd5(col("text")).as("nm"))
       .transform(graft.Transients.cut))
     val s01 = base.agg(
         count(lit(1)).as("n0"),
@@ -941,8 +938,8 @@ object TextOps {
   def q96GroupSample(s: SparkSession, d: String, k: Int = 10): DataFrame =
     graft.plans.TopK.perGroup(
       t(s, d, "documents")
-        .withColumn("h", md5(concat(lit("graft-ksample-42:"),
-          regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ")).cast("binary")))
+        .withColumn("h",
+          HashFamily.normMd5Seeded("graft-ksample-42", col("text")))
         .select("lang", "h", "doc_id", "n_chars"),
       groupCols = Seq("lang"),
       orderBy = Seq(("h", true), ("doc_id", true)),
@@ -1207,8 +1204,7 @@ object TextOps {
       .withColumn("thr", expr(
         s"(((n_total div $shareDenom) * 65536L div w_total) * w_s) div c_s"))
     val keep = col("thr") >= 65536L ||
-      substring(md5(concat(lit("graft-mix-42:"),
-        regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ")).cast("binary")), 1, 4) <
+      substring(HashFamily.normMd5Seeded("graft-mix-42", col("text")), 1, 4) <
         format_string("%04x", col("thr"))
     docs.join(broadcast(withThr.select("source", "c_s", "w_s", "thr")), "source")
       .groupBy("source")
@@ -1361,8 +1357,7 @@ object TextOps {
     * assignment itself is the map-side predicate, reusable as a column.
     * Scale: one scan, |folds × langs| aggregate. Exact oracle. */
   def foldAssign(text: Column): Column = {
-    val h = substring(md5(regexp_replace(lower(text), "[ \\t\\n\\x0B\\f\\r]+", " ")
-      .cast("binary")), 1, 1)
+    val h = substring(HashFamily.normMd5(text), 1, 1)
     when(h < "4", 0).when(h < "8", 1).when(h < "c", 2).otherwise(3)
   }
 

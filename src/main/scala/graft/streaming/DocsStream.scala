@@ -433,8 +433,7 @@ object DocsStream {
         val rows = drain.readStream.schema(docsSchema)
           .option("pathGlobFilter", "documents.parquet").parquet(d)
           .select(col("lang"),
-            md5(regexp_replace(lower(col("text")),
-              "[ \\t\\n\\x0B\\f\\r]+", " ").cast("binary")).as("h"),
+            graft.ops.HashFamily.normMd5(col("text")).as("h"),
             lit(false).as("sentinel")).as[KmvRow]
         val sentinels = drain.readStream
           .schema(org.apache.spark.sql.Encoders.product[KmvRow].schema)

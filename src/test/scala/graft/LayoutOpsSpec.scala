@@ -197,6 +197,31 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
+  test("bandedExclusiveCumSum == single-window exclusive cumsum (ties, negatives)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // adversarial grid: negative keys straddling the div-band seams
+    // (truncating div collapses (-999999..999999) into band 0 — monotone,
+    // but the widest band), plus counts chosen so every prefix differs
+    val grid = Seq(-2500000L, -1000000L, -999999L, -1L, 0L, 1L, 42L,
+        999999L, 1000000L, 1000001L, 2000000L, 7654321L)
+      .zipWithIndex.map { case (c, i) => (c, (i + 1).toLong * 3 + 1) }
+      .toDF("c", "cnt")
+    val banded = LayoutOps.bandedExclusiveCumSum(grid,
+      expr("c div 1000000"), col("c"), col("cnt"), "cum")
+    val plain = grid.withColumn("cum2", coalesce(sum(col("cnt")).over(
+      Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val joined = banded.join(plain, Seq("c", "cnt")).collect()
+    assert(joined.length === 12)
+    joined.foreach(r => assert(r.getAs[Long]("cum") === r.getAs[Long]("cum2"),
+      s"banded != window at c=${r.getAs[Long]("c")}"))
+    // empty grid: no rows, no crash (the offsets window sees zero bands)
+    val empty = LayoutOps.bandedExclusiveCumSum(
+      grid.filter(col("c") > Long.MaxValue - 1),
+      expr("c div 1000000"), col("c"), col("cnt"), "cum")
+    assert(empty.count() === 0)
+  }
+
   test("gini certificate matches brute-force per-language computation") {
     val got = graft.ops.TextOps.q173GiniTokens(spark, TestSpark.sf).collect()
     val docs = Tables.load(spark, TestSpark.sf, "documents")
