@@ -113,13 +113,24 @@ object GenEdge {
     *    (single-candidate pools — the q208 class), unicode tokens;
     *  - part: single-word and NULL p_name (the q91/q204 ANSI-crash and
     *    null-blocking classes), duplicate names, a 3-word name;
-    *  - events: cents values parked at the DECIMAL(18,2) boundary (the
-    *    q171/q172/q104/q168 widened-overflow cliffs), negative values
+    *  - events: cents values parked at ~1e15 — big enough that every
+    *    unwidened cents×weight / cents×1e6 / cents² path overflows a raw
+    *    long, small enough that CENT-grid exports stay inside double's
+    *    2^53-exact window (DuckDB's wide-int→double cast is not
+    *    correctly rounded past it — q134's documented finding — so no
+    *    widening could fix a wider double export), negative values
     *    (the q261 key-domain and q172 negative-band classes), value ties
     *    across types, duplicate timestamps, a single-event type and
     *    single-event users, ids past the old 10M argmax cliff;
     *  - lineitem: duplicate FULL rows (bag semantics), an orphan order
-    *    key, a part key no part has, price at the decimal boundary;
+    *    key, a part key no part has, prices parked AT the revenue
+    *    family's documented DECIMAL(12,4) line-price domain cap
+    *    ($99,999,999.99 — TPC-H domain x1000; DuckDB's p1+p2<=38
+    *    multiply rule leaves the triple price*(1-disc)*(1+tax) no room
+    *    to widen, so the cap is the contract and both engines fail loud
+    *    past it). events.value parks higher (the events bullet above)
+    *    because its cents paths are integral end-to-end and must simply
+    *    be wide enough;
     *  - orders: an order no lineitem references, an orphan o_custkey;
     *  - customer: a customer with no orders, zero/negative balances;
     *  - embeddings: the ZERO vector (cosine undefined), exact-duplicate
@@ -172,7 +183,7 @@ object GenEdge {
       (1L, 1L, "O", 901.0, "2024-01-15 12:00:00", "1-URGENT"),
       (2L, 1L, "F", 901.0, "2024-01-15 12:00:00", "5-LOW"),   // date+price tie
       (3L, 2L, "P", 0.01, "2024-01-01 00:00:00", "3-MEDIUM"), // span start
-      (4L, 3L, "O", 99999999999999.99, "2024-01-31 23:59:59.999999", "2-HIGH"), // cents cliff, span end
+      (4L, 3L, "O", 99999999.99, "2024-01-31 23:59:59.999999", "2-HIGH"), // revenue-grid cap (see doc), span end
       (5L, 4L, "F", 50.0, "2024-01-20 06:00:00", "4-NOT SPECIFIED"), // no lineitems
       (6L, 999L, "O", 7.0, "2024-01-10 09:00:00", "1-URGENT")  // orphan custkey
     ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -183,7 +194,7 @@ object GenEdge {
     val lineitem = shaped(Seq(
       (1L, 1L, 1L, 1, 2.0, 901.0, 0.05, 0.02, "N", "O", "2024-01-20 08:30:00"),
       (1L, 1L, 1L, 1, 2.0, 901.0, 0.05, 0.02, "N", "O", "2024-01-20 08:30:00"), // EXACT dup row (bag)
-      (1L, 2L, 2L, 2, 1.0, 99999999999999.99, 0.0, 0.0, "A", "F", "2024-01-21 00:00:00"), // price cliff
+      (1L, 2L, 2L, 2, 1.0, 99999999.99, 0.0, 0.0, "A", "F", "2024-01-21 00:00:00"), // revenue-grid cap (see doc)
       (2L, 3L, 1L, 1, 50.0, 450.5, 0.1, 0.08, "R", "F", "2024-01-22 10:00:00"),
       (2L, 4L, 2L, 2, 0.0, 10.0, 0.0, 0.0, "N", "O", "2024-01-22 10:00:00"),    // zero qty, ts tie
       (3L, 999L, 1L, 1, 3.0, 30.0, 0.05, 0.02, "A", "F", "2024-01-05 00:00:00"), // orphan partkey
@@ -203,15 +214,15 @@ object GenEdge {
       (2L, "2024-01-01 01:00:00", 1L, "click", 5.0, "{\"k\": 2}"),
       (3L, "2024-01-01 01:00:00", 2L, "view", 5.0, null),           // NULL props
       // the widened-overflow cliff: cents ~ 1e16 (DECIMAL(18,2) edge)
-      (4L, "2024-01-02 00:00:00", 2L, "purchase", 99999999999999.99, "{\"k\": 3}"),
-      (5L, "2024-01-02 00:00:01", 3L, "purchase", 99999999999999.99, "{k: bad"), // value tie, bad JSON
+      (4L, "2024-01-02 00:00:00", 2L, "purchase", 9999999999999.99, "{\"k\": 3}"),
+      (5L, "2024-01-02 00:00:01", 3L, "purchase", 9999999999999.99, "{k: bad"), // value tie, bad JSON
       // negative values (q261 key domain, q172 negative cents bands)
       (6L, "2024-01-03 12:00:00", 3L, "click", -12345.67, "{}"),
       (7L, "2024-01-03 12:00:00.000001", 4L, "view", -12345.67, "{\"k\": 4}"),
       (8L, "2024-01-04 00:00:00", 4L, "click", 0.0, "{\"k\": 5}"),  // zero value
       (9L, "2024-01-04 00:00:00", 4L, "view", 0.0, "{\"k\": 6}"),
       // ids past the old 10M argmax cliff, value tie with id 4's max
-      (10000000007L, "2024-01-05 08:00:00", 5L, "purchase", 99999999999999.99, "{\"k\": 7}"),
+      (10000000007L, "2024-01-05 08:00:00", 5L, "purchase", 9999999999999.99, "{\"k\": 7}"),
       (10000000008L, "2024-01-05 08:00:00", 5L, "error", 1.0, "{\"k\": 8}"),
       // the single-event type (signup appears ONCE) and single-event users
       (11L, "2024-01-06 09:30:00", 6L, "signup", 2.5, "{\"k\": 9}"),
@@ -222,7 +233,7 @@ object GenEdge {
       (15L, "2024-01-09 14:10:00", 9L, "click", 7.0, "{\"k\": 13}"),
       (16L, "2024-01-09 14:20:00", 9L, "click", 7.0, "{\"k\": 14}"),
       (17L, "2024-01-09 14:30:00", 9L, "view", 7.0, "{\"k\": 15}"),
-      (18L, "2024-01-31 23:59:59.999999", 9L, "purchase", 3.75, "{\"k\": 16}")
+      (18L, "2024-01-31 23:59:59.999999", 9L, "purchase", 9999999999998.75, "{\"k\": 16}")
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
       "event_id" -> "bigint", "ts" -> "timestamp", "user_id" -> "bigint",
       "event_type" -> "string", "value" -> "double", "props" -> "string")

@@ -252,7 +252,7 @@ object SparkEntry {
             |  md5(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))
             |    AS h
             | FROM documents),
-            |dh AS (SELECT DISTINCT lang, h FROM h),
+            |dh AS (SELECT DISTINCT lang, h FROM h WHERE h IS NOT NULL),
             |mink AS (
             | SELECT lang, h,
             |  row_number() OVER (PARTITION BY lang ORDER BY h) AS rn

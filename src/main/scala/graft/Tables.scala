@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Loaders for the driver-generated test tables (TESTDATA.md, FIXTURES.md §B):
@@ -92,6 +92,16 @@ object Tables {
     * integer grid or export a string. Applied as the LAST projection so all
     * internal arithmetic, comparisons, and ordering stay on the exact
     * decimal grid; a narrow projection preserves the sorted output order. */
+  /** Truncating integral division on DECIMAL operands, DECIMAL-valued.
+    * Spark's `div` always returns LONG (a quotient past 2^63 overflows);
+    * this stays on the decimal grid: (a − a % b) / b is exactly trunc(a/b)
+    * — Remainder keeps the dividend's sign in both engines, so the
+    * difference is exactly divisible and the decimal division exact —
+    * matching DuckDB's `//` on HUGEINT (verified truncating, negatives
+    * included). */
+  def decTruncDiv(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+
   def portable(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     if (!df.schema.exists(_.dataType.isInstanceOf[DecimalType])) df

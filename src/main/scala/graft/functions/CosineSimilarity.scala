@@ -47,7 +47,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   // Mismatched lengths => NULL, matching the composed zip_with+aggregate
-  // form (which null-pads) rather than silently truncating.
+  // form (which null-pads) rather than silently truncating. A ZERO-NORM
+  // side (the zero vector, or an empty array) is NULL too: cosine is
+  // undefined there, raw Java division would yield NaN — which Spark's
+  // ordering ranks ABOVE every real similarity (a zero vector would win
+  // every top-k) — and DuckDB's `/` yields NULL on the same input, so
+  // NULL is the one value both engines rank identically (last, desc).
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -64,7 +69,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -90,7 +96,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    double $yi = ${get(b, isFloat(right))};
          |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  if ($nx == 0.0 || $ny == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
        """.stripMargin
     })

@@ -145,7 +145,11 @@ object EtlOps {
     // size from the build side itself unless the caller knows better — a
     // hardcoded capacity silently saturates at scale (fpp -> 1) and the
     // prefilter stops filtering while still charging for the probe
-    val items = expectedItems.getOrElse(math.max(1L, build.count()))
+    val items = expectedItems.getOrElse(build.count())
+    // an EMPTY build side can match nothing — and Spark's stat.bloomFilter
+    // on zero rows returns an unmerged sketch whose bit buffer is null
+    // (NPE at broadcast serialization), so short-circuit before building
+    if (items == 0L) return probe.filter(lit(false))
     val optimalBits =
       math.ceil(-items.toDouble * math.log(fpp) / (math.log(2) * math.log(2)))
     val maxBits = 1L << 31 // 256 MB of bits — executor- and broadcast-safe
@@ -368,12 +372,21 @@ object EtlOps {
         struct(col("hour_id").as("h"), col("vc").as("v"))))
       .withColumn("prev", last(col("obs"), ignoreNulls = true).over(wPrev))
       .withColumn("next", first(col("obs"), ignoreNulls = true).over(wNext))
-      .withColumn("value_u",
-        when(col("vc").isNotNull, col("vc") * 1000000L)
-          .otherwise(col("prev.v") * 1000000L + expr(
-            // truncating integer division — identical in both engines
-            "((next.v - prev.v) * (hour_id - prev.h) * 1000000)" +
-              " div (next.h - prev.h)")))
+      .withColumn("value_u", {
+        // micro-unit grid in DECIMAL(38,0): cents are bounded only by the
+        // DECIMAL(18,2) cap (~1e16), so cents·1e6 overflows a raw long —
+        // widen before multiplying (oracle: HUGEINT), and divide with the
+        // decimal trunc-div (Spark `div` returns LONG and would overflow
+        // on the quotient; DuckDB `//` truncates identically)
+        import org.apache.spark.sql.types.DecimalType
+        val dec38 = DecimalType(38, 0)
+        when(col("vc").isNotNull, col("vc").cast(dec38) * 1000000L)
+          .otherwise(col("prev.v").cast(dec38) * 1000000L +
+            Tables.decTruncDiv(
+              (col("next.v") - col("prev.v")).cast(dec38)
+                * (col("hour_id") - col("prev.h")) * 1000000L,
+              (col("next.h") - col("prev.h")).cast(dec38)))
+      })
       .select(col("user_id"), col("hour_id"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         col("vc").isNotNull.as("is_observed"),
@@ -610,11 +623,14 @@ object EtlOps {
     * driver-trivial. violation_rate is one IEEE division of exact longs. */
   def q114IntegrityAudit(s: SparkSession, d: String): DataFrame = {
     // each check yields a one-row (n_total, n_violations) frame
+    // try_divide: ANSI `/` throws DIVIDE_BY_ZERO (doubles included) on an
+    // empty table's 0/0 rate; DuckDB's `/` yields NULL there — try_divide
+    // is the matching Spark spelling, a no-op on any non-empty table
     def shape(name: String, counts: DataFrame): DataFrame =
       counts.select(lit(name).as("check_name"),
         col("n_total"), col("n_violations"),
-        (col("n_violations").cast("double") / col("n_total").cast("double"))
-          .as("violation_rate"))
+        try_divide(col("n_violations").cast("double"),
+          col("n_total").cast("double")).as("violation_rate"))
     val li = t(s, d, "lineitem").select(col("l_orderkey"))
     val ord = t(s, d, "orders")
     val ev = t(s, d, "events")
@@ -635,8 +651,8 @@ object EtlOps {
         "stack(2, '3_events_dup_event_id', dup, " +
           "'4_events_nonpositive_value', nonpos) AS (check_name, n_violations)"))
       .select(col("check_name"), col("n_total"), col("n_violations"),
-        (col("n_violations").cast("double") / col("n_total").cast("double"))
-          .as("violation_rate"))
+        try_divide(col("n_violations").cast("double"),
+          col("n_total").cast("double")).as("violation_rate"))
     shape("1_lineitem_orphan_orderkey",
         li.agg(count(lit(1)).as("n_total")).crossJoin(liOrphans))
       .unionByName(shape("2_orders_orphan_custkey",
@@ -1262,12 +1278,17 @@ object EtlOps {
     * — the same shape a Structured-Streaming port would keep per key. */
   def q133EwmaSmooth(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
     val cents = graft.streaming.EventsStream.cents _
     val c = (0 until 16).map(k => 1L << (15 - k))
     val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    // weighted numerator in DECIMAL(38,0): cents are bounded only by the
+    // DECIMAL(18,2) grid, and cents·2^15 overflows a raw long there
+    // (oracle: HUGEINT)
     val num = (0 until 16).map { k =>
       val l = lag(col("vc"), k).over(w)
-      when(l.isNotNull, l * c(k)).otherwise(lit(0L))
+      when(l.isNotNull, l.cast(dec38) * c(k)).otherwise(lit(0L).cast(dec38))
     }.reduce(_ + _)
     val den = (0 until 16).map { k =>
       val l = lag(col("vc"), k).over(w)
@@ -1278,7 +1299,13 @@ object EtlOps {
         cents(col("value")).as("vc"))
       .select(col("user_id"), col("event_id"), col("tus"),
         (col("vc").cast("double") / 100.0).as("value"),
-        (num.cast("double") / den.cast("double") / 100.0).as("ewma"))
+        // CENT-QUANTIZED smoother (trunc num/den, then one exact /100):
+        // the raw num/den double needed num→double, which DuckDB does NOT
+        // round correctly past 2^53 (q134's finding) — the cent grid is
+        // the widest export both engines render identically, and a money
+        // smoother at cent resolution is the honest contract anyway
+        (Tables.decTruncDiv(num, den.cast(dec38)).cast("double") / 100.0)
+          .as("ewma"))
       .orderBy("user_id", "tus", "event_id")
   }
 
@@ -1648,9 +1675,9 @@ object EtlOps {
     "q215_multitouch_attribution" ->
       """WITH c AS (
         | SELECT user_id, epoch_us(ts) AS ctus, event_id AS cid,
-        |  CAST(json_extract_string(props, '$.k') AS INT) AS campaign
+        |  CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INT) AS campaign
         | FROM events WHERE event_type = 'click'
-        |   AND json_extract_string(props, '$.k') IS NOT NULL),
+        |   AND CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END IS NOT NULL),
         |p AS (
         | SELECT user_id, epoch_us(ts) AS ptus, event_id AS pid,
         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
@@ -1672,7 +1699,7 @@ object EtlOps {
         |allc AS (SELECT * FROM split UNION ALL SELECT * FROM organic)
         |SELECT campaign, CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
         | CAST(sum(credit) AS BIGINT) AS credit_micro,
-        | CAST(sum(cents * credit) AS VARCHAR) AS rev_micro_cents
+        | CAST(sum(cents::HUGEINT * credit) AS VARCHAR) AS rev_micro_cents
         |FROM allc GROUP BY campaign ORDER BY campaign""".stripMargin,
     // A-before-B from per-(user, type) time spans only — linear mining
     "q216_seq_rules" ->
@@ -1888,12 +1915,14 @@ object EtlOps {
         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the accumulator row must equal the exact aggregate — hash equality
     // proves the task-side tallies saw every row exactly once
+    // coalesce(·, 0): accumulators START at zero, so the engine's empty-
+    // input row is all-zero — the oracle's empty sums must match
     "q248_accumulator_audit" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        | CAST(sum(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_rejected,
-        | CAST(sum(k) AS BIGINT) AS k_sum
-        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+        | CAST(coalesce(sum(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END), 0)
+        |   AS BIGINT) AS n_rejected,
+        | CAST(coalesce(sum(k), 0) AS BIGINT) AS k_sum
+        |FROM (SELECT CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)
         |        AS k FROM events)""".stripMargin,
     // same running-max regression depths over arrival order; the p99
     // cover depth is an exact rank over the depth grid
@@ -1947,8 +1976,12 @@ object EtlOps {
       val lags = (0 until 16)
         .map(k => if (k == 0) "vc AS l0" else s"lag(vc, $k) OVER w AS l$k")
         .mkString(",\n |  ")
+      // HUGEINT numerator + cent-quantizing `//` — the engine's
+      // DECIMAL(38,0) + decTruncDiv twin (cents·2^15 overflows INT64 on
+      // the wide cents grid, and a >2^53 numerator must never reach a
+      // double cast: DuckDB's wide-int→double is not correctly rounded)
       val num = (0 until 16)
-        .map(k => s"coalesce(l$k * ${c(k)}, 0)")
+        .map(k => s"coalesce(l$k::HUGEINT * ${c(k)}, 0)")
         .mkString("\n |   + ")
       val den = (0 until 16)
         .map(k => s"CASE WHEN l$k IS NOT NULL THEN ${c(k)} ELSE 0 END")
@@ -1962,9 +1995,8 @@ object EtlOps {
          |  $lags
          | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
          |SELECT user_id, event_id, tus, CAST(vc AS DOUBLE) / 100.0 AS value,
-         | CAST($num
-         |  AS DOUBLE)
-         | / CAST($den
+         | CAST(($num)
+         |  // ($den)
          |  AS DOUBLE) / 100.0 AS ewma
          |FROM l ORDER BY user_id, tus, event_id""".stripMargin
     },
@@ -2068,9 +2100,10 @@ object EtlOps {
         | FROM cells)
         |SELECT user_id, hour_id, coalesce(n_events, 0) AS n_events,
         | vc IS NOT NULL AS is_observed,
-        | CAST(CASE WHEN vc IS NOT NULL THEN vc * 1000000
-        |  ELSE prev.v * 1000000
-        |   + ((next.v - prev.v) * (hour_id - prev.h) * 1000000) // (next.h - prev.h)
+        | CAST(CASE WHEN vc IS NOT NULL THEN vc::HUGEINT * 1000000
+        |  ELSE prev.v::HUGEINT * 1000000
+        |   + ((next.v::HUGEINT - prev.v) * (hour_id - prev.h) * 1000000)
+        |     // (next.h - prev.h)
         |  END AS DOUBLE) / 100000000.0 AS value_interp
         |FROM f ORDER BY user_id, hour_id""".stripMargin,
     "q122_cohort_ltv" ->
@@ -2104,7 +2137,7 @@ object EtlOps {
     "q120_last_touch" ->
       """WITH c AS (
         | SELECT user_id, epoch_us(ts) AS tus, epoch_us(ts) AS click_tus,
-        |  CAST(json_extract_string(props, '$.k') AS INT) AS campaign
+        |  CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INT) AS campaign
         | FROM events WHERE event_type = 'click'),
         |p AS (
         | SELECT user_id, epoch_us(ts) AS tus,

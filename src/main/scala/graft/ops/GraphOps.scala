@@ -228,7 +228,12 @@ object GraphOps {
   def q150EntityClusters(s: SparkSession, d: String): DataFrame = {
     def nid(c: Column): Column =
       expr(s"CAST(conv(substr(md5(CAST(${c.toString} AS BINARY)), 1, 14), 16, 10) AS BIGINT)")
-    val names = Tables.load(s, d, "part").groupBy("p_name")
+    // NULL names are unmatchable in both engines (the nounCatalog rule) —
+    // and the oracle's string-keyed closure drops them on its NULL-never-
+    // equals join anyway, so exclude them from the catalog EXPLICITLY
+    val names = Tables.load(s, d, "part")
+      .filter(col("p_name").isNotNull)
+      .groupBy("p_name")
       .agg(count(lit(1)).as("n_parts"))
     val pairs = DedupOps.q91FuzzyBlocked(s, d).select("name_a", "name_b")
     val comps = connectedComponents(pairs
@@ -380,6 +385,11 @@ object GraphOps {
         .join(rank.withColumnRenamed("node", "u"), "u")
         .select(col("v").as("node"), expr("r div deg").as("c"))
         .groupBy("node")
+        // width certificate: a node's inbound Σc is bounded by the TOTAL
+        // conserved rank mass `scale` (= 1e6·n), so sum(c)·85 stays under
+        // 2^63 while n ≤ ~1e11 nodes — beyond that, widen the rank grid
+        // to DECIMAL(38,0) (both engines; the oracle replays this integer
+        // recurrence verbatim)
         .agg((lit(base) + expr("(sum(c) * 85L) div 100L")).as("r"))
     }
     rank
@@ -1180,7 +1190,7 @@ object GraphOps {
       """WITH RECURSIVE names AS (
         | SELECT p_name, count(*) AS n_parts,
         |  split_part(p_name, ' ', 2) AS noun
-        | FROM part GROUP BY p_name),
+        | FROM part WHERE p_name IS NOT NULL GROUP BY p_name),
         |p AS (
         | SELECT a.p_name AS u, b.p_name AS v
         | FROM names a JOIN names b

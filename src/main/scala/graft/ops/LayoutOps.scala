@@ -354,9 +354,16 @@ object LayoutOps {
     val wIn = Window.partitionBy("__band").orderBy(order: _*)
     banded
       .withColumn("__rb", row_number().over(wIn).cast("long"))
-      .join(broadcast(offsets), "__band")
+      // NULL-SAFE band equality: a NULL band (e.g. a NULL order key) is a
+      // legitimate group — groupBy keeps it in `offsets`, but a plain
+      // equi-join would silently DROP its rows (NULL keys never match).
+      // Note Spark's offset window puts the NULL band FIRST (asc =
+      // nulls-first); a caller whose contract ranks NULLs LAST must map
+      // them to a MaxValue band explicitly (see q151's quality band).
+      .join(broadcast(offsets.withColumnRenamed("__band", "__bando")),
+        col("__band") <=> col("__bando"))
       .withColumn(rankName, col("__off") + col("__rb"))
-      .drop("__band", "__rb", "__off")
+      .drop("__band", "__bando", "__rb", "__off")
   }
 
   /** Banded EXCLUSIVE running sum over a (value-grid-sized) relation —
@@ -388,9 +395,11 @@ object LayoutOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     banded
       .withColumn("__inoff", coalesce(sum(col("__cnt")).over(wIn), lit(0L)))
-      .join(broadcast(offs), "__band")
+      // null-safe band equality — same rationale as [[bandedRank]]
+      .join(broadcast(offs.withColumnRenamed("__band", "__bando")),
+        col("__band") <=> col("__bando"))
       .withColumn(outName, col("__boff") + col("__inoff"))
-      .drop("__band", "__cnt", "__boff", "__inoff")
+      .drop("__band", "__bando", "__cnt", "__boff", "__inoff")
   }
 
   /** Per-GROUP sibling of [[bandedRank]]: a distributed row_number within
@@ -413,18 +422,27 @@ object LayoutOps {
       .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
       .select((gb :+ "__off").map(col): _*)
     val wIn = Window.partitionBy(gb.map(col): _*).orderBy(order: _*)
+    // null-safe on the band (and group) keys — same rationale as
+    // [[bandedRank]]: NULL bands must rank, not vanish through the join
+    val offs2 = gb.foldLeft(offsets)((o, c) => o.withColumnRenamed(c, s"${c}__o"))
+    val cond = gb.map(c => col(c) <=> col(s"${c}__o")).reduce(_ && _)
     banded
       .withColumn("__rb", row_number().over(wIn).cast("long"))
-      .join(broadcast(offsets), gb)
+      .join(broadcast(offs2), cond)
       .withColumn(rankName, col("__off") + col("__rb"))
+      .drop(gb.map(c => s"${c}__o"): _*)
       .drop("__band", "__rb", "__off")
   }
 
   def withShard(sizes: DataFrame, shards: Int): DataFrame = {
     // negated keyBand = monotone in n_tokens DESC; the mantissa bits keep
-    // the most-populated bit-length from riding one sort task (see keyBand)
+    // the most-populated bit-length from riding one sort task (see keyBand).
+    // NULL token counts (NULL text) band to MaxValue — desc ranks NULLs
+    // LAST in both engines, and a NULL band would otherwise sort FIRST
+    // through the offsets window (the q151 discipline)
     val ranked = bandedRank(sizes,
-      (lit(0L) - keyBand("n_tokens")).cast("long"),
+      when(col("n_tokens").isNull, lit(Long.MaxValue))
+        .otherwise((lit(0L) - keyBand("n_tokens")).cast("long")),
       Seq(col("n_tokens").desc, col("doc_id")), "r1")
     ranked
       .withColumn("r0", col("r1") - 1)
@@ -875,8 +893,9 @@ object LayoutOps {
         | SELECT shard, min(day) AS zmin, max(day) AS zmax,
         |  count(*) AS n_rows_shard
         | FROM li GROUP BY 1),
-        |b AS (SELECT min(zmin) AS mind, max(zmax) AS maxd,
-        |  max(zmax) - min(zmin) + 1 AS span FROM zm),
+        |b AS (SELECT coalesce(min(zmin), 0) AS mind,
+        |  coalesce(max(zmax), 0) AS maxd,
+        |  coalesce(max(zmax) - min(zmin) + 1, 1) AS span FROM zm),
         |probes AS MATERIALIZED (
         | SELECT CAST(u.i AS BIGINT) AS probe_id,
         |  CASE WHEN u.i < 4 THEN mind + u.i * (span // 4)
@@ -902,8 +921,9 @@ object LayoutOps {
         | CAST(coalesce(zh.n_rows_scanned, 0) AS BIGINT) AS n_rows_scanned,
         | CAST(coalesce(m.n_rows, 0) AS BIGINT) AS n_rows,
         | CAST(coalesce(m.sum_qty, 0) AS BIGINT) AS sum_qty,
-        | CAST((10000 * (tt.n_shards_total - coalesce(zh.n_shards_hit, 0)))
-        |   // tt.n_shards_total AS BIGINT) AS skip_bp
+        | CAST(CASE WHEN tt.n_shards_total = 0 THEN 0 ELSE
+        |   (10000 * (tt.n_shards_total - coalesce(zh.n_shards_hit, 0)))
+        |     // tt.n_shards_total END AS BIGINT) AS skip_bp
         |FROM probes p CROSS JOIN tt
         |LEFT JOIN zh USING (probe_id) LEFT JOIN m USING (probe_id)
         |ORDER BY probe_id""".stripMargin,
@@ -923,7 +943,7 @@ object LayoutOps {
         | FROM hbp CROSS JOIN js),
         |present AS (SELECT DISTINCT pk AS probe_pk FROM pairs
         | WHERE pk % 167 = 0 ORDER BY probe_pk LIMIT 12),
-        |mx AS (SELECT max(l_partkey) AS m FROM lineitem),
+        |mx AS (SELECT coalesce(max(l_partkey), 0) AS m FROM lineitem),
         |absent AS (SELECT m + i AS probe_pk
         | FROM mx CROSS JOIN (SELECT unnest(range(1, 9)) AS i)),
         |probes AS MATERIALIZED (

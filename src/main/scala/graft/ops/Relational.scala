@@ -253,9 +253,11 @@ object Relational {
     flow.write.format("noop").mode("overwrite").save()
     val m = obs.get
     import s.implicits._
-    Seq((m("n_rows").asInstanceOf[Long], m("sum_c").asInstanceOf[Long],
-      m("min_c").asInstanceOf[Long], m("max_c").asInstanceOf[Long],
-      m("n_negative").asInstanceOf[Long]))
+    // empty-input contract: sum/min/max over zero rows observe as NULL —
+    // reported as 0 EXPLICITLY (the oracle coalesces identically), not via
+    // the silent null-unboxing accident this line used to rely on
+    def z(k: String): Long = Option(m(k)).fold(0L)(_.asInstanceOf[Long])
+    Seq((z("n_rows"), z("sum_c"), z("min_c"), z("max_c"), z("n_negative")))
       .toDF("n_rows", "sum_c", "min_c", "max_c", "n_negative")
   }
 
@@ -284,8 +286,12 @@ object Relational {
         sum(when(col("tk").isNull, 1L).otherwise(0L)).as("n_null_rows"))
     base.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(size(col("ztoks")) === 0, 1L).otherwise(0L))
-          .as("n_empty_docs"))
+        // a NULL array (NULL text) generates nothing under explode and one
+        // NULL row under explode_outer — exactly an empty doc's behavior,
+        // so the empty count treats NULL as size 0 (oracle coalesces the
+        // same way) and outer − inner = n_empty_docs stays an identity
+        sum(when(coalesce(size(col("ztoks")), lit(0)) === 0, 1L)
+          .otherwise(0L)).as("n_empty_docs"))
       .join(outer, Seq("lang"))
       .join(inner, Seq("lang"), "left")
       .select(col("lang"), col("n_docs"), col("n_empty_docs"),
@@ -1682,10 +1688,11 @@ object Relational {
         |   t -> regexp_matches(t, 'z')) AS z
         | FROM documents)
         |SELECT lang,
-        | CAST(sum(greatest(len(z), 1)) AS BIGINT) AS n_outer_rows,
-        | CAST(sum(len(z)) AS BIGINT) AS n_tokens,
-        | CAST(sum(CASE WHEN len(z) = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_empty_docs
+        | CAST(sum(greatest(coalesce(len(z), 0), 1)) AS BIGINT)
+        |   AS n_outer_rows,
+        | CAST(sum(coalesce(len(z), 0)) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN coalesce(len(z), 0) = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_empty_docs
         |FROM base GROUP BY lang ORDER BY lang""".stripMargin,
     // DuckDB's // truncates toward zero and % carries the dividend's
     // sign — probed, and now pinned by this hash forever
@@ -1784,12 +1791,14 @@ object Relational {
         |GROUP BY ALL ORDER BY ALL""".stripMargin,
     // the oracle is the direct aggregate — hash-equality proves the
     // observe side-channel saw every row exactly once
+    // coalesce(·, 0): the engine's observe-metrics row reports empty-input
+    // sums/extremes as 0 (explicit contract) — mirror it
     "q234_observe_metrics" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        | CAST(sum(c) AS BIGINT) AS sum_c,
-        | CAST(min(c) AS BIGINT) AS min_c,
-        | CAST(max(c) AS BIGINT) AS max_c,
-        | CAST(sum(CASE WHEN c < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        | CAST(coalesce(sum(c), 0) AS BIGINT) AS sum_c,
+        | CAST(coalesce(min(c), 0) AS BIGINT) AS min_c,
+        | CAST(coalesce(max(c), 0) AS BIGINT) AS max_c,
+        | CAST(coalesce(sum(CASE WHEN c < 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
         |   AS n_negative
         |FROM (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
         |        AS c FROM events)""".stripMargin,
@@ -1803,12 +1812,13 @@ object Relational {
         |   tk -> contains(tk, 'z')) AS ztoks
         | FROM documents)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        | CAST(sum(CASE WHEN len(ztoks) = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_empty_docs,
-        | CAST(sum(len(ztoks)) AS BIGINT) AS n_inner,
-        | CAST(sum(greatest(len(ztoks), 1)) AS BIGINT) AS n_outer,
-        | CAST(sum(CASE WHEN len(ztoks) = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_null_rows
+        | CAST(sum(CASE WHEN coalesce(len(ztoks), 0) = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_empty_docs,
+        | CAST(sum(coalesce(len(ztoks), 0)) AS BIGINT) AS n_inner,
+        | CAST(sum(greatest(coalesce(len(ztoks), 0), 1)) AS BIGINT)
+        |   AS n_outer,
+        | CAST(sum(CASE WHEN coalesce(len(ztoks), 0) = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_null_rows
         |FROM base GROUP BY lang ORDER BY lang""".stripMargin,
     // the cogroup is engine-side representation; the oracle restates the
     // per-key merge as a LEFT JOIN aggregate with q01's charge decimals
@@ -2154,7 +2164,7 @@ object Relational {
         | CAST(sum(k) AS BIGINT) AS sum_k,
         | max(k) AS max_k
         |FROM (SELECT event_type,
-        |  CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |  CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INT) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q25_asof_join" ->
       """SELECT a.event_id, a.user_id,
@@ -2221,7 +2231,8 @@ object Relational {
       """WITH j AS (
         | SELECT event_type,
         |  '{"meta":{"t":"' || event_type || '","k":' ||
-        |   coalesce(CAST(json_extract(props, '$.k') AS VARCHAR), 'null') ||
+        |   coalesce(CAST(CASE WHEN json_valid(props)
+        |     THEN json_extract(props, '$.k') END AS VARCHAR), 'null') ||
         |   '},"cents":' ||
         |   CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)
         |   || '}' AS jtxt

@@ -49,7 +49,12 @@ object SimilarityOps {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  // try_divide: the zero vector has no direction — cosine is NULL in both
+  // engines (DuckDB's `/` yields NULL at 0; ANSI `/` would throw), and
+  // NULL ranks LAST under desc in both, so top-k cuts stay identical.
+  // Same contract as the codegen'd CosineSimilarity expression.
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), l2Norm(a) * l2Norm(b))
 
   // ---------------------------------------------------------------- q40
   /** Brute-force exact cosine top-k for a small query set (vec_id < 10).
@@ -804,6 +809,11 @@ object SimilarityOps {
     val cand = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("rel6", sim6(col("q_emb"), col("c_emb")))
+      // a NULL relevance (zero-norm query or candidate: cosine undefined)
+      // is not a candidate — it would NPE the typed MmrCand(long) row, and
+      // the oracle's cand CTE filters the same NULLs, so a zero-vector
+      // query simply emits no picks in both engines
+      .filter(col("rel6").isNotNull)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= m)
       .select("q_id", "c_id", "rel6", "c_emb")
@@ -883,7 +893,7 @@ object SimilarityOps {
        | SELECT q_id, c_id, rel6 FROM (
        |  SELECT q_id, c_id, rel6,
        |   row_number() OVER (PARTITION BY q_id ORDER BY rel6 DESC, c_id) AS rk
-       |  FROM p0) WHERE rk <= $m),
+       |  FROM p0 WHERE rel6 IS NOT NULL) WHERE rk <= $m),
        |ca AS (SELECT c.q_id, c.c_id, e.emb FROM cand c JOIN e ON e.vec_id = c.c_id),
        |psim AS MATERIALIZED (
        | SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id, ${cos("a", "b")} AS s6

@@ -185,7 +185,13 @@ object StatsOps {
     import org.apache.spark.sql.expressions.Window
     val h = t(s, d, "documents").select(col("lang"),
       HashFamily.normMd5(col("text")).as("h"))
-    val dh = h.distinct()
+    // NULL content (NULL text) is never a sketch MEMBER — in Spark the
+    // min-k window would rank a NULL hash FIRST (asc nulls-first) while
+    // DuckDB ranks it LAST, so at the k boundary the two sketches would
+    // hold different members; n_docs still counts every document and
+    // countDistinct skips NULLs natively. A lang with no non-null text
+    // has no sketch and no report row (stream twin: DocsStream.KmvProcessor)
+    val dh = h.filter(col("h").isNotNull).distinct()
     val mink = dh
       .withColumn("rn", row_number().over(Window.partitionBy("lang").orderBy("h")))
       .filter(col("rn") <= k)
@@ -351,11 +357,15 @@ object StatsOps {
     val q = t(s, d, "lineitem").select(corrCols.map { case (n, c) =>
       expr(s"CAST(CAST($c AS DECIMAL(18,4)) * 10000 AS BIGINT)").as(n) }: _*)
     val aggs =
+      // cast BEFORE multiplying (the q115 rule): the 1e4-grid quantization
+      // of a price column bounded only by the double-money cap (~1e13
+      // cents) reaches ~1e15, whose square overflows a raw long — the
+      // decimal product never does
       corrCols.map { case (n, _) => sum(col(n).cast(dec38)).as(s"s_$n") } ++
         corrCols.map { case (n, _) =>
-          sum((col(n) * col(n)).cast(dec38)).as(s"ss_$n") } ++
+          sum(col(n).cast(dec38) * col(n)).as(s"ss_$n") } ++
         corrPairs.map { case (a, b) =>
-          sum((col(a) * col(b)).cast(dec38)).as(s"sp_${a}_$b") }
+          sum(col(a).cast(dec38) * col(b)).as(s"sp_${a}_$b") }
     val row = q.agg(count(lit(1)).as("n"), aggs: _*)
     val stackExpr = corrPairs.map { case (a, b) =>
       s"'$a', '$b', s_$a, s_$b, ss_$a, ss_$b, sp_${a}_$b"
@@ -509,8 +519,12 @@ object StatsOps {
     // products widen to DECIMAL before multiplying: a·B with both counts
     // ~1e10 (the 100 TB corpus) overflows a raw long product
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // try_divide inside the log too: a one-sided corpus (ta or tb = 0)
+    // makes ab+ba = 0 even on the a>0 branch — DuckDB's 0/0 is NULL and
+    // ln(NULL) stays NULL, so NULL is the shared answer
     val lnDec = (num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =>
-      round(log(num.cast("double") / den.cast("double")), 6).cast(dec6)
+      round(log(try_divide(num.cast("double"), den.cast("double"))), 6)
+        .cast(dec6)
     val withLn = c.crossJoin(broadcast(tot))
       .select(col("lang"), col("a"), col("b"), col("ta"), col("tb"),
         (col("a").cast(dec38) * col("tb")).as("ab"),
@@ -520,15 +534,21 @@ object StatsOps {
           .otherwise(lit(BigDecimal(0)).cast(dec6)).as("l1"),
         when(col("b") > 0, lnDec(lit(2) * col("ba"), col("ab") + col("ba")))
           .otherwise(lit(BigDecimal(0)).cast(dec6)).as("l2"))
+    // try_divide: a corpus whose every document lands in ONE split has
+    // ta or tb = 0 — the drift against an empty reference is undefined
+    // (NULL), identically in DuckDB's `/`
     withLn
       .select(col("lang"), col("a").as("n_train"), col("b").as("n_eval"),
-        ((col("a") * col("l1")).cast("double") / (lit(2.0) * col("ta").cast("double"))
-          + (col("b") * col("l2")).cast("double") / (lit(2.0) * col("tb").cast("double")))
-          .as("contrib"),
-        (sum(col("a") * col("l1")).over(Window.partitionBy()).cast("double")
-          / (lit(2.0) * col("ta").cast("double"))
-          + sum(col("b") * col("l2")).over(Window.partitionBy()).cast("double")
-            / (lit(2.0) * col("tb").cast("double"))).as("js_total"))
+        (try_divide((col("a") * col("l1")).cast("double"),
+          lit(2.0) * col("ta").cast("double"))
+          + try_divide((col("b") * col("l2")).cast("double"),
+            lit(2.0) * col("tb").cast("double"))).as("contrib"),
+        (try_divide(
+          sum(col("a") * col("l1")).over(Window.partitionBy()).cast("double"),
+          lit(2.0) * col("ta").cast("double"))
+          + try_divide(
+            sum(col("b") * col("l2")).over(Window.partitionBy()).cast("double"),
+            lit(2.0) * col("tb").cast("double"))).as("js_total"))
       .orderBy("lang")
   }
 
@@ -627,17 +647,36 @@ object StatsOps {
         case ((t, i), acc) => when(col("u") < lit(t), lit(i)).otherwise(acc)
       })
     val w = Window.partitionBy()
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // integer-grid bootstrap, start to finish (round 11): the old path
+    // computed mean_c = sc/n_eff in DOUBLE and floored a micro-cent grid
+    // into a LONG — sc→double is not correctly rounded in DuckDB past
+    // 2^53 and the micro grid overflows a long within the cents domain.
+    // Now: sc widens to DECIMAL(38,0) (oracle: HUGEINT), the mean
+    // quantizes by EXACT trunc-division onto the hundredth-cent grid
+    // (never through a double), and only the final sub-2^53 quantities
+    // (cent-grid mean, deviation sum) ever reach a double cast. A
+    // resample that draws nothing (n_eff = 0) reports NULL mean/deviation
+    // in both engines (decimal 0-div is NULL via the guard; `//` is NULL).
     rep.groupBy("b")
-      .agg(sum(col("k")).as("n_eff"), sum(col("k") * col("c")).as("sc"))
-      .withColumn("mean_c", col("sc").cast("double") / col("n_eff").cast("double"))
-      .withColumn("mbu", floor(col("mean_c") * 1000000L).cast("long"))
-      .withColumn("mbar_u", expr(s"sum(mbu) OVER () div $reps"))
+      .agg(sum(col("k")).as("n_eff"),
+        sum(col("k").cast(dec38) * col("c")).as("sc"))
+      .withColumn("mbu", when(col("n_eff") > 0,
+        Tables.decTruncDiv(col("sc") * 100, col("n_eff").cast(dec38))))
+      .withColumn("mbar_u",
+        Tables.decTruncDiv(sum(col("mbu")).over(w), lit(reps).cast(dec38)))
       .withColumn("dev", col("mbu") - col("mbar_u"))
-      .withColumn("dev2",
-        col("dev").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("dev"))
-      .select(col("b"), col("n_eff"), (col("mean_c") / 100.0).as("mean_value"),
+      .withColumn("dev2", col("dev") * col("dev"))
+      .select(col("b"), col("n_eff"),
+        // the MEAN exports at cent resolution (≤ the cents-grid cap,
+        // inside double's exact window); the DEVIATION grid keeps its
+        // finer hundredth-cents — deviations are bootstrap spread, small
+        // by nature (their sub-2^53 export bound is the q134-documented
+        // dispersion assumption of the whole moments family)
+        (Tables.decTruncDiv(col("mbu"), lit(100).cast(dec38)).cast("double")
+          / 100.0).as("mean_value"),
         (sqrt(sum(col("dev2")).over(w).cast("double") / (reps - 1).toDouble)
-          / 1e8).as("se_value"))
+          / 10000.0).as("se_value"))
       .orderBy("b")
   }
 
@@ -780,13 +819,18 @@ object StatsOps {
         sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
         sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("x_b"))
       .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
-        (col("x_a").cast("double") / col("n_a").cast("double")).as("rate_a"),
-        (col("x_b").cast("double") / col("n_b").cast("double")).as("rate_b"),
-        ((col("x_a") + col("x_b")).cast("double")
-          / (col("n_a") + col("n_b")).cast("double")).as("pooled"))
+        // try_divide: an empty arm (degenerate split) rates NULL — same
+        // NULL DuckDB's `/` yields, and the den>0 guards pass NULL through
+        try_divide(col("x_a").cast("double"), col("n_a").cast("double"))
+          .as("rate_a"),
+        try_divide(col("x_b").cast("double"), col("n_b").cast("double"))
+          .as("rate_b"),
+        try_divide((col("x_a") + col("x_b")).cast("double"),
+          (col("n_a") + col("n_b")).cast("double")).as("pooled"))
       .withColumn("den",
         col("pooled") * (lit(1.0) - col("pooled")) *
-          (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+          (try_divide(lit(1.0), col("n_a").cast("double"))
+            + try_divide(lit(1.0), col("n_b").cast("double"))))
       .withColumn("z2",
         when(col("den") > 0.0,
           (col("rate_a") - col("rate_b")) * (col("rate_a") - col("rate_b"))
@@ -868,10 +912,15 @@ object StatsOps {
       .rangeBetween(-3600L, 0L)
     Tables.portable(based
       .withColumn("n_win", count(lit(1)).over(w))
-      .withColumn("sx", sum(col("trel")).over(w))
-      .withColumn("sy", sum(col("v")).over(w))
-      .withColumn("sxy", sum(col("trel") * col("v")).over(w))
-      .withColumn("sxx", sum(col("trel") * col("trel")).over(w))
+      // every window sum widens to DECIMAL(38,0) BEFORE multiplying (the
+      // q115 rule; oracle: HUGEINT): trel·v pairs a multi-year second
+      // grid (~1e8) with the full cents grid, overflowing a raw long per
+      // ROW, and the sy/sx accumulations overflow at window row counts
+      // the 100 TB stream actually reaches
+      .withColumn("sx", sum(col("trel").cast(dec38)).over(w))
+      .withColumn("sy", sum(col("v").cast(dec38)).over(w))
+      .withColumn("sxy", sum(col("trel").cast(dec38) * col("v")).over(w))
+      .withColumn("sxx", sum(col("trel").cast(dec38) * col("trel")).over(w))
       .select(col("event_id"), col("event_type"), col("trel"), col("n_win"),
         (col("n_win").cast(dec38) * col("sxy").cast(dec38)
           - col("sx").cast(dec38) * col("sy").cast(dec38)).as("slope_num"),
@@ -1495,37 +1544,54 @@ object StatsOps {
     * collect_list over those k rows, scalar math. Nothing after the
     * first aggregate scales with data. */
   def q219AnovaF(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    // s and ss widen to DECIMAL(38,0) BEFORE accumulating (the q115/q167
+    // rule): c is bounded only by the DECIMAL(18,2) cents cap ~1e18, so
+    // c·c overflows a raw long within the value domain and sum(c) does at
+    // row scale; the oracle widens to HUGEINT identically and both export
+    // through the VARCHAR certificate (Tables.portable)
     val g = t(s, d, "events")
       .select(col("event_type"),
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
-        sum(col("c") * col("c")).as("ss"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast(dec38)).as("s"),
+        sum(col("c").cast(dec38) * col("c")).as("ss"))
+    val decZero = lit(BigDecimal(0)).cast(dec38)
+    // try_divide throughout: ANSI `/` throws DIVIDE_BY_ZERO even on
+    // doubles, and the degenerate denominators (empty input, one group,
+    // zero within-variance) are exactly where DuckDB's `/` yields NULL —
+    // try_divide is the Spark spelling of the same contract
     g.agg(sort_array(collect_list(struct(
         col("event_type"), col("n"), col("s"), col("ss")))).as("gs"))
       .select(
         size(col("gs")).cast("long").as("k_groups"),
         aggregate(col("gs"), lit(0L), (a, x) => a + x.getField("n"))
           .as("n_total"),
-        aggregate(col("gs"), lit(0L), (a, x) => a + x.getField("s"))
-          .as("s_total"),
-        aggregate(col("gs"), lit(0L), (a, x) => a + x.getField("ss"))
-          .as("ss_total"),
+        aggregate(col("gs"), decZero, (a, x) =>
+          (a + x.getField("s")).cast(dec38)).as("s_total"),
+        aggregate(col("gs"), decZero, (a, x) =>
+          (a + x.getField("ss")).cast(dec38)).as("ss_total"),
         aggregate(col("gs"), lit(0.0d), (a, x) =>
           a + x.getField("s").cast("double") * x.getField("s").cast("double")
             / x.getField("n").cast("double")).as("ssb_part"))
-      .withColumn("gm2",
-        col("s_total").cast("double") * col("s_total").cast("double")
-          / col("n_total").cast("double"))
+      .withColumn("gm2", try_divide(
+        col("s_total").cast("double") * col("s_total").cast("double"),
+        col("n_total").cast("double")))
       .withColumn("ssb", col("ssb_part") - col("gm2"))
       .withColumn("ssw", col("ss_total").cast("double") - col("ssb_part"))
       .select(col("k_groups"), col("n_total"), col("s_total"), col("ss_total"),
         round(col("ssb"), 4).as("ssb_r4"),
         round(col("ssw"), 4).as("ssw_r4"),
-        round((col("ssb") / (col("k_groups") - lit(1L)).cast("double"))
-          / (col("ssw") / (col("n_total") - col("k_groups")).cast("double")), 6)
+        round(try_divide(
+          try_divide(col("ssb"), (col("k_groups") - lit(1L)).cast("double")),
+          try_divide(col("ssw"),
+            (col("n_total") - col("k_groups")).cast("double"))), 6)
           .as("f_r6"),
-        round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta2_r6"))
+        round(try_divide(col("ssb"), col("ssb") + col("ssw")), 6)
+          .as("eta2_r6"))
+      .transform(Tables.portable)
   }
 
   // ---------------------------------------------------------------- q221
@@ -1853,8 +1919,9 @@ object StatsOps {
         |win AS (
         | SELECT event_id, event_type, trel,
         |  count(*) OVER w AS n_win,
-        |  sum(trel) OVER w AS sx, sum(v) OVER w AS sy,
-        |  sum(trel * v) OVER w AS sxy, sum(trel * trel) OVER w AS sxx
+        |  sum(trel::HUGEINT) OVER w AS sx, sum(v::HUGEINT) OVER w AS sy,
+        |  sum(trel::HUGEINT * v) OVER w AS sxy,
+        |  sum(trel::HUGEINT * trel) OVER w AS sxx
         | FROM ev
         | WINDOW w AS (PARTITION BY event_type ORDER BY trel
         |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
@@ -1985,13 +2052,14 @@ object StatsOps {
         | FROM events),
         |g AS (
         | SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+        |  sum(CAST(c AS HUGEINT)) AS s,
+        |  sum(CAST(c AS HUGEINT) * c) AS ss
         | FROM ev GROUP BY event_type),
         |one AS (
         | SELECT CAST(count(*) AS BIGINT) AS k_groups,
-        |  CAST(sum(n) AS BIGINT) AS n_total,
-        |  CAST(sum(s) AS BIGINT) AS s_total,
-        |  CAST(sum(ss) AS BIGINT) AS ss_total,
+        |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_total,
+        |  coalesce(sum(s), 0) AS s_total,
+        |  coalesce(sum(ss), 0) AS ss_total,
         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |    list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
         |         ORDER BY event_type)),
@@ -2003,7 +2071,9 @@ object StatsOps {
         |    / CAST(n_total AS DOUBLE) AS ssb,
         |  CAST(ss_total AS DOUBLE) - ssb_part AS ssw
         | FROM one)
-        |SELECT k_groups, n_total, s_total, ss_total,
+        |SELECT k_groups, n_total,
+        | CAST(s_total AS VARCHAR) AS s_total,
+        | CAST(ss_total AS VARCHAR) AS ss_total,
         | round(ssb, 4) AS ssb_r4,
         | round(ssw, 4) AS ssw_r4,
         | round((ssb / CAST(k_groups - 1 AS DOUBLE))
@@ -2186,7 +2256,7 @@ object StatsOps {
       """WITH h AS (
         | SELECT lang, md5(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS h
         | FROM documents),
-        |dh AS (SELECT DISTINCT lang, h FROM h),
+        |dh AS (SELECT DISTINCT lang, h FROM h WHERE h IS NOT NULL),
         |mink AS (
         | SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
         | FROM dh),
@@ -2317,25 +2387,26 @@ object StatsOps {
         |   WHEN u < 'ffffed1f' THEN 8 ELSE 9 END AS k
         | FROM ku),
         |g AS (
-        | SELECT b, CAST(sum(k) AS BIGINT) AS n_eff, CAST(sum(k * c) AS BIGINT) AS sc
+        | SELECT b, CAST(sum(k) AS BIGINT) AS n_eff,
+        |  coalesce(sum(k::HUGEINT * c), 0) AS sc
         | FROM k GROUP BY 1),
         |m AS (
-        | SELECT b, n_eff, CAST(sc AS DOUBLE) / CAST(n_eff AS DOUBLE) AS mean_c,
-        |  CAST(floor(CAST(sc AS DOUBLE) / CAST(n_eff AS DOUBLE) * 1000000) AS BIGINT) AS mbu
+        | SELECT b, n_eff,
+        |  CASE WHEN n_eff > 0 THEN (sc * 100) // n_eff END AS mbu
         | FROM g),
         |x AS (
-        | SELECT b, n_eff, mean_c, mbu,
-        |  CAST(sum(mbu) OVER () AS BIGINT) // 32 AS mbar_u
+        | SELECT b, n_eff, mbu, sum(mbu) OVER () // 32 AS mbar_u
         | FROM m)
-        |SELECT b, n_eff, mean_c / 100.0 AS mean_value,
-        | sqrt(CAST(sum(CAST(mbu - mbar_u AS DECIMAL(38,0)) * (mbu - mbar_u)) OVER ()
-        |   AS DOUBLE) / 31.0) / 100000000.0 AS se_value
+        |SELECT b, n_eff,
+        | CAST(mbu // 100 AS DOUBLE) / 100.0 AS mean_value,
+        | sqrt(CAST(sum((mbu - mbar_u) * (mbu - mbar_u)) OVER ()
+        |   AS DOUBLE) / 31.0) / 10000.0 AS se_value
         |FROM x ORDER BY b""".stripMargin,
     "q115_distribution_drift" ->
       """WITH c AS (
         | SELECT lang,
-        |  count(*) FILTER (substr(md5(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), 1, 1) < 'c') AS a,
-        |  count(*) FILTER (substr(md5(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), 1, 1) >= 'c') AS b
+        |  CAST(sum(CASE WHEN substr(md5(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), 1, 1) < 'c' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(sum(CASE WHEN substr(md5(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), 1, 1) < 'c' THEN 0 ELSE 1 END) AS BIGINT) AS b
         | FROM documents GROUP BY 1),
         |t AS (SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb FROM c),
         |x AS (

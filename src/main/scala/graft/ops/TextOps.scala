@@ -59,8 +59,12 @@ object TextOps {
     val toks = tokens(text)
     val nAlpha = length(regexp_replace(text, "[^a-z]", ""))
     val nStop = size(filter(toks, x => x === "the" || x === "a" || x === "of"))
-    val alphaRatio = nAlpha.cast("double") / nChars
-    val stopRatio = nStop.cast("double") / size(toks)
+    // try_divide: a zero-char or zero-token document (and ANSI throws on
+    // double 0-division) scores NULL — DuckDB's `/` yields NULL on the
+    // same inputs, so the quality contract stays engine-identical, and
+    // every downstream `q >= threshold` prune drops NULL in both engines
+    val alphaRatio = try_divide(nAlpha.cast("double"), nChars)
+    val stopRatio = try_divide(nStop.cast("double"), size(toks))
     round(alphaRatio * lit(0.5) + (lit(1.0) - stopRatio) * lit(0.5), 4)
   }
 
@@ -69,8 +73,9 @@ object TextOps {
     val toks = tokens(col("text"))
     val nAlpha = length(regexp_replace(col("text"), "[^a-z]", ""))
     val nStop = size(filter(toks, x => x === "the" || x === "a" || x === "of"))
-    val alphaRatio = nAlpha.cast("double") / col("n_chars")
-    val stopRatio = nStop.cast("double") / size(toks)
+    // try_divide — same zero-denominator contract as [[qualityScore]]
+    val alphaRatio = try_divide(nAlpha.cast("double"), col("n_chars"))
+    val stopRatio = try_divide(nStop.cast("double"), size(toks))
     t(s, d, "documents").select(
       col("doc_id"),
       col("n_chars"),
@@ -570,8 +575,14 @@ object TextOps {
         when(col("n_bigrams") > 0,
           col("s").cast("double") / col("n_bigrams").cast("double"))
           .otherwise(lit(Double.PositiveInfinity)).as("nll"))
+    // NULL quality (unscoreable doc: zero chars/tokens) ranks WORST, like
+    // the nll Infinity branch below: the band must say so explicitly —
+    // a NULL band would sort FIRST in the engine's band-offset window
+    // (Spark asc = nulls first) while the oracle's `ORDER BY q DESC`
+    // puts NULLs last (DuckDB nulls-last), silently flipping the ranks
     val rq = LayoutOps.bandedRank(qual,
-      (-floor(col("q") * 10000) / 250).cast("long"),
+      when(col("q").isNull, lit(Long.MaxValue))
+        .otherwise((-floor(col("q") * 10000) / 250).cast("long")),
       Seq(col("q").desc, col("doc_id")), "r_quality")
       .select("doc_id", "r_quality")
     val rl = LayoutOps.bandedRank(nll,
@@ -737,7 +748,13 @@ object TextOps {
     val dec4 = org.apache.spark.sql.types.DecimalType(18, 4)
     val q = qualityScore(col("text"), col("n_chars"))
     val cut = floor(q * 256).cast("int")
-    val keep = when(cut >= 256, lit(true))
+    // the NULL-quality guard comes FIRST: Spark's format_string renders a
+    // NULL argument as the literal string "null" (printf semantics), so
+    // `hash < format_string(.., NULL)` would be TRUE for most hashes and
+    // silently KEEP every unscoreable doc — DuckDB's printf yields NULL
+    // there and drops them; an explicit false keeps both engines aligned
+    val keep = when(cut.isNull, lit(false))
+      .when(cut >= 256, lit(true))
       .otherwise(contentSampleHash("graft-wsample-42") < format_string("%02x", cut))
     t(s, d, "documents")
       .select(col("lang"), q.as("q"), keep.as("keep"))
@@ -836,9 +853,13 @@ object TextOps {
     * the 4-dp-rounded composite, so ranks, pairs, and margins are
     * engine-exact. */
   def q237PreferencePairs(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    // unscoreable docs (NULL quality) can't be preferred OR rejected —
+    // and the two engines rank NULLs on opposite ends (Spark nulls-first
+    // asc, DuckDB nulls-last), so they are excluded explicitly, both sides
     val scored = t(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         qualityScore(col("text"), col("n_chars")).as("q"))
+      .filter(col("q").isNotNull)
     val n = scored.groupBy("lang").agg(count(lit(1)).as("n"))
     val top = graft.plans.TopK.perGroup(scored, Seq("lang"),
       Seq(("q", false), ("doc_id", true)), k = k, rankName = "i")
@@ -870,8 +891,13 @@ object TextOps {
     * total waste. */
   def q238PaddingWaste(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .select(size(filter(tokens(col("text")), t => t =!= "")).cast("long")
-        .as("n_tok"))
+      // a NULL body packs as 0 tokens (coalesce BOTH sides): leaving it
+      // NULL would put the doc in a NULL bucket that Spark's asc sort
+      // emits FIRST and DuckDB's LAST — a row-order mismatch by ordering
+      // rules alone
+      .select(coalesce(
+        size(filter(tokens(col("text")), t => t =!= "")).cast("long"),
+        lit(0L)).as("n_tok"))
       .withColumn("bucket_len",
         when(col("n_tok") <= 1L, 1L)
           .otherwise(expr(
@@ -1256,9 +1282,15 @@ object TextOps {
   }
 
   def q118Skyline(s: SparkSession, d: String): DataFrame =
+    // a NULL quality (zero-char/zero-token doc) has no place on a
+    // quality×length frontier — and the two engines would disagree on it
+    // structurally (the engine's equi-join drops NULL keys while the
+    // oracle's NOT EXISTS three-valued logic keeps EVERY null row), so
+    // both sides exclude it explicitly
     skylineFrontier(t(s, d, "documents")
       .select(col("doc_id"),
-        qualityScore(col("text"), col("n_chars")).as("quality"), col("n_chars")))
+        qualityScore(col("text"), col("n_chars")).as("quality"), col("n_chars"))
+      .filter(col("quality").isNotNull))
 
   // ---------------------------------------------------------------- q125
   /** BPE MERGE-STEP counting — the inner loop of training a byte-pair
@@ -1427,7 +1459,8 @@ object TextOps {
       .groupBy("sp").agg(count(lit(1)).as("freq"))
       .transform(graft.Transients.cut)
     val learned = Seq.newBuilder[(Int, String, Long)]
-    for (r <- 1 to rounds) {
+    var dry = false
+    for (r <- 1 to rounds if !dry) {
       val pairs = wf
         .select(col("freq"), split(trim(col("sp")), "  ").as("syms"))
         .filter(size(col("syms")) >= 2)
@@ -1437,12 +1470,20 @@ object TextOps {
               element_at(col("syms"), i + 1)))).as("pair"))
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
       val top = pairs.orderBy(col("cnt").desc, col("pair")).limit(1).collect()
-      require(top.nonEmpty, s"BPE round $r: no adjacent pairs left to merge")
-      val (bestPair, cnt) = (top(0).getString(0), top(0).getLong(1))
-      val Array(a, b) = bestPair.split(" ", 2)
-      learned += ((r, bestPair, cnt))
-      wf = wf.withColumn("sp",
-        replace(col("sp"), lit(s" $a  $b "), lit(s" $a$b ")))
+      if (top.isEmpty) {
+        // the corpus ran dry (empty input, or every eligible token fully
+        // merged): EARLY-STOP is BPE's standard saturation semantics —
+        // emit the merges learned so far, never crash the trainer
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .info(s"bpeTrain: corpus dry at round $r/$rounds — stopping")
+        dry = true
+      } else {
+        val (bestPair, cnt) = (top(0).getString(0), top(0).getLong(1))
+        val Array(a, b) = bestPair.split(" ", 2)
+        learned += ((r, bestPair, cnt))
+        wf = wf.withColumn("sp",
+          replace(col("sp"), lit(s" $a  $b "), lit(s" $a$b ")))
+      }
     }
     learned.result()
   }
@@ -1523,8 +1564,12 @@ object TextOps {
     val dec38 = DecimalType(38, 0)
     val sizes = t(s, d, "documents").select(col("lang"), col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // NULL token counts (NULL text) band to MaxValue so they rank LAST —
+    // DuckDB's asc puts NULLS LAST while Spark's band window would put a
+    // NULL band first (the q151 discipline)
     LayoutOps.groupedBandedRank(sizes, Seq("lang"),
-        LayoutOps.keyBand("n_tokens"),
+        when(col("n_tokens").isNull, lit(Long.MaxValue))
+          .otherwise(LayoutOps.keyBand("n_tokens")),
         Seq(col("n_tokens"), col("doc_id")), "rk")
       .groupBy("lang")
       .agg(count(lit(1)).as("n"),
@@ -1832,10 +1877,10 @@ object TextOps {
         |    AS hs
         | FROM tk)
         |SELECT doc_id,
-        | list_reduce(
+        | CASE WHEN hs IS NOT NULL THEN list_reduce(
         |   list_prepend(CAST(0 AS BIGINT),
         |     list_transform(hs, x -> x % 2147483647)),
-        |   (acc, x) -> (acc * 31 + x) % 2147483647) AS fp_rolling,
+        |   (acc, x) -> (acc * 31 + x) % 2147483647) END AS fp_rolling,
         | list_min(hs) AS fp_min_token
         |FROM h ORDER BY doc_id""".stripMargin,
     // the oracle's per-lang single-window rank is semantically identical
@@ -1971,9 +2016,10 @@ object TextOps {
          |  OR coalesce(frac_dup_3gram > 0.30, false) AS flagged
          |FROM f ORDER BY doc_id""".stripMargin,
     "q118_skyline" ->
-      s"""WITH s AS (
+      s"""WITH s0 AS (
         | SELECT doc_id, $duckQualityScore AS quality, n_chars
-        | FROM documents)
+        | FROM documents),
+        |s AS (SELECT * FROM s0 WHERE quality IS NOT NULL)
         |SELECT doc_id, quality, n_chars FROM s a
         |WHERE NOT EXISTS (
         | SELECT 1 FROM s b
@@ -2033,8 +2079,9 @@ object TextOps {
     // is the exact reverse order, margins are differences of identical
     // rounded doubles
     "q237_preference_pairs" ->
-      s"""WITH sc AS (
+      s"""WITH sc0 AS (
          | SELECT doc_id, lang, $duckQualityScore AS q FROM documents),
+         |sc AS (SELECT * FROM sc0 WHERE q IS NOT NULL),
          |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM sc
          |      GROUP BY 1),
          |top AS (
@@ -2059,9 +2106,9 @@ object TextOps {
     // bit math in both engines, waste in integer basis points
     "q238_padding_waste" ->
       """WITH d AS (
-        | SELECT CAST(len(list_filter(
+        | SELECT CAST(coalesce(len(list_filter(
         |   regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
-        |   t -> t <> '')) AS BIGINT) AS n_tok
+        |   t -> t <> '')), 0) AS BIGINT) AS n_tok
         | FROM documents),
         |b AS (
         | SELECT n_tok,

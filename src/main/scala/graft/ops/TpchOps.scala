@@ -55,9 +55,12 @@ object TpchOps {
 
   /** Exact per-unit cost on the integer micro-cent grid: quantities are
     * integral (spec-checked), so price_cents * 10000 div qty is exact and
-    * identical to DuckDB's `//`. The partsupp substitute (Q2/Q20). */
+    * identical to DuckDB's `//`. The partsupp substitute (Q2/Q20).
+    * nullif on the divisor: a zero-quantity line has NO unit cost — NULL
+    * in both engines (DuckDB's `// 0` is already NULL; ANSI div throws),
+    * and the min-cost aggregates skip it. */
   private val unitCostMicro =
-    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000 div CAST(l_quantity AS BIGINT)"
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000 div nullif(CAST(l_quantity AS BIGINT), 0)"
   private val sqlUnitCostMicro =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000 // CAST(l_quantity AS BIGINT)"
 

@@ -231,7 +231,9 @@ object DocsStream {
         // a sentinel for a group that never saw data (possible when the
         // sentinel lang list and the stream's source drift) flushes
         // NOTHING — set.last on the empty sketch was the sf1 crash that
-        // exposed the GenScale single-file-contract break
+        // exposed the GenScale single-file-contract break. A lang whose
+        // every text is NULL also flushes nothing: NULL content is never
+        // a sketch member (q141's batch contract, r11 — see its scaladoc)
         if (set.isEmpty) Iterator.empty
         else Iterator.single(KmvSketch(lang, n, set.size.toLong, set.last))
       } else {

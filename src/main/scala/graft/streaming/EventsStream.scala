@@ -625,16 +625,22 @@ object EventsStream {
           val out = safe.sortBy(p => (p.tus, p.eventId)).map { p =>
             val win = hist.takeRight(15) :+ p // oldest..newest, ≤16
             val m = win.length
-            var num = 0L; var den = 0L
+            // BigInt numerator: cents·2^15 would WRAP a raw Scala long at
+            // the wide end of the cents grid (plain JVM arithmetic has no
+            // ANSI guard — a silent wrong answer, worse than the batch
+            // twin's ANSI throw). Matches q133's DECIMAL(38,0) numerator.
+            var num = BigInt(0); var den = 0L
             var idx = 0
             while (idx < m) {
               val w = 1L << (15 - (m - 1 - idx)) // newest gets 2^15
-              num += win(idx).vc * w; den += w
+              num += BigInt(win(idx).vc) * w; den += w
               idx += 1
             }
             hist = (hist :+ p).takeRight(15)
+            // cent-quantized smoother: BigInt / truncates toward zero,
+            // exactly q133's decTruncDiv and the oracle's HUGEINT `//`
             EwmaOut(uid, p.eventId, p.tus, p.vc / 100.0,
-              num.toDouble / den.toDouble / 100.0)
+              (num / den).toDouble / 100.0)
           }
           state.update(EwmaState(hist, hold))
           state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)

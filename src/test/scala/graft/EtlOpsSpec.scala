@@ -776,14 +776,16 @@ class EtlOpsSpec extends AnyFunSuite {
     r.filter(_.getAs[Long]("user_id") == 1L).foreach { row =>
       assert(row.getAs[Double]("ewma") === 7.25)
     }
-    // short head, by hand: c_k = 2^(15-k), renormalized over present lags
+    // short head, by hand: c_k = 2^(15-k), renormalized over present lags,
+    // CENT-QUANTIZED (trunc num/den — the r11 contract: the cent grid is
+    // the widest export both engines cast to double identically)
     val c = (0 until 16).map(k => BigInt(1) << (15 - k))
     val u2 = r.filter(_.getAs[Long]("user_id") == 2L)
       .sortBy(_.getAs[Long]("tus")).map(_.getAs[Double]("ewma"))
     def hand(vsCents: Seq[Long]): Double = {
       val num = vsCents.reverse.zipWithIndex.map { case (v, k) => BigInt(v) * c(k) }.sum
       val den = vsCents.indices.map(c(_)).sum
-      num.toDouble / den.toDouble / 100.0
+      (num / den).toDouble / 100.0
     }
     assert(u2(0) === hand(Seq(100L)))
     assert(u2(1) === hand(Seq(100L, 200L)))

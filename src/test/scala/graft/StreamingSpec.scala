@@ -207,9 +207,10 @@ class StreamingSpec extends AnyFunSuite {
       .select("event_id", "ewma").as[(Long, Double)].collect().toMap
     // id 3's window must be (100, 200, 400) in time order, late 200 included
     val c = (0 until 16).map(k => 1L << (15 - k))
+    // cent-quantized (trunc num/den) — the r11 q133/q137 contract
     def hand(vs: Seq[Long]): Double = {
       val num = vs.reverse.zipWithIndex.map { case (v, k) => v * c(k) }.sum
-      (num.toDouble / vs.indices.map(c(_)).sum) / 100.0
+      (num / vs.indices.map(c(_)).sum).toDouble / 100.0
     }
     assert(got(1L) === hand(Seq(100L)))
     assert(got(2L) === hand(Seq(100L, 200L)))
