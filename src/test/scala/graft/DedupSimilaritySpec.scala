@@ -331,6 +331,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(crossed((1L, 1L)) - 1.0) < 1e-12)
   }
 
+  test("cosine of a zero vector is NULL in BOTH forms and ranks LAST desc") {
+    // the r11 contract: the zero vector has no direction — NULL (never
+    // NaN, which Spark would rank ABOVE every real similarity; DuckDB's
+    // 0-division yields NULL and ranks it last, like Spark's desc)
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(3.0f, 4.0f)))
+      .toDF("id", "v")
+    val crossed = vecs.crossJoin(
+        vecs.select(col("id").as("id2"), col("v").as("v2")))
+      .withColumn("composed", SimilarityOps.cosine(col("v"), col("v2")))
+      .withColumn("native", call_function("graft_cosine", col("v"), col("v2")))
+    val rows = crossed.select("id", "id2", "composed", "native").collect()
+    rows.foreach { r =>
+      val zeroSide = r.getLong(0) == 0L || r.getLong(1) == 0L
+      assert(r.isNullAt(2) === zeroSide, s"composed: $r")
+      assert(r.isNullAt(3) === zeroSide, s"native: $r")
+    }
+    // desc ranking: the zero vector lands strictly last for every query
+    val ranked = crossed.filter(col("id") === 1L)
+      .orderBy(col("native").desc, col("id2"))
+      .select("id2").as[Long].collect().toSeq
+    assert(ranked.last === 0L, ranked.toString)
+  }
+
   test("ANN LSH results are a subset quality-bounded by brute force") {
     val brute = SimilarityOps.q40CosineTopK(spark, TestSpark.sf)
       .select("q_id", "sim").as[(Long, Double)].collect()

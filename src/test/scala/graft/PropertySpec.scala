@@ -137,6 +137,22 @@ object PropertySpec extends Properties("graft") {
       got == naive && backA == a && backB == b
     }
 
+  property("decTruncDiv == BigInt truncating division on the wide grid") =
+    // the r11 decimal trunc-div (Spark `div` returns LONG and overflows
+    // wide quotients): (a − a%b)/b must equal BigInt's toward-zero
+    // division — negatives included (DuckDB's HUGEINT `//` truncates the
+    // same way, q258's pinned convention) — on magnitudes past 2^63
+    Prop.forAll(
+      Gen.choose(-BigInt(10).pow(22), BigInt(10).pow(22)),
+      Gen.choose(1L, 1000000L), Gen.oneOf(true, false)) { (a, b0, neg) =>
+      val b = if (neg) -b0 else b0
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val got = Seq((a.toString, b)).toDF("a", "b")
+        .select(Tables.decTruncDiv(col("a").cast(dec38), col("b").cast(dec38)))
+        .head.getDecimal(0)
+      BigInt(got.toBigInteger) == a / b
+    }
+
   property("parquet roundtrip is identity per value") =
     // NOTE deliberately not sum()-based: a double sum is NOT order-stable
     // across repartitioning (ScalaCheck falsified that version immediately
