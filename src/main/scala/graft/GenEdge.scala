@@ -29,8 +29,8 @@ import org.apache.spark.sql.functions._
 object GenEdge {
 
   val Flavors: Seq[String] = Seq("empty", "single", "adversarial")
-  private val TableNames = Seq("region", "nation", "customer", "supplier",
-    "part", "orders", "lineitem", "events", "documents", "embeddings")
+  // the loaders' own list — generator and Tables.load stay in lockstep
+  private val TableNames = Tables.names
 
   // ------------------------------------------------------------ helpers
 
@@ -250,7 +250,7 @@ object GenEdge {
       (5L, "the fast key order sort", "en", "src1", 23L),
       (6L, "the fast key order sort", "en", "src1", 23L),
       // whitespace and case variants: SAME normalized fingerprint as 5/6
-      (7L, "the\tfast  key\nordersort", "en", "src1", 26L),
+      (7L, "the\tfast  key\norder\u000Bsort", "en", "src1", 26L),
       (8L, "The FAST key ORDER sort", "en", "src1", 23L),
       // near-dups: one token swapped
       (9L, "spark group query row data slow small filter", "de", "src2", 44L),
@@ -279,12 +279,10 @@ object GenEdge {
       (8L, vec(i => if (i < 32) 1f else -1f), 9)      // single-vector label (lone ANN pool)
     ).toDF("vec_id", "embedding", "label"),
       "vec_id" -> "bigint", "embedding" -> "array<float>", "label" -> "int")
-    single.keys.map { t =>
-      t -> Map("region" -> region, "nation" -> nation, "customer" -> customer,
-        "supplier" -> supplier, "part" -> part, "orders" -> orders,
-        "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
-        "embeddings" -> embeddings)(t)
-    }.toMap
+    Map("region" -> region, "nation" -> nation, "customer" -> customer,
+      "supplier" -> supplier, "part" -> part, "orders" -> orders,
+      "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
+      "embeddings" -> embeddings)
   }
 
   /** Materialize one flavor under `dir/<table>.parquet` (single files —

@@ -98,7 +98,10 @@ object Tables {
     * — Remainder keeps the dividend's sign in both engines, so the
     * difference is exactly divisible and the decimal division exact —
     * matching DuckDB's `//` on HUGEINT (verified truncating, negatives
-    * included). */
+    * included). Width certificate: Spark's decimal division carries a
+    * 6-digit minimum scale, so the quotient is exact only while it fits
+    * DECIMAL(38,6) — |quotient| < 10³² (every caller's quotient is
+    * ≤ ~10²² today; PropertySpec pins ±10²² against BigInt). */
   def decTruncDiv(a: Column, b: Column): Column =
     ((a - a % b) / b).cast(org.apache.spark.sql.types.DecimalType(38, 0))
 

@@ -148,8 +148,12 @@ object EtlOps {
     val items = expectedItems.getOrElse(build.count())
     // an EMPTY build side can match nothing — and Spark's stat.bloomFilter
     // on zero rows returns an unmerged sketch whose bit buffer is null
-    // (NPE at broadcast serialization), so short-circuit before building
-    if (items == 0L) return probe.filter(lit(false))
+    // (NPE at broadcast serialization), so short-circuit before building.
+    // The expectedItems path must check ACTUAL emptiness too (a caller's
+    // nonzero estimate over an empty table would still hit the NPE);
+    // isEmpty is a limit-1 probe, cheap at any scale
+    if (items == 0L || (expectedItems.isDefined && build.isEmpty))
+      return probe.filter(lit(false))
     val optimalBits =
       math.ceil(-items.toDouble * math.log(fpp) / (math.log(2) * math.log(2)))
     val maxBits = 1L << 31 // 256 MB of bits — executor- and broadcast-safe

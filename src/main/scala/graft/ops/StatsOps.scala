@@ -880,22 +880,28 @@ object StatsOps {
   // ---------------------------------------------------------------- q217
   /** ROLLING-WINDOW REGRESSION — the trend detector over irregular event
     * times: for every event, the OLS slope certificate of value-vs-time
-    * over the trailing hour of its type, computed as RANGE-framed window
-    * sufficient statistics (n, Σt, Σv, Σtv, Σt²) — the time-series
-    * member of the q167/q171 certificate family, and the engine's RANGE
-    * BETWEEN <interval> PRECEDING frame surface (q57 ranks over a RANGE
-    * frame; this AGGREGATES over one). Peers at the same second are
-    * frame-included on both engines by RANGE semantics, so ties cost no
-    * determinism. Times rebase to seconds from the corpus minimum (t² of
-    * raw epoch-µs overflows int64; rebased-seconds keep every per-term
-    * product < 2⁶³ at this corpus span), values are cents; window sums
-    * are exact longs here and would widen to DECIMAL(38,0) at 100 TB
-    * spans (the q115 rule); the num/den certificate multiplies in
-    * DECIMAL(38,0) and exports portably.
+    * over the trailing hour of its type (n, Σt, Σv, Σtv, Σt²) — the
+    * time-series member of the q167/q171 certificate family. Peers at
+    * the same second share one window by RANGE semantics, so ties cost
+    * no determinism. Times rebase to seconds from the corpus minimum,
+    * values are cents; every sufficient statistic is DECIMAL(38,0)
+    * (the q115 rule; oracle: HUGEINT) — trel·v pairs a multi-year second
+    * grid with the full cents grid, overflowing a raw long per ROW.
     *
-    * Scale: one shuffle on event_type + an in-partition range frame —
-    * no self-join (the naive formulation is an O(rows·window) interval
-    * join); the frame scan is linear per partition. */
+    * Scale shape (round 11): NOT the naive RANGE-framed window — Spark's
+    * sliding-frame aggregation has no retraction, so a `RANGE 3600
+    * PRECEDING` sum RE-AGGREGATES the whole frame per row: O(rows ×
+    * rows-per-hour) per type, quadratic in stream density (measured
+    * 2.9× at sf0.1; unboundedly worse at 1e6 events/s). Instead the
+    * classic prefix-sum identity: aggregate to the SECOND GRID (one row
+    * per (type, second) — map-side combined), take RUNNING cumulative
+    * sums over the grid (a growing frame — incrementally maintained,
+    * O(1)/row), look up each second's window-start boundary cum with ONE
+    * [[AsofJoin.backward]] pass (cum at the greatest grid second ≤
+    * t−3601), and window sums fall out as cum(t) − cum(boundary) — exact
+    * integer subtraction, bit-identical to the framed window the oracle
+    * replays. Events re-attach by (type, second) equi-join. Everything
+    * after the first aggregate is GRID-sized. */
   def q217RollingOls(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
@@ -904,23 +910,45 @@ object StatsOps {
       .select(col("event_id"), col("event_type"), expr("ts div 1000").as("tus"),
         graft.streaming.EventsStream.cents(col("value")).as("v"))
     // null-safe: an empty events table has no min — rebase to 0 and the
-    // window query flows an empty frame through, never an NPE
+    // empty grid flows through, never an NPE
     val minRow = ev.agg(min("tus")).head
     val minTus = if (minRow.isNullAt(0)) 0L else minRow.getLong(0)
     val based = ev.withColumn("trel", expr(s"(tus - ${minTus}L) div 1000000"))
-    val w = Window.partitionBy("event_type").orderBy("trel")
-      .rangeBetween(-3600L, 0L)
+    val wc = Window.partitionBy("event_type").orderBy("trel")
+      .rowsBetween(Window.unboundedPreceding, 0) // growing: incremental
+    // cum feeds the as-of pass TWICE (as probe payload and as the looked-
+    // up right side) — cut once (the q147 multi-consumer discipline)
+    val cum = graft.Transients.track(based
+      .groupBy("event_type", "trel")
+      .agg(count(lit(1)).as("cn"), sum(col("v").cast(dec38)).as("sv"))
+      .select(col("event_type"), col("trel"),
+        sum(col("cn")).over(wc).as("c_n"),
+        sum(col("trel").cast(dec38) * col("cn")).over(wc).as("c_sx"),
+        sum(col("sv")).over(wc).as("c_sy"),
+        sum(col("trel").cast(dec38) * col("sv")).over(wc).as("c_sxy"),
+        sum(col("trel").cast(dec38) * col("trel") * col("cn")).over(wc)
+          .as("c_sxx"))
+      .transform(graft.Transients.cut))
+    val z = lit(BigDecimal(0)).cast(dec38)
+    // boundary cum: greatest grid second ≤ trel − 3601 (the frame is
+    // [trel−3600, trel] inclusive, so everything at or before trel−3601
+    // subtracts out); no match ⇒ empty prefix ⇒ zeros
+    val windowed = AsofJoin.backward(
+      cum.select(col("event_type"),
+        (col("trel") - 3601L).as("bt"), col("trel"),
+        col("c_n"), col("c_sx"), col("c_sy"), col("c_sxy"), col("c_sxx")),
+      cum.select(col("event_type"), col("trel").as("bt"),
+        col("c_n").as("p_n"), col("c_sx").as("p_sx"), col("c_sy").as("p_sy"),
+        col("c_sxy").as("p_sxy"), col("c_sxx").as("p_sxx")),
+      "event_type", "bt", Seq("p_n", "p_sx", "p_sy", "p_sxy", "p_sxx"))
+      .select(col("event_type"), col("trel"),
+        (col("c_n") - coalesce(col("p_n"), lit(0L))).as("n_win"),
+        (col("c_sx") - coalesce(col("p_sx"), z)).as("sx"),
+        (col("c_sy") - coalesce(col("p_sy"), z)).as("sy"),
+        (col("c_sxy") - coalesce(col("p_sxy"), z)).as("sxy"),
+        (col("c_sxx") - coalesce(col("p_sxx"), z)).as("sxx"))
     Tables.portable(based
-      .withColumn("n_win", count(lit(1)).over(w))
-      // every window sum widens to DECIMAL(38,0) BEFORE multiplying (the
-      // q115 rule; oracle: HUGEINT): trel·v pairs a multi-year second
-      // grid (~1e8) with the full cents grid, overflowing a raw long per
-      // ROW, and the sy/sx accumulations overflow at window row counts
-      // the 100 TB stream actually reaches
-      .withColumn("sx", sum(col("trel").cast(dec38)).over(w))
-      .withColumn("sy", sum(col("v").cast(dec38)).over(w))
-      .withColumn("sxy", sum(col("trel").cast(dec38) * col("v")).over(w))
-      .withColumn("sxx", sum(col("trel").cast(dec38) * col("trel")).over(w))
+      .join(windowed, Seq("event_type", "trel"))
       .select(col("event_id"), col("event_type"), col("trel"), col("n_win"),
         (col("n_win").cast(dec38) * col("sxy").cast(dec38)
           - col("sx").cast(dec38) * col("sy").cast(dec38)).as("slope_num"),
