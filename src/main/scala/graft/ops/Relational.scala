@@ -1218,8 +1218,15 @@ object Relational {
 
   // ---------------------------------------------------------------- q57
   /** RANGE-framed window: 10-minute rolling event-time aggregate per user —
-    * the time-based sibling of q21's ROWS frame. Frame bounds are integer
-    * microseconds (exact in both engines). */
+    * the time-based sibling of q21's ROWS frame, and the engine's
+    * deliberate RANGE BETWEEN surface query. Frame bounds are integer
+    * microseconds (exact in both engines).
+    *
+    * Density caveat (r11): Spark's sliding frames re-aggregate per row
+    * (no retraction) — O(rows × rows-per-window) per partition. Fine
+    * here (per-USER 10-minute frames stay small at any corpus size);
+    * for per-TYPE trailing windows over a dense stream use q217's
+    * grid-cumsum + as-of formulation, which is linear. */
   def q57WindowRange(s: SparkSession, d: String): DataFrame = {
     val tenMinUs = 10L * 60 * 1000 * 1000
     val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
