@@ -855,11 +855,18 @@ object TextOps {
   def q237PreferencePairs(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     // unscoreable docs (NULL quality) can't be preferred OR rejected —
     // and the two engines rank NULLs on opposite ends (Spark nulls-first
-    // asc, DuckDB nulls-last), so they are excluded explicitly, both sides
-    val scored = t(s, d, "documents")
+    // asc, DuckDB nulls-last), so they are excluded explicitly, both sides.
+    // The narrow scored frame is CUT once for its three consumers (n, top,
+    // bot — the q147/q110 multi-consumer discipline): uncut, each consumer
+    // re-scans documents AND Catalyst inlines the quality expression into
+    // both the isNotNull Filter and the Project per scan — ~6 regexp+lambda
+    // evaluations per doc (measured 3.05 → 5.28 s at sf1 when the r11
+    // filter landed without the cut; cut, the expression runs once per doc)
+    val scored = graft.Transients.track(t(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         qualityScore(col("text"), col("n_chars")).as("q"))
       .filter(col("q").isNotNull)
+      .transform(graft.Transients.cut))
     val n = scored.groupBy("lang").agg(count(lit(1)).as("n"))
     val top = graft.plans.TopK.perGroup(scored, Seq("lang"),
       Seq(("q", false), ("doc_id", true)), k = k, rankName = "i")
@@ -1286,11 +1293,16 @@ object TextOps {
     // quality×length frontier — and the two engines would disagree on it
     // structurally (the engine's equi-join drops NULL keys while the
     // oracle's NOT EXISTS three-valued logic keeps EVERY null row), so
-    // both sides exclude it explicitly
-    skylineFrontier(t(s, d, "documents")
+    // both sides exclude it explicitly. The scored frame is cut once for
+    // skylineFrontier's two consumers (the per-quality aggregate and the
+    // frontier join) — uncut, each re-scans documents with the quality
+    // expression inlined into both the Filter and the Project (the q237
+    // fanout, one scan fewer)
+    skylineFrontier(graft.Transients.track(t(s, d, "documents")
       .select(col("doc_id"),
         qualityScore(col("text"), col("n_chars")).as("quality"), col("n_chars"))
-      .filter(col("quality").isNotNull))
+      .filter(col("quality").isNotNull)
+      .transform(graft.Transients.cut)))
 
   // ---------------------------------------------------------------- q125
   /** BPE MERGE-STEP counting — the inner loop of training a byte-pair
