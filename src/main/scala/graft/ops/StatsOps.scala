@@ -458,8 +458,14 @@ object StatsOps {
     * first groupBy is broadcast-size. */
   def q104ChiSquare(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = t(s, d, "documents").groupBy("lang", "source")
-      .agg(count(lit(1)).as("o"))
+    // the contingency table (|langs×sources| rows) is cut once for its
+    // FOUR consumers (row/column marginals, grand total, grid attach) —
+    // uncut, each re-scanned the corpus for the same tiny aggregate
+    // (ScanAudit: documents=4)
+    val c = graft.Transients.track(
+      t(s, d, "documents").groupBy("lang", "source")
+        .agg(count(lit(1)).as("o"))
+        .transform(graft.Transients.cut))
     val rl = c.groupBy("lang").agg(sum("o").as("rl"))
     val cs = c.groupBy("source").agg(sum("o").as("cs"))
     val nn = c.agg(sum("o").as("nn"))

@@ -472,6 +472,12 @@ object TextOps {
   def q72TfidfTerms(s: SparkSession, d: String, topN: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, d, "documents")
+    // tf and df each re-tokenize the corpus (2 pruned scans) — DELIBERATE:
+    // both consumers are map-side explode→aggregate pipelines, and cutting
+    // the exploded token table materializes token-scale rows that cost
+    // more than the recompute (measured at sf1: cut 4.5 s vs uncut 2.7 s —
+    // the r11 scan-audit's rejected case; cuts pay off only for NARROW or
+    // multi-stage intermediates, see q237/q149)
     val tok = docs.select(col("doc_id"), col("lang"),
       explode(tokens(col("text"))).as("term"))
     val tf = tok.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
@@ -513,13 +519,19 @@ object TextOps {
     * bounded heaps, no per-term global sort. DECIMAL(38,0) products keep
     * the i6·44·tf·T numerator exact far past the long range. */
   def q149Bm25(s: SparkSession, d: String, topK: Int = 10): DataFrame = {
-    val dl = t(s, d, "documents")
+    // the token-array frame is cut once for its two consumers (postings
+    // build + corpus stats), and the postings table once for ITS two
+    // (query-term selection + scoring) — uncut, the corpus was scanned
+    // and tokenized up to 4× (ScanAudit: documents=4; the q110 discipline)
+    val dl = graft.Transients.track(t(s, d, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         col("toks"))
-    val post = dl
+      .transform(graft.Transients.cut))
+    val post = graft.Transients.track(dl
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .transform(graft.Transients.cut))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_tokens"))
     val qterms = post.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats).select("n_docs"))
@@ -816,6 +828,9 @@ object TextOps {
   def q90TokenPmi(s: SparkSession, d: String, vocabN: Int = 50,
                   topPairs: Int = 30): DataFrame = {
     val docs = t(s, d, "documents")
+    // each consumer re-runs the tokenize+distinct — DELIBERATE: cutting
+    // this token-scale table measured slower at sf1 than the map-side
+    // recompute (the r11 scan-audit's rejected case; see q72's note)
     val pairs = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .distinct()
@@ -935,9 +950,13 @@ object TextOps {
     * tokens. */
   def q224SkipgramCooc(s: SparkSession, d: String, vocabN: Int = 30,
                        maxDist: Int = 3, topPairs: Int = 50): DataFrame = {
-    val toks = t(s, d, "documents")
+    // positioned token table cut once for its three consumers (vocab +
+    // tv's two join sides) — uncut, each re-tokenized the corpus
+    // (ScanAudit: documents=4)
+    val toks = graft.Transients.track(t(s, d, "documents")
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
       .filter(col("term") =!= "")
+      .transform(graft.Transients.cut))
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("term")).limit(vocabN)
     val tv = toks.join(broadcast(vocab.select("term")), Seq("term"))
@@ -1070,6 +1089,11 @@ object TextOps {
     * expression (shared with q38/q66). */
   def q102Contamination(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // shingles is a temp function
+    // each consumer re-runs the shingle explode (3 pruned scans) —
+    // DELIBERATE: cutting the exploded gram table materializes gram-scale
+    // rows and measured 6× SLOWER at sf1 (8.1 → 48.2 s — the r11
+    // scan-audit's starkest rejected case; the map-side explode pipelines
+    // into each aggregate, the checkpoint cannot)
     val grams = t(s, d, "documents")
       .select(col("doc_id"), splitAssign(col("text")).as("split"),
         explode(array_distinct(DedupOps.shingles(col("text")))).as("gram"))
@@ -1120,17 +1144,31 @@ object TextOps {
   private def lmPerDocNll(docs: DataFrame): DataFrame = {
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     // spread: tokenize + bigram zip explode is the compute-heavy map
-    // stage of every consumer (q109/q127/q151) — widen the scan first
-    val bg = graft.Tables.spread(docs, "doc_id")
+    // stage of every consumer (q109/q127/q151) — widen the scan first.
+    // The TOKEN table is cut once for its two consumers (the bigram
+    // explode and the vocabulary distinct): uncut, this core tokenized
+    // the corpus up to FIVE times — bg's lineage re-executed under cnt's
+    // two consumers and the per-doc aggregate, plus vocab's own scan (the
+    // q237/q110 multi-consumer fanout; ScanAudit flagged documents=5).
+    // bg itself stays UNCUT: re-running the zip/explode off materialized
+    // token arrays is map-side and beats checkpointing the token-scale
+    // exploded table (vocab still covers single-token docs — deriving it
+    // from bigrams would drop tokens that never head a bigram).
+    val tok = graft.Transients.track(graft.Tables.spread(docs, "doc_id")
       .select(col("doc_id"), tokens(col("text")).as("t"))
+      .transform(graft.Transients.cut))
+    val bg = tok
       .select(col("doc_id"), explode(zip_with(
         slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
         slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("x"))
       .select(col("doc_id"), col("x.w1").as("w1"), col("x.w2").as("w2"))
-    val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    // bigram-TYPE counts (Zipf-small) feed heads AND the nll join — cut
+    val cnt = graft.Transients.track(
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+        .transform(graft.Transients.cut))
     val heads = cnt.groupBy("w1").agg(sum(col("n")).as("head_n"))
-    val vocab = docs.select(explode(tokens(col("text"))).as("tok"))
+    val vocab = tok.select(explode(col("t")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
     val nll = cnt.join(heads, "w1")
       .crossJoin(broadcast(vocab))
@@ -1524,7 +1562,11 @@ object TextOps {
   def q163BpeEncode(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
     val merges = bpeTrain(s, d, rounds).map(_._2)
     // spread: the GPT-2-style pre-token regexp over every document is
-    // the pipeline's map-heavy stage (sf1: 10.6 s single-task unspread)
+    // the pipeline's map-heavy stage (sf1: 10.6 s single-task unspread).
+    // Its two consumers each re-run the regexp — DELIBERATE: cutting the
+    // exploded pre-token table measured 1.4× slower at sf1 (9.7 → 13.5 s;
+    // the r11 scan-audit's rejected case — materialization beats recompute
+    // only for narrow or multi-stage intermediates)
     val pre = graft.Tables.spread(t(s, d, "documents"), "doc_id")
       .select(col("doc_id"),
         explode(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("tok"))
