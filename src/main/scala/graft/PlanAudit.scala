@@ -47,6 +47,8 @@ object PlanAudit {
     "q81_event_funnel" -> "one-row stage totals broadcast",
     "q256_pagination" -> "one-row keyset anchor broadcast",
     "q258_intdiv_semantics" -> "15×3 generated grid cross join",
+    "q217_rolling_ols" ->
+      "one-row rebase-min broadcast (replaced the construction-time driver action, r12)",
     "q311_tpch11_stock" -> "one-row value-threshold broadcast (TPC-H Q11)",
     "q322_tpch22_opportunity" -> "one-row avg-balance broadcast (TPC-H Q22)")
 
