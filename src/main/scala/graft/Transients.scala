@@ -93,14 +93,27 @@ object Transients {
 
   /** Unpersist every tracked transient of `s` (non-blocking) and forget
     * them. Safe to call at any query boundary: a re-run rebuilds its own
-    * checkpoints from source. */
+    * checkpoints from source.
+    *
+    * Two-level release (round-12, ADVICE r11): `Dataset.unpersist` only
+    * uncaches through the CacheManager, and a checkpointed frame's pinned
+    * blocks belong to the RDD behind its `LogicalRDD` leaf — NOT
+    * registered there, so the Dataset call alone was a no-op for them and
+    * actual eviction waited on reference-drop + the ContextCleaner's GC
+    * cycle. The leaf RDD is unpersisted DIRECTLY here, so block release
+    * is immediate at the query boundary, not eventual. */
   def drop(s: SparkSession): Unit = {
     val doomed = synchronized {
       val d = reg.getOrElse(s, Nil)
       reg.remove(s)
       d
     }
-    doomed.foreach(df =>
-      try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    doomed.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      try df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+    }
   }
 }
