@@ -25,11 +25,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    Cache-consumer operators (dropNearDuplicates over pairs, q99 over
   *    the co-order graph) intentionally measure the cached path — that
   *    reuse is the operator's documented semantics;
-  *  - the full per-query JSON is also written to BENCH_full.json in the
-  *    working directory: the driver's stdout capture has truncated the
-  *    tail of the single JSON line before (r5 lost everything past ~q58),
-  *    and round-over-round per-query regressions are invisible without
-  *    the complete set;
+  *  - the full per-query JSON is also written to a working-directory file
+  *    (the driver's stdout capture has truncated the tail of the single
+  *    JSON line before — r5 lost everything past ~q58): BENCH_full.json
+  *    for the sf0.1 gating config, BENCH_full_<sfbase>.json otherwise, or
+  *    an explicit second arg — so an sf1 dev run can never clobber the
+  *    gating artifact;
+  *  - a fixed synthetic calibration probe runs at start/middle/end and
+  *    rides in the artifact as `probe`, so an ambient-contended run
+  *    self-labels numerically (see [[calibrationProbe]]);
   *  - a `spread` map ({min, med, max, runs} per query) rides next to the
   *    median `queries` map, so an inflated gating run carries its own
   *    adjudication evidence — a wide min..max on the suspect queries is
@@ -53,8 +57,37 @@ object Bench {
   private def execute(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Ambient-load calibration probe (round-12, VERDICT r11 item 6): a
+    * fixed synthetic workload — pure-CPU hashing plus ONE small shuffle —
+    * timed at start/middle/end of the run and recorded in the artifact.
+    * Identical code and data every run, so its time moves ONLY with the
+    * box: a gating run whose probe ratio (max/min, or vs another run's
+    * probe) exceeds ~1.5 is ambient-contended and self-labels as such
+    * numerically, without the prose adjudication three rounds of
+    * driver-vs-builder spread disputes needed. Sized ~1 s on an idle
+    * local[32] so three probes cost ~3 s against a 300+ s run. */
+  private def calibrationProbe(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    execute(spark.range(0, 24_000_000L, 1, 32)
+      .select(xxhash64(col("id"), lit("probe_a")).as("h1"),
+        xxhash64(col("id"), lit("probe_b")).as("h2"))
+      .groupBy(pmod(col("h1"), lit(512)).as("k"))
+      .agg(sum(col("h2")).as("s"), count(lit(1)).as("n")))
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // args override env: `runMain graft.Bench <sfDir> [outFile]`. The
+    // per-query artifact path derives from the SF dir unless given, so an
+    // sf1 dev run can no longer clobber the sf0.1 gating artifact
+    // (VERDICT r11 item 5 — r11 restored BENCH_full.json by hand).
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val outFile = args.lift(1).getOrElse {
+      val base = new java.io.File(sfDir).getName
+      if (base == "sf0.1") "BENCH_full.json" else s"BENCH_full_$base.json"
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Graft.sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -65,7 +98,13 @@ object Bench {
     // shuffle/broadcast residue never compounds under the timed spans
     // (rationale and measurements on Graft.GcNudge)
     val gc = new Graft.GcNudge()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // calibration probes bracket the run (rationale on calibrationProbe);
+    // the start probe runs AFTER warmup so it never absorbs JVM spin-up
+    val probeStart = calibrationProbe(spark)
+    var probeMid = -1.0
+    val results = sorted.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi == sorted.size / 2) probeMid = calibrationProbe(spark)
       def timeOnce(): Double = {
         if (cacheProducers(name)) evictCaches(spark)
         gc.maybe()
@@ -129,15 +168,18 @@ object Bench {
     // read as a faster total
     val total = if (results.exists(!_._3)) -1.0
       else results.map(r => median(r._2.get)).sum
+    val probeEnd = calibrationProbe(spark)
+    val probe = s"""{"start":${d3(probeStart)},"mid":${d3(probeMid)},""" +
+      s""""end":${d3(probeEnd)}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"probe":$probe,"sf":"$sfDir"}"""
     println(json)
     // durable copy of the complete per-query set (stdout capture has
     // truncated the tail of this line before — see the scaladoc)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_full.json"), json + "\n")
+      java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_full.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] $outFile write failed: ${e.getMessage}")
     }
     spark.stop()
   }
