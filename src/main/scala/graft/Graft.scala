@@ -17,8 +17,8 @@ object Graft {
 
   def sessionBuilder(master: String = "local[*]",
                      shufflePartitions: Int = Runtime.getRuntime.availableProcessors)
-  : SparkSession.Builder =
-    SparkSession.builder()
+  : SparkSession.Builder = {
+    val base = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -46,6 +46,13 @@ object Graft {
       // graph operators use (GraphOps.connectedComponents), with the SQL
       // surface kept for catalog-scale recursion.
       .config("spark.sql.cteRecursionRowLimit", "200000000")
+      // the LEVEL limit is a depth guard with the same rationale: the
+      // default 100 crashes a legitimate chain walk the moment one key
+      // holds >100 chain steps (the skewed edge corpus parks ~200 orders
+      // on each hot customer; DuckDB walks it fine, so the default turned
+      // a data shape into an engine-vs-oracle crash divergence). The row
+      // limit above stays the runaway guard; depth is data, not danger.
+      .config("spark.sql.cteRecursionLevelLimit", "100000")
       // reliable-checkpoint hygiene (Transients.cut): reclaim a superseded
       // round's rdd-* checkpoint files in-job once its frame is unpersisted
       // and GC'd — without this a multi-day iterative job accumulates every
@@ -60,6 +67,43 @@ object Graft {
       // metrics on the heap for no reader. 32 keeps recent history for
       // debugging without the accumulation.
       .config("spark.sql.ui.retainedExecutions", "32")
+    // local-cluster[n,cores,mem]: the ONLY in-sandbox mode where executors
+    // are SEPARATE JVM PROCESSES (launched by the in-process standalone
+    // Worker), so closure serialization, task-binary transport, broadcast
+    // over the wire, and executor-loss recovery actually execute instead
+    // of being design arguments (round-12 gate — VERDICT r11 item 1). The
+    // spawned executors know nothing of sbt: they need this build's
+    // classes (and the unmanaged Spark jars) on THEIR classpath, and the
+    // JDK17 module opens on their own command line. SPARK_HOME (or the
+    // spark.test.home sysprop) must point at the distribution so the
+    // Worker can build the launch command — tools/cluster_gate.sh sets it.
+    if (master.startsWith("local-cluster")) {
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+      // ABSOLUTIZE every entry: executors run from their own work dir, so
+      // a relative `target/scala-2.13/classes` silently resolves to
+      // nothing there — graft closures then deserialize as bare
+      // SerializedLambda ("cannot assign ... to field MapPartitionsRDD.f"),
+      // the exact transport bug class this mode exists to surface
+      val absCp = sys.props.getOrElse("java.class.path", "")
+        .split(java.io.File.pathSeparator)
+        .filter(_.nonEmpty)
+        .map(p => new java.io.File(p).getAbsolutePath)
+        .mkString(java.io.File.pathSeparator)
+      base
+        .config("spark.executor.extraClassPath", absCp)
+        // NO -Dspark.* here: SparkConf rejects Spark options in executor
+        // java opts, and SQL confs propagate with tasks anyway
+        .config("spark.executor.extraJavaOptions", addOpens)
+    } else base
+  }
 
   /** Build (or reuse) the session and register the native functions. */
   def session(master: String = "local[*]"): SparkSession = {

@@ -82,8 +82,11 @@ object Verify {
     // the driver always passes two args and gets every query)
     val only = args.lift(2).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER overrides the mode — the cluster gate runs this
+    // exact main under local-cluster[2,2,1024] (real executor processes)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     // one shared config source (AQE, UTC, nanosAsLong, ...): Graft.sessionBuilder
-    val spark = Graft.sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val spark = Graft.sessionBuilder(master, cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     dump(spark, sfDir, outDir, only)
     spark.stop()
