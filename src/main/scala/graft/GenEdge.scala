@@ -14,21 +14,37 @@ import org.apache.spark.sql.functions._
   * oracle on them inside `sbt test` — the manual review pass that found
   * ~21 bugs in two rounds, converted into a gate.
   *
-  * Three flavors, all pure literals (no Random, no timestamps — rerunning
-  * regenerates byte-identical parquet):
+  * Four flavors; the first three are pure literals (no Random, no
+  * timestamps — rerunning regenerates byte-identical parquet):
   *  - `empty`: all ten tables present, zero rows (schema-exact — the
   *    0-row projection of `single`, so the two flavors can never drift);
   *  - `single`: exactly one row per table, FK-consistent — every
   *    per-group operator sees groups of one, every join sees at most one
   *    match, every window sees a frame of one;
-  *  - `adversarial`: tens of rows per table hitting the shapes above.
+  *  - `adversarial`: tens of rows per table hitting the shapes above;
+  *  - `skewed` (round-12, VERDICT r11 item 3): a deterministic hot-key /
+  *    hot-block rewrite of the driver's sf0.001 corpus ([[SkewSource]]) —
+  *    GenSkew's fact-key skew (40% of events/orders/lineitem rows onto 3
+  *    hot keys) PLUS hot text blocks: 30% of documents rewritten to a
+  *    shared boilerplate body (7 near-identical variants — shingle and
+  *    simhash-chunk blocks blow past DedupOps.HotBucketDf) and 60% of
+  *    part names rewritten to DISTINCT names sharing one blocking noun.
+  *    Every [[ops.DedupOps.saltedBlockSides]]/ppjoin salt path then runs
+  *    with fanout > 1 THROUGH the DuckDB oracle replay, instead of only
+  *    in unit specs (EdgeCorpusSpec asserts the fanout via
+  *    [[ops.DedupOps.saltFanoutAudit]]).
   *
-  * `runMain graft.GenEdge <baseDir>` writes all three under
-  * `<baseDir>/{empty,single,adversarial}/<table>.parquet`.
+  * `runMain graft.GenEdge <baseDir>` writes all four under
+  * `<baseDir>/{empty,single,adversarial,skewed}/<table>.parquet`
+  * (`skewed` is skipped with a note if [[SkewSource]] is absent).
   */
 object GenEdge {
 
-  val Flavors: Seq[String] = Seq("empty", "single", "adversarial")
+  val Flavors: Seq[String] = Seq("empty", "single", "adversarial", "skewed")
+
+  /** The driver-testdata dir the `skewed` flavor rewrites (TESTDATA.md
+    * layout; smallest SF — the gate replays every query on the result). */
+  val SkewSource = "/root/testdata/sf0.001"
   // the loaders' own list — generator and Tables.load stay in lockstep
   private val TableNames = Tables.names
 
@@ -285,6 +301,48 @@ object GenEdge {
       "embeddings" -> embeddings)
   }
 
+  /** The `skewed` corpus: [[SkewSource]] rewritten with hot fact keys AND
+    * hot text blocks (doc scaladoc above). All draws hash the row's own
+    * primary key (deterministic, rerun-identical — the GenSkew
+    * discipline); the oracle replays the SAME parquet, so every rewrite
+    * is correctness-neutral by construction and exists purely to push
+    * block sizes past the salt thresholds. */
+  private def skewedTables(s: SparkSession): Map[String, DataFrame] = {
+    def rd(n: String): DataFrame = s.read.parquet(s"$SkewSource/$n.parquet")
+    // 30% of docs become one of 7 near-identical boilerplate bodies: the
+    // ~150-doc clique shares every 3-gram shingle (df >> HotBucketDf=64)
+    // and — because the variant token is 2 of ~29 tokens — votes nearly
+    // identical simhash bits, so 16-bit chunk blocks go hot too
+    val hotDoc = pmod(xxhash64(lit("skew_doc"), col("doc_id")), lit(100)) < 30
+    val boiler = Seq.fill(3)(
+      "license header terms apply to this public corpus document").mkString(" ")
+    val hotText = concat_ws(" ", lit(boiler), lit("variant token"),
+      pmod(xxhash64(lit("skew_var"), col("doc_id")), lit(7)).cast("string"))
+    val documents = rd("documents")
+      .withColumn("text", when(hotDoc, hotText).otherwise(col("text")))
+      .withColumn("n_chars", when(col("text").isNull, col("n_chars"))
+        .otherwise(length(col("text")).cast("bigint")))
+    // 60% of part names become DISTINCT names sharing the blocking noun
+    // "widget" (second word — nounCatalog blocks on it): a ~120-name
+    // block, fanout 2, with digit-distance pairs inside levenshtein range
+    val hotPart = pmod(xxhash64(lit("skew_part"), col("p_partkey")), lit(100)) < 60
+    val hotName = concat(lit("item"), col("p_partkey").cast("string"),
+      lit(" widget grade "), pmod(col("p_partkey"), lit(5)).cast("string"))
+    val part = rd("part")
+      .withColumn("p_name",
+        when(col("p_name").isNotNull && hotPart, hotName)
+          .otherwise(col("p_name")))
+    Map("region" -> rd("region"), "nation" -> rd("nation"),
+      "customer" -> rd("customer"), "supplier" -> rd("supplier"),
+      "part" -> part, "documents" -> documents,
+      "embeddings" -> rd("embeddings"),
+      "events" -> GenSkew.skewKey(rd("events"), "user_id", Seq("event_id"), 40),
+      "orders" -> GenSkew.skewKey(rd("orders"), "o_custkey",
+        Seq("o_orderkey"), 40),
+      "lineitem" -> GenSkew.skewKey(rd("lineitem"), "l_orderkey",
+        Seq("l_orderkey", "l_linenumber"), 40))
+  }
+
   /** Materialize one flavor under `dir/<table>.parquet` (single files —
     * the driver-testdata layout every query and stream source expects). */
   def write(spark: SparkSession, dir: String, flavor: String): Unit = {
@@ -292,6 +350,7 @@ object GenEdge {
       case "empty"       => singleTables(spark).view.mapValues(_.limit(0)).toMap
       case "single"      => singleTables(spark)
       case "adversarial" => adversarialTables(spark)
+      case "skewed"      => skewedTables(spark)
       case other => throw new IllegalArgumentException(s"unknown flavor $other")
     }
     TableNames.foreach(t => GenScale.writeSingleFile(tables(t), dir, t))
@@ -305,8 +364,12 @@ object GenEdge {
     val spark = Graft.sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Flavors.foreach { f =>
-      write(spark, s"$base/$f", f)
-      println(s"$f: written to $base/$f")
+      if (f == "skewed" && !new java.io.File(SkewSource).isDirectory)
+        println(s"$f: SKIPPED ($SkewSource not present)")
+      else {
+        write(spark, s"$base/$f", f)
+        println(s"$f: written to $base/$f")
+      }
     }
     if (!preExisting) spark.stop()
   }

@@ -1454,7 +1454,9 @@ object Relational {
     * only SHRINKS) against the rn-indexed chain relation on (ck, rn) —
     * key-only equi-joins, no growing state beyond the accumulated
     * output. Depth is bounded by max orders per customer (25 at test
-    * SFs, well under spark.sql.cteRecursionLevelLimit's 100). */
+    * SFs; ~200 on the skewed edge corpus's hot customers — the session
+    * raises spark.sql.cteRecursionLevelLimit past the 100 default, which
+    * crashed the walk where DuckDB kept going; see Graft.sessionBuilder). */
   /** The rn-indexed chain relation (shared text fragment). */
   def q194ChainSql(od: String): String =
     s"""SELECT o_custkey AS ck, CAST(o_totalprice AS DECIMAL(18,2)) AS p,

@@ -69,6 +69,9 @@ class EdgeCorpusSpec extends AnyFunSuite {
     test(s"all registered queries match the DuckDB oracle on the $flavor corpus") {
       assume(duckdbOk,
         "python3+duckdb+pyarrow (the driver's oracle stack) not available")
+      if (flavor == "skewed")
+        assume(new java.io.File(GenEdge.SkewSource).isDirectory,
+          s"${GenEdge.SkewSource} (driver testdata) not present")
       val base = java.nio.file.Files.createTempDirectory(s"graft_edge_$flavor")
       try {
         GenEdge.write(spark, base.toString, flavor)
@@ -104,4 +107,25 @@ class EdgeCorpusSpec extends AnyFunSuite {
             healed.toSeq.sorted.mkString(", "))
       } finally FsUtil.deleteRec(base)
     }
+
+  /** The skewed flavor exists to run the SALTED code paths through the
+    * oracle replay above — this asserts they are genuinely active there:
+    * every blocked matcher's salt fanout exceeds 1 on that corpus (built
+    * from the exact internal relations the queries use — see
+    * DedupOps.saltFanoutAudit). Without it, a threshold change could
+    * silently turn the whole gate back into an unsalted replay. */
+  test("the skewed corpus drives every salted matcher's fanout past 1") {
+    assume(new java.io.File(GenEdge.SkewSource).isDirectory,
+      s"${GenEdge.SkewSource} (driver testdata) not present")
+    val base = java.nio.file.Files.createTempDirectory("graft_edge_skewfan")
+    try {
+      GenEdge.write(spark, base.toString, "skewed")
+      val audit = ops.DedupOps.saltFanoutAudit(spark, base.toString)
+      assert(audit.nonEmpty && audit.values.forall(_ > 1),
+        s"salt paths NOT active on the skewed corpus: $audit")
+    } finally {
+      Transients.drop(spark)
+      FsUtil.deleteRec(base)
+    }
+  }
 }

@@ -12,6 +12,9 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // match Graft.sessionBuilder: the skewed edge corpus's hot
+      // customers carry ~200-order chains, past the 100-level default
+      .config("spark.sql.cteRecursionLevelLimit", "100000")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
