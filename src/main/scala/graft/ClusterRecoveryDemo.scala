@@ -27,27 +27,41 @@ import org.apache.spark.sql.functions._
   */
 object ClusterRecoveryDemo {
 
-  /** Order-independent content fingerprint: sum + count of per-row
-    * xxhash64 over the canonical JSON rendering. Identical multisets of
-    * rows — regardless of partitioning, task retries, or row order —
-    * produce identical (count, sum) pairs. */
-  private def fingerprint(df: DataFrame): (Long, Long) = {
+  /** Order-independent content fingerprint: count + DECIMAL(38,0) sum of
+    * per-row xxhash64 over the canonical JSON rendering (a raw-long sum
+    * of 64-bit hashes overflows under ANSI within ~2^11 rows). Identical
+    * multisets of rows — regardless of partitioning, task retries, or row
+    * order — produce identical (count, sum) pairs. */
+  private def fingerprint(df: DataFrame): (Long, String) = {
     val row = df
-      .select(xxhash64(to_json(struct(df.columns.map(col): _*))).as("h"))
+      .select(xxhash64(to_json(struct(df.columns.map(col): _*)))
+        .cast("decimal(38,0)").as("h"))
       .agg(count(lit(1)).as("n"), sum(col("h")).as("s"))
       .head()
-    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    (row.getLong(0), if (row.isNullAt(1)) "0" else row.getDecimal(1).toPlainString)
   }
 
   /** SIGKILL one live executor JVM (a descendant process of this JVM
     * running CoarseGrainedExecutorBackend). Returns its pid, or None if
-    * no executor process was found. */
+    * no executor process was found. ProcessHandle.info() can come back
+    * empty for a child whose cmdline exceeds the JDK's read window (the
+    * executor command carries the full absolutized classpath), so fall
+    * back to /proc/<pid>/cmdline directly. */
   private def killOneExecutor(): Option[Long] = {
     import scala.jdk.CollectionConverters._
-    val victims = ProcessHandle.current().descendants().iterator().asScala
-      .filter(_.info().commandLine().orElse("")
-        .contains("CoarseGrainedExecutorBackend"))
-      .toSeq
+    // concatenate BOTH sources: info().commandLine() comes back NON-EMPTY
+    // but TRUNCATED for these children (the class name sits after the
+    // multi-KB classpath), so an orElse fallback never fires
+    def cmdline(p: ProcessHandle): String =
+      p.info().commandLine().orElse("") +
+        (try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"/proc/${p.pid()}/cmdline")))
+        catch { case _: Throwable => "" })
+    val all = ProcessHandle.current().descendants().iterator().asScala.toSeq
+    val victims = all.filter(cmdline(_).contains("CoarseGrainedExecutorBackend"))
+    if (victims.isEmpty)
+      System.err.println(s"[recovery] no executor among ${all.size} " +
+        s"descendants: ${all.map(p => p.pid() -> cmdline(p).take(60)).mkString("; ")}")
     victims.headOption.map { p =>
       val pid = p.pid()
       p.destroyForcibly()
@@ -73,7 +87,7 @@ object ClusterRecoveryDemo {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(qname)
 
-    def runOnce(kill: Boolean): Option[(Long, Long, Option[Long])] = {
+    def runOnce(kill: Boolean): Option[(Long, String, Option[Long])] = {
       Bench.evictCaches(spark)
       val killed = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
       val killer = new Thread(() => {
@@ -100,8 +114,8 @@ object ClusterRecoveryDemo {
       case (Some((bn, bh, _)), Some((dn, dh, _))) => bn == dn && bh == dh
       case _ => false
     }
-    def render(r: Option[(Long, Long, Option[Long])]): String = r
-      .map { case (n, h, _) => s"""{"rows":$n,"hash":$h}""" }
+    def render(r: Option[(Long, String, Option[Long])]): String = r
+      .map { case (n, h, _) => s"""{"rows":$n,"hash":"$h"}""" }
       .getOrElse("null")
     println(s"""{"demo":"executor_kill","query":"$qname","sf":"$sfDir",""" +
       s""""baseline":${render(baseline)},"disturbed":${render(disturbed)},""" +
