@@ -71,7 +71,9 @@ object Bench {
     val t0 = System.nanoTime()
     execute(spark.range(0, 24_000_000L, 1, 32)
       .select(xxhash64(col("id"), lit("probe_a")).as("h1"),
-        xxhash64(col("id"), lit("probe_b")).as("h2"))
+        // pmod-bounded addends: a raw sum of 24M 64-bit hashes overflows
+        // a long under ANSI
+        pmod(xxhash64(col("id"), lit("probe_b")), lit(1_000_000L)).as("h2"))
       .groupBy(pmod(col("h1"), lit(512)).as("k"))
       .agg(sum(col("h2")).as("s"), count(lit(1)).as("n")))
     (System.nanoTime() - t0) / 1e9
