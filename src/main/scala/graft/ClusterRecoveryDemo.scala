@@ -19,8 +19,19 @@ import org.apache.spark.sql.functions._
   *
   * Prints one JSON line (`"match":true` is the gate) that
   * tools/cluster_gate.sh folds into CLUSTERCHECK.json. Exit code 1 on any
-  * mismatch, on a run that failed outright, or if no executor could be
-  * killed mid-run (query too fast — pass a bigger SF dir).
+  * mismatch, on a run that failed outright, or if no executor was killed
+  * STRICTLY BEFORE the disturbed run's fingerprint completed (r12 ADVICE:
+  * a kill landing after completion matches trivially and demonstrates
+  * nothing — the killer skips once the run flags done, and the
+  * kill/completion timestamps are compared as the authoritative check;
+  * query too fast → pass a bigger SF dir or a smaller killAt).
+  *
+  * The query may be BATCH (default q105's checkpointed PageRank) or a
+  * STREAMING twin (e.g. q225_stream_kmv — RocksDB-backed
+  * transformWithState): both run through SparkEntry.queries, so the
+  * stream variant kills an executor while a micro-batch is in flight and
+  * requires the drained result to fingerprint-match the undisturbed
+  * drain (VERDICT r12 item 3).
   *
   * Run via `tools/cluster_gate.sh` (sets SPARK_HOME for the executor
   * launcher): `sbt "runMain graft.ClusterRecoveryDemo [sfDir] [query] [killAtSec]"`.
@@ -32,7 +43,7 @@ object ClusterRecoveryDemo {
     * of 64-bit hashes overflows under ANSI within ~2^11 rows). Identical
     * multisets of rows — regardless of partitioning, task retries, or row
     * order — produce identical (count, sum) pairs. */
-  private def fingerprint(df: DataFrame): (Long, String) = {
+  private[graft] def fingerprint(df: DataFrame): (Long, String) = {
     val row = df
       .select(xxhash64(to_json(struct(df.columns.map(col): _*)))
         .cast("decimal(38,0)").as("h"))
@@ -89,17 +100,36 @@ object ClusterRecoveryDemo {
 
     def runOnce(kill: Boolean): Option[(Long, String, Option[Long])] = {
       Bench.evictCaches(spark)
+      // FALSE-PASS GUARD (r12 ADVICE): a kill that fires AFTER the
+      // fingerprint completed exercised nothing — the hashes match
+      // trivially. The killer (a) skips the kill once `done` is set, and
+      // (b) timestamps the kill so main can require killTime < doneTime;
+      // a post-completion kill is reported the same as no kill at all.
       val killed = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val killTime = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
       val killer = new Thread(() => {
         Thread.sleep((killAt * 1000).toLong)
-        killed.set(killOneExecutor())
+        if (!done.get()) {
+          killed.set(killOneExecutor())
+          killTime.set(System.nanoTime())
+        }
       })
       killer.setDaemon(true)
       try {
         if (kill) killer.start()
         val (n, h) = fingerprint(fn(spark, sfDir))
+        val doneTime = System.nanoTime()
+        done.set(true)
         if (kill) killer.join() // don't let a late kill bleed into the next run
-        Some((n, h, killed.get()))
+        // the done flag and the kill can race within one scheduling slice:
+        // the timestamp comparison is the authoritative mid-run check
+        val midRun = killed.get().filter(_ => killTime.get() < doneTime)
+        if (kill && killed.get().isDefined && midRun.isEmpty)
+          System.err.println(s"[recovery] kill fired AFTER completion — " +
+            "demonstrated nothing; treated as no-kill (lower killAt, or " +
+            "run a bigger SF dir)")
+        Some((n, h, midRun))
       } catch {
         case e: Throwable =>
           System.err.println(s"[recovery] run(kill=$kill) FAILED: ${e.getMessage}")

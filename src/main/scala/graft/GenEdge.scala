@@ -43,8 +43,15 @@ object GenEdge {
   val Flavors: Seq[String] = Seq("empty", "single", "adversarial", "skewed")
 
   /** The driver-testdata dir the `skewed` flavor rewrites (TESTDATA.md
-    * layout; smallest SF — the gate replays every query on the result). */
-  val SkewSource = "/root/testdata/sf0.001"
+    * layout; smallest SF — the gate replays every query on the result).
+    * The ROOT comes from SPARK_GRAFT_TESTDATA (r12 ADVICE: a hardcoded
+    * absolute path in main sources made every gate keyed on it silently
+    * assume-skip on any box without /root/testdata), defaulting to the
+    * driver's layout; [[TestData.require]] decides fail-vs-cancel when
+    * the dir is absent. */
+  val TestdataRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
+  val SkewSource = s"$TestdataRoot/sf0.001"
   // the loaders' own list — generator and Tables.load stay in lockstep
   private val TableNames = Tables.names
 

@@ -136,8 +136,9 @@ class AnnRecallSpec extends AnyFunSuite {
   }
 
   test("real-corpus recall floors at sf0.1, each index in its designed regime") {
-    val e = Tables.spread(
-      Tables.load(spark, "/root/testdata/sf0.1", "embeddings"), "vec_id")
+    val sf01 = s"${GenEdge.TestdataRoot}/sf0.1"
+    TestSpark.requireTestdata(sf01)
+    val e = Tables.spread(Tables.load(spark, sf01, "embeddings"), "vec_id")
     // IVF serves weak-similarity top-k (this corpus' true top-3 sits at
     // cos 0.35-0.45): the learned coarse cells carry it — floor pinned
     val rIvf = recallAt(e, 3, SimilarityOps.annIvfOn(e, nlist = 16, nprobe = 4, k = 3))

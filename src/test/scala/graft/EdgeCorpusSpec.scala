@@ -70,8 +70,7 @@ class EdgeCorpusSpec extends AnyFunSuite {
       assume(duckdbOk,
         "python3+duckdb+pyarrow (the driver's oracle stack) not available")
       if (flavor == "skewed")
-        assume(new java.io.File(GenEdge.SkewSource).isDirectory,
-          s"${GenEdge.SkewSource} (driver testdata) not present")
+        TestSpark.requireTestdata(GenEdge.SkewSource)
       val base = java.nio.file.Files.createTempDirectory(s"graft_edge_$flavor")
       try {
         GenEdge.write(spark, base.toString, flavor)
@@ -115,8 +114,7 @@ class EdgeCorpusSpec extends AnyFunSuite {
     * DedupOps.saltFanoutAudit). Without it, a threshold change could
     * silently turn the whole gate back into an unsalted replay. */
   test("the skewed corpus drives every salted matcher's fanout past 1") {
-    assume(new java.io.File(GenEdge.SkewSource).isDirectory,
-      s"${GenEdge.SkewSource} (driver testdata) not present")
+    TestSpark.requireTestdata(GenEdge.SkewSource)
     val base = java.nio.file.Files.createTempDirectory("graft_edge_skewfan")
     try {
       GenEdge.write(spark, base.toString, "skewed")

@@ -120,8 +120,7 @@ class ScanAuditSpec extends AnyFunSuite {
   )
 
   test("every query's base-table scan counts match the pinned dispositions") {
-    assume(new java.io.File(sfDir).isDirectory,
-      s"$sfDir (driver testdata) not present")
+    TestSpark.requireTestdata(sfDir)
     // counts are pinned against a CACHE-COLD session: any InMemoryRelation
     // left by an earlier suite (the shared TestSpark session runs ~26
     // suites before this one in a full `sbt test`) turns that subtree into

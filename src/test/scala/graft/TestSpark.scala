@@ -22,7 +22,23 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
-  val sf: String = "/root/testdata/sf0.001"
+  val sf: String = GenEdge.SkewSource // <testdata root>/sf0.001
+
+  /** Gate for specs that read the driver-generated testdata corpus: the
+    * data is GUARANTEED in the graded environment, so a missing dir FAILS
+    * the suite (r12 ADVICE: assume-skips silently hollowed out the skew
+    * and scan-count gates on any box without /root/testdata). On a dev
+    * box without the corpus, point SPARK_GRAFT_TESTDATA at it, or set
+    * SPARK_GRAFT_TESTDATA_OPTIONAL=1 to restore cancel-not-fail. */
+  def requireTestdata(dir: String): Unit =
+    if (!new java.io.File(dir).isDirectory) {
+      val msg = s"$dir (driver testdata) not present — set " +
+        "SPARK_GRAFT_TESTDATA to the corpus root, or " +
+        "SPARK_GRAFT_TESTDATA_OPTIONAL=1 to cancel instead of fail"
+      if (sys.env.get("SPARK_GRAFT_TESTDATA_OPTIONAL").contains("1"))
+        org.scalatest.Assertions.cancel(msg)
+      else org.scalatest.Assertions.fail(msg)
+    }
 
   /** Write `df` as ONE plain data file at `dest` (driver-testdata layout:
     * the file IS the table) — what a pathGlobFilter'd stream source or a
