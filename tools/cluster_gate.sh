@@ -63,7 +63,11 @@ sbt -batch "runMain graft.ClusterRecoveryDemo $RECOVERY_SF q105_pagerank" \
 grep '"demo"' /tmp/cluster_recovery.txt || tail -20 /tmp/cluster_recovery.txt >&2
 
 echo "[cluster_gate] executor-kill recovery demo: STREAM (q225 transformWithState/RocksDB)"
-sbt -batch "runMain graft.ClusterRecoveryDemo $RECOVERY_SF q225_stream_kmv ${STREAM_KILL_AT:-4.0}" \
+# killAt 1.5 s: the warm disturbed drain finishes in ~4 s, and the kill
+# must land inside the first processAllAvailable (micro-batch in flight)
+# — at 4.0 s the kill fired post-completion and the timestamp guard
+# correctly voided the demo (trial log, round 13)
+sbt -batch "runMain graft.ClusterRecoveryDemo $RECOVERY_SF q225_stream_kmv ${STREAM_KILL_AT:-1.5}" \
   > /tmp/cluster_recovery_stream.txt 2>&1
 grep '"demo"' /tmp/cluster_recovery_stream.txt || tail -20 /tmp/cluster_recovery_stream.txt >&2
 
