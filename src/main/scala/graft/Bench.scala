@@ -86,12 +86,29 @@ object Bench {
     // (VERDICT r11 item 5 — r11 restored BENCH_full.json by hand).
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_MASTER: same override Verify honors — a
+    // local-cluster[...] value times every query across REAL executor
+    // processes (serialized closures, over-the-wire broadcast/shuffle),
+    // quantifying the process-boundary tax the 100 TB design arguments
+    // assume is amortizable (VERDICT r12 item 6). Needs the SPARK_HOME
+    // farm tools/cluster_gate.sh stages.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val clusterMode = master.startsWith("local-cluster")
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query names — a family
+    // subset for mode-vs-mode comparisons (the artifact records the
+    // subset; a filtered total is never comparable to the full one)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val outFile = args.lift(1).getOrElse {
       val base = new java.io.File(sfDir).getName
-      if (base == "sf0.1") "BENCH_full.json" else s"BENCH_full_$base.json"
+      // distinct default names per config: a cluster-mode or subset run
+      // must never clobber the full local gating artifact (the r11
+      // staleness class, extended to the new dimensions)
+      val tag = (if (clusterMode) "_cluster" else "") +
+        (if (only.isDefined) "_subset" else "")
+      if (base == "sf0.1") s"BENCH_full$tag.json" else s"BENCH_full_$base$tag.json"
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Graft.sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val spark = Graft.sessionBuilder(master, cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/shuffle machinery spin-up otherwise lands
     // entirely on the alphabetically-first query
@@ -100,7 +117,9 @@ object Bench {
     // shuffle/broadcast residue never compounds under the timed spans
     // (rationale and measurements on Graft.GcNudge)
     val gc = new Graft.GcNudge()
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sorted = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy(_._1)
     // calibration probes bracket the run (rationale on calibrationProbe);
     // the start probe runs AFTER warmup so it never absorbs JVM spin-up
     val probeStart = calibrationProbe(spark)
@@ -173,8 +192,10 @@ object Bench {
     val probeEnd = calibrationProbe(spark)
     val probe = s"""{"start":${d3(probeStart)},"mid":${d3(probeMid)},""" +
       s""""end":${d3(probeEnd)}}"""
+    val subset = only.map(o => s""","subset":${o.size}""").getOrElse("")
+    val mode = if (clusterMode) s""","mode":"$master"""" else ""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"probe":$probe,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"probe":$probe,"sf":"$sfDir"$mode$subset}"""
     println(json)
     // durable copy of the complete per-query set (stdout capture has
     // truncated the tail of this line before — see the scaladoc)
