@@ -77,7 +77,20 @@ object SpillCheck {
 
   private def runAll(master: String, cpus: Int, sfDir: String,
                      queries: Seq[String]): Map[String, Option[QueryRun]] = {
-    val spark = Graft.sessionBuilder(master, cpus).getOrCreate()
+    val builder = Graft.sessionBuilder(master, cpus)
+    // In the squeezed (local-cluster) phase, also bound RocksDB: by
+    // default its block cache + memtables grow with state and would ride
+    // the executor's whole 1 GiB — bounding them to 64 MB per executor
+    // (the shared-cache mode real clusters run) forces block-cache
+    // EVICTION to engage on the stateful streams, the RocksDB analogue
+    // of the sort/shuffle spill this gate exists to exercise. The
+    // reference phase keeps defaults: identical results required anyway.
+    if (master.startsWith("local-cluster")) {
+      builder
+        .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+        .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "64")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new SpillListener
     spark.sparkContext.addSparkListener(listener)
