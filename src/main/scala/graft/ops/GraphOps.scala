@@ -937,8 +937,6 @@ object GraphOps {
        | FROM rk x JOIN rk y ON x.u = y.v AND x.v = y.u
        | WHERE x.u < x.v AND x.r <= 64 AND y.r <= 64)""".stripMargin
 
-  private val duckCappedEdges: String = duckCappedEdgesHint("")
-
   /** Three unrolled integer-PageRank iterations (the q105 twin). */
   /** Unrolled WEIGHTED PageRank iterations (the [[pageRankWeightedScaled]]
     * twin) — expects CTEs `a(u, v, p)` (ppm transition probs), `nodes(u)`,
@@ -1032,7 +1030,7 @@ object GraphOps {
          | ${(0 to 3).map(duckPeelCert).mkString("\n UNION ALL\n ")}
          |) ORDER BY round""".stripMargin,
     "q183_personalized_pagerank" ->
-      s"""WITH $duckCappedEdges,
+      s"""WITH ${duckCappedEdgesHint("MATERIALIZED ")},
          |a AS (SELECT u, v FROM capped UNION ALL SELECT v, u FROM capped),
          |deg AS (SELECT u, count(*) AS deg FROM a GROUP BY u),
          |s0 AS (SELECT u AS node FROM deg ORDER BY deg DESC, u LIMIT 8),
@@ -1043,7 +1041,7 @@ object GraphOps {
          | CAST(r AS DOUBLE) / 1000000000000 AS ppr
          |FROM r3 ORDER BY ppr_scaled DESC, node LIMIT 25""".stripMargin,
     "q175_bfs_hops" ->
-      s"""WITH $duckCappedEdges,
+      s"""WITH ${duckCappedEdgesHint("MATERIALIZED ")},
          |a AS (SELECT u, v FROM capped UNION ALL SELECT v, u FROM capped),
          |deg AS (SELECT u, count(*) AS deg FROM a GROUP BY u),
          |d0 AS (
@@ -1081,7 +1079,7 @@ object GraphOps {
         | CAST(auth2 AS VARCHAR) AS auth2
         |FROM a1 JOIN a2 USING (item) ORDER BY event_type""".stripMargin,
     "q136_degree_histogram" ->
-      s"""WITH $duckCappedEdges,
+      s"""WITH ${duckCappedEdgesHint("MATERIALIZED ")},
          |a AS (SELECT u AS node FROM capped UNION ALL SELECT v FROM capped),
          |deg AS (SELECT node, count(*) AS deg FROM a GROUP BY node),
          |b AS (
@@ -1092,7 +1090,7 @@ object GraphOps {
          | CAST(sum(deg) AS BIGINT) AS sum_deg
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q112_label_communities" ->
-      s"""WITH $duckCappedEdges,
+      s"""WITH ${duckCappedEdgesHint("MATERIALIZED ")},
          |a AS (SELECT u, v, w FROM capped UNION ALL SELECT v, u, w FROM capped),
          |l0 AS (SELECT DISTINCT u AS node, u AS label FROM a),
          |$duckLpaRounds
@@ -1100,7 +1098,7 @@ object GraphOps {
          |FROM l2 GROUP BY label HAVING count(*) >= 3
          |ORDER BY n_members DESC, label LIMIT 25""".stripMargin,
     "q161_item_similarity" ->
-      s"""WITH $duckCappedEdges,
+      s"""WITH ${duckCappedEdgesHint("MATERIALIZED ")},
          |support AS (
          | SELECT p, CAST(count(*) AS BIGINT) AS n_ord FROM op GROUP BY 1),
          |sym AS (
@@ -1119,7 +1117,7 @@ object GraphOps {
          |SELECT u, v, w, nu, nv, sim, rk
          |FROM ranked WHERE rk <= 10 ORDER BY u, rk""".stripMargin,
     "q160_clustering_coeff" ->
-      s"""WITH $duckCappedEdges,
+      s"""WITH ${duckCappedEdgesHint("MATERIALIZED ")},
          |tri AS (
          | SELECT e1.u AS a, e1.v AS b, e2.v AS c
          | FROM capped e1
@@ -1145,7 +1143,7 @@ object GraphOps {
     // 1/ln(deg) snapped to the 1e-7 decimal grid in both engines, summed
     // in DECIMAL (order-free); non-edges via NOT EXISTS against capped
     "q223_adamic_adar" ->
-      s"""WITH $duckCappedEdges,
+      s"""WITH ${duckCappedEdgesHint("MATERIALIZED ")},
          |a AS (SELECT u, v FROM capped UNION ALL SELECT v, u FROM capped),
          |dg AS (SELECT u AS z, CAST(count(*) AS BIGINT) AS deg
          |       FROM a GROUP BY 1),
@@ -1167,7 +1165,7 @@ object GraphOps {
          |SELECT x, y, common_n, CAST(aa AS DOUBLE) AS aa_score
          |FROM ne ORDER BY aa DESC, x, y LIMIT 25""".stripMargin,
     "q99_triangle_cooccur" ->
-      s"""WITH $duckCappedEdges
+      s"""WITH ${duckCappedEdgesHint("MATERIALIZED ")}
          |SELECT e1.u AS a, e1.v AS b, e2.v AS c,
          | e1.w + e2.w + e3.w AS tw
          |FROM capped e1
@@ -1175,7 +1173,7 @@ object GraphOps {
          |JOIN capped e3 ON e3.u = e1.v AND e3.v = e2.v
          |ORDER BY tw DESC, a, b, c LIMIT 20""".stripMargin,
     "q105_pagerank" ->
-      s"""WITH $duckCappedEdges,
+      s"""WITH ${duckCappedEdgesHint("MATERIALIZED ")},
          |a AS (SELECT u, v FROM capped UNION ALL SELECT v, u FROM capped),
          |deg AS (SELECT u, count(*) AS deg FROM a GROUP BY u),
          |nn AS (SELECT count(*) AS n FROM deg),
@@ -1212,23 +1210,18 @@ object GraphOps {
         |SELECT ck AS cluster_key, n_names, total_parts,
         | c.nm AS canonical_name, CAST(-(c.nn) AS BIGINT) AS canonical_parts
         |FROM m ORDER BY cluster_key""".stripMargin,
-    // q66's closure + q33's quality, canonical member = max(struct) argmax
+    // q66's closure + q33's quality, canonical member = max(struct) argmax.
+    // The pair basis is DedupOps.ngramPairCtes — the ONE family spelling —
+    // and pe/e are MATERIALIZED: referenced from inside the recursive
+    // union, an inlined basis re-evaluates per closure round (measured
+    // >20 min at sf0.1 vs ~10 s materialized; same class as q191's hint).
     "q148_cluster_survivor" ->
-      s"""WITH RECURSIVE sh AS (
-         | SELECT doc_id,
-         |  list_distinct(list_transform(
-         |    range(0, greatest(len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) - 3, 0) + 1),
-         |    i -> array_to_string(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')[i+1:i+3], ' ')
-         |  )) AS grams
-         | FROM documents),
-         |p AS (
-         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         | WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.5),
-         |e AS (
-         | SELECT doc_a AS u, doc_b AS v FROM p
-         | UNION ALL SELECT doc_b, doc_a FROM p),
+      s"""WITH RECURSIVE ${DedupOps.ngramPairCtes},
+         |pe AS MATERIALIZED (
+         | SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5),
+         |e AS MATERIALIZED (
+         | SELECT doc_a AS u, doc_b AS v FROM pe
+         | UNION ALL SELECT doc_b, doc_a FROM pe),
          |reach(id, r) AS (
          | SELECT doc_id, doc_id FROM documents
          | UNION
@@ -1247,22 +1240,14 @@ object GraphOps {
          | -(best.nid) AS survivor_id, best.q AS survivor_quality,
          | minid_quality
          |FROM m ORDER BY component""".stripMargin,
+    // same basis + materialization discipline as q148 above
     "q66_dedup_components" ->
-      """WITH RECURSIVE sh AS (
-        | SELECT doc_id,
-        |  list_distinct(list_transform(
-        |    range(0, greatest(len(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+')) - 3, 0) + 1),
-        |    i -> array_to_string(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+')[i+1:i+3], ' ')
-        |  )) AS grams
-        | FROM documents),
-        |p AS (
-        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        | WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.5),
-        |e AS (
-        | SELECT doc_a AS u, doc_b AS v FROM p
-        | UNION ALL SELECT doc_b, doc_a FROM p),
+      s"""WITH RECURSIVE ${DedupOps.ngramPairCtes},
+        |pe AS MATERIALIZED (
+        | SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5),
+        |e AS MATERIALIZED (
+        | SELECT doc_a AS u, doc_b AS v FROM pe
+        | UNION ALL SELECT doc_b, doc_a FROM pe),
         |reach(id, r) AS (
         | SELECT doc_id, doc_id FROM documents
         | UNION
