@@ -16,6 +16,24 @@ object DocsStream {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** The one documents file-source: the in-place table in normal mode;
+    * in multi-batch replay mode (see [[Replay]]) the ReplayStage
+    * hash-sliced copy, one slice per micro-batch. Docs streams carry no
+    * event time — their flush sentinels are staged as a strictly later
+    * batch by WRITE ORDER (after the first processAllAvailable), which
+    * multi-batch delivery preserves, so only the data source swaps. */
+  private def readDocsStream(drain: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame =
+    if (Replay.enabled) {
+      Replay.requireSource(d)
+      drain.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", Replay.maxFilesPerTrigger)
+        .parquet(Replay.docsSlices)
+    } else {
+      drain.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+    }
+
   case class TokRow(bucket: Int, token: String, sentinel: Boolean)
   case class MgState(counters: Map[String, Long])
 
@@ -51,8 +69,7 @@ object DocsStream {
     try {
       cands = EventsStream.withDrainSession(s) { drain =>
         import drain.implicits._
-        val toks = drain.readStream.schema(docsSchema)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
+        val toks = readDocsStream(drain, d)
           .select(explode(TextOps.tokens(col("text"))).as("token"))
           .select(pmod(hash(col("token")), lit(buckets)).as("bucket"),
             col("token"), lit(false).as("sentinel"))
@@ -104,6 +121,7 @@ object DocsStream {
           (0 until buckets).map(b => TokRow(b, null, sentinel = true))
             .toDF().write.mode("append").parquet(stageDir)
           q.processAllAvailable() // flush batch: every group emits
+          Replay.logBatches(q)
         } finally q.stop()
         drain.table(name)
       }
@@ -142,8 +160,7 @@ object DocsStream {
       depth: Int = 4, width: Int = 512): DataFrame = {
     val name = "graft_stream_countmin"
     EventsStream.withDrainSession(s) { drain =>
-      val counters = drain.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val counters = readDocsStream(drain, d)
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
         .filter(col("tok") =!= "")
         .select(graft.ops.HashFamily.hb48(col("tok")).as("hb"))
@@ -319,6 +336,7 @@ object DocsStream {
           types.toSeq.map(t => DayRow(t, -1L, 0L, sentinel = true)).toDF()
             .write.mode("append").parquet(stagePath.toString)
           q.processAllAvailable()
+          Replay.logBatches(q)
         } finally q.stop()
         drain.table(name)
       }.orderBy("event_type", "day")
@@ -404,6 +422,7 @@ object DocsStream {
           types.toSeq.map(t => PurchRow(t, -1L, 0L, sentinel = true)).toDF()
             .write.mode("append").parquet(stagePath.toString)
           q.processAllAvailable()
+          Replay.logBatches(q)
         } finally q.stop()
         drain.table(name)
       }.orderBy("event_type", "rk")
@@ -432,8 +451,7 @@ object DocsStream {
         import drain.implicits._
         drain.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        val rows = drain.readStream.schema(docsSchema)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
+        val rows = readDocsStream(drain, d)
           .select(col("lang"),
             graft.ops.HashFamily.normMd5(col("text")).as("h"),
             lit(false).as("sentinel")).as[KmvRow]
@@ -457,6 +475,7 @@ object DocsStream {
           langs.toSeq.map(l => KmvRow(l, null, sentinel = true)).toDF()
             .write.mode("append").parquet(stagePath.toString)
           q.processAllAvailable() // flush batch: every group emits + clears
+          Replay.logBatches(q)
         } finally q.stop()
         drain.table(name)
       }

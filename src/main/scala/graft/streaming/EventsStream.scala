@@ -85,6 +85,12 @@ object EventsStream {
     * batch path's Tables.normalizeEventTs so a regeneration in either
     * direction can't break the streaming surface. */
   def readEventsNanos(s: SparkSession, dir: String): DataFrame = {
+    // multi-batch replay mode (see Replay): same rows, arriving as K
+    // time-sliced micro-batches instead of one
+    if (Replay.enabled) {
+      Replay.requireSource(dir)
+      return readSlicedNanos(s, Replay.eventsSlices)
+    }
     // guard BOTH footer branches: nanosView carries its own requireUtc,
     // but the raw-long branch previously reached tz-sensitive consumers
     // (q55/q87's date_trunc→ntz casts) unguarded — a mis-pinned session
@@ -96,6 +102,22 @@ object EventsStream {
       .schema(if (tsIsLong) eventsSchemaNanosLong else eventsSchemaNtz)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    if (tsIsLong) src else nanosView(src)
+  }
+
+  /** Replay-mode twin of [[readEventsNanos]]: streams a ReplayStage
+    * slice dir (or a per-query hardlink copy carrying an appended
+    * sentinel slice) one file per trigger, so an AvailableNow drain
+    * becomes one real micro-batch per slice. Same nanos `ts` contract,
+    * sniffed from the slices themselves (ReplayStage preserves the
+    * source table's ts type). */
+  private[streaming] def readSlicedNanos(s: SparkSession, slicesDir: String): DataFrame = {
+    graft.Tables.requireUtc(s)
+    val tsIsLong = s.read.parquet(slicesDir).schema("ts").dataType == LongType
+    val src = s.readStream
+      .schema(if (tsIsLong) eventsSchemaNanosLong else eventsSchemaNtz)
+      .option("maxFilesPerTrigger", Replay.maxFilesPerTrigger)
+      .parquet(slicesDir)
     if (tsIsLong) src else nanosView(src)
   }
 
@@ -377,40 +399,23 @@ object EventsStream {
   private def drainSessionized(s: SparkSession, d: String, name: String,
       configure: SparkSession => Unit = _ => ())(
       pipe: Dataset[ExactEvent] => DataFrame): DataFrame = {
-    import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val maxRow = graft.Tables.load(s, d, "events").agg(max(expr("ts div 1000"))).head
-    if (maxRow.isNullAt(0)) throw new IllegalArgumentException(
-      s"events table at $d is empty — nothing to sessionize")
-    val maxUs = maxRow.getLong(0)
-    val stagePath = java.nio.file.Files.createTempDirectory("graft_sessions")
-    val stageDir = stagePath.toString
-    var drained: DataFrame = null
     def toExact(raw: DataFrame): DataFrame = raw
       .select(col("event_id"), col("user_id"),
         cents(col("value")).as("cents"),
         expr("ts div 1000").as("tus"))
       .withColumn("ts", timestamp_micros(col("tus")))
-    try {
-      // sentinel: same RAW column shape as the events source (ts in ns)
-      Seq((-1L, (maxUs + 10L * 24 * 3600 * 1000000) * 1000, -1L, "sentinel", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .transform(ntzTs)
-        .write.mode("overwrite").parquet(stageDir)
-      drained = withDrainSession(s) { drain =>
-        configure(drain)
-        val main = readEventsNanos(drain, d)
-        val sentinel = readStageNanos(drain, stageDir)
-        val stream = toExact(main.unionAll(sentinel)).as[ExactEvent]
+    // sentinel staging + (replay-aware) source assembly live in the one
+    // shared helper — the default opaque one-row sentinel is exactly
+    // what these sessionizers need
+    val drained = withSentinelDrain(s, d, "sessions", configure = configure) {
+      (drain, mk) =>
+        import drain.implicits._
+        val stream = toExact(mk()).as[ExactEvent]
         drainNow(pipe(stream)
           .writeStream.outputMode("append")
           .format("memory").queryName(name))
         drain.table(name)
-      }
-    } finally {
-      // the memory sink holds the drained rows; only the one-row sentinel
-      // file was ever staged
-      graft.FsUtil.deleteRec(stagePath)
     }
     val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
     drained
@@ -540,35 +545,20 @@ object EventsStream {
     * q107's exact oracle). Drain mechanics identical to q60: in-place
     * events source ∪ one-row far-future sentinel, memory sink. */
   def q108StreamTransitions(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val maxRow = graft.Tables.load(s, d, "events").agg(max(expr("ts div 1000"))).head
-    if (maxRow.isNullAt(0)) throw new IllegalArgumentException(
-      s"events table at $d is empty — nothing to transition-count")
-    val maxUs = maxRow.getLong(0)
-    val stagePath = java.nio.file.Files.createTempDirectory("graft_q108")
-    val stageDir = stagePath.toString
     val name = "graft_stream_transitions"
-    var drained: DataFrame = null
-    try {
-      Seq((-1L, (maxUs + 10L * 24 * 3600 * 1000000) * 1000, -1L, "sentinel", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .transform(ntzTs)
-        .write.mode("overwrite").parquet(stageDir)
-      drained = withDrainSession(s) { drain =>
-        val main = readEventsNanos(drain, d)
-        val sentinel = readStageNanos(drain, stageDir)
-        val stream = main.unionAll(sentinel)
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            expr("ts div 1000").as("tus"))
-          .withColumn("ts", timestamp_micros(col("tus")))
-          .as[TransEvent]
-        drainNow(transitionsExact(stream).toDF()
-          .writeStream.outputMode("append")
-          .format("memory").queryName(name))
-        drain.table(name)
-      }
-    } finally {
-      graft.FsUtil.deleteRec(stagePath)
+    // sentinel staging + (replay-aware) source assembly via the shared
+    // helper — the default opaque one-row sentinel is what this needs
+    val drained = withSentinelDrain(s, d, "q108") { (drain, mk) =>
+      import drain.implicits._
+      val stream = mk()
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"))
+        .withColumn("ts", timestamp_micros(col("tus")))
+        .as[TransEvent]
+      drainNow(transitionsExact(stream).toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name))
+      drain.table(name)
     }
     // per-from totals via a window over the tiny counts frame (a self-join
     // of a memory-sink table trips reference dedup; the window avoids it)
@@ -653,36 +643,21 @@ object EventsStream {
     * Drain mechanics identical to q108: in-place events source ∪ one-row
     * far-future sentinel, memory sink, dedicated drain session. */
   def q137StreamEwma(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val maxRow = graft.Tables.load(s, d, "events").agg(max(expr("ts div 1000"))).head
-    if (maxRow.isNullAt(0)) throw new IllegalArgumentException(
-      s"events table at $d is empty — nothing to smooth")
-    val maxUs = maxRow.getLong(0)
-    val stagePath = java.nio.file.Files.createTempDirectory("graft_q137")
-    val stageDir = stagePath.toString
     val name = "graft_stream_ewma"
-    var drained: DataFrame = null
-    try {
-      Seq((-1L, (maxUs + 10L * 24 * 3600 * 1000000) * 1000, -1L, "sentinel", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .transform(ntzTs)
-        .write.mode("overwrite").parquet(stageDir)
-      drained = withDrainSession(s) { drain =>
-        val main = readEventsNanos(drain, d)
-        val sentinel = readStageNanos(drain, stageDir)
-        val stream = main.unionAll(sentinel)
-          .select(col("event_id"), col("user_id"),
-            expr("ts div 1000").as("tus"),
-            cents(col("value")).as("vc"))
-          .withColumn("ts", timestamp_micros(col("tus")))
-          .as[EwmaEvent]
-        drainNow(ewmaExact(stream).toDF()
-          .writeStream.outputMode("append")
-          .format("memory").queryName(name))
-        drain.table(name)
-      }
-    } finally {
-      graft.FsUtil.deleteRec(stagePath)
+    // sentinel staging + (replay-aware) source assembly via the shared
+    // helper — the default opaque one-row sentinel is what this needs
+    val drained = withSentinelDrain(s, d, "q137") { (drain, mk) =>
+      import drain.implicits._
+      val stream = mk()
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("tus"),
+          cents(col("value")).as("vc"))
+        .withColumn("ts", timestamp_micros(col("tus")))
+        .as[EwmaEvent]
+      drainNow(ewmaExact(stream).toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name))
+      drain.table(name)
     }
     drained.filter(col("user_id") >= 0)
       .select("user_id", "event_id", "tus", "value", "ewma")
@@ -725,7 +700,7 @@ object EventsStream {
     * on — re-verified against the exact oracles). */
   private[streaming] def drainNow[T](w: DataStreamWriter[T]): Unit = {
     val q = w.trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
+    try { q.awaitTermination(); Replay.logBatches(q) } finally q.stop()
   }
 
   /** Stage a one-row far-future sentinel beside the in-place events source
@@ -747,7 +722,8 @@ object EventsStream {
     * gets a distinct negative user/event id, so typed sentinels can never
     * join each other; bodies exclude them with `col(...) >= 0`. */
   private def withSentinelDrain(s: SparkSession, d: String, tag: String,
-                                sentinelTypes: Seq[String] = Seq("sentinel"))
+                                sentinelTypes: Seq[String] = Seq("sentinel"),
+                                configure: SparkSession => Unit = _ => ())
       (body: (SparkSession, () => DataFrame) => DataFrame): DataFrame = {
     import s.implicits._
     val maxRow = graft.Tables.load(s, d, "events").agg(max(expr("ts div 1000"))).head
@@ -757,15 +733,39 @@ object EventsStream {
     val stagePath = java.nio.file.Files.createTempDirectory(s"graft_$tag")
     try {
       // sentinels: same RAW column shape as the events source (ts in ns)
-      sentinelTypes.zipWithIndex.map { case (tpe, i) =>
+      val sentinelRaw = sentinelTypes.zipWithIndex.map { case (tpe, i) =>
         (-1L - i, (maxUs + 10L * 24 * 3600 * 1000000) * 1000, -1L - i, tpe, 0.0, "{}")
       }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .transform(ntzTs)
-        .write.mode("overwrite").parquet(stagePath.toString)
-      withDrainSession(s) { drain =>
-        def mk() = readEventsNanos(drain, d).unionAll(
-          readStageNanos(drain, stagePath.toString))
-        body(drain, () => mk())
+      if (Replay.enabled) {
+        // multi-batch replay: the sentinel must arrive LAST. The normal
+        // second-source staging delivers it in micro-batch 1 (each file
+        // source contributes its available files to every batch), and a
+        // far-future row there would jump the union's watermark past all
+        // later slices — evicting join state and dropping the remaining
+        // replay as late. One-source discipline instead: hardlink the
+        // shared slices into a per-query dir and append the sentinels as
+        // the final slice (name + mtime both strictly after every data
+        // slice, so delivery order is last under either listing key).
+        Replay.requireSource(d)
+        Replay.linkSlices(Replay.eventsSlices, stagePath)
+        val tsIsLong = s.read.parquet(stagePath.toString)
+          .schema("ts").dataType == LongType
+        (if (tsIsLong) sentinelRaw else ntzTs(sentinelRaw))
+          .write.mode("append").parquet(stagePath.toString)
+        Replay.sentinelLast(stagePath)
+        withDrainSession(s) { drain =>
+          configure(drain)
+          body(drain, () => readSlicedNanos(drain, stagePath.toString))
+        }
+      } else {
+        sentinelRaw.transform(ntzTs)
+          .write.mode("overwrite").parquet(stagePath.toString)
+        withDrainSession(s) { drain =>
+          configure(drain)
+          def mk() = readEventsNanos(drain, d).unionAll(
+            readStageNanos(drain, stagePath.toString))
+          body(drain, () => mk())
+        }
       }
     } finally {
       graft.FsUtil.deleteRec(stagePath)
@@ -963,6 +963,7 @@ object EventsStream {
           types.map(t => CuRow(t, 0L, 0L, sentinel = true))
             .toDF().write.mode("append").parquet(stageDir)
           q.processAllAvailable() // flush batch: every group emits
+          Replay.logBatches(q)
         } finally q.stop()
         drain.table(name).orderBy("event_type")
       }
