@@ -15,6 +15,13 @@
 # query fails the oracle, any sliced-source query ran <2 data batches,
 # or a pipeline step dies (no stale-dump compares — the cluster-gate
 # lesson, r12 ADVICE).
+#
+# SPARK_GRAFT_MASTER=local-cluster[...] combines the time axis with the
+# process boundary: every micro-batch's state commits then happen in
+# REAL executor JVMs (RPC-coordinated store commits, remote shuffle
+# between batches). The farm staging mirrors cluster_gate.sh; the
+# artifact becomes STREAMREPLAY_cluster.json so the local gating
+# artifact can never be clobbered by a cluster run.
 set -u
 cd "$(dirname "$0")/.."
 TD=${SPARK_GRAFT_TESTDATA:-/root/testdata}
@@ -22,6 +29,18 @@ SF=${1:-$TD/sf0.1}
 SLICES=${2:-8}
 STAGE=/tmp/graft_replay_stage
 OUT=/tmp/replay_verify
+MASTER=${SPARK_GRAFT_MASTER:-}
+ARTIFACT=STREAMREPLAY.json
+if [[ "$MASTER" == local-cluster* ]]; then
+  ARTIFACT=STREAMREPLAY_cluster.json
+  SH=/tmp/graft_spark_home
+  mkdir -p "$SH"
+  ln -sfn /opt/spark/jars "$SH/jars"
+  ln -sfn /opt/spark/conf "$SH/conf"
+  ln -sfn /opt/spark/RELEASE "$SH/RELEASE"
+  export SPARK_HOME="$SH"
+  export SPARK_SCALA_VERSION=2.13
+fi
 
 # every registered stream query (q79's delta-file merge stages its own
 # multi-batch input and never reads the sliced sources — exempt from the
@@ -56,9 +75,10 @@ fi
 echo "[stream_replay] oracle compare"
 python3 tools/check_oracle.py "$SF" "$OUT" | tee /tmp/stream_replay_oracle.txt
 
-python3 - "$SF" "$SLICES" "$QS" <<'EOF'
+python3 - "$SF" "$SLICES" "$QS" "${MASTER:-local}" "$ARTIFACT" <<'EOF'
 import json, re, sys
 sf, slices, qs = sys.argv[1], int(sys.argv[2]), sys.argv[3].split(',')
+mode, artifact = sys.argv[4], sys.argv[5]
 oracle = open('/tmp/stream_replay_oracle.txt').read()
 passes = re.findall(r'^pass (\S+?):', oracle, re.M)
 fails  = re.findall(r'^FAIL (\S+?):', oracle, re.M)
@@ -70,12 +90,12 @@ fails = sorted(set(fails) | set(crashed))
 # at least one line per sliced-source query, every line > 1 data batch
 batches = [int(m) for m in re.findall(r'\[replay\] query=\S+ data_batches=(\d+)', vlog)]
 expected = len([q for q in qs if q != 'q79_stream_merge'])
-out = {"gate": "stream_replay", "sf": sf, "slices": slices,
+out = {"gate": "stream_replay", "sf": sf, "slices": slices, "mode": mode,
        "queries": len(qs), "pass": len(passes), "fail": len(fails),
        "failed": fails, "drains_logged": len(batches),
        "min_data_batches": min(batches) if batches else 0,
        "max_data_batches": max(batches) if batches else 0}
-json.dump(out, open('STREAMREPLAY.json', 'w'), indent=1)
+json.dump(out, open(artifact, 'w'), indent=1)
 print(json.dumps(out))
 problems = []
 if len(passes) + len(fails) < len(qs):
