@@ -29,8 +29,15 @@ object StreamReplayCheck {
     val qs = streamQs.filter(q => only.forall(_.contains(q)))
     require(qs.nonEmpty, s"no stream queries selected from: $streamQs")
 
-    val spark = Graft.sessionBuilder(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .getOrCreate()
+    // SPARK_GRAFT_MASTER: the same override Verify/Bench honor — a
+    // local-cluster value composes the time axis with the process
+    // boundary (and, at 1 GiB executors, memory pressure): both the
+    // single-batch baseline and every replay micro-batch then commit
+    // state across real executor JVMs
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER",
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+    val spark = Graft.sessionBuilder(master,
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // normal single-batch drains first (replay OFF)
