@@ -38,8 +38,11 @@ object ReplayStage {
   def stage(spark: org.apache.spark.sql.SparkSession, sfDir: String,
             outDir: String, k: Int, jitterSec: Long): Unit = {
     require(k >= 2, "a single slice would replay as a single batch")
-    require(jitterSec * 2 < 300, // min watermark delay across stream queries
-      "jitter must stay inside the smallest watermark delay (5 min)")
+    require(k <= 999, // slice-%03d names + the slice-999-* sentinel suffix
+      "slice naming orders at most 999 data slices before the sentinel")
+    require(jitterSec * 2 < graft.streaming.Replay.minWatermarkDelaySec,
+      "jitter must stay inside the smallest watermark delay " +
+        s"(${graft.streaming.Replay.minWatermarkDelaySec} s — Replay.minWatermarkDelaySec)")
     val out = java.nio.file.Paths.get(outDir)
     FsUtil.deleteRec(out)
     java.nio.file.Files.createDirectories(out.resolve("events"))
@@ -58,32 +61,42 @@ object ReplayStage {
       lit(2 * jitterSec + 1)) - jitterSec) * lit(1000000L)
     val arr = ev.withColumn("__arr", tusExpr + jitter)
     val bounds = arr.agg(min(col("__arr")), max(col("__arr"))).head
+    if (bounds.isNullAt(0)) throw new IllegalArgumentException(
+      s"events table at $sfDir is empty — nothing to slice for replay")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (hi - lo) / k + 1)
+    // cache the jittered/bucketed frame: the per-slice writes below would
+    // otherwise each re-read and re-hash the whole table (k+ full scans)
     val sliced = arr.withColumn("__slice",
       least(lit(k - 1), expr(s"(__arr - ${lo}L) DIV ${width}L")).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evRows = sliced.count()
     val evCols = ev.columns.map(col)
     (0 until k).foreach { b =>
       writeSlice(sliced.filter(col("__slice") === b).select(evCols: _*),
         out.resolve("events"), b, baseMtime)
     }
+    sliced.unpersist(blocking = false)
 
     // ---- documents: hash-sliced
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val docCols = docs.columns.map(col)
     val dsliced = docs.withColumn("__slice",
       pmod(xxhash64(col("doc_id"), lit("replay_slice")), lit(k)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docRows = dsliced.count()
     (0 until k).foreach { b =>
       writeSlice(dsliced.filter(col("__slice") === b).select(docCols: _*),
         out.resolve("documents"), b, baseMtime)
     }
+    dsliced.unpersist(blocking = false)
 
     val src = java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString
     java.nio.file.Files.write(out.resolve("source.txt"),
       src.getBytes("UTF-8"))
     println(s"""{"stage":"replay","sf":"$src","out":"$outDir","slices":$k,""" +
-      s""""jitter_sec":$jitterSec,"events_rows":${ev.count()},""" +
-      s""""docs_rows":${docs.count()}}""")
+      s""""jitter_sec":$jitterSec,"events_rows":$evRows,""" +
+      s""""docs_rows":$docRows}""")
   }
 
   /** One slice as ONE plain parquet file, named and dated in slice order

@@ -64,11 +64,16 @@ object StreamReplayCheck {
     }
 
     // q79's delta-file replay stages its own multi-batch input and never
-    // touches the sliced sources — exempt from the batch-count demand
-    val exemptMultiBatch = Set("q79_stream_merge")
+    // touches the sliced sources — exempt from the batch-count demand.
+    // The bar is slices-1, not "more than one": a two-phase flush
+    // sentinel arrives as its own input-bearing batch, so a replay that
+    // collapsed to a single data batch would still read 2 — only a
+    // count tied to the slice count actually evidences per-slice
+    // delivery (slices-1 leaves margin for one legitimately empty
+    // time slice).
     val rows = results.map { case (q, (norm, replay, batches)) =>
       val matches = norm == replay
-      val multi = batches > 1 || exemptMultiBatch(q)
+      val multi = batches >= slices - 1 || q == "q79_stream_merge"
       (q, matches, batches, multi)
     }
     val failed = rows.filterNot { case (_, m, _, multi) => m && multi }

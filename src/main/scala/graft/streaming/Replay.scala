@@ -72,18 +72,45 @@ object Replay {
         "re-run graft.ReplayStage against the current SF dir")
   }
 
+  /** The smallest watermark delay any registered stream query carries —
+    * q176/q164's 5-minute debounce/burst gap (EventsStream.burstExact);
+    * every other delay is ≥ 30 min. ReplayStage bounds its arrival
+    * jitter against this so cross-batch disorder stays inside every
+    * query's allowed lateness. A FUTURE stream query with a smaller
+    * delay must lower this constant (the replay gate would start
+    * failing loudly on that query otherwise — this constant is the
+    * pointer that failure should lead to). */
+  val minWatermarkDelaySec: Long = 300L
+
   /** Hardlink every slice of `from` into `into` (per-query private copy:
     * a query may append its own sentinel slice without contaminating the
     * shared staging for the queries after it). Hardlinks share the
-    * target's inode, so the slicer's increasing mtimes carry over. */
+    * target's inode, so the slicer's increasing mtimes carry over; when
+    * the staging root sits on a different filesystem than the tmp dir
+    * (hardlinks impossible), fall back to a copy that preserves the
+    * mtime. */
   def linkSlices(from: String, into: Path): Unit = {
     val src = Paths.get(from)
     if (!Files.isDirectory(src)) throw new IllegalStateException(
       s"replay slice dir $from missing — run graft.ReplayStage first")
-    Files.list(src).forEach { p =>
-      if (p.getFileName.toString.endsWith(".parquet"))
-        Files.createLink(into.resolve(p.getFileName.toString), p)
+    var n = 0
+    scala.util.Using.resource(Files.list(src)) { st =>
+      st.forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val dest = into.resolve(p.getFileName.toString)
+          try Files.createLink(dest, p)
+          catch {
+            case _: java.nio.file.FileSystemException =>
+              Files.copy(p, dest,
+                java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+          }
+          n += 1
+        }
+      }
     }
+    if (n == 0) throw new IllegalStateException(
+      s"replay slice dir $from holds no slice-*.parquet files — " +
+        "re-run graft.ReplayStage")
   }
 
   /** After a sentinel append (df.write names its output `part-*`):
@@ -93,6 +120,9 @@ object Replay {
   def sentinelLast(dir: Path): Unit = {
     val files = dir.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
     val (slices, fresh) = files.partition(_.getName.startsWith("slice-"))
+    if (slices.isEmpty) throw new IllegalStateException(
+      s"no slice-*.parquet files under $dir to order the sentinel after — " +
+        "re-run graft.ReplayStage")
     val newest = slices.map(_.lastModified).max
     fresh.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
       val dest = dir.resolve(f"slice-999-sentinel-$i%02d.parquet")

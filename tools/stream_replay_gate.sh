@@ -104,8 +104,11 @@ if fails:
     problems.append(f"{len(fails)} oracle failures")
 if len(batches) < expected:
     problems.append(f"only {len(batches)} [replay] drain lines for {expected} sliced-source queries")
-if batches and min(batches) < 2:
-    problems.append(f"a drain ran {min(batches)} data batches — replay collapsed to single-batch")
+# the bar is slices-1, not 2: a two-phase flush sentinel is its own
+# input-bearing batch, so a collapsed replay still reads 2 — only a
+# count tied to the slice count evidences per-slice delivery
+if batches and min(batches) < slices - 1:
+    problems.append(f"a drain ran {min(batches)} data batches for {slices} slices — replay collapsed")
 if problems:
     print("[stream_replay] GATE FAILED: " + "; ".join(problems), file=sys.stderr)
     sys.exit(1)
