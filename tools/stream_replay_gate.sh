@@ -30,9 +30,14 @@ SLICES=${2:-8}
 STAGE=/tmp/graft_replay_stage
 OUT=/tmp/replay_verify
 MASTER=${SPARK_GRAFT_MASTER:-}
-ARTIFACT=STREAMREPLAY.json
+# artifact name derives from the SF dir (the Bench rule: a non-gating
+# run must never clobber the committed gating artifact) and carries a
+# _cluster tag under a real-executor master
+BASE=$(basename "$SF")
+if [ "$BASE" = "sf0.1" ]; then ARTIFACT=STREAMREPLAY.json
+else ARTIFACT="STREAMREPLAY_${BASE}.json"; fi
 if [[ "$MASTER" == local-cluster* ]]; then
-  ARTIFACT=STREAMREPLAY_cluster.json
+  ARTIFACT="${ARTIFACT%.json}_cluster.json"
   SH=/tmp/graft_spark_home
   mkdir -p "$SH"
   ln -sfn /opt/spark/jars "$SH/jars"
