@@ -277,6 +277,18 @@ object GraphOps {
     * (bounded by order size, ~4 lines avg), never a global cross. */
   def coOrderEdges(lineitem: DataFrame, cap: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Pair generation stays the per-order SELF-JOIN. An optimization-r13
+    // candidate rewrote it as groupBy(o).agg(sort_array(collect_set(p)))
+    // + pair explode ("aggregate before you shuffle", guide §2.3) — but
+    // collect_set plans as ObjectHashAggregate, an object-mode aggregate
+    // OUTSIDE whole-stage codegen (guide §4: prefer codegen'd built-ins
+    // in hot paths), and the A/B/A profile showed it REGRESSING the
+    // family: q223's end-to-end task time rose 55.9 → 75.5 task-s (the
+    // array build cost more than the second scan it saved, and the
+    // array-explode stage starved the downstream wedge join of
+    // parallelism), q105 was flat. Columnar distinct + codegen'd SMJ
+    // wins here; the rewrite is recorded in OPTIMIZATION_r13.md as
+    // measured-and-rejected.
     val op = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
     val pw = op.as("a")
@@ -372,8 +384,25 @@ object GraphOps {
                      scale: Long = 1000000000000L): DataFrame = {
     val adj = symmetrized(edges)
     val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
-    // (u, v, deg_u): the only per-iteration join input, materialized once
-    val adjd = graft.Transients.track(adj.join(deg, "u").transform(graft.Transients.cut))
+    // (u, v, deg_u): the only per-iteration join input, materialized once,
+    // HASH-PARTITIONED AND SORTED ON `u` before the cut (optimization r13,
+    // guide §2.3 "shuffle fewer bytes"). Mechanism, measured not guessed:
+    // the checkpoint's LogicalRDD leaf reports UnknownPartitioning under
+    // AQE, so each iteration still plans an adjacency Exchange — but the
+    // three are identical subtrees, ReuseExchange WRITES once and each
+    // iteration only re-fetches; pre-sorting the checkpoint cut that
+    // reused exchange's bytes 7.19 → 4.85 MB at sf0.1 (sorted runs
+    // compress better) and the iteration sorts start from sorted runs.
+    // A/B/A-profiled: 48.0 → 43.1 task-s, 6.7 → 5.5 s wall. The persist()
+    // alternative (InMemoryRelation DOES keep partitioning, making
+    // iterations exchange-free) measured far WORSE — 84 task-s — because
+    // per-iteration InMemoryTableScan columnar→row re-reads cost more
+    // than the shuffle fetches they replaced; rejected, see
+    // OPTIMIZATION_r13.md. Partition count = the session's
+    // shuffle-partition conf (scale-adaptive, not a local constant).
+    val adjd = graft.Transients.track(adj.join(deg, "u")
+      .repartition(col("u")).sortWithinPartitions("u")
+      .transform(graft.Transients.cut))
     val n = adjd.select(col("u")).distinct().count()
     // an edge-free graph has no nodes to rank: empty frame, not /0 below
     if (n == 0L) return adjd.select(col("u").as("node"), lit(0L).as("r")).limit(0)
@@ -410,8 +439,13 @@ object GraphOps {
                              scale: Long = 1000000000000L): DataFrame = {
     val adj = symmetrized(edges, "u", "v", "w")
     val wt = adj.groupBy("u").agg(sum("w").as("wtot"))
+    // hash-partitioned + sorted on `u` before the cut, for the measured
+    // reason on [[pageRankScaled]]'s adjd: the iterations' reused
+    // adjacency exchange fetches fewer (sorted-run-compressed) bytes and
+    // the per-iteration sorts start from sorted runs
     val adjp = graft.Transients.track(adj.join(wt, "u")
       .select(col("u"), col("v"), expr("(1000000 * w) div wtot").as("p"))
+      .repartition(col("u")).sortWithinPartitions("u")
       .transform(graft.Transients.cut))
     val n = adjp.select(col("u")).distinct().count()
     // an edge-free graph has no nodes to rank: empty frame, not /0 below

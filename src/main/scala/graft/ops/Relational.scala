@@ -1488,8 +1488,17 @@ object Relational {
     // row_number window over orders 25 times (measured 9.2 s → see
     // ROUNDLOG; the checkpoint turns each level into a key-only join
     // against a materialized relation)
+    // pre-partition + sort the chain on the walk's join key before the
+    // cut (optimization r13, the q105 adjacency finding): every UnionLoop
+    // level joins this static relation on (ck, rn); the level plans still
+    // carry an Exchange (a checkpoint's LogicalRDD reports
+    // UnknownPartitioning under AQE) but ReuseExchange writes it once and
+    // the per-level fetches ship sorted-run-compressed bytes, and each
+    // level's chain-side sort starts from sorted runs
     val ch = graft.Transients.track(
-      s.sql(q194ChainSql("graft_q194_orders")).transform(graft.Transients.cut))
+      s.sql(q194ChainSql("graft_q194_orders"))
+        .repartition(col("ck"), col("rn")).sortWithinPartitions("ck", "rn")
+        .transform(graft.Transients.cut))
     ch.createOrReplaceTempView("graft_q194_ch")
     s.sql(q194WalkSqlFor("graft_q194_ch"))
   }
