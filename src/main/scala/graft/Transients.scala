@@ -21,8 +21,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (DedupOps.evict / GraphOps.evict, which DO unpersist). */
 object Transients {
 
+  // keyed by SparkContext, not SparkSession (optimization r13): a query
+  // that isolates an execution-strategy conf on a child session (the
+  // withDrainSession pattern) would cut transients under the CHILD, and a
+  // session-keyed registry would leak them past the harness's
+  // parent-session drop() forever. One context = one harness = one drop
+  // scope; queries never run concurrently across sessions here.
   private val reg =
-    scala.collection.mutable.Map.empty[SparkSession, List[DataFrame]]
+    scala.collection.mutable.Map.empty[org.apache.spark.SparkContext, List[DataFrame]]
 
   /** The engine's ONE lineage-cut primitive — every operator that
     * truncates a plan (star-contraction rounds, PageRank/LPA/k-core/BFS
@@ -87,7 +93,7 @@ object Transients {
   }
 
   def track(df: DataFrame): DataFrame = synchronized {
-    reg.updateWith(df.sparkSession)(l => Some(df :: l.getOrElse(Nil)))
+    reg.updateWith(df.sparkSession.sparkContext)(l => Some(df :: l.getOrElse(Nil)))
     df
   }
 
@@ -104,8 +110,8 @@ object Transients {
     * is immediate at the query boundary, not eventual. */
   def drop(s: SparkSession): Unit = {
     val doomed = synchronized {
-      val d = reg.getOrElse(s, Nil)
-      reg.remove(s)
+      val d = reg.getOrElse(s.sparkContext, Nil)
+      reg.remove(s.sparkContext)
       d
     }
     doomed.foreach { df =>
