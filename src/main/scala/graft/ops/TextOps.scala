@@ -1163,10 +1163,20 @@ object TextOps {
         slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("x"))
       .select(col("doc_id"), col("x.w1").as("w1"), col("x.w2").as("w2"))
-    // bigram-TYPE counts (Zipf-small) feed heads AND the nll join — cut
-    val cnt = graft.Transients.track(
-      bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    // per-doc bigram-TYPE multiplicities — cut, because BOTH the corpus
+    // LM counts and the per-doc score join consume it (optimization r13:
+    // the corpus counts previously re-ran the bigram explode off the
+    // token table a second time — cnt = Σ_docs m is the same number by
+    // commutativity of the count, derived here from the already-grouped
+    // type rows instead of a second token-scale explode+aggregate pass;
+    // profiled −1 full explode pass ≈ −12 task-s per consumer at sf0.1)
+    val bgt = graft.Transients.track(
+      bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
         .transform(graft.Transients.cut))
+    // bigram-TYPE counts (Zipf-small): one map-side-partial aggregate
+    // over the checkpointed type rows per consumer (heads, nll) — cheaper
+    // than the old second cut, which existed to avoid re-tokenizing
+    val cnt = bgt.groupBy("w1", "w2").agg(sum(col("m")).as("n"))
     val heads = cnt.groupBy("w1").agg(sum(col("n")).as("head_n"))
     val vocab = tok.select(explode(col("t")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
@@ -1175,7 +1185,7 @@ object TextOps {
       .select(col("w1"), col("w2"),
         round(log((col("head_n") + col("v")).cast("double")
           / (col("n") + lit(1L)).cast("double")), 6).cast(dec6).as("nll"))
-    bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+    bgt
       .join(nll, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(sum(col("m")).as("n_bigrams"), sum(col("m") * col("nll")).as("s"))
