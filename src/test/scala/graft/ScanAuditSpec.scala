@@ -95,26 +95,16 @@ class ScanAuditSpec extends AnyFunSuite {
       "2-column pruned scans per sketch leg"),
     "q221_t_closeness" -> (Map("customer" -> 3) ->
       "class/global/EMD legs over a 150-row dimension"),
-    // --- near-dup pair pipelines: the pair basis is session-memoized at
-    // RUN time; the static plan shows the full lineage (cached leaves
-    // count 0 only once materialized)
-    "q38_ngram_jaccard" -> (Map("documents" -> 4) ->
-      "LSH band/verify legs; pair basis memoized at run time"),
-    "q39_dedup_apply" -> (Map("documents" -> 7) ->
-      "consumes q36/q38 pair lineage pre-memoization"),
-    "q113_containment_dedup" -> (Map("documents" -> 6) ->
-      "gram/prefix/verify legs, shuffle-hash attach by design"),
-    "q140_ppjoin_exact" -> (Map("documents" -> 6) ->
-      "prefix/candidate/verify-attach legs (see ppjoinPairs)"),
-    "q233_incremental_dedup" -> (Map("documents" -> 7) ->
-      "batch-vs-corpus probe restriction scans both roles"),
-    "q68_split_leakage" -> (Map("documents" -> 4) ->
-      "shared LSH pair pipeline's own lineage; split frame IS cut"),
+    // --- near-dup pair pipelines: optimization r13 materialized the
+    // shared shingle/bucket relations once (bandedPairs bucket cut,
+    // ppjoinPairs/q113 shingle cut, minhashBucketsMd5 min-aggregate
+    // form), so their per-query base scans dropped below the fanout
+    // threshold and the former documents=4..7 pins are retired — the
+    // default >=3 rule now guards the regression direction (a broken cut
+    // sends the count straight back to 6-7 and fails here)
     // --- embedding probes: each side scans a pruned slice
     "q42_ann_lsh" -> (Map("embeddings" -> 4) ->
       "plane build + bucket sides scan pruned vector slices"),
-    "q61_embedding_neardup" -> (Map("embeddings" -> 4) ->
-      "bucket build/probe sides, pruned slices"),
     "q208_mmr_rerank" -> (Map("embeddings" -> 6) ->
       "query/pool/diversity legs over pruned vector slices")
   )
